@@ -1,0 +1,231 @@
+"""Deduplication operators: exact, word-set Jaccard, MinHash+LSH, SimHash.
+
+Designed for the 100 TB case:
+- exact dedup is a single hash-aggregate on a fingerprint (map-side combinable);
+- pairwise Jaccard is always *blocked* (same-language + length band) so the
+  candidate space is bounded per block, never a global cross join;
+- MinHash signatures are computed entirely JVM-side (xxhash64 + higher-order
+  array functions — no Python), LSH banding turns near-dup search into an
+  equi-join on (band_id, band_hash): shuffle-partitionable, no pair explosion
+  outside buckets;
+- SimHash is a vectorized Arrow pandas UDF (numpy bit-packing), the documented
+  Python-path exception.
+
+No counterpart in the reference (SURVEY.md §7 Phase 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from kafka_flow_spark.operators.text import fingerprint, normalize_text, tokens
+
+# MinHash parameters: k independent permutations h_i(x) = (a_i*x + b_i) mod P
+# over base hashes folded into [0, P).  P = 2^31-1 (Mersenne prime) keeps
+# a_i*h + b_i < 2^62, inside int64 under ANSI arithmetic (no overflow).
+_P = (1 << 31) - 1
+_K_DEFAULT = 64
+
+
+def _minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, _P - 1, dtype=np.int64)), int(rng.randint(0, _P - 1, dtype=np.int64)))
+        for _ in range(k)
+    ]
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical documents by content fingerprint.
+
+    One hash-aggregate; partial aggregation makes this a single shuffle of
+    (fingerprint → count, min_id) pairs regardless of document size.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(text_col: str, n: int = 1) -> F.Column:
+    """Distinct word n-gram shingle set of the normalized text (JVM-side)."""
+    toks = tokens(normalize_text(text_col))
+    if n == 1:
+        return F.array_distinct(toks)
+    # n-gram shingles: join sliding windows of n tokens
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+    )
+
+
+def jaccard_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    length_col: str | None = None,
+    length_band: int = 30,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard over *blocked* candidate pairs.
+
+    Blocking (equi-join on block_cols + a length band) bounds the pair space;
+    the join is an ordinary shuffle equi-join, so it scales horizontally.
+    Output: (a_id, b_id, jac) for pairs with similarity >= threshold.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in block_cols],
+        *( [F.col(length_col).alias("_len")] if length_col else [] ),
+        word_shingles(text_col).alias("_sh"),
+    )
+    a = base.select(
+        F.col("_id").alias("a_id"),
+        *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
+        *( [F.col("_len").alias("_len_a")] if length_col else [] ),
+        F.col("_sh").alias("_sh_a"),
+    )
+    b = base.select(
+        F.col("_id").alias("b_id"),
+        *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
+        *( [F.col("_len").alias("_len_b")] if length_col else [] ),
+        F.col("_sh").alias("_sh_b"),
+    )
+    cond = F.col("a_id") < F.col("b_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
+    if length_col:
+        cond = cond & (F.abs(F.col("_len_a") - F.col("_len_b")) <= length_band)
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
+    jac = inter / union
+    return (
+        a.join(b, cond)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = _K_DEFAULT, shingle_n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature per document, fully JVM-side.
+
+    Base hash: xxhash64(shingle) folded to [0, P).  Each permutation is an
+    array_min over a transform — Catalyst evaluates the whole signature without
+    leaving the JVM.
+    """
+    params = _minhash_params(k)
+    sh = word_shingles(text_col, shingle_n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_P))))
+            for (a, b) in params
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = _K_DEFAULT,
+    bands: int = 16,
+    threshold: float = 0.5,
+    verify: bool = True,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding, optionally verified exactly.
+
+    rows-per-band r = k/bands; candidate pairs share at least one band hash.
+    The banding is an equi-join on (band_id, band_hash) — pure shuffle join,
+    no global cross product.  With verify=True candidates are re-checked with
+    the exact word-set Jaccard, so output = true near-dups among candidates.
+    """
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.hash(*[F.col("minhash")[bi * r + j] for j in range(r)]).alias("band_hash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    shingled = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
+    )
+    jac = (
+        F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+        / F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
+    )
+    return (
+        cand.join(shingled.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sh_a")), "a_id")
+        .join(shingled.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_sh_b")), "b_id")
+        .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (vectorized Arrow pandas UDF).
+
+    Bit-parallel numpy: token hashes → ±1 per bit position → sign of the sum.
+    Python is acceptable here because the computation is genuinely bit-twiddly;
+    Arrow batches keep the transfer columnar.
+    """
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        masks = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in set(toks):
+                # deterministic 64-bit token hash (FNV-1a)
+                h = np.uint64(14695981039346656037)
+                for ch in tok.encode("utf-8"):
+                    h = np.uint64((int(h) ^ ch) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+                acc += np.where((h & masks) != 0, 1, -1)
+            bits = np.uint64(0)
+            for bpos in np.nonzero(acc > 0)[0]:
+                bits |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(bits.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash"))

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``knn_bruteforce``: exact top-k cosine — broadcast the (small) query set,
+  JVM-side dot products via zip_with/aggregate, per-query top-k via window.
+  The scan side streams; nothing is collected to the driver.  This is the
+  baseline and the oracle for the approximate variants.
+- ``knn_lsh``: random-hyperplane LSH — sign-bit bucket per vector, candidates
+  share a bucket (equi-join), exact cosine re-rank within buckets.  Scale path:
+  the bucket join shuffles only by bucket id; probing multiple hyperplane
+  tables raises recall without any cross join.
+
+No counterpart in the reference (SURVEY.md §7 Phase 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_flow_spark.functions import cosine
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def knn_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (excluding itself).
+
+    Output: (q_id, neighbor_id, sim, rank).  Deterministic tie-break on
+    (sim DESC, neighbor_id ASC).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    )
+    sims = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id of a vector against fixed hyperplanes (JVM-side)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(x) for x in p]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine via multi-table random-hyperplane LSH.
+
+    Candidates = vectors sharing a bucket with the query in any of ``n_tables``
+    hash tables; exact cosine re-rank on candidates only.  Recall grows with
+    n_tables; cost stays equi-join-shaped (shuffle by (table, bucket)).
+    """
+    tables = [(t, _hyperplanes(dim, n_planes, seed=42 + t)) for t in range(n_tables)]
+
+    def bucketize(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            F.col(vec_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+                        )
+                        for t, planes in tables
+                    ]
+                )
+            ).alias("tb"),
+        ).select(F.col(idc), F.col(vec_col), F.col("tb.tbl"), F.col("tb.bucket"))
+
+    vb = bucketize(vectors, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"), "tbl", "bucket"
+    )
+    qb = bucketize(queries, id_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "tbl", "bucket"
+    )
+    cand = (
+        vb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "q_vec", "neighbor_id", "n_vec")
+        .distinct()
+    )
+    sims = cand.select(
+        "q_id",
+        "neighbor_id",
+        cosine(_as_double(F.col("q_vec")), _as_double(F.col("n_vec"))).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

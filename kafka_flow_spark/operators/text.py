@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are pyspark.sql.functions built-ins (JVM-side,
+whole-stage codegen) — no Python UDFs.  Each operator is a Column-producing
+helper so it composes into any DataFrame plan and pushes down/prunes normally.
+
+These have no counterpart in the reference (kafka-flow processes opaque bytes);
+they are the Phase-4 pipeline surface (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic small stopword inventories (per-language marker words for the
+# heuristic language ID; English set doubles as the quality-score stopwords).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text (empty text → empty array)."""
+    col = F.col(text) if isinstance(text, str) else text
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def punct_count(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    toks = tokens(text)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stopword_count(text, lang).cast("double") / n.cast("double")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + stopword presence
+    − punctuation excess.  (Gopher-rules-flavored, arithmetic chosen to be
+    exactly reproducible in ANSI SQL.)"""
+    col = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_penalty = F.least(
+        punct_count(col).cast("double") / F.greatest(F.length(col).cast("double"), F.lit(1.0)) * 2.0,
+        F.lit(1.0),
+    )
+    return F.round(len_score * 0.5 + stop_score * 0.5 - punct_penalty * 0.25, 4)
+
+
+def lang_score(text: Column | str, lang: str) -> Column:
+    """Stopword-hit count for one language (marker-word heuristic)."""
+    return stopword_count(text, lang)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: CJK-character presence → 'zh', else the language
+    with the most marker-stopword hits (fixed priority en>es>fr>de on ties,
+    'und' when no marker hits at all)."""
+    col = F.col(text) if isinstance(text, str) else text
+    cjk = F.length(col) - F.length(F.regexp_replace(col, r"[一-鿿]", ""))
+    scores = {lg: lang_score(col, lg) for lg in ("en", "es", "fr", "de")}
+    best = F.greatest(*scores.values())
+    return (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["es"] == best, F.lit("es"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(text))

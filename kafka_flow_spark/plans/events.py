@@ -1,0 +1,316 @@
+"""Stateful / streaming-semantic queries over the ``events`` table.
+
+``events`` is the Kafka-record analog (FIXTURES.md §1): ``event_id`` is the
+per-key offset, ``ts`` the record timestamp, ``user_id`` the key.  Every fold
+query here runs through the real fold machinery (operators.keyed — the
+reference's FoldToState hot path) and is oracle-checked against the equivalent
+ordered-window SQL, proving the fold operator against a relational oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.functions import dsum, money
+from kafka_flow_spark.operators.asof import asof_join
+from kafka_flow_spark.operators.fold import fold_option
+from kafka_flow_spark.operators.keyed import keyed_fold, keyed_fold_final
+from kafka_flow_spark.plans.registry import register
+from kafka_flow_spark.tables import load
+
+
+# --- per-key ordered fold, per-record emit (reference Fold semantics, #9) ---
+@register(
+    "q_fold_running_totals",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS run_count,
+           ROUND(SUM(value) OVER w, 4) AS run_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    bench=True,
+)
+def q_fold_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (count, sum) per user via the generic fold operator.
+
+    Docstring citation: Fold contract core/.../Fold.scala:14; ordered-per-key
+    execution PartitionFlow.scala:160-194.
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def step(s, rec):
+        s = s or {"n": 0, "total": 0.0}
+        return {"n": s["n"] + 1, "total": s["total"] + rec["value"]}
+
+    def emit(key, rec, before, after):
+        return {
+            "user_id": key["user_id"],
+            "event_id": rec["event_id"],
+            "run_count": after["n"],
+            "run_sum": round(after["total"], 4),
+        }
+
+    return keyed_fold(
+        e,
+        key_cols=["user_id"],
+        order_col="event_id",
+        fold=fold_option(step),
+        output_schema="user_id BIGINT, event_id BIGINT, run_count BIGINT, run_sum DOUBLE",
+        emit=emit,
+    )
+
+
+# --- delete-on-None contract (FoldOption, #9 + FoldToState.scala:62-89) ---
+@register(
+    "q_fold_reset_on_error",
+    oracle="""
+    SELECT user_id, event_id,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE ROUND(SUM(CASE WHEN event_type = 'error' THEN 0 ELSE value END)
+                     OVER (PARTITION BY user_id, seg ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           END AS state_sum
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM events)
+    """,
+)
+def q_fold_reset_on_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold whose state is deleted (None) on 'error' events — the delete contract."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+
+    def step(s, rec):
+        if rec["event_type"] == "error":
+            return None  # delete state (FoldOption None contract)
+        return (s or 0.0) + rec["value"]
+
+    def emit(key, rec, before, after):
+        return {
+            "user_id": key["user_id"],
+            "event_id": rec["event_id"],
+            "state_sum": None if after is None else round(after, 4),
+        }
+
+    return keyed_fold(
+        e,
+        key_cols=["user_id"],
+        order_col="event_id",
+        fold=fold_option(step),
+        output_schema="user_id BIGINT, event_id BIGINT, state_sum DOUBLE",
+        emit=emit,
+    )
+
+
+# --- final-state mode (snapshot read analog, #24) ---
+@register(
+    "q_fold_final_state",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_fold_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    from decimal import Decimal
+
+    def step(s, rec):
+        s = s or {"n": 0, "total": Decimal(0)}
+        # decimal accumulation → order-insensitive-exact, matches oracle's DECIMAL sum
+        return {"n": s["n"] + 1, "total": s["total"] + Decimal(f"{rec['value']:.2f}")}
+
+    def finish(key, s):
+        return {"user_id": key["user_id"], "n_events": s["n"], "total_value": float(s["total"])}
+
+    return keyed_fold_final(
+        e,
+        key_cols=["user_id"],
+        order_col="event_id",
+        fold=fold_option(step),
+        output_schema="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        finish=finish,
+    )
+
+
+# --- offset-dedup guard (SnapshotFold, #26: skip offsets <= snapshot offset) ---
+@register(
+    "q_offset_dedup_replay",
+    oracle="""
+    WITH snap AS (
+      SELECT user_id, CAST(MAX(event_id) AS BIGINT) AS snap_offset
+      FROM events WHERE event_type = 'signup' GROUP BY user_id)
+    SELECT e.user_id, COUNT(*) AS replayed,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS replay_value
+    FROM events e JOIN snap s ON e.user_id = s.user_id
+    WHERE e.event_id > s.snap_offset
+    GROUP BY e.user_id
+    """,
+)
+def q_offset_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-idempotence guard: drop records at or below the snapshot offset.
+
+    Reference: SnapshotFold.apply — core/.../snapshot/SnapshotFold.scala:13-23.
+    The 'snapshot offset' here is each user's last 'signup' event.
+    """
+    e = load(spark, sf_dir, "events")
+    snap = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("snap_offset"))
+    )
+    return (
+        e.join(snap, "user_id")
+        .filter(F.col("event_id") > F.col("snap_offset"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("replayed"), dsum(money("value"), "replay_value"))
+    )
+
+
+# --- latest-state lookup (state read path / max_by, #24) ---
+@register(
+    "q_events_last_state",
+    oracle="""
+    SELECT user_id,
+           CAST(MAX(event_id) AS BIGINT) AS last_event_id,
+           ARG_MAX(event_type, event_id) AS last_event_type,
+           ARG_MAX(value, event_id) AS last_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_events_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+
+
+# --- tumbling window aggregation (streaming window, batch-checkable) ---
+@register(
+    "q_events_tumbling_hourly",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum(money("value"), "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- session windows (gap-based; reference's canonical tick use-case) ---
+@register(
+    "q_events_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap.
+
+    Reference analog: session expiry via fold + tick (docs/overview.md:303-306);
+    batch form uses Spark's native session_window.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum(money("value"), "sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- JSON payload decode (journal-format parser analog, #28) ---
+@register(
+    "q_json_payload_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic JSON payload parsing (reference: JournalParser.scala:29,71-86)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )
+
+
+# --- as-of join (purchase ← latest prior click of same user) ---
+@register(
+    "q_asof_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           c.event_id AS click_event_id, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    bench=True,
+)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["click_event_id", "click_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "click_event_id",
+        "click_value",
+    )

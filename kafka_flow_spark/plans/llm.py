@@ -1,0 +1,270 @@
+"""LLM-data-pipeline queries over ``documents`` and ``embeddings`` (SURVEY.md §7 Phase 4).
+
+Dedup (exact / word-set Jaccard / MinHash-LSH / SimHash), text analysis
+(tokens, quality, language ID, fingerprints) and embedding similarity search.
+Oracle notes are inline — everything except SimHash and the LSH ANN variant is
+checked value-exact against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators import text as T
+from kafka_flow_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs_blocked,
+    minhash_lsh_pairs,
+    simhash,
+)
+from kafka_flow_spark.operators.similarity import knn_bruteforce, knn_lsh
+from kafka_flow_spark.plans.registry import register
+from kafka_flow_spark.tables import load
+
+# DuckDB expression for the distinct word-shingle set of normalized text
+# (mirrors operators.text.normalize_text + word_shingles(n=1))
+_DD_WORDSET = (
+    "list_distinct(string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))"
+)
+# word 3-gram shingles over whitespace tokens of trimmed text
+_DD_3GRAM = (
+    "list_distinct(list_transform("
+    " range(1, greatest(len(string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 0) + 1),"
+    " i -> list_aggr(list_slice(string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), i, i + 2),"
+    "               'string_agg', ' ')))"
+)
+
+
+# --- exact dedup: single hash-aggregate on content fingerprint ---
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --- blocked exact word-set Jaccard near-dup pairs ---
+@register(
+    "q_dedup_wordset_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, {_DD_WORDSET} AS sh FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 30
+    WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.95
+    """,
+)
+def q_dedup_wordset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs_blocked(
+        load(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang"],
+        length_col="n_chars",
+        length_band=30,
+        threshold=0.95,
+    )
+
+
+# --- MinHash+LSH near-dup candidates, exact-verified (oracle = all-pairs truth) ---
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DD_3GRAM} AS sh FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+    """,
+    bench=True,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact verify ≥ 0.7 on word-3-gram shingles.
+
+    The oracle is the brute-force all-pairs truth; LSH recall at these
+    parameters (k=64, 16 bands × 4 rows) is deterministic-complete for the
+    testdata (verified in tests) and ~1 - 4e-8 for jac=0.9 pairs generally.
+    """
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        k=64,
+        bands=16,
+        threshold=0.7,
+    )
+
+
+# --- SimHash fingerprints (bit-twiddly → vectorized pandas UDF; rows-only check) ---
+@register("q_simhash_fingerprints")
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- text statistics / quality scoring ---
+@register(
+    "q_text_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+      FROM documents),
+    s AS (
+      SELECT doc_id, text, n_punct,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','and','of','to','is'], lower(x)))) AS INT) AS n_stopwords
+      FROM t)
+    SELECT doc_id, n_tokens, n_stopwords, CAST(n_punct AS INT) AS n_punct,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE n_stopwords * 1.0 / n_tokens END AS stop_ratio,
+           ROUND(LEAST(n_tokens / 50.0, 1.0) * 0.5
+                 + LEAST(CASE WHEN n_tokens = 0 THEN 0.0
+                              ELSE n_stopwords * 1.0 / n_tokens END * 5.0, 1.0) * 0.5
+                 - LEAST(n_punct * 1.0 / GREATEST(length(text), 1) * 2.0, 1.0) * 0.25,
+                 4) AS quality
+    FROM s
+    """,
+    bench=True,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.stopword_count("text").alias("n_stopwords"),
+        T.punct_count("text").cast("int").alias("n_punct"),
+        T.stopword_ratio("text").alias("stop_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+# --- heuristic language identification ---
+@register(
+    "q_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+             length(text) - length(regexp_replace(text, '[^\\u4e00-\\u9fff]', '', 'g')) AS cjk
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang, cjk,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is'], lower(x)))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], lower(x)))) AS BIGINT) AS s_es,
+        CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','des'], lower(x)))) AS BIGINT) AS s_fr,
+        CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], lower(x)))) AS BIGINT) AS s_de
+      FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN cjk > 0 THEN 'zh'
+                WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+                WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+                WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
+                ELSE 'de' END AS predicted_lang
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id("text").alias("predicted_lang"))
+
+
+# --- document fingerprinting ---
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+# --- BPE-ish token counting ---
+@register(
+    "q_token_bpe_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+# --- embedding norms (per-row, ordered fold → bit-exact both sides) ---
+@register(
+    "q_embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    return e.select("vec_id", "label", F.round(F.sqrt(sq), 4).alias("l2_norm"))
+
+
+# --- exact top-k cosine similarity search ---
+@register(
+    "q_knn_bruteforce",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    sims AS (
+      SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.e, v.e),
+                      p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                * sqrt(list_sum(list_transform(v.e, x -> x * x)))) AS sim
+      FROM v q JOIN v ON q.vec_id < 10 AND v.vec_id != q.vec_id)
+    SELECT q_id, neighbor_id, ROUND(sim, 4) AS sim, rank FROM (
+      SELECT q_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims)
+    WHERE rank <= 5
+    """,
+    bench=True,
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    out = knn_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
+    return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+# --- approximate ANN via hyperplane LSH (rows-only; recall tested vs brute force) ---
+@register("q_knn_lsh")
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    out = knn_lsh(e, e.filter(F.col("vec_id") < 10), k=5, dim=64, n_planes=8, n_tables=4)
+    return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")

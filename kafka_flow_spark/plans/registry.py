@@ -1,0 +1,65 @@
+"""Central registry of oracle-gated queries.
+
+Every operator claimed "done" (SURVEY.md §2) registers here with:
+- a Spark implementation ``fn(spark, sf_dir) -> DataFrame``
+- an equivalent ANSI-SQL oracle string runnable by DuckDB over the same parquet
+  tables (``None`` for genuinely non-SQL-expressible ops → driver does a
+  rows-only check)
+- optionally ``bench=True`` to include it in bench.py's headline set.
+
+Column names are the contract: every computed column is aliased identically in
+the Spark plan and the oracle SQL (the driver sorts columns by name and hashes
+values).  Aggregate arithmetic is done in DECIMAL on both sides and cast to
+DOUBLE at the end, so sums are order-insensitive-exact and hash-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+BENCH: list[str] = []
+
+_LOADED = False
+
+
+def register(name: str, oracle: str | None = None, bench: bool = False):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        if bench:
+            BENCH.append(name)
+        return fn
+
+    return deco
+
+
+def load_all_plans() -> None:
+    """Import every plan module so registration side effects run once."""
+    global _LOADED
+    if _LOADED:
+        return
+    from kafka_flow_spark.plans import events, llm, relational  # noqa: F401
+
+    _LOADED = True
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all_plans()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all_plans()
+    return dict(ORACLES)
+
+
+def bench_queries() -> list[str]:
+    load_all_plans()
+    return list(BENCH)

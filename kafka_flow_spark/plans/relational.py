@@ -1,0 +1,520 @@
+"""Relational query library over the TPC-H-ish testdata (SURVEY.md §2.2).
+
+The reference (kafka-flow) has NO relational operators — joins, aggregations,
+window functions, set ops, sorts and scalar functions are exactly the surface
+the Spark-first rebuild gets from Catalyst (SURVEY.md §2.2, §7 Phase 3).  Each
+query here is the oracle-gated proof of one such category.
+
+Scale notes (100 TB rule):
+- Every plan is declarative DataFrame API → Catalyst does predicate pushdown,
+  column pruning and join reordering; no collect(), no driver loops.
+- Dimension joins (region/nation/part/supplier) are explicitly broadcast.
+- Aggregate arithmetic runs in DECIMAL so partial aggregation (map-side
+  combine) stays exact and order-insensitive, then casts to DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.functions import dsum, money
+from kafka_flow_spark.plans.registry import register
+from kafka_flow_spark.tables import load
+
+
+# --- aggregation: hash agg with partial/final, decimal-exact (TPC-H Q1 analog) ---
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = (money("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))).cast("decimal(18,6)")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(money("l_quantity"), "sum_qty"),
+            dsum(money("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            (F.sum(money("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(money("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- scan + filter + projection (predicate pushdown to parquet) ---
+@register(
+    "q2_filter_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_quantity < 5
+    """,
+)
+def q2_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-07-01")
+            & (F.col("l_quantity") < 5)
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+
+
+# --- 3-way shuffle join + agg + top-k (TPC-H Q3 analog) ---
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = (money("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(disc_price, "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- 6-way join chain with broadcast dims (TPC-H Q5 analog) ---
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    bench=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = (money("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(disc_price, "revenue"))
+    )
+
+
+# --- single-pass filtered aggregate (TPC-H Q6 analog) ---
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")).cast("decimal(18,4)")
+    return l.agg(dsum(rev, "revenue"), F.count("*").alias("n_rows"))
+
+
+# --- broadcast hash join against a dimension table ---
+@register(
+    "q_broadcast_brand_qty",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    bench=True,
+)
+def q_broadcast_brand_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(money("l_quantity"), "sum_qty"), F.count("*").alias("n_items"))
+    )
+
+
+# --- left semi join (EXISTS) ---
+@register(
+    "q_semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 100000)
+    """,
+)
+def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- left anti join (NOT EXISTS) ---
+@register(
+    "q_anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- window function: ranking within partitions ---
+@register(
+    "q_window_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    bench=True,
+)
+def q_window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --- window function: analytic lag/lead + frame aggregate ---
+@register(
+    "q_window_order_deltas",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_totalprice - LAG(o_totalprice) OVER w AS price_delta,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+        F.sum(money("o_totalprice")).over(wsum).cast("double").alias("running_spend"),
+    )
+
+
+# --- grouping sets: ROLLUP ---
+@register(
+    "q_rollup_order_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum(money("o_totalprice"), "total_spend")
+    )
+
+
+# --- grouping sets: CUBE ---
+@register(
+    "q_cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), dsum(money("l_quantity"), "sum_qty")
+    )
+
+
+# --- set operations ---
+@register(
+    "q_setop_intersect_nations",
+    oracle="""
+    SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q_setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    c = load(spark, sf_dir, "customer").join(
+        n, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    s = load(spark, sf_dir, "supplier").join(
+        n, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    return c.intersect(s)
+
+
+@register(
+    "q_setop_except_nations",
+    oracle="""
+    SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+    EXCEPT
+    SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q_setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    c = load(spark, sf_dir, "customer").join(
+        n, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    s = load(spark, sf_dir, "supplier").join(
+        n, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    return c.distinct().subtract(s.distinct())
+
+
+@register(
+    "q_setop_union_names",
+    oracle="""
+    SELECT c_name AS name FROM customer UNION SELECT s_name AS name FROM supplier
+    """,
+)
+def q_setop_union_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    return c.union(s).distinct()
+
+
+# --- distinct aggregation ---
+@register(
+    "q_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --- global sort + limit (top-k) ---
+@register(
+    "q_sort_limit_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q_sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- scalar string/conditional functions ---
+@register(
+    "q_scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(SUBSTRING(p_name, 1, 10)) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, '#', p_type) AS brand_type,
+           CASE WHEN p_size > 25 THEN 'large' WHEN p_size > 10 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           p_retailprice * p_size AS price_volume
+    FROM part
+    """,
+)
+def q_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 10)).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_size") > 25, "large")
+        .when(F.col("p_size") > 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        (F.col("p_retailprice") * F.col("p_size")).alias("price_volume"),
+    )
+
+
+# --- scalar date functions ---
+@register(
+    "q_scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS o_day,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+             AS days_since_1995
+    FROM orders
+    """,
+)
+def q_scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_1995"
+        ),
+    )
+
+
+# --- range (non-equi) join against a broadcast band dimension ---
+@register(
+    "q_range_join_value_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT band_id, band_id * 50.0 AS lo, (band_id + 1) * 50.0 AS hi
+      FROM (SELECT UNNEST(range(10)) AS band_id)
+    )
+    SELECT band_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band_id
+    """,
+)
+def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(i, i * 50.0, (i + 1) * 50.0) for i in range(10)], "band_id BIGINT, lo DOUBLE, hi DOUBLE"
+    )
+    return (
+        e.join(F.broadcast(bands), (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_events"), dsum(money("value"), "sum_value"))
+    )

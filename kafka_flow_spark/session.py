@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[N]`` but every config here is chosen to also be the
+right default on a 1000-executor cluster reading 100 TB:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting) — replaces
+  the reference's hand-tuned per-partition/per-key parallelism bounds
+  (core/.../PartitionFlowConfig.scala:52-58).
+- Arrow on — every pandas-UDF operator crosses the JVM/Python boundary in
+  columnar batches, never row-at-a-time.
+- Session timezone pinned to UTC so timestamp semantics are deterministic and
+  match the DuckDB oracle.
+- Shuffle partitions default to cpu count locally; on a real cluster leave it
+  to AQE's coalescing with a high initial partition number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "kafka-flow-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp type — read as long, converted to µs in tables.load
+        # (identical to DuckDB's ns→µs truncation, so oracles agree).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

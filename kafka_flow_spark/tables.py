@@ -1,0 +1,46 @@
+"""Loaders for the driver's deterministic TPC-H-ish tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events documents
+embeddings — one parquet file each under ``{sf_dir}/{name}.parquet``.
+
+Reads are plain ``spark.read.parquet`` so Catalyst gets full predicate pushdown
+and column pruning; never collect or cache here (at 100 TB the scan must stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (see session.py); truncate to µs —
+        # the same conversion DuckDB applies when casting ns → its µs timestamps.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view so ``spark.sql`` queries can use them."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
