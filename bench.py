@@ -1,0 +1,55 @@
+"""Headline benchmark: runs the bench-flagged registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is fully materialized through the noop sink (no driver collect,
+no result-size bias) — the measured time is scan → compute → sink, the same
+shape a cluster job has.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from kafka_flow_spark.plans.registry import all_queries, bench_queries
+from kafka_flow_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    spark = get_spark("kafka-flow-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    names = bench_queries()
+
+    # warm the JVM + parquet footers with a trivial action
+    queries[names[0]](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock, noop-sink materialization",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""The streaming Flow — per-key stateful fold/tick over a record stream.
+
+Reference lifecycle (SURVEY.md §3.1): poll → route → group by key → ordered
+fold per key → timers → persist → commit offsets after state is durable.
+Spark-first mapping: micro-batch engine + ``groupBy(key).applyInPandasWithState``
+(state store per key, checkpoint commits offsets only after state commit —
+exactly the reference's offsets-never-ahead-of-state contract, for free).
+
+- fold (FoldOption): applied to each key's batch records in order-column order
+  (Kafka offset order when the source is Kafka); None state ⇒ state.remove()
+  (FoldToState.scala:62-89 delete contract).
+- tick (TickOption): runs on processing-time timeout for idle keys
+  (Tick.scala / TimerFlowOf.unloadOrphaned analog); None ⇒ remove.
+- state is JSON-encoded into a single-column state struct by default — the
+  schema-ful replacement for the reference's ToBytes/FromBytes
+  (CassandraPersistence.scala:31); pass custom codecs for typed state structs.
+
+Scale: state lives in the executor state store (RocksDB-capable via
+``spark.sql.streaming.stateStore.providerClass``), keys are hash-partitioned
+across executors, and per-key ordering within a batch is enforced by an
+in-group sort — the same guarantee the reference builds from per-key fibers.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from kafka_flow_spark.operators.fold import FoldOption
+from kafka_flow_spark.operators.tick import TickOption
+
+EmitFn = Callable[[dict[str, Any], dict[str, Any], Any, Any], dict[str, Any] | None]
+# emit(key_dict, record, state_before, state_after) -> row | None  (None = suppress)
+
+
+def _json_encode(state: Any) -> tuple:
+    return (json.dumps(state, sort_keys=True, default=str),)
+
+
+def _json_decode(stored: tuple) -> Any:
+    return json.loads(stored[0])
+
+
+@dataclass
+class FlowSpec:
+    """Wiring of one per-key stateful flow (the reference's KeyFlow assembly:
+    KeyFlow.scala:66-89 = fold + tick + persistence strategy)."""
+
+    key_cols: list[str]
+    order_col: str
+    fold: FoldOption
+    output_schema: str
+    emit: EmitFn
+    tick: TickOption | None = None
+    tick_emit: Callable[[dict[str, Any], Any, Any], dict[str, Any] | None] | None = None
+    # tick_emit(key_dict, state_before, state_after) -> row | None
+    timeout_ms: int | None = None  # processing-time timer (TimerFlowOf.fireEvery analog)
+    filter_record: Callable[[dict[str, Any]], bool] | None = None  # FilterRecord (#7)
+    state_schema: str = "value STRING"
+    encode_state: Callable[[Any], tuple] = field(default=_json_encode)
+    decode_state: Callable[[tuple], Any] = field(default=_json_decode)
+
+
+def _make_with_state_fn(spec: FlowSpec):
+    key_cols = list(spec.key_cols)
+
+    def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        key_dict = dict(zip(key_cols, key))
+        out: list[dict[str, Any]] = []
+
+        if state.hasTimedOut:
+            # timer path (SURVEY.md §3.3): tick may transform or delete state
+            s = spec.decode_state(state.get) if state.exists else None
+            s2 = spec.tick(s) if spec.tick is not None else s
+            if spec.tick_emit is not None:
+                row = spec.tick_emit(key_dict, s, s2)
+                if row is not None:
+                    out.append(row)
+            if s2 is None:
+                if state.exists:
+                    state.remove()
+            else:
+                state.update(spec.encode_state(s2))
+                if spec.timeout_ms is not None:
+                    state.setTimeoutDuration(spec.timeout_ms)
+            yield pd.DataFrame(out, columns=_schema_cols(spec.output_schema))
+            return
+
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(spec.order_col, kind="mergesort")  # per-key offset order
+        s = spec.decode_state(state.get) if state.exists else None
+        for rec in pdf.to_dict("records"):
+            if spec.filter_record is not None and not spec.filter_record(rec):
+                continue
+            before = s
+            s = spec.fold(s, rec)
+            row = spec.emit(key_dict, rec, before, s)
+            if row is not None:
+                out.append(row)
+        if s is None:
+            if state.exists:
+                state.remove()  # delete-on-None (FoldToState.scala:83-89)
+        else:
+            state.update(spec.encode_state(s))
+        if spec.timeout_ms is not None:
+            state.setTimeoutDuration(spec.timeout_ms)
+        yield pd.DataFrame(out, columns=_schema_cols(spec.output_schema))
+
+    return fn
+
+
+def _schema_cols(ddl: str) -> list[str]:
+    return [f.strip().split()[0] for f in ddl.split(",")]
+
+
+def stateful_flow(records: DataFrame, spec: FlowSpec) -> DataFrame:
+    """Apply the flow to a (streaming or batch) keyed record DataFrame.
+
+    Streaming: compiles to ``applyInPandasWithState`` (state store + timers).
+    The returned DataFrame is started with ``.writeStream`` by the caller —
+    checkpointing then gives the reference's recovery semantics (§3.2) with
+    zero user code.
+    """
+    timeout = "ProcessingTimeTimeout" if spec.timeout_ms is not None else "NoTimeout"
+    return records.groupBy(*spec.key_cols).applyInPandasWithState(
+        _make_with_state_fn(spec),
+        outputStructType=spec.output_schema,
+        stateStructType=spec.state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def _drain(q, available_now: bool, idle_batches: int = 3, timeout_s: float = 120.0) -> None:
+    """Run the backlog to completion and stop.
+
+    With processing-time timers, Spark's stateful operator reports
+    ``shouldRunAnotherBatch = true`` unconditionally, so an ``availableNow``
+    query never terminates and even ``processAllAvailable`` never unblocks
+    (the engine never latches "no new data").  Timer-bearing flows therefore
+    run on a short processing-time trigger and are drained by watching
+    progress: once the trailing ``idle_batches`` micro-batches read zero input
+    rows, the backlog is consumed and pending timers have had a chance to
+    fire — then ``stop``.  Offsets and state commit per batch, so stopping is
+    the reference's graceful shutdown (TopicFlow.safeguard, SURVEY.md §2.1
+    #43): nothing uncommitted is lost, the next run recovers from the
+    checkpoint.
+    """
+    if available_now:
+        q.awaitTermination()
+        return
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        progresses = q.recentProgress
+        tail = progresses[-idle_batches:]
+        if len(tail) == idle_batches and all(p["numInputRows"] == 0 for p in tail):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+
+def run_to_memory_sink(
+    flowed: DataFrame,
+    checkpoint: str,
+    query_name: str,
+    available_now: bool = True,
+) -> None:
+    """Run a flow to completion into an in-memory sink table.
+
+    The micro-batch loop is the reference's poll loop (ConsumerFlow.scala:83-105);
+    draining the backlog then stopping is the test-harness analog of
+    'run until inputs are consumed'.  Pass ``available_now=False`` for flows
+    with processing-time timers (see ``_drain``).
+    """
+    writer = (
+        flowed.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    writer = writer.trigger(
+        **({"availableNow": True} if available_now else {"processingTime": "200 milliseconds"})
+    )
+    _drain(writer.start(), available_now)
+
+
+def run_to_parquet_sink(
+    flowed: DataFrame, checkpoint: str, out_dir: str, available_now: bool = True
+) -> None:
+    """Run a flow to completion into a parquet file sink.
+
+    The file sink is fault-tolerant: restarting with the same checkpoint
+    resumes from committed offsets + state — the reference's recovery path
+    (§3.2), exercised by the golden test's multi-run scenario.  Pass
+    ``available_now=False`` for flows with processing-time timers."""
+    writer = (
+        flowed.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+    )
+    writer = writer.trigger(
+        **({"availableNow": True} if available_now else {"processingTime": "200 milliseconds"})
+    )
+    _drain(writer.start(), available_now)
