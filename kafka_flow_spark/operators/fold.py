@@ -98,6 +98,43 @@ def fold_option(fn: Callable[[State | None, Record], State | None]) -> FoldOptio
     return FoldOption(fn)
 
 
+@dataclass(frozen=True)
+class FoldExtras:
+    """Framework extras an enhanced fold may use (EnhancedFold #10,
+    core/.../EnhancedFold.scala:20-48 + KeyFlowExtras.scala:16-35).
+
+    - ``key``: the entity's key columns.
+    - ``request_additional_persist``: in the reference, asks persistence to
+      flush mid-batch (AdditionalStatePersist, #44).  Under Spark epochs the
+      state write is durable at batch commit regardless, so this is recorded
+      for observability but requires no action — the documented subsumption
+      (SURVEY.md §2.1 #44).
+    """
+
+    key: dict[str, Any]
+
+    def request_additional_persist(self) -> None:
+        return None
+
+
+def enhanced_fold(
+    fn: Callable[[FoldExtras, State | None, Record], State | None],
+    key_cols: tuple[str, ...] = ("key",),
+) -> FoldOption:
+    """Lift an EnhancedFold (extras-aware) into a plain FoldOption.
+
+    Extras are rebuilt per record from its key columns — the record dict also
+    carries offset/timestamp columns, so everything KeyFlowExtras exposes is
+    in scope.
+    """
+
+    def run(s: State | None, a: Record) -> State | None:
+        extras = FoldExtras(key={k: a.get(k) for k in key_cols})
+        return fn(extras, s, a)
+
+    return FoldOption(run)
+
+
 def of_fold(initial: Callable[[], State], fn: Callable[[State, Record], State]) -> FoldOption:
     """Lift a total ``Fold`` (never-None state) into ``FoldOption``.
 
