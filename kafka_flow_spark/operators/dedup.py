@@ -120,30 +120,80 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per document, fully JVM-side.
 
-    Shape matters: computing the signature as k ``array_min(transform(...))``
-    expressions over the shingle array re-evaluates the shingle+hash pipeline
-    k times per row (higher-order lambdas defeat Catalyst subexpression
-    elimination — measured 64× slower).  Instead: explode shingles once, hash
-    each once (xxhash64 folded to [0, P)), then one hash-aggregate with k
-    ``min(pmod(a*h+b, P))`` buffers.  Partial aggregation collapses each doc
-    to a single 64-slot row map-side, so the shuffle carries one row per
-    document regardless of document length — the 100 TB-safe shape.
+    Shape matters, twice over:
+    - computing the signature as k ``array_min(transform(...))`` expressions
+      re-evaluates the shingle pipeline k times per row (higher-order lambdas
+      defeat Catalyst subexpression elimination — measured 64× slower);
+    - even one pass of string n-gram construction (slice + concat_ws +
+      array_distinct per index) runs interpreted and dominated the remainder.
+    So: posexplode tokens, hash each token once (xxhash64, codegen), form the
+    n-gram shingle hash from ``lead()`` token hashes over a (doc_id, pos)
+    window, then one hash-aggregate with k ``min(pmod(a*h+b, P))`` buffers.
+    The whole pipeline is whole-stage-codegen and shuffles once: the groupBy
+    reuses the window's doc_id distribution, and partial aggregation collapses
+    each doc to a single k-slot row map-side — one shuffled row per document
+    regardless of document length, the 100 TB-safe shape.
 
-    Empty documents produce an all-null signature (min over no rows), matching
-    ``array_min`` over an empty array.
+    Shingle identity is the hash-of-token-hashes (not the joined string) —
+    equivalent for MinHash purposes; duplicates need no dedup since min() is
+    multiset-invariant.  Documents with fewer than ``shingle_n`` tokens
+    produce an all-null signature (min over no rows).
+    """
+    mins = _minhash_mins(df, id_col, text_col, k, shingle_n)
+    return mins.select("doc_id", F.array(*[f"_m{i}" for i in range(k)]).alias("minhash"))
+
+
+def shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, _h) rows: one 64-bit-folded hash per word n-gram occurrence.
+
+    Fully codegen: posexplode tokens, xxhash64 each once, combine n
+    consecutive token hashes via ``lead()`` over a (doc_id, pos) window.
+    Rows without a full n-gram (doc tail / short docs) carry null ``_h``.
+    """
+    from pyspark.sql.window import Window
+
+    if shingle_n not in (1, 2, 3):
+        raise ValueError("shingle_n must be 1, 2 or 3")
+    toks = tokens(normalize_text(text_col))
+    tok_rows = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode_outer(toks).alias("_pos", "_tok")
+    ).select("doc_id", "_pos", F.xxhash64("_tok").alias("_th"))
+    if shingle_n == 1:
+        shingle_hash = F.pmod(F.col("_th"), F.lit(_P))
+    else:
+        w = Window.partitionBy("doc_id").orderBy("_pos")
+        leads = [F.lead("_th", i).over(w) for i in range(1, shingle_n)]
+        shingle_hash = F.when(
+            leads[-1].isNotNull(), F.pmod(F.xxhash64("_th", *leads), F.lit(_P))
+        )
+    return tok_rows.select("doc_id", shingle_hash.alias("_h"))
+
+
+def _minhash_mins(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    shingle_n: int,
+    with_shingle_set: bool = False,
+) -> DataFrame:
+    """One hash-aggregate producing the k permutation minima (columns _m0.._m{k-1})
+    and optionally the distinct shingle-hash set (column _sh).
+
+    The groupBy reuses the lead-window's doc_id distribution — one shuffle
+    total, one k(+set)-slot row per doc out of the map side.
     """
     params = _minhash_params(k)
-    sh = word_shingles(text_col, shingle_n)
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"), F.explode_outer(sh).alias("_shingle")
-    ).select("doc_id", F.pmod(F.xxhash64("_shingle"), F.lit(_P)).alias("_h"))
-    mins = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(a * F.col("_h") + b, F.lit(_P))).alias(f"_m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
-    )
-    return mins.select("doc_id", F.array(*[f"_m{i}" for i in range(k)]).alias("minhash"))
+    hashed = shingle_hashes(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.pmod(a * F.col("_h") + b, F.lit(_P))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    if with_shingle_set:
+        aggs.append(F.collect_set("_h").alias("_sh"))
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -161,19 +211,29 @@ def minhash_lsh_pairs(
     rows-per-band r = k/bands; candidate pairs share at least one band hash.
     The banding is an equi-join on (band_id, band_hash) — pure shuffle join,
     no global cross product.  With verify=True candidates are re-checked with
-    the exact word-set Jaccard, so output = true near-dups among candidates.
+    the exact Jaccard over the distinct shingle-hash sets (set-identical to
+    string shingles modulo 64-bit hash collisions).
+
+    Plan shape: ONE aggregate computes both the k permutation minima and the
+    shingle set per doc; that per-doc table (~1 KB/doc) is persisted and
+    reused by the banding explode and both sides of the verify join — the
+    expensive token pipeline runs exactly once over the corpus.
     """
     assert k % bands == 0
     r = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
-    banded = sigs.select(
+    per_doc = _minhash_mins(
+        df, id_col, text_col, k, shingle_n, with_shingle_set=verify
+    )
+    if verify:
+        per_doc = per_doc.persist()
+    banded = per_doc.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band_id"),
-                        F.hash(*[F.col("minhash")[bi * r + j] for j in range(r)]).alias("band_hash"),
+                        F.hash(*[F.col(f"_m{bi * r + j}") for j in range(r)]).alias("band_hash"),
                     )
                     for bi in range(bands)
                 ]
@@ -194,16 +254,14 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    shingled = df.select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
-    )
+    sets = per_doc.select("doc_id", "_sh")
     jac = (
         F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
         / F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
     )
     return (
-        cand.join(shingled.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sh_a")), "a_id")
-        .join(shingled.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_sh_b")), "b_id")
+        cand.join(sets.select(F.col("doc_id").alias("a_id"), F.col("_sh").alias("_sh_a")), "a_id")
+        .join(sets.select(F.col("doc_id").alias("b_id"), F.col("_sh").alias("_sh_b")), "b_id")
         .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
         .filter(F.col("jac") >= threshold)
     )
