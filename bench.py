@@ -29,8 +29,9 @@ def main() -> None:
     queries = all_queries()
     names = bench_queries()
 
-    # warm the JVM + parquet footers with a trivial action
-    queries[names[0]](spark, sf_dir).limit(1).collect()
+    # warm-up: one full materialization spins up the JVM, parquet footers AND
+    # the Python worker pool, so timings measure steady-state throughput
+    queries[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in names:

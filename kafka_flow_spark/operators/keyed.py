@@ -54,7 +54,7 @@ def keyed_fold(
         pdf = pdf.sort_values(order_col, kind="mergesort")
         state: State | None = None
         out: list[dict[str, Any]] = []
-        for rec in pdf.to_dict("records"):
+        for rec in _iter_records(pdf):
             before = state
             state = fold(state, rec)
             row = emit(key_dict, rec, before, state)
@@ -63,6 +63,14 @@ def keyed_fold(
         return pd.DataFrame(out)
 
     return df.groupBy(*key_cols).applyInPandas(run, schema=output_schema)
+
+
+def _iter_records(pdf: pd.DataFrame):
+    """Row dicts via column-wise zip — several× faster than to_dict('records')."""
+    cols = pdf.columns.tolist()
+    arrays = [pdf[c].tolist() for c in cols]
+    for vals in zip(*arrays):
+        yield dict(zip(cols, vals))
 
 
 def keyed_fold_final(
@@ -84,7 +92,7 @@ def keyed_fold_final(
         key_dict = dict(zip(key_cols, key))
         pdf = pdf.sort_values(order_col, kind="mergesort")
         state: State | None = None
-        for rec in pdf.to_dict("records"):
+        for rec in _iter_records(pdf):
             state = fold(state, rec)
         if state is None:
             return pd.DataFrame([])

@@ -93,10 +93,12 @@ def _make_with_state_fn(spec: FlowSpec):
             yield pd.DataFrame(out, columns=_schema_cols(spec.output_schema))
             return
 
+        from kafka_flow_spark.operators.keyed import _iter_records
+
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(spec.order_col, kind="mergesort")  # per-key offset order
         s = spec.decode_state(state.get) if state.exists else None
-        for rec in pdf.to_dict("records"):
+        for rec in _iter_records(pdf):
             if spec.filter_record is not None and not spec.filter_record(rec):
                 continue
             before = s
