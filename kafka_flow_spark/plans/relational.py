@@ -518,3 +518,88 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id")
         .agg(F.count("*").alias("n_events"), dsum(money("value"), "sum_value"))
     )
+
+
+# --- grouping sets (explicit, beyond cube/rollup) ---
+@register(
+    "q_grouping_sets_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the SQL surface over the same tables (the
+    engine exposes spark.sql alongside the DataFrame API)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --- exact percentiles (sort-based aggregate; linear interpolation) ---
+@register(
+    "q_percentile_event_values",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(MIN(value), 4) AS min_v, ROUND(MAX(value), 4) AS max_v
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.min("value"), 4).alias("min_v"),
+        F.round(F.max("value"), 4).alias("max_v"),
+    )
+
+
+# --- approximate sketches (HLL; implementations differ from DuckDB → rows-only) ---
+@register("q_approx_distinct_users")
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the mergeable-sketch path for
+    100 TB cardinality estimation; rows-only check (sketch estimates are
+    implementation-specific, unlike everything else in this registry)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- array functions (split/size/element_at/contains/sort/join) ---
+@register(
+    "q_scalar_array_funcs",
+    oracle="""
+    WITH t AS (SELECT p_partkey, string_split(p_type, ' ') AS words FROM part)
+    SELECT p_partkey,
+           len(words) AS n_words,
+           words[1] AS first_word,
+           words[-1] AS last_word,
+           list_contains(words, 'BRASS') AS has_brass,
+           list_aggr(list_sort(words), 'string_agg', '-') AS sorted_joined
+    FROM t
+    """,
+)
+def q_scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    words = F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_contains(words, "BRASS").alias("has_brass"),
+        F.array_join(F.array_sort(words), "-").alias("sorted_joined"),
+    )
