@@ -67,7 +67,10 @@ class Flow:
 
     # --- the keyed stateful core (#9, #17, #18) ---
     def fold(self, spec: FlowSpec) -> "Flow":
-        return Flow(stateful_flow(self.df, spec), _timered=spec.timeout_ms is not None)
+        # only wall-clock timers break availableNow termination (see _drain);
+        # event-time timers stop with the watermark, so availableNow is fine
+        timered = spec.timeout_ms is not None and spec.timeout_mode == "processing"
+        return Flow(stateful_flow(self.df, spec), _timered=timered)
 
     # --- sinks (checkpoint = persistence + offset commit, §3.1 steps 5-6) ---
     def to_parquet(self, out_dir: str, checkpoint: str) -> None:

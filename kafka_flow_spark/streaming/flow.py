@@ -51,7 +51,20 @@ def _json_decode(stored: tuple) -> Any:
 @dataclass
 class FlowSpec:
     """Wiring of one per-key stateful flow (the reference's KeyFlow assembly:
-    KeyFlow.scala:66-89 = fold + tick + persistence strategy)."""
+    KeyFlow.scala:66-89 = fold + tick + persistence strategy).
+
+    Timer kinds (KafkaTimer.scala:16-37 — clock / watermark / offset):
+    - ``timeout_ms`` + ``timeout_mode='processing'``: wall-clock timers
+      (``Clock``), via ProcessingTimeTimeout.
+    - ``timeout_ms`` + ``timeout_mode='event'``: event-time timers
+      (``Watermark``), via EventTimeTimeout — the timer fires when the stream
+      watermark (``event_time_col`` minus ``watermark_delay``) passes the last
+      seen event time plus ``timeout_ms``.
+    - ``offset_timer_threshold``: offset timers (``Offset``) have no Spark
+      primitive; emulated in-state — the tick runs when the key observes an
+      order-column advance ≥ threshold since registration (the
+      ``maxOffsetDifference`` eviction trigger, TimerFlowOf.scala:36-77).
+    """
 
     key_cols: list[str]
     order_col: str
@@ -62,6 +75,10 @@ class FlowSpec:
     tick_emit: Callable[[dict[str, Any], Any, Any], dict[str, Any] | None] | None = None
     # tick_emit(key_dict, state_before, state_after) -> row | None
     timeout_ms: int | None = None  # processing-time timer (TimerFlowOf.fireEvery analog)
+    timeout_mode: str = "processing"  # 'processing' | 'event'
+    event_time_col: str | None = None  # required for timeout_mode='event'
+    watermark_delay: str = "0 seconds"
+    offset_timer_threshold: int | None = None
     filter_record: Callable[[dict[str, Any]], bool] | None = None  # FilterRecord (#7)
     state_schema: str = "value STRING"
     encode_state: Callable[[Any], tuple] = field(default=_json_encode)
@@ -70,26 +87,53 @@ class FlowSpec:
 
 def _make_with_state_fn(spec: FlowSpec):
     key_cols = list(spec.key_cols)
+    off_thresh = spec.offset_timer_threshold
+
+    # offset timers ride inside the state blob: {"v": user_state, "reg": offset}
+    def decode(stored) -> tuple[Any, Any]:
+        raw = spec.decode_state(stored)
+        if off_thresh is not None:
+            return raw["v"], raw["reg"]
+        return raw, None
+
+    def encode(s: Any, reg: Any) -> tuple:
+        return spec.encode_state({"v": s, "reg": reg} if off_thresh is not None else s)
+
+    def run_tick(key_dict: dict, s: Any, out: list) -> Any:
+        """Tick + tick_emit (the timer path, SURVEY.md §3.3); returns new state."""
+        s2 = spec.tick(s) if spec.tick is not None else s
+        if spec.tick_emit is not None:
+            row = spec.tick_emit(key_dict, s, s2)
+            if row is not None:
+                out.append(row)
+        return s2
+
+    def set_timeout(state, pdf: pd.DataFrame | None) -> None:
+        if spec.timeout_ms is None:
+            return
+        if spec.timeout_mode == "event":
+            # watermark timer: fire when the stream watermark passes the last
+            # event time seen by this key plus the gap (KafkaTimer.Watermark)
+            if pdf is not None and len(pdf):
+                last_ms = int(pd.Timestamp(pdf[spec.event_time_col].max()).timestamp() * 1000)
+                state.setTimeoutTimestamp(last_ms + spec.timeout_ms)
+        else:
+            state.setTimeoutDuration(spec.timeout_ms)
 
     def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         key_dict = dict(zip(key_cols, key))
         out: list[dict[str, Any]] = []
 
         if state.hasTimedOut:
-            # timer path (SURVEY.md §3.3): tick may transform or delete state
-            s = spec.decode_state(state.get) if state.exists else None
-            s2 = spec.tick(s) if spec.tick is not None else s
-            if spec.tick_emit is not None:
-                row = spec.tick_emit(key_dict, s, s2)
-                if row is not None:
-                    out.append(row)
+            s, reg = decode(state.get) if state.exists else (None, None)
+            s2 = run_tick(key_dict, s, out)
             if s2 is None:
                 if state.exists:
                     state.remove()
             else:
-                state.update(spec.encode_state(s2))
-                if spec.timeout_ms is not None:
-                    state.setTimeoutDuration(spec.timeout_ms)
+                state.update(encode(s2, reg))
+                if spec.timeout_mode != "event":
+                    set_timeout(state, None)
             yield pd.DataFrame(out, columns=_schema_cols(spec.output_schema))
             return
 
@@ -97,7 +141,7 @@ def _make_with_state_fn(spec: FlowSpec):
 
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(spec.order_col, kind="mergesort")  # per-key offset order
-        s = spec.decode_state(state.get) if state.exists else None
+        s, reg = decode(state.get) if state.exists else (None, None)
         for rec in _iter_records(pdf):
             if spec.filter_record is not None and not spec.filter_record(rec):
                 continue
@@ -106,13 +150,21 @@ def _make_with_state_fn(spec: FlowSpec):
             row = spec.emit(key_dict, rec, before, s)
             if row is not None:
                 out.append(row)
+            if off_thresh is not None:
+                # offset timer (KafkaTimer.Offset emulation): register at first
+                # record, tick on order-column advance >= threshold, re-register
+                cur = rec[spec.order_col]
+                if reg is None:
+                    reg = cur
+                elif cur - reg >= off_thresh:
+                    s = run_tick(key_dict, s, out)
+                    reg = cur
         if s is None:
             if state.exists:
                 state.remove()  # delete-on-None (FoldToState.scala:83-89)
         else:
-            state.update(spec.encode_state(s))
-        if spec.timeout_ms is not None:
-            state.setTimeoutDuration(spec.timeout_ms)
+            state.update(encode(s, reg))
+            set_timeout(state, pdf)
         yield pd.DataFrame(out, columns=_schema_cols(spec.output_schema))
 
     return fn
@@ -130,7 +182,15 @@ def stateful_flow(records: DataFrame, spec: FlowSpec) -> DataFrame:
     checkpointing then gives the reference's recovery semantics (§3.2) with
     zero user code.
     """
-    timeout = "ProcessingTimeTimeout" if spec.timeout_ms is not None else "NoTimeout"
+    if spec.timeout_ms is None:
+        timeout = "NoTimeout"
+    elif spec.timeout_mode == "event":
+        if spec.event_time_col is None:
+            raise ValueError("timeout_mode='event' requires event_time_col")
+        timeout = "EventTimeTimeout"
+        records = records.withWatermark(spec.event_time_col, spec.watermark_delay)
+    else:
+        timeout = "ProcessingTimeTimeout"
     return records.groupBy(*spec.key_cols).applyInPandasWithState(
         _make_with_state_fn(spec),
         outputStructType=spec.output_schema,
