@@ -47,6 +47,26 @@ def decompress(blob: bytes) -> bytes:
     return zlib.decompress(body) if header.get("compressed") else body
 
 
+def compressed_json_codec(threshold: int = DEFAULT_THRESHOLD):
+    """State codec for FlowSpec: JSON → thresholded compression envelope.
+
+    Returns (encode, decode, state_schema) — plug into
+    ``FlowSpec(encode_state=…, decode_state=…, state_schema=…)`` to persist
+    large per-key states the way the reference wraps them through Compressor
+    before Cassandra/Kafka writes (CassandraPersistence.scala:31 +
+    Compressor.scala:55-69).
+    """
+    import json as _json
+
+    def encode(state) -> tuple:
+        return (compress(_json.dumps(state, sort_keys=True, default=str).encode(), threshold),)
+
+    def decode(stored) -> object:
+        return _json.loads(decompress(bytes(stored[0])))
+
+    return encode, decode, "value BINARY"
+
+
 def compress_col(c: Column, threshold: int = DEFAULT_THRESHOLD) -> Column:
     @pandas_udf("binary")
     def _compress(blobs: pd.Series) -> pd.Series:
