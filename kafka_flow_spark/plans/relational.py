@@ -603,3 +603,57 @@ def q_scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(words, "BRASS").alias("has_brass"),
         F.array_join(F.array_sort(words), "-").alias("sorted_joined"),
     )
+
+
+# --- ranking window functions (row_number / rank / dense_rank) ---
+@register(
+    "q_window_ranking_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY rn <= 3
+    """,
+)
+def q_window_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- correlated scalar subquery (decorrelated by Catalyst into a join) ---
+@register(
+    "q_correlated_above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface — Catalyst
+    decorrelates it into an aggregate + join (no per-row subplan execution)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
