@@ -268,3 +268,26 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     out = knn_lsh(e, e.filter(F.col("vec_id") < 10), k=5, dim=64, n_planes=8, n_tables=4)
     return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+# --- 1→N unnest (UDTF/explode surface): per-word counts over documents ---
+@register(
+    "q_explode_word_counts",
+    oracle="""
+    WITH words AS (
+      SELECT UNNEST(string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT w AS word, COUNT(*) AS n
+    FROM words WHERE w <> ''
+    GROUP BY w HAVING COUNT(*) >= 10
+    """,
+)
+def q_explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode = the UDTF-shaped 1→N operator (SURVEY.md §2.2 UDTF row);
+    partial aggregation collapses word counts map-side before one shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    words = d.select(
+        F.explode(T.tokens(T.normalize_text("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count("*").alias("n")).filter(F.col("n") >= 10)

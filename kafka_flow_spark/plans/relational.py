@@ -657,3 +657,26 @@ def q_correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame
                               WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+# --- pivot (conditional aggregation; Spark groupBy().pivot()) ---
+@register(
+    "q_pivot_priority_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an explicit value list — no extra pass to
+    discover pivot values, and each cell is a map-side-combinable count."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .count()
+        .na.fill(0, ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+    )

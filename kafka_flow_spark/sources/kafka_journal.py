@@ -60,6 +60,17 @@ def events(records: DataFrame, payload_schema: str = "STRING", **kw) -> DataFram
     ).drop("event")
 
 
+def dead_letters(records: DataFrame, **kw) -> DataFrame:
+    """Records whose value failed to decode as an Append action.
+
+    ``from_json`` (PERMISSIVE) yields an all-null struct on malformed input,
+    so the dead-letter predicate is "no events decoded" — route these to a
+    side table instead of failing the job.
+    """
+    parsed = parse_actions(records, **kw)
+    return parsed.filter(F.col("action.events").isNull()).drop("action")
+
+
 def seqnr_dedup_filter(state_seqnr_col: Column, event_seqnr_col: Column) -> Column:
     """SeqNr replay guard (#27, kafka-journal/.../JournalFold.scala:16-33):
     keep events whose seqNr exceeds the state's — idempotent replay."""

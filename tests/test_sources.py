@@ -104,3 +104,17 @@ def test_kafka_reader_builds_unstarted_plan(spark):
         assert "kafka" in str(e).lower()
         return
     assert df.isStreaming
+
+
+def test_kafka_journal_malformed_value_yields_no_events(spark):
+    """Corrupt journal payloads decode to null actions (from_json semantics) —
+    they produce zero event rows instead of failing the job (dead-letter
+    selection is a filter on action IS NULL)."""
+    df = spark.createDataFrame(
+        [("k1", "not json at all"), ("k2", journal_value(1, [{"a": 1}]))],
+        "key STRING, value STRING",
+    )
+    ev = kafka_journal.events(df, payload_schema="STRUCT<a: INT>")
+    assert [r["key"] for r in ev.collect()] == ["k2"]
+    dead = kafka_journal.dead_letters(df)
+    assert [r["key"] for r in dead.collect()] == ["k1"]
