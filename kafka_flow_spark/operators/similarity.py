@@ -57,6 +57,62 @@ def knn_bruteforce(
     )
 
 
+def knn_bruteforce_arrow(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine via blocked numpy matmul — the BLAS scale path.
+
+    The probe set is small by definition: it is collected once, L2-normalized
+    into a (m, d) matrix and broadcast to executors; the corpus side STREAMS
+    through ``mapInPandas`` in Arrow blocks, each block doing one
+    (block × d) @ (d × m) matmul and emitting only its block-local top-k per
+    query.  A final window keeps the global top-k — so the shuffle carries at
+    most k rows per (query, block), never the full similarity matrix.
+
+    Same output contract as ``knn_bruteforce`` (ties broken on neighbor_id);
+    preferred when the corpus is large — SIMD matmul beats per-row expression
+    evaluation by orders of magnitude at 100 TB.
+    """
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows])
+    Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, Qn))
+
+    def block(batches):
+        ids, Qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ Qn.T  # (block, m)
+            nids = pdf[id_col].to_numpy()
+            out = {"q_id": [], "neighbor_id": [], "sim": []}
+            for j, qid in enumerate(ids):
+                col = sims[:, j]
+                mask = nids != qid
+                cand_idx = np.nonzero(mask)[0]
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")][:k]
+                out["q_id"].extend([qid] * len(top))
+                out["neighbor_id"].extend(nids[top].tolist())
+                out["sim"].extend(col[top].tolist())
+            yield pd.DataFrame(out)
+
+    local = vectors.select(id_col, vec_col).mapInPandas(
+        block, schema="q_id BIGINT, neighbor_id BIGINT, sim DOUBLE"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(float).tolist()

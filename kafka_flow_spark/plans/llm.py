@@ -266,7 +266,17 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_knn_lsh")
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    out = knn_lsh(e, e.filter(F.col("vec_id") < 10), k=5, dim=64, n_planes=8, n_tables=4)
+    out = knn_lsh(e, e.filter(F.col("vec_id") < 10), k=5, dim=64)  # tuned defaults (4×8)
+    return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+# --- BLAS-path exact kNN (mapInPandas matmul; rows-only, equivalence-tested) ---
+@register("q_knn_bruteforce_arrow")
+def q_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flow_spark.operators.similarity import knn_bruteforce_arrow
+
+    e = load(spark, sf_dir, "embeddings")
+    out = knn_bruteforce_arrow(e, e.filter(F.col("vec_id") < 10), k=5)
     return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
 
 

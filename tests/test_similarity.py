@@ -29,3 +29,17 @@ def test_lsh_ranks_are_dense_per_query(spark):
         by_q.setdefault(r["q_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_arrow_bruteforce_equals_expr_bruteforce(spark):
+    """The BLAS path and the expression path are the same operator: identical
+    neighbor sets and sims (to float tolerance) for every query."""
+    from kafka_flow_spark.operators.similarity import knn_bruteforce_arrow
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    queries = emb.limit(10)
+    a = {(r["q_id"], r["neighbor_id"]): r["sim"] for r in knn_bruteforce(emb, queries, k=5).collect()}
+    b = {(r["q_id"], r["neighbor_id"]): r["sim"] for r in knn_bruteforce_arrow(emb, queries, k=5).collect()}
+    assert set(a) == set(b)
+    for key in a:
+        assert abs(a[key] - b[key]) < 1e-9
