@@ -680,3 +680,19 @@ def q_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, ["1-URGENT", "2-HIGH", "3-MEDIUM"])
     )
+
+
+# --- multiset set-op (EXCEPT ALL keeps duplicate counts) ---
+@register(
+    "q_setop_except_all_priorities",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_setop_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    lhs = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    rhs = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return lhs.exceptAll(rhs)
