@@ -11,7 +11,7 @@ records (see SURVEY.md).  This package re-expresses those semantics Spark-first:
 - ``streaming.flow``: the streaming Flow API compiled to Structured Streaming
   with ``applyInPandasWithState`` / ``transformWithStateInPandas``
   (reference: core/.../KafkaFlow.scala poll loop + KeyFlow).
-- ``streaming.persistence``: explicit snapshot/journal persistence modes
+- ``persistence``: explicit snapshot/journal persistence modes
   (reference: persistence-cassandra/, persistence-kafka/).
 - ``operators.dedup`` / ``operators.similarity`` / ``operators.text`` /
   ``operators.multimodal``: LLM-data-pipeline operators designed for
