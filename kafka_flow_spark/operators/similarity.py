@@ -113,6 +113,167 @@ def knn_bruteforce_arrow(
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_projections: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """All pairs with cosine similarity ≥ ``threshold`` — EXACT (recall 1.0)
+    via lossless projection-band blocking.
+
+    For unit vectors, cos(a,b) ≥ t  ⇔  ‖a−b‖ ≤ r = sqrt(2−2t).  Any unit
+    direction u gives a 1-Lipschitz scalar p(x) = ⟨x/‖x‖, u⟩, so qualifying
+    pairs satisfy |p(a)−p(b)| ≤ r.  Banding each of ``n_projections``
+    projections at width r and probing only the 3^P adjacent cells therefore
+    loses NOTHING — unlike MinHash/SimHash this is not probabilistic.  The
+    pair join shuffles on small int band keys only; candidate volume shrinks
+    as t → 1 (the real near-dup regime: t=0.95 ⇒ r≈0.32 ⇒ ~6 bands per
+    projection over unit-projection range), and degrades gracefully toward
+    all-pairs as t → 0.
+
+    Output: (a_id, b_id, cos_sim) with a_id < b_id, cos_sim rounded to 4.
+    No counterpart in the reference (SURVEY.md §7 Phase 4 — embedding-cosine
+    near-duplicate detection for training-data dedup).
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_projections, dim)
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    r = float(np.sqrt(max(2.0 - 2.0 * threshold, 1e-12)))
+
+    def proj(vec, p):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def with_bands(d: DataFrame) -> DataFrame:
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        out = d.select(F.col(id_col), F.col(vec_col), norm.alias("_nrm"))
+        for i, p in enumerate(planes):
+            out = out.withColumn(
+                f"_b{i}", F.floor(proj(F.col(vec_col), p) / F.col("_nrm") / F.lit(r)).cast("int")
+            )
+        return out.drop("_nrm")
+
+    banded = with_bands(df)
+    band_cols = [f"_b{i}" for i in range(n_projections)]
+
+    # left side probes the full 3^P neighborhood; the right side keeps its own
+    # cell, so every qualifying pair matches in EXACTLY one exploded cell
+    offsets = [[]]
+    for _ in range(n_projections):
+        offsets = [o + [d] for o in offsets for d in (-1, 0, 1)]
+    probe = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    *[(F.col(band_cols[i]) + F.lit(o[i])).alias(band_cols[i]) for i in range(n_projections)]
+                )
+                for o in offsets
+            ]
+        )
+    ).alias("_cell")
+    left = banded.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), probe
+    ).select("a_id", "a_vec", *[F.col(f"_cell.{c}").alias(c) for c in band_cols])
+    right = banded.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), *band_cols
+    )
+    sim = cosine(_as_double(F.col("a_vec")), _as_double(F.col("b_vec")))
+    return (
+        left.join(right, band_cols)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("_sim"))
+        .filter(F.col("_sim") >= F.lit(threshold))
+        .select("a_id", "b_id", F.round("_sim", 4).alias("cos_sim"))
+    )
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine via an IVF (inverted-file) coarse quantizer.
+
+    Every corpus vector is assigned to its nearest of ``n_cells`` centroid
+    cells (one Arrow-batched matmul pass — the corpus never leaves its
+    partitions); each query probes its ``n_probe`` nearest cells and
+    brute-forces only those inverted lists.  Cost per query drops from O(N)
+    to O(N · n_probe / n_cells); the cell join shuffles on a small int key.
+
+    Centroids here are the ``n_cells`` lowest-id vectors (deterministic,
+    training-free); production would plug in offline sampled k-means
+    centroids — the assignment/probe plumbing is identical and that is what
+    this operator demonstrates.  Same output contract as ``knn_bruteforce``.
+    """
+    import pandas as pd
+
+    crows = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    C = np.array([r[vec_col] for r in crows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = vectors.sparkSession.sparkContext.broadcast(Cn)
+
+    def assign(n_top: int):
+        def gen(batches):
+            Cn = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                sims = Vn @ Cn.T  # (block, n_cells)
+                top = np.argsort(-sims, kind="stable", axis=1)[:, :n_top]
+                out = pdf.loc[pdf.index.repeat(n_top), [id_col, vec_col]].reset_index(drop=True)
+                out["cell"] = top.reshape(-1).astype("int32")
+                yield out
+
+        return gen
+
+    vec_t = vectors.schema[vec_col].dataType.simpleString()
+    schema = f"{id_col} BIGINT, {vec_col} {vec_t}, cell INT"
+    v = vectors.select(id_col, vec_col).mapInPandas(assign(1), schema=schema).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"), "cell"
+    )
+    q = queries.select(id_col, vec_col).mapInPandas(assign(n_probe), schema=schema).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cell"
+    )
+    sims = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            cosine(_as_double(F.col("q_vec")), _as_double(F.col("n_vec"))).alias("sim"),
+        )
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(float).tolist()

@@ -18,7 +18,11 @@ from kafka_flow_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash,
 )
-from kafka_flow_spark.operators.similarity import knn_bruteforce, knn_lsh
+from kafka_flow_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    knn_bruteforce,
+    knn_lsh,
+)
 from kafka_flow_spark.plans.registry import register
 from kafka_flow_spark.tables import load
 
@@ -259,6 +263,45 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     out = knn_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
+    return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+# --- embedding-cosine near-dup pairs (lossless band blocking; oracle = all-pairs) ---
+@register(
+    "q_dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+          / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.40
+    """,
+    bench=True,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine ≥ 0.40 (the testdata has no planted
+    high-cosine dups — max pair ≈ 0.51 — so the gate threshold sits below
+    that; the blocking math is threshold-parametric and prunes hardest in the
+    real dedup regime t ≥ 0.9).  Oracle is the brute-force all-pairs truth;
+    the band blocking is lossless, so results match EXACTLY, not approximately.
+    """
+    return cosine_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.40, dim=64
+    )
+
+
+# --- IVF ANN (coarse-quantizer inverted lists; rows-only, recall-tested) ---
+@register("q_knn_ivf")
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flow_spark.operators.similarity import knn_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    out = knn_ivf(e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4)
     return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
 
 

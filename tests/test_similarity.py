@@ -31,6 +31,48 @@ def test_lsh_ranks_are_dense_per_query(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_cosine_near_dup_blocking_is_lossless(spark):
+    """Projection-band blocking must find EXACTLY the brute-force pair set —
+    the whole point of the lossless design (recall 1.0, not probabilistic)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.functions import cosine
+    from kafka_flow_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    for threshold in (0.35, 0.45):
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in cosine_near_dup_pairs(emb, threshold=threshold, dim=64).collect()
+        }
+        a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+        b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+        dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+        truth = {
+            (r["a_id"], r["b_id"])
+            for r in a.crossJoin(b)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(cosine(dbl(F.col("a_vec")), dbl(F.col("b_vec"))) >= threshold)
+            .collect()
+        }
+        assert got == truth, f"t={threshold}: missed {truth - got}, extra {got - truth}"
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    from kafka_flow_spark.operators.similarity import knn_ivf
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    queries = emb.limit(20)
+    exact = knn_bruteforce(emb, queries, k=5)
+    approx = knn_ivf(emb, queries, k=5, n_cells=16, n_probe=4)
+    truth = {(r["q_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["q_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    # probing 4/16 cells scans ~25% of the corpus; on this weakly-clustered
+    # synthetic data that still recovers well over half the exact top-5
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
 def test_arrow_bruteforce_equals_expr_bruteforce(spark):
     """The BLAS path and the expression path are the same operator: identical
     neighbor sets and sims (to float tolerance) for every query."""
