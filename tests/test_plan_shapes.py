@@ -57,6 +57,11 @@ def test_asof_join_has_no_pair_explosion(spark):
     assert "Window" in plan  # the union+carry shape
 
 
-def test_keyed_fold_is_arrow_batched(spark):
+def test_keyed_fold_is_sort_merge_streamed(spark):
+    """The fold is one key-hash shuffle + in-partition sort feeding a single
+    Arrow-batched MapInPandas — no per-group dispatch, no Python RDD map."""
     plan = plan_of(spark, "q_fold_running_totals")
-    assert "FlatMapGroupsInPandas" in plan  # applyInPandas, not a Python RDD map
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(user_id" in plan  # key co-location shuffle
+    assert "Sort [user_id" in plan  # contiguous ordered runs per key
+    assert plan.count("Exchange") <= 1  # exactly the key shuffle
