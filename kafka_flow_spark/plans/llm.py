@@ -19,7 +19,7 @@ from kafka_flow_spark.operators.dedup import (
     simhash,
 )
 from kafka_flow_spark.operators.similarity import (
-    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_matmul,
     knn_bruteforce,
     knn_lsh,
 )
@@ -286,12 +286,13 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine ≥ 0.40 (the testdata has no planted
     high-cosine dups — max pair ≈ 0.51 — so the gate threshold sits below
-    that; the blocking math is threshold-parametric and prunes hardest in the
-    real dedup regime t ≥ 0.9).  Oracle is the brute-force all-pairs truth;
-    the band blocking is lossless, so results match EXACTLY, not approximately.
+    that).  At low thresholds no metric blocking can prune, so this uses the
+    exact block-matmul path (cosine_near_dup_pairs_matmul); the band-blocked
+    variant (cosine_near_dup_pairs) is the high-threshold strategy and is
+    equivalence-tested against this one.  Oracle = brute-force all-pairs truth.
     """
-    return cosine_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.40, dim=64
+    return cosine_near_dup_pairs_matmul(
+        load(spark, sf_dir, "embeddings"), threshold=0.40
     )
 
 

@@ -53,6 +53,14 @@ def get_spark(
         # timestamp type — read as long, converted to µs in tables.load
         # (identical to DuckDB's ns→µs truncation, so oracles agree).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ObjectHashAggregate (collect_set/collect_list mixed with scalar aggs,
+        # e.g. the MinHash mins+shingle-set aggregate) falls back to SORT-based
+        # aggregation after only 128 distinct keys by default — that turns a
+        # streaming hash-agg into a full sort of the exploded token table
+        # (measured 2× on the MinHash pipeline).  8192 keys × a few KB of set
+        # buffer per key stays well under task memory while keeping the
+        # hash path for realistic per-partition group counts.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -58,6 +58,29 @@ def test_cosine_near_dup_blocking_is_lossless(spark):
         assert got == truth, f"t={threshold}: missed {truth - got}, extra {got - truth}"
 
 
+def test_cosine_near_dup_matmul_equals_band_blocked(spark):
+    """The BLAS block-matmul path and the band-blocked path are the same
+    operator: identical pair sets and (rounded) sims at every threshold."""
+    from kafka_flow_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_matmul,
+    )
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    for threshold in (0.35, 0.45):
+        a = {
+            (r["a_id"], r["b_id"]): r["cos_sim"]
+            for r in cosine_near_dup_pairs(emb, threshold=threshold, dim=64).collect()
+        }
+        b = {
+            (r["a_id"], r["b_id"]): r["cos_sim"]
+            for r in cosine_near_dup_pairs_matmul(emb, threshold=threshold).collect()
+        }
+        assert set(a) == set(b), f"t={threshold}: {set(a) ^ set(b)}"
+        for key in a:
+            assert abs(a[key] - b[key]) < 1e-9
+
+
 def test_ivf_recall_against_bruteforce(spark):
     from kafka_flow_spark.operators.similarity import knn_ivf
 
