@@ -696,3 +696,116 @@ def q_setop_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame
     lhs = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     rhs = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     return lhs.exceptAll(rhs)
+
+
+# --- EXISTS subquery with correlated non-equi condition (TPC-H Q4 analog) ---
+@register(
+    "q4_late_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS with a correlated non-equi predicate: planned as a LEFT SEMI
+    join on the orderkey with the date condition pushed into the join —
+    the probe side never duplicates orders, no distinct needed."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --- left outer join + two-level aggregation (TPC-H Q13 analog) ---
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer join preserving customers with zero orders (COUNT of a null
+    column = 0), then a second aggregation over the first's output — the
+    classic distribution-of-counts shape."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --- conditional aggregation over a broadcast dimension join (TPC-H Q14 analog) ---
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+                 4) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-inside-SUM conditional aggregation; part is a broadcast dimension
+    so the fact side never shuffles — one partial+final aggregate total."""
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    promo = F.when(F.col("p_type").startswith("PROMO"), money("l_extendedprice")).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(money("l_extendedprice")).cast("double"),
+            4,
+        ).alias("promo_share_pct")
+    )
+
+
+# --- aggregate-filtered IN subquery (TPC-H Q18 analog) ---
+@register(
+    "q18_large_quantity_orders",
+    oracle="""
+    SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS price,
+           CAST(t.sum_qty AS DOUBLE) AS sum_qty
+    FROM orders o JOIN (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) t
+    ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-filtered aggregate subquery joined back to the parent — the
+    aggregate runs first and shrinks the join's build side to the few
+    qualifying orderkeys."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 300)
+    )
+    return o.join(big, o["o_orderkey"] == big["l_orderkey"]).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("_sq").cast("double").alias("sum_qty"),
+    )
