@@ -65,3 +65,20 @@ def test_keyed_fold_is_sort_merge_streamed(spark):
     assert "hashpartitioning(user_id" in plan  # key co-location shuffle
     assert "Sort [user_id" in plan  # contiguous ordered runs per key
     assert plan.count("Exchange") <= 1  # exactly the key shuffle
+
+
+def test_exists_is_semi_join_not_aggregate_dedup(spark):
+    plan = plan_of(spark, "q4_late_order_priority")
+    assert "LeftSemi" in plan  # EXISTS stays a semi join — no probe-side dedup
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_share_broadcasts_part_dim(spark):
+    plan = plan_of(spark, "q14_promo_revenue_share")
+    assert "BroadcastHashJoin" in plan  # fact side never shuffles for the dim
+
+
+def test_cosine_matmul_path_is_arrow_batched(spark):
+    plan = plan_of(spark, "q_dedup_embedding_cosine")
+    assert "MapInPandas" in plan  # BLAS block compute, not per-pair expressions
+    assert "CartesianProduct" not in plan
