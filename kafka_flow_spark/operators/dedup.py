@@ -144,13 +144,14 @@ def minhash_signatures(
 
 
 def shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, with_pos: bool = False
 ) -> DataFrame:
     """(doc_id, _h) rows: one 64-bit-folded hash per word n-gram occurrence.
 
     Fully codegen: posexplode tokens, xxhash64 each once, combine n
     consecutive token hashes via ``lead()`` over a (doc_id, pos) window.
     Rows without a full n-gram (doc tail / short docs) carry null ``_h``.
+    ``with_pos=True`` keeps the n-gram start position (for winnowing).
     """
     from pyspark.sql.window import Window
 
@@ -168,7 +169,44 @@ def shingle_hashes(
         shingle_hash = F.when(
             leads[-1].isNotNull(), F.pmod(F.xxhash64("_th", *leads), F.lit(_P))
         )
-    return tok_rows.select("doc_id", shingle_hash.alias("_h"))
+    cols = ["doc_id"] + (["_pos"] if with_pos else [])
+    return tok_rows.select(*cols, shingle_hash.alias("_h"))
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, window: int = 4, shingle_n: int = 3
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    the distinct minima of a sliding window over the rolling n-gram hashes.
+
+    Guarantee: two documents sharing a token run of ≥ window+shingle_n-1
+    words share at least one fingerprint — so fingerprint-set overlap is a
+    substring-aware near-dup signal, unlike whole-document hashes.  Density
+    is ~2/(window+1) of the shingle count, so the fingerprint table is a
+    small fraction of the corpus.
+
+    All JVM-side: the shingle pipeline is the shared codegen path
+    (xxhash64 + lead window), the sliding min is one more frame over the
+    SAME (doc_id, pos) sort — Catalyst evaluates both windows in a single
+    sort pass, and the final distinct aggregates on (doc_id, fingerprint).
+    Output: (doc_id, fingerprint) rows, one per selected hash.
+    """
+    from pyspark.sql.window import Window
+
+    h = shingle_hashes(df, id_col, text_col, shingle_n, with_pos=True).filter(
+        F.col("_h").isNotNull()
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos").rowsBetween(0, window - 1)
+    # only full windows select a fingerprint (standard winnowing); docs with
+    # fewer than `window` shingles contribute their global min so no document
+    # has an empty fingerprint set
+    sel = h.select(
+        "doc_id",
+        "_pos",
+        F.min("_h").over(w).alias("fingerprint"),
+        (F.count("_h").over(w) == window).alias("_full"),
+    ).filter(F.col("_full") | (F.col("_pos") == 0))
+    return sel.select("doc_id", "fingerprint").distinct()
 
 
 def _minhash_mins(

@@ -17,6 +17,7 @@ from kafka_flow_spark.operators.dedup import (
     jaccard_pairs_blocked,
     minhash_lsh_pairs,
     simhash,
+    winnowing_fingerprints,
 )
 from kafka_flow_spark.operators.similarity import (
     cosine_near_dup_pairs_matmul,
@@ -116,6 +117,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_simhash_fingerprints")
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- winnowing (rolling-hash) fingerprints; rows-only: DuckDB lacks xxhash64,
+# the substring-sharing guarantee is property-tested instead ---
+@register("q_winnowing_fingerprints")
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnowing_fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 # --- text statistics / quality scoring ---
