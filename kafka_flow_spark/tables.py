@@ -26,6 +26,12 @@ TABLE_NAMES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); Spark refuses that physical
+        # type unless nanosAsLong is on. The conf is runtime-settable, and any
+        # externally built SparkSession (driver harness, embedding app) won't
+        # have it — set it here so load() works in a vanilla session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see session.py); truncate to µs —

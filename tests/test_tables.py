@@ -1,0 +1,28 @@
+"""tables.load must work in ANY SparkSession, not just ours.
+
+The driver's harness builds a vanilla SparkSession without
+``spark.sql.legacy.parquet.nanosAsLong``; events.parquet carries
+TIMESTAMP(NANOS) which Spark rejects without that conf. ``load`` sets it at
+runtime, so the read succeeds even when the session builder never did.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_flow_spark.tables import TABLE_NAMES, load
+from tests.conftest import SF_SMALL
+
+
+def test_events_loads_without_preconfigured_nanos_conf(spark):
+    # Simulate a foreign session: drop the conf load() depends on.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    df = load(spark, SF_SMALL, "events")
+    assert df.count() > 0
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+@pytest.mark.parametrize("name", TABLE_NAMES)
+def test_every_table_loads(spark, name):
+    df = load(spark, SF_SMALL, name)
+    assert df.count() > 0
