@@ -1,15 +1,20 @@
 """Stateful / streaming-semantic queries over the ``events`` table.
 
 ``events`` is the Kafka-record analog (FIXTURES.md §1): ``event_id`` is the
-per-key offset, ``ts`` the record timestamp, ``user_id`` the key.  Every fold
-query here runs through the real fold machinery (operators.keyed — the
-reference's FoldToState hot path) and is oracle-checked against the equivalent
-ordered-window SQL, proving the fold operator against a relational oracle.
+per-key offset, ``ts`` the record timestamp, ``user_id`` the key.
+
+The registered fold-semantic queries are expressed with Window/agg built-ins
+(JVM-side, whole-stage codegen — the plan you'd run at 100 TB).  The same
+semantics through the real fold machinery (operators.keyed — the reference's
+FoldToState hot path) live in the ``*_via_fold`` variants below, which
+``tests/test_fold_vs_window.py`` checks are row-identical to the registered
+plans: the fold operator is proven against the relational plan, and the
+relational plan against the DuckDB oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flow_spark.functions import dsum, money
@@ -34,11 +39,28 @@ from kafka_flow_spark.tables import load
     bench=True,
 )
 def q_fold_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (count, sum) per user via the generic fold operator.
+    """Running (count, sum) per user — Window built-ins (running-frame agg).
 
-    Docstring citation: Fold contract core/.../Fold.scala:14; ordered-per-key
-    execution PartitionFlow.scala:160-194.
+    Semantics: reference Fold contract core/.../Fold.scala:14; ordered-per-key
+    execution PartitionFlow.scala:160-194.  The fold-machinery rendition is
+    ``fold_running_totals_via_fold`` (differential-tested equal).
     """
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("run_count"),
+        F.round(F.sum("value").over(w), 4).alias("run_sum"),
+    )
+
+
+def fold_running_totals_via_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fold_running_totals through the generic fold operator (test-only path)."""
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
 
     def step(s, rec):
@@ -82,7 +104,25 @@ def q_fold_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fold_reset_on_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fold whose state is deleted (None) on 'error' events — the delete contract."""
+    """Delete-on-'error' fold — Window built-ins (segment = running error count)."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    running = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    is_err = F.col("event_type") == "error"
+    seg = F.sum(F.when(is_err, 1).otherwise(0)).over(running)
+    e = e.withColumn("seg", seg)
+    per_seg = Window.partitionBy("user_id", "seg").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    state_sum = F.when(is_err, F.lit(None).cast("double")).otherwise(
+        F.round(F.sum(F.when(is_err, F.lit(0.0)).otherwise(F.col("value"))).over(per_seg), 4)
+    )
+    return e.select("user_id", "event_id", state_sum.alias("state_sum"))
+
+
+def fold_reset_on_error_via_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fold_reset_on_error through the fold operator (delete-on-None contract)."""
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
 
     def step(s, rec):
@@ -117,6 +157,15 @@ def q_fold_reset_on_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fold_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-state fold — a plain hash aggregate (map-side partials, one shuffle)."""
+    e = load(spark, sf_dir, "events").select("user_id", "value")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), dsum(money("value"), "total_value")
+    )
+
+
+def fold_final_state_via_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_fold_final_state through keyed_fold_final (snapshot-read analog)."""
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
     from decimal import Decimal
 
