@@ -8,8 +8,9 @@ Designed for the 100 TB case:
   array functions — no Python), LSH banding turns near-dup search into an
   equi-join on (band_id, band_hash): shuffle-partitionable, no pair explosion
   outside buckets;
-- SimHash is a vectorized Arrow pandas UDF (numpy bit-packing), the documented
-  Python-path exception.
+- SimHash is likewise all JVM built-ins: md5-derived token bits + 64
+  conditional-sum bit votes in a single hash aggregate (md5 rather than
+  xxhash64 so the DuckDB oracle shares the hash bit-for-bit).
 
 No counterpart in the reference (SURVEY.md §7 Phase 4).
 """
@@ -17,11 +18,9 @@ No counterpart in the reference (SURVEY.md §7 Phase 4).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.pandas.functions import pandas_udf
 
 from kafka_flow_spark.operators.text import fingerprint, normalize_text, tokens
 
@@ -144,12 +143,27 @@ def minhash_signatures(
 
 
 def shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, with_pos: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    with_pos: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, _h) rows: one 64-bit-folded hash per word n-gram occurrence.
+    """(doc_id, _h) rows: one hash in [0, P) per word n-gram occurrence.
 
-    Fully codegen: posexplode tokens, xxhash64 each once, combine n
-    consecutive token hashes via ``lead()`` over a (doc_id, pos) window.
+    Fully codegen either way: posexplode tokens over a (doc_id, pos) window.
+    ``hash_fn`` picks the hash family:
+
+    - ``"xxhash64"`` (default, fastest): xxhash64 each token once, combine n
+      consecutive *token hashes* via ``lead()`` — the MinHash pipeline, where
+      only hash distribution matters (verified downstream via exact Jaccard).
+    - ``"md5"``: lead the token *strings*, hash the joined n-gram with
+      md5 and fold its first 15 hex digits to a 60-bit int (still JVM
+      codegen, ~md5-speed).  md5 is the one 64-bit-capable hash DuckDB
+      shares, so fingerprint *values* are oracle-reproducible bit-exactly —
+      used by winnowing, whose output IS the hash values.
+
     Rows without a full n-gram (doc tail / short docs) carry null ``_h``.
     ``with_pos=True`` keeps the n-gram start position (for winnowing).
     """
@@ -157,24 +171,46 @@ def shingle_hashes(
 
     if shingle_n not in (1, 2, 3):
         raise ValueError("shingle_n must be 1, 2 or 3")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     toks = tokens(normalize_text(text_col))
-    tok_rows = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode_outer(toks).alias("_pos", "_tok")
-    ).select("doc_id", "_pos", F.xxhash64("_tok").alias("_th"))
-    if shingle_n == 1:
-        shingle_hash = F.pmod(F.col("_th"), F.lit(_P))
-    else:
-        w = Window.partitionBy("doc_id").orderBy("_pos")
-        leads = [F.lead("_th", i).over(w) for i in range(1, shingle_n)]
-        shingle_hash = F.when(
-            leads[-1].isNotNull(), F.pmod(F.xxhash64("_th", *leads), F.lit(_P))
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    if hash_fn == "md5":
+        tok_rows = df.select(
+            F.col(id_col).alias("doc_id"), F.posexplode_outer(toks).alias("_pos", "_tok")
         )
+        if shingle_n == 1:
+            gram = F.col("_tok")
+        else:
+            leads = [F.lead("_tok", i).over(w) for i in range(1, shingle_n)]
+            gram = F.when(leads[-1].isNotNull(), F.concat_ws(" ", F.col("_tok"), *leads))
+        shingle_hash = F.pmod(
+            F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long"), F.lit(_P)
+        )
+        # md5(NULL) is NULL so tail rows stay null; but conv("")→0 must not:
+        shingle_hash = F.when(gram.isNotNull(), shingle_hash)
+    else:
+        tok_rows = df.select(
+            F.col(id_col).alias("doc_id"), F.posexplode_outer(toks).alias("_pos", "_tok")
+        ).select("doc_id", "_pos", F.xxhash64("_tok").alias("_th"))
+        if shingle_n == 1:
+            shingle_hash = F.pmod(F.col("_th"), F.lit(_P))
+        else:
+            leads = [F.lead("_th", i).over(w) for i in range(1, shingle_n)]
+            shingle_hash = F.when(
+                leads[-1].isNotNull(), F.pmod(F.xxhash64("_th", *leads), F.lit(_P))
+            )
     cols = ["doc_id"] + (["_pos"] if with_pos else [])
     return tok_rows.select(*cols, shingle_hash.alias("_h"))
 
 
 def winnowing_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, window: int = 4, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
     the distinct minima of a sliding window over the rolling n-gram hashes.
@@ -185,17 +221,21 @@ def winnowing_fingerprints(
     is ~2/(window+1) of the shingle count, so the fingerprint table is a
     small fraction of the corpus.
 
-    All JVM-side: the shingle pipeline is the shared codegen path
-    (xxhash64 + lead window), the sliding min is one more frame over the
+    All JVM-side: the shingle pipeline is the shared codegen path (a lead
+    window over token order), the sliding min is one more frame over the
     SAME (doc_id, pos) sort — Catalyst evaluates both windows in a single
     sort pass, and the final distinct aggregates on (doc_id, fingerprint).
+    ``hash_fn`` defaults to "md5" because winnowing's *output is the hash
+    values themselves*, and md5 is DuckDB-shared so the oracle reproduces
+    them bit-exactly; pass "xxhash64" for maximum throughput when oracle
+    parity is not needed.
     Output: (doc_id, fingerprint) rows, one per selected hash.
     """
     from pyspark.sql.window import Window
 
-    h = shingle_hashes(df, id_col, text_col, shingle_n, with_pos=True).filter(
-        F.col("_h").isNotNull()
-    )
+    h = shingle_hashes(
+        df, id_col, text_col, shingle_n, with_pos=True, hash_fn=hash_fn
+    ).filter(F.col("_h").isNotNull())
     w = Window.partitionBy("doc_id").orderBy("_pos").rowsBetween(0, window - 1)
     # only full windows select a fingerprint (standard winnowing); docs with
     # fewer than `window` shingles contribute their global min so no document
@@ -306,32 +346,38 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document (vectorized Arrow pandas UDF).
+    """64-bit SimHash fingerprint per document — entirely JVM-side.
 
-    Bit-parallel numpy: token hashes → ±1 per bit position → sign of the sum.
-    Python is acceptable here because the computation is genuinely bit-twiddly;
-    Arrow batches keep the transfer columnar.
+    Pipeline: distinct whitespace tokens of the normalized text are exploded
+    (``explode_outer`` keeps empty docs, which fingerprint to 0), each token is
+    hashed to 64 bits via the first 16 hex digits of its md5 (md5 — unlike
+    xxhash64 — is a hash DuckDB shares, so the oracle recomputes fingerprints
+    bit-exactly), and the classic ±1 votes per bit position are 64 conditional
+    SUM aggregates over the token rows.  Everything is whole-stage codegen:
+    one map-side-combinable shuffle, one 64-slot row per document out of the
+    map side regardless of document length — the same 100 TB-safe shape as the
+    MinHash pipeline.  Bit 63 re-enters the int64 as the sign bit.
     """
-
-    @pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        masks = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        for i, t in enumerate(texts):
-            toks = (t or "").lower().split()
-            if not toks:
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in set(toks):
-                # deterministic 64-bit token hash (FNV-1a)
-                h = np.uint64(14695981039346656037)
-                for ch in tok.encode("utf-8"):
-                    h = np.uint64((int(h) ^ ch) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-                acc += np.where((h & masks) != 0, 1, -1)
-            bits = np.uint64(0)
-            for bpos in np.nonzero(acc > 0)[0]:
-                bits |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(bits.astype(np.int64))
-        return pd.Series(out)
-
-    return df.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash"))
+    toks = F.array_distinct(
+        F.filter(tokens(normalize_text(text_col)), lambda t: t != F.lit(""))
+    )
+    rows = df.select(F.col(id_col).alias("doc_id"), F.explode_outer(toks).alias("_tok"))
+    h = F.md5("_tok")
+    # hex digit values of the first 16 md5 nibbles = 64 deterministic bits
+    digits = [F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int") for i in range(16)]
+    votes = []
+    for b in range(64):
+        d, j = digits[b // 4], 3 - (b % 4)  # MSB-first within each nibble
+        bit = F.shiftright(d, j).bitwiseAND(F.lit(1))
+        # null token (empty doc) → null bit → otherwise(-1): votes all -1 → 0
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_v{b}"))
+    agg = rows.groupBy("doc_id").agg(*votes)
+    val = F.lit(0).cast("long")
+    for b in range(63):
+        val = val + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    val = val + F.when(
+        F.col("_v63") > 0, F.lit(-(1 << 63)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", val.alias("simhash"))

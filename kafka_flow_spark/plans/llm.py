@@ -113,15 +113,70 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- SimHash fingerprints (bit-twiddly → vectorized pandas UDF; rows-only check) ---
-@register("q_simhash_fingerprints")
+# --- SimHash fingerprints: md5-bit token hashes + 64 bit-vote aggregates, all
+# JVM-side; the oracle regenerates the identical bits from DuckDB's md5 ---
+def _simhash_oracle() -> str:
+    votes = []
+    for b in range(64):
+        i, j = b // 4 + 1, 3 - (b % 4)  # nibble index (1-based), MSB-first bit
+        votes.append(
+            f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+            f" >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    bits = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(63)
+    )
+    bits += f" + CASE WHEN v63 > 0 THEN CAST({-(1 << 63)} AS BIGINT) ELSE 0 END"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(
+               trim(lower(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))), ' '))) AS tok
+      FROM documents),
+    th AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+    votes AS (SELECT doc_id, {", ".join(votes)} FROM th GROUP BY doc_id)
+    SELECT d.doc_id, CAST(COALESCE(({bits}), 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+    """
+
+
+@register("q_simhash_fingerprints", oracle=_simhash_oracle())
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-# --- winnowing (rolling-hash) fingerprints; rows-only: DuckDB lacks xxhash64,
-# the substring-sharing guarantee is property-tested instead ---
-@register("q_winnowing_fingerprints")
+# --- winnowing (rolling-hash) fingerprints.  The operator's md5 hash mode
+# exists exactly so this oracle can reproduce fingerprint VALUES: DuckDB folds
+# the same first-15-hex-digits of md5(3-gram) by Horner and runs the same
+# sliding-min window.  The substring-sharing guarantee is additionally
+# property-tested in tests/test_winnowing.py ---
+_WINNOW_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(lower(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents),
+    g AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 1, 1))) AS i, toks FROM t),
+    h AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             list_reduce(
+               list_transform(range(1, 16), d ->
+                 CAST(strpos('0123456789abcdef',
+                      substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), d, 1)) - 1
+                      AS BIGINT)),
+               (a, b) -> a * 16 + b) % 2147483647 AS fh
+      FROM g),
+    w AS (
+      SELECT doc_id, pos,
+             MIN(fh) OVER win AS fingerprint,
+             COUNT(*) OVER win = 4 AS is_full
+      FROM h
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+    SELECT DISTINCT doc_id, fingerprint FROM w WHERE is_full OR pos = 0
+    """
+
+
+@register("q_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -248,9 +303,10 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- exact top-k cosine similarity search ---
-@register(
-    "q_knn_bruteforce",
-    oracle="""
+# shared by q_knn_bruteforce and q_knn_bruteforce_arrow: both operators promise
+# the identical output contract (top-5 cosine, ties on neighbor_id ASC), so the
+# same all-pairs truth is the oracle for each
+_KNN_ORACLE = """
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                FROM embeddings),
     sims AS (
@@ -265,9 +321,10 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
       FROM sims)
     WHERE rank <= 5
-    """,
-    bench=True,
-)
+    """
+
+
+@register("q_knn_bruteforce", oracle=_KNN_ORACLE, bench=True)
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     out = knn_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
@@ -322,8 +379,9 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
 
 
-# --- BLAS-path exact kNN (mapInPandas matmul; rows-only, equivalence-tested) ---
-@register("q_knn_bruteforce_arrow")
+# --- BLAS-path exact kNN (mapInPandas matmul; same contract as the expression
+# path, so it shares the all-pairs oracle) ---
+@register("q_knn_bruteforce_arrow", oracle=_KNN_ORACLE)
 def q_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flow_spark.operators.similarity import knn_bruteforce_arrow
 

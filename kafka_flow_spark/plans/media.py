@@ -1,10 +1,13 @@
-"""Multimodal pipeline queries (rows-only checks — binary media has no SQL
-oracle; the per-operator unit tests in tests/test_multimodal.py are the
-value-level gate).
+"""Multimodal pipeline queries.
 
 Media blobs are synthesized deterministically from ``documents`` (text bytes
 as payload, doc stats as dimensions) so the pipeline runs against the driver's
-tables without external media files.
+tables without external media files.  Because the synthesis is pure arithmetic
+on documents columns, each query has a real DuckDB oracle that mirrors that
+arithmetic in SQL — the comparison therefore verifies the whole Spark path
+(pack_blob → mapInPandas decode → aggregate) round-trips the metadata exactly.
+The byte-level codec remains the documented FAKE stub (no codecs in this
+container); tests/test_multimodal.py is the value-level gate for blob bytes.
 """
 
 from __future__ import annotations
@@ -46,7 +49,17 @@ def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(build, schema=mm.MEDIA_SCHEMA)
 
 
-@register("q_media_decode_stats")
+@register(
+    "q_media_decode_stats",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'vid' ELSE 'img' END AS decoded_type,
+           COUNT(*) AS n_items,
+           CAST(SUM(LEAST(octet_length(encode(COALESCE(text, ''))), 4096)) AS BIGINT)
+             AS total_payload,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM documents GROUP BY 1
+    """,
+)
 def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode metadata for every blob, aggregate by media type."""
     decoded = mm.decode_metadata(_synth_media(spark, sf_dir))
@@ -57,7 +70,15 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_media_frame_sampling")
+@register(
+    "q_media_frame_sampling",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 10 AS BIGINT) AS n_frames,
+           CAST((doc_id % 10) * 1000 AS INT) AS last_ts_ms
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
 def q_media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample frames from the video blobs (1 fps), count per media item."""
     vids = _synth_media(spark, sf_dir).filter(F.col("media_type") == "vid")
@@ -67,7 +88,16 @@ def q_media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_media_features")
+@register(
+    "q_media_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 AS INT) AS dim,
+           CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0
+                THEN 0.0 ELSE 1.0 END AS sq_norm
+    FROM documents
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub-encoder feature vectors for every media blob (plumbing for the
     embedding-based dedup/similarity operators over media)."""

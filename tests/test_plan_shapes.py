@@ -58,13 +58,27 @@ def test_asof_join_has_no_pair_explosion(spark):
 
 
 def test_keyed_fold_is_sort_merge_streamed(spark):
-    """The fold is one key-hash shuffle + in-partition sort feeding a single
-    Arrow-batched MapInPandas — no per-group dispatch, no Python RDD map."""
-    plan = plan_of(spark, "q_fold_running_totals")
+    """The fold machinery is one key-hash shuffle + in-partition sort feeding
+    a single Arrow-batched MapInPandas — no per-group dispatch, no Python RDD
+    map.  (The registered q_fold_* plans are Window/agg built-ins; the fold
+    executor itself is exercised via the *_via_fold differential variants.)"""
+    from kafka_flow_spark.plans.events import fold_running_totals_via_fold
+
+    df = fold_running_totals_via_fold(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "hashpartitioning(user_id" in plan  # key co-location shuffle
     assert "Sort [user_id" in plan  # contiguous ordered runs per key
     assert plan.count("Exchange") <= 1  # exactly the key shuffle
+
+
+def test_fold_registry_plans_are_window_builtins(spark):
+    """The registered fold-semantic queries must stay JVM-side Window/agg —
+    a Python fold in the registry plan is the 100×-scale bottleneck the
+    round-1 verdict flagged."""
+    for name in ("q_fold_running_totals", "q_fold_reset_on_error", "q_fold_final_state"):
+        plan = plan_of(spark, name)
+        assert "MapInPandas" not in plan and "EvalPython" not in plan, name
 
 
 def test_exists_is_semi_join_not_aggregate_dedup(spark):
@@ -76,6 +90,20 @@ def test_exists_is_semi_join_not_aggregate_dedup(spark):
 def test_promo_share_broadcasts_part_dim(spark):
     plan = plan_of(spark, "q14_promo_revenue_share")
     assert "BroadcastHashJoin" in plan  # fact side never shuffles for the dim
+
+
+def test_simhash_is_jvm_side_single_aggregate(spark):
+    """SimHash must stay md5 + 64 bit-vote aggregates in codegen — no Python
+    worker round-trip in a dedup hot path."""
+    plan = plan_of(spark, "q_simhash_fingerprints")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") <= 1  # one map-side-combinable shuffle
+
+
+def test_winnowing_is_jvm_side(spark):
+    plan = plan_of(spark, "q_winnowing_fingerprints")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
 def test_cosine_matmul_path_is_arrow_batched(spark):
