@@ -100,7 +100,9 @@ def knn_bruteforce_arrow(
                 col = sims[:, j]
                 mask = nids != qid
                 cand_idx = np.nonzero(mask)[0]
-                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")][:k]
+                # block-local tie-break must match the final window's ordering
+                # (sim DESC, neighbor_id ASC): lexsort keys are (minor, major)
+                top = cand_idx[np.lexsort((nids[cand_idx], -col[cand_idx]))][:k]
                 out["q_id"].extend([qid] * len(top))
                 out["neighbor_id"].extend(nids[top].tolist())
                 out["sim"].extend(col[top].tolist())
@@ -204,12 +206,45 @@ def cosine_near_dup_pairs(
     )
 
 
+def _auto_n_blocks(
+    n_rows: int,
+    dim: int,
+    target_block_bytes: int = 32 << 20,
+    max_pair_bytes: int = 256 << 20,
+    max_block_pairs: int = 100_000,
+) -> int:
+    """Corpus-size-aware block count for the block-matmul pair scan.
+
+    Two per-task memory budgets bound the rows per block: the collected block
+    itself (rows × dim × 8 B ≤ ``target_block_bytes``, the shuffle-row bound)
+    and the similarity sub-matrix of a block pair (rows² × 8 B ≤
+    ``max_pair_bytes`` — the binding constraint for small dim).  When the
+    resulting B(B+1)/2 block-pair task count exceeds ``max_block_pairs`` the
+    corpus is simply too large for an exact all-pairs scan — refuse loudly
+    rather than schedule an unbounded quadratic job (use the band-blocked
+    ``cosine_near_dup_pairs`` with a high threshold instead).
+    """
+    rows_by_bytes = max(1, target_block_bytes // (8 * max(dim, 1)))
+    rows_by_pairs = max(1, int((max_pair_bytes // 8) ** 0.5))
+    rows_per_block = min(rows_by_bytes, rows_by_pairs)
+    n_blocks = max(1, -(-n_rows // rows_per_block))
+    if n_blocks * (n_blocks + 1) // 2 > max_block_pairs:
+        raise ValueError(
+            f"cosine_near_dup_pairs_matmul: {n_rows} rows × dim {dim} needs "
+            f"{n_blocks} blocks → {n_blocks * (n_blocks + 1) // 2} block-pair "
+            f"tasks (> {max_block_pairs}); an exact all-pairs scan at this "
+            "scale is quadratic — use cosine_near_dup_pairs (band blocking) "
+            "with a high threshold, or pre-cluster the corpus"
+        )
+    return n_blocks
+
+
 def cosine_near_dup_pairs_matmul(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ ``threshold`` via block-matrix matmul — the
     exact path for LOW thresholds, where no metric blocking can prune.
@@ -222,13 +257,23 @@ def cosine_near_dup_pairs_matmul(
     small int keys, and each pair's full similarity sub-matrix is ONE numpy
     matmul inside ``mapInPandas`` — SIMD throughput instead of per-pair
     expression trees.  Nothing is collected to the driver and no side is
-    broadcast; at scale, pick n_blocks so a block (rows/B × dim doubles) is
-    10–50 MB and each task multiplies two such blocks.
+    broadcast.
+
+    ``n_blocks`` defaults to a corpus-size-aware value (one cheap count +
+    one-row dim probe, see ``_auto_n_blocks``) that bounds BOTH the
+    collect_list'd block row (≤ 32 MB) and the per-task similarity matrix
+    (≤ 256 MB), and refuses outright when the block-pair task count shows
+    the job is quadratic-at-scale — a fixed default would OOM a 100 TB run.
 
     Same output contract as ``cosine_near_dup_pairs``: (a_id, b_id, cos_sim
     rounded to 4), a_id < b_id.
     """
     import pandas as pd
+
+    if n_blocks is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 1
+        n_blocks = _auto_n_blocks(df.count(), dim)
 
     blocks = (
         df.select(

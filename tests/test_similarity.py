@@ -81,6 +81,23 @@ def test_cosine_near_dup_matmul_equals_band_blocked(spark):
             assert abs(a[key] - b[key]) < 1e-9
 
 
+def test_auto_n_blocks_bounds_block_and_pair_matrix_sizes():
+    """The derived block count must respect both per-task budgets at any
+    corpus size, and refuse when the job is quadratic-at-scale."""
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.similarity import _auto_n_blocks
+
+    for n_rows, dim in [(500, 64), (1_000_000, 64), (1_000_000, 1024), (200_000, 8192)]:
+        b = _auto_n_blocks(n_rows, dim)
+        rows_per_block = -(-n_rows // b)  # ceil — max rows any block can get
+        assert rows_per_block * dim * 8 <= (32 << 20) + dim * 8  # block bytes
+        assert rows_per_block**2 * 8 <= (256 << 20) * 1.05  # pair matrix bytes
+    # a billion-row corpus: exact all-pairs is quadratic — must refuse
+    with _pytest.raises(ValueError, match="band blocking"):
+        _auto_n_blocks(1_000_000_000, 1024)
+
+
 def test_ivf_recall_against_bruteforce(spark):
     from kafka_flow_spark.operators.similarity import knn_ivf
 
