@@ -62,11 +62,31 @@ def compact_snapshots(
     Tombstoned keys are dropped entirely — after compaction the log is the
     minimal state table.  Run periodically; readers are correct without it
     (``latest_snapshots`` compacts on read).
+
+    Crash-safe by construction: the compacted table is fully written to a
+    side directory first, then swapped in with two directory renames — the
+    source log is never read and truncated by the same job, so a task retry,
+    executor loss, or cache eviction mid-write can never recompute from a
+    half-truncated source (a durability hazard on the state path at scale).
+    A crash between the renames leaves the old or the new table plus a
+    leftover side dir — never a truncated table.  Renames go through the
+    Hadoop FileSystem API, so HDFS-like stores swap atomically; on object
+    stores (rename = copy) use a transactional table format instead.
     """
-    compacted = latest_snapshots(spark, table_dir, key_cols).cache()
-    compacted.count()  # materialize before overwriting the source
-    compacted.write.mode("overwrite").parquet(table_dir)
-    compacted.unpersist()
+    stem = table_dir.rstrip("/")
+    tmp, old = stem + ".compacting", stem + ".old"
+    latest_snapshots(spark, table_dir, key_cols).write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(stem).getFileSystem(hconf)
+    fs.delete(hpath(old), True)
+    if not fs.rename(hpath(stem), hpath(old)):
+        raise IOError(f"compact_snapshots: cannot move {stem} aside")
+    if not fs.rename(hpath(tmp), hpath(stem)):
+        fs.rename(hpath(old), hpath(stem))  # roll back: old table intact
+        raise IOError(f"compact_snapshots: swap failed, restored {stem}")
+    fs.delete(hpath(old), True)
 
 
 def snapshot_sink(
