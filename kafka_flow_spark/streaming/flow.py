@@ -64,6 +64,15 @@ class FlowSpec:
       primitive; emulated in-state — the tick runs when the key observes an
       order-column advance ≥ threshold since registration (the
       ``maxOffsetDifference`` eviction trigger, TimerFlowOf.scala:36-77).
+
+    ``state_ttl_ms`` is the idle-state eviction contract (``unloadOrphaned``,
+    TimerFlowOf.scala:36-77): a key whose state has not been updated for the
+    TTL is deleted without any user tick code.  On the transformWithState
+    path this is the state store's native TTL; on the
+    ``applyInPandasWithState`` path it is emulated with a processing-time
+    timeout that removes the state (see ``stateful_flow``), which requires
+    ``timeout_ms``/``tick`` to be unset — combine TTL with custom timers by
+    encoding the eviction in your own tick instead.
     """
 
     key_cols: list[str]
@@ -80,6 +89,7 @@ class FlowSpec:
     watermark_delay: str = "0 seconds"
     offset_timer_threshold: int | None = None
     filter_record: Callable[[dict[str, Any]], bool] | None = None  # FilterRecord (#7)
+    state_ttl_ms: int | None = None  # idle-state eviction (unloadOrphaned, #19)
     state_schema: str = "value STRING"
     encode_state: Callable[[Any], tuple] = field(default=_json_encode)
     decode_state: Callable[[tuple], Any] = field(default=_json_decode)
@@ -88,6 +98,10 @@ class FlowSpec:
 def _make_with_state_fn(spec: FlowSpec):
     key_cols = list(spec.key_cols)
     off_thresh = spec.offset_timer_threshold
+    # parse the DDL once, driver-side (StructType.fromDDL needs the JVM; the
+    # returned fn runs in executor Python workers) — naive comma-splitting
+    # breaks on nested/parameterized types like DECIMAL(10,2) or STRUCT<...>
+    out_cols = _schema_cols(spec.output_schema)
 
     # offset timers ride inside the state blob: {"v": user_state, "reg": offset}
     def decode(stored) -> tuple[Any, Any]:
@@ -134,7 +148,7 @@ def _make_with_state_fn(spec: FlowSpec):
                 state.update(encode(s2, reg))
                 if spec.timeout_mode != "event":
                     set_timeout(state, None)
-            yield pd.DataFrame(out, columns=_schema_cols(spec.output_schema))
+            yield pd.DataFrame(out, columns=out_cols)
             return
 
         from kafka_flow_spark.operators.keyed import _iter_records
@@ -165,13 +179,43 @@ def _make_with_state_fn(spec: FlowSpec):
         else:
             state.update(encode(s, reg))
             set_timeout(state, pdf)
-        yield pd.DataFrame(out, columns=_schema_cols(spec.output_schema))
+        yield pd.DataFrame(out, columns=out_cols)
 
     return fn
 
 
 def _schema_cols(ddl: str) -> list[str]:
-    return [f.strip().split()[0] for f in ddl.split(",")]
+    """Column names of a DDL schema string — a real parse (handles nested and
+    parameterized types: ARRAY<STRUCT<...>>, DECIMAL(10,2), …).  Driver-side
+    only: the parser needs the JVM."""
+    from pyspark.sql.types import StructType
+
+    return [f.name for f in StructType.fromDDL(ddl).fields]
+
+
+def _with_ttl_emulation(spec: FlowSpec) -> FlowSpec:
+    """Compile ``state_ttl_ms`` for the applyInPandasWithState path: a
+    processing-time timeout whose tick deletes the state (idle keys evict
+    without any user code — the unloadOrphaned contract)."""
+    if spec.state_ttl_ms is None:
+        return spec
+    if spec.timeout_ms is not None or spec.tick is not None:
+        raise ValueError(
+            "state_ttl_ms on the applyInPandasWithState path emulates TTL via "
+            "the processing-time timer, so timeout_ms/tick must be unset — "
+            "encode eviction in your own tick, or use the tws path"
+        )
+    import dataclasses
+
+    from kafka_flow_spark.operators.tick import TickOption
+
+    return dataclasses.replace(
+        spec,
+        timeout_ms=spec.state_ttl_ms,
+        timeout_mode="processing",
+        tick=TickOption(lambda s: None),  # expire ⇒ delete
+        state_ttl_ms=None,
+    )
 
 
 def stateful_flow(records: DataFrame, spec: FlowSpec) -> DataFrame:
@@ -182,6 +226,7 @@ def stateful_flow(records: DataFrame, spec: FlowSpec) -> DataFrame:
     checkpointing then gives the reference's recovery semantics (§3.2) with
     zero user code.
     """
+    spec = _with_ttl_emulation(spec)
     if spec.timeout_ms is None:
         timeout = "NoTimeout"
     elif spec.timeout_mode == "event":

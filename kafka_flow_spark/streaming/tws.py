@@ -61,8 +61,10 @@ def _make_processor(spec: FlowSpec):
     class _FlowProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self.handle = handle
+            # native state TTL — the built-in unloadOrphaned analog
+            # (TimerFlowOf.scala:36-77): idle state evicts with zero tick code
             self.state = handle.getValueState(
-                "flow_state", spec.state_schema, getattr(spec, "state_ttl_ms", None)
+                "flow_state", spec.state_schema, spec.state_ttl_ms
             )
 
         def _decode(self):
@@ -73,13 +75,22 @@ def _make_processor(spec: FlowSpec):
             if spec.timeout_ms is None:
                 return
             if spec.timeout_mode == "event":
-                if pdf is not None and len(pdf):
-                    last = int(pd.Timestamp(pdf[spec.event_time_col].max()).timestamp() * 1000)
-                    self.handle.registerTimer(last + spec.timeout_ms)
-            else:
-                self.handle.registerTimer(
-                    timer_values.getCurrentProcessingTimeInMs() + spec.timeout_ms
+                if pdf is None or not len(pdf):
+                    return
+                expiry = (
+                    int(pd.Timestamp(pdf[spec.event_time_col].max()).timestamp() * 1000)
+                    + spec.timeout_ms
                 )
+            else:
+                expiry = timer_values.getCurrentProcessingTimeInMs() + spec.timeout_ms
+            # idle-gap semantics: the new registration SUPERSEDES any pending
+            # timer, matching applyInPandasWithState's setTimeoutDuration
+            # (which resets the single timeout on new data).  Without this,
+            # timers accumulate one per batch and tick fires on active keys.
+            for ts in self.handle.listTimers():
+                if ts != expiry:
+                    self.handle.deleteTimer(ts)
+            self.handle.registerTimer(expiry)
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
             from kafka_flow_spark.operators.keyed import _iter_records

@@ -47,8 +47,14 @@ def run_once(spark, input_dir, checkpoint, name, spec) -> list[tuple]:
     out_dir = checkpoint + "__out"
     records = spark.readStream.schema(SCHEMA).parquet(input_dir)
     flowed = stateful_flow(records, spec)
-    # timer-bearing flows cannot terminate under availableNow (see flow._drain)
-    run_to_parquet_sink(flowed, checkpoint, out_dir, available_now=spec.timeout_ms is None)
+    # timer-bearing flows cannot terminate under availableNow (see flow._drain);
+    # state_ttl_ms compiles to a timer on this path, so it counts too
+    run_to_parquet_sink(
+        flowed,
+        checkpoint,
+        out_dir,
+        available_now=spec.timeout_ms is None and spec.state_ttl_ms is None,
+    )
     rows = [tuple(r) for r in spark.read.parquet(out_dir).collect()]
     prev = _seen.setdefault(out_dir, [])
     new = rows.copy()
@@ -143,6 +149,49 @@ def test_timer_tick_expires_idle_state(spark, tmp_path):
     write_inputs(spark, input_dir, [(3, "a", 9)])
     out3 = run_once(spark, input_dir, checkpoint, f"{expired}_r3", spec)
     assert ("a", None, 9) in out3
+
+
+def test_state_ttl_evicts_idle_key_without_tick(spark, tmp_path):
+    """state_ttl_ms (unloadOrphaned, #19): an idle key's state is GONE after
+    the TTL with no tick declared — zero user timer code."""
+    import dataclasses
+
+    input_dir = str(tmp_path / "input")
+    checkpoint = str(tmp_path / "chk")
+    spec = dataclasses.replace(counter_spec(), state_ttl_ms=1000)
+
+    write_inputs(spark, input_dir, [(1, "a", 7)])
+    out1 = run_once(spark, input_dir, checkpoint, "ttl_r1", spec)
+    assert ("a", None, 7) in out1
+
+    time.sleep(1.5)  # idle past the TTL while the query is down
+    # run 2 processes only key 'b' — batches where 'a' is idle let the
+    # (checkpoint-recovered) TTL timer fire and evict 'a'
+    write_inputs(spark, input_dir, [(2, "b", 8)])
+    out2 = run_once(spark, input_dir, checkpoint, "ttl_r2", spec)
+    assert ("b", None, 8) in out2
+    # eviction emitted nothing (no tick_emit): TTL is silent deletion
+    assert all(n != -1 for (_, _, n) in out1 + out2)
+
+    # new record for 'a': the fold must see empty state (None)
+    write_inputs(spark, input_dir, [(3, "a", 9)])
+    out3 = run_once(spark, input_dir, checkpoint, "ttl_r3", spec)
+    assert ("a", None, 9) in out3, f"state survived the TTL: {out3}"
+
+
+def test_state_ttl_conflicts_with_custom_timers(spark, tmp_path):
+    """TTL emulation on this path owns the single processing-time timer —
+    combining it with user timers must fail loudly, not drop one of them."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    spec = dataclasses.replace(
+        counter_spec(timeout_ms=500, tick=TickOption.identity()), state_ttl_ms=1000
+    )
+    records = spark.readStream.schema(SCHEMA).parquet(str(tmp_path))
+    with _pytest.raises(ValueError, match="state_ttl_ms"):
+        stateful_flow(records, spec)
 
 
 def test_filter_record(spark, tmp_path):
