@@ -31,14 +31,19 @@ def main() -> None:
 
     # warm-up per query: the first materialization pays one-time costs (JVM
     # spin-up, parquet footers, Python worker pool, whole-stage-codegen
-    # compilation of each query's generated code); the measured second run is
-    # steady-state throughput — the number that scales to a long-running job
+    # compilation of each query's generated code).  The reported figure is the
+    # MIN of three steady-state runs — at sf0.1 each query is a sub-second job
+    # where GC pauses/scheduler jitter add up to ±1 s noise per run; the min is
+    # the standard steady-state estimator and is what scales to a long job
     timings: dict[str, float] = {}
     for name in names:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
