@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_flow_spark.functions import dsum, money
+from kafka_flow_spark.functions import cents, csum
 from kafka_flow_spark.operators.asof import asof_join
 from kafka_flow_spark.operators.fold import fold_option
 from kafka_flow_spark.operators.keyed import keyed_fold, keyed_fold_final
@@ -160,7 +160,7 @@ def q_fold_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final-state fold — a plain hash aggregate (map-side partials, one shuffle)."""
     e = load(spark, sf_dir, "events").select("user_id", "value")
     return e.groupBy("user_id").agg(
-        F.count("*").alias("n_events"), dsum(money("value"), "total_value")
+        F.count("*").alias("n_events"), csum(cents("value"), "total_value")
     )
 
 
@@ -217,7 +217,7 @@ def q_offset_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(snap, "user_id")
         .filter(F.col("event_id") > F.col("snap_offset"))
         .groupBy("user_id")
-        .agg(F.count("*").alias("replayed"), dsum(money("value"), "replay_value"))
+        .agg(F.count("*").alias("replayed"), csum(cents("value"), "replay_value"))
     )
 
 
@@ -255,7 +255,7 @@ def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), dsum(money("value"), "sum_value"))
+        .agg(F.count("*").alias("n_events"), csum(cents("value"), "sum_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
             "event_type",
@@ -297,7 +297,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), dsum(money("value"), "sum_value"))
+        .agg(F.count("*").alias("n_events"), csum(cents("value"), "sum_value"))
         .select(
             "user_id",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),

@@ -9,8 +9,11 @@ Scale notes (100 TB rule):
 - Every plan is declarative DataFrame API → Catalyst does predicate pushdown,
   column pruning and join reordering; no collect(), no driver loops.
 - Dimension joins (region/nation/part/supplier) are explicitly broadcast.
-- Aggregate arithmetic runs in DECIMAL so partial aggregation (map-side
-  combine) stays exact and order-insensitive, then casts to DOUBLE.
+- Aggregate money arithmetic runs on unscaled-LONG fixed-point units
+  (functions.cents) so partial aggregation (map-side combine) stays exact and
+  order-insensitive while every per-row op and SUM is a 64-bit integer op in
+  whole-stage codegen; the result is rescaled to DOUBLE once per output group
+  (bit-identical to the oracle's CAST(SUM(decimal) AS DOUBLE)).
 """
 
 from __future__ import annotations
@@ -18,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_flow_spark.functions import dsum, money
+from kafka_flow_spark.functions import cents, csum, unscaled
 from kafka_flow_spark.plans.registry import register
 from kafka_flow_spark.tables import load
 
@@ -47,21 +50,25 @@ from kafka_flow_spark.tables import load
     bench=True,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All money math on unscaled-LONG cents (see functions.cents): the per-row
+    multiply chain and every SUM are 64-bit integer ops in codegen, rescaled to
+    the oracle-identical DOUBLE once per output group."""
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    one = F.lit(1).cast("decimal(4,2)")
-    disc_price = (money("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))).cast(
-        "decimal(18,4)"
-    )
-    charge = (disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))).cast("decimal(18,6)")
+    qty_c = cents("l_quantity")
+    price_c = cents("l_extendedprice")
+    # discount/tax are 2-dp fractions; as integer hundredths the products below
+    # are exact unscaled values at scale 4 (disc_price) and 6 (charge)
+    disc4 = price_c * (F.lit(100) - cents("l_discount"))
+    charge6 = disc4 * (F.lit(100) + cents("l_tax"))
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(money("l_quantity"), "sum_qty"),
-            dsum(money("l_extendedprice"), "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            (F.sum(money("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(money("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            csum(qty_c, "sum_qty"),
+            csum(price_c, "sum_base_price"),
+            csum(disc4, "sum_disc_price", scale=4),
+            csum(charge6, "sum_charge", scale=6),
+            (unscaled(F.sum(qty_c), 2) / F.count("*")).alias("avg_qty"),
+            (unscaled(F.sum(price_c), 2) / F.count("*")).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -114,15 +121,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
-    one = F.lit(1).cast("decimal(4,2)")
-    disc_price = (money("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))).cast(
-        "decimal(18,4)"
-    )
+    disc4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(disc_price, "revenue"))
+        .agg(csum(disc4, "revenue", scale=4))
         .select(
             "l_orderkey",
             "revenue",
@@ -163,10 +167,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    one = F.lit(1).cast("decimal(4,2)")
-    disc_price = (money("l_extendedprice") * (one - F.col("l_discount").cast("decimal(4,2)"))).cast(
-        "decimal(18,4)"
-    )
+    disc4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -178,7 +179,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(dsum(disc_price, "revenue"))
+        .agg(csum(disc4, "revenue", scale=4))
     )
 
 
@@ -204,8 +205,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
-    rev = (money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")).cast("decimal(18,4)")
-    return l.agg(dsum(rev, "revenue"), F.count("*").alias("n_rows"))
+    rev4 = cents("l_extendedprice") * cents("l_discount")
+    return l.agg(csum(rev4, "revenue", scale=4), F.count("*").alias("n_rows"))
 
 
 # --- broadcast hash join against a dimension table ---
@@ -226,7 +227,7 @@ def q_broadcast_brand_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
-        .agg(dsum(money("l_quantity"), "sum_qty"), F.count("*").alias("n_items"))
+        .agg(csum(cents("l_quantity"), "sum_qty"), F.count("*").alias("n_items"))
     )
 
 
@@ -311,7 +312,7 @@ def q_window_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
-        F.sum(money("o_totalprice")).over(wsum).cast("double").alias("running_spend"),
+        unscaled(F.sum(cents("o_totalprice")).over(wsum), 2).alias("running_spend"),
     )
 
 
@@ -328,7 +329,7 @@ def q_window_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"), dsum(money("o_totalprice"), "total_spend")
+        F.count("*").alias("n_orders"), csum(cents("o_totalprice"), "total_spend")
     )
 
 
@@ -345,7 +346,7 @@ def q_rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_rows"), dsum(money("l_quantity"), "sum_qty")
+        F.count("*").alias("n_rows"), csum(cents("l_quantity"), "sum_qty")
     )
 
 
@@ -516,7 +517,7 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(F.broadcast(bands), (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
         .groupBy("band_id")
-        .agg(F.count("*").alias("n_events"), dsum(money("value"), "sum_value"))
+        .agg(F.count("*").alias("n_events"), csum(cents("value"), "sum_value"))
     )
 
 
@@ -767,14 +768,11 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-    promo = F.when(F.col("p_type").startswith("PROMO"), money("l_extendedprice")).otherwise(
-        F.lit(0).cast("decimal(18,2)")
-    )
+    price_c = cents("l_extendedprice")
+    promo = F.when(F.col("p_type").startswith("PROMO"), price_c).otherwise(F.lit(0))
     return j.agg(
         F.round(
-            F.lit(100.0)
-            * F.sum(promo).cast("double")
-            / F.sum(money("l_extendedprice")).cast("double"),
+            F.lit(100.0) * unscaled(F.sum(promo), 2) / unscaled(F.sum(price_c), 2),
             4,
         ).alias("promo_share_pct")
     )
@@ -801,11 +799,11 @@ def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(money("l_quantity")).alias("_sq"))
-        .filter(F.col("_sq") > 300)
+        .agg(F.sum(cents("l_quantity")).alias("_sqc"))
+        .filter(F.col("_sqc") > 300 * 100)
     )
     return o.join(big, o["o_orderkey"] == big["l_orderkey"]).select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("price"),
-        F.col("_sq").cast("double").alias("sum_qty"),
+        unscaled(F.col("_sqc"), 2).alias("sum_qty"),
     )
