@@ -1,0 +1,127 @@
+"""Distributed connected components for dedup clustering.
+
+Near-dup pair generators (``operators.dedup``) emit edges ``(a_id, b_id)``;
+grouping them into clusters (so one canonical doc per cluster survives) is a
+connected-components problem.  Reference parity: kafka-flow itself stops at
+per-key folds, but any dedup pipeline built on it needs this step — it is part
+of the "training-data pipeline" surface (SURVEY.md §2, LLM ops).
+
+Algorithm: the alternating **large-star / small-star** method of Kiveris et
+al., "Connected Components in MapReduce and Beyond" (SOCC'14).  Each round is
+two rounds of (aggregate + join); the edge set converges to star graphs whose
+centers are the component minima in O(log^2 n) rounds (≈5 in practice).
+
+Scale notes (the 100 TB read):
+
+- **No adjacency-list materialization.**  The textbook formulation groups
+  ``collect_list(neighbors)`` per node; a viral node at web scale has 10^8
+  neighbors and that row OOMs the task.  Here each star step is
+  ``groupBy(u).agg(min(v))`` (map-side-combinable, skew-immune) followed by an
+  equi-join of that tiny min-table back to the edges — both sides hash on
+  ``u`` so AQE co-partitions, and a skewed u is split by AQE skew-join.
+- **Lineage is truncated every round** with ``localCheckpoint`` — iterative
+  self-joins otherwise grow the plan exponentially and re-execute prior
+  rounds.  On a cluster, swap for ``checkpoint()`` on reliable storage.
+- **Convergence is checked with one aggregate** (count + xor-ish hash sum),
+  not a full ``except``-style set compare: per round it costs one reduce, and
+  a false "converged" requires a hash-sum collision across rounds (~2^-64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to m(u) = min(Γ(u) ∪ {u})."""
+    both = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = both.groupBy("u").agg(F.min("v").alias("_minv"))
+    mins = mins.select("u", F.least("u", "_minv").alias("m"))
+    return (
+        both.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Canonicalize u > v, then connect v ∈ Γ(u) ∪ {u} to the minimum."""
+    canon = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    neighbor_edges = (
+        canon.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    center_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        neighbor_edges.union(center_edges)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Assign each node the minimum node id of its connected component.
+
+    ``edges`` is an undirected pair list (one row per edge, either direction).
+    Returns ``(node, component)`` covering every node that appears in an edge;
+    isolated nodes never enter and callers left-join + coalesce them back.
+    """
+    cur = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src) != F.col(dst)
+    )
+    cur = cur.localCheckpoint(eager=True)
+    prev_sig = _checksum(cur)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _checksum(nxt)
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged edge set is a union of stars (v -> component min)
+    members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    centers = cur.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return (
+        members.union(centers)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Cluster documents by near-dup pair edges; singletons form their own
+    cluster.  Output: (doc_id, cluster_id) for EVERY doc — ``cluster_id`` is
+    the minimum doc id of the cluster, i.e. the canonical survivor."""
+    cc = connected_components(pairs, src=a_col, dst=b_col)
+    return (
+        docs.select(F.col(id_col))
+        .join(cc, docs[id_col] == cc["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,70 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+``df.sample()`` is seed-stable only for a fixed partitioning — repartition the
+input (or rerun at another parallelism) and the sample changes.  Training-data
+curation needs *content-addressed* sampling: whether a document is in the
+sample depends only on the document, so the decision is reproducible across
+runs, engines, and cluster sizes, and is auditable ("why is this doc here?").
+
+Both operators hash with md5 (shared bit-for-bit with the DuckDB oracle) and
+stay entirely JVM-side — no shuffle for the bernoulli filter (it's a scan
+predicate that stacks with parquet pushdown of other filters), one shuffle for
+the stratified top-k (the per-stratum window sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 6  # 16^6 buckets: fraction resolution ~6e-8, threshold fits a string compare
+
+
+def hash_bucket(col: Column | str) -> Column:
+    """First 6 hex chars of md5 — a content-addressed bucket in [0, 16^6)."""
+    return F.substring(F.md5(F.col(col).cast("binary") if isinstance(col, str) else col.cast("binary")), 1, _HEX_DIGITS)
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex-string threshold t such that P[hash_bucket < t] ≈ fraction."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    t = min(int(fraction * 16**_HEX_DIGITS), 16**_HEX_DIGITS - 1)
+    return format(t, f"0{_HEX_DIGITS}x")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic bernoulli(fraction) sample keyed on the content of
+    ``key_col``.  Pure scan-side predicate: no shuffle, no RNG state, stable
+    under repartitioning.  Identical keys sample identically (by design —
+    dedup upstream if that's unwanted)."""
+    return df.where(hash_bucket(key_col) < F.lit(fraction_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    k: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (reservoir analog).
+
+    Rank rows inside each stratum by (md5(key), key, *tiebreak) — a uniform
+    but content-addressed order — and keep the first k.  Pass a unique id as
+    ``tiebreak_cols`` when ``key_col`` can repeat (dedup corpora!), otherwise
+    which duplicate wins is partition-order-dependent.  One shuffle on the
+    strata keys; skewed strata are bounded by the rank cutoff (partial top-k
+    runs map-side via the window's rank limit pushdown in Spark ≥3.5)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_bucket(key_col),
+        F.col(key_col),
+        *[F.col(c) for c in (tiebreak_cols or [])],
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
