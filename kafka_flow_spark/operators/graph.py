@@ -65,9 +65,11 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor (not sum): order-insensitive set signature over the distinct
+    # edge set with no ANSI long-overflow hazard.
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
 

@@ -38,6 +38,12 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     ``key_col``.  Pure scan-side predicate: no shuffle, no RNG state, stable
     under repartitioning.  Identical keys sample identically (by design —
     dedup upstream if that's unwanted)."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    if fraction == 1.0:
+        # threshold capping would silently drop keys hashing to bucket
+        # 'ffffff'; fraction 1.0 means "everything" — no filter at all.
+        return df
     return df.where(hash_bucket(key_col) < F.lit(fraction_threshold(fraction)))
 
 

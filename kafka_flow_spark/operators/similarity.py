@@ -328,6 +328,58 @@ def cosine_near_dup_pairs_matmul(
     return pairs.mapInPandas(compute, schema="a_id BIGINT, b_id BIGINT, cos_sim DOUBLE")
 
 
+def _train_centroids(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    train_size: int = 4096,
+    iters: int = 20,
+) -> "np.ndarray":
+    """Spherical k-means codebook from a bounded deterministic sample.
+
+    Sampling orders by ``xxhash64(id)`` — content-addressed, so the training
+    set (and therefore the centroids, the cell assignment, and the query
+    results) is identical across runs and partitionings.  The driver-side
+    collect is capped at ``train_size`` rows — at 100 TB the sample-sort is a
+    top-k (no full sort materializes) and training cost is O(train_size ·
+    n_cells · dim · iters), independent of corpus size.
+
+    Lloyd's iterations run on unit vectors with cosine assignment (spherical
+    k-means); empty cells are reseeded from the point farthest from its
+    centroid, so exactly ``n_cells`` distinct centroids come back.
+    """
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(train_size)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_cells = min(n_cells, len(X))
+    C = X[:n_cells].copy()  # hash-shuffled sample → first k is a uniform seed
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        newC = np.zeros_like(C)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                newC[c] = m / norm if norm > 1e-12 else C[c]
+            else:
+                # reseed from the globally worst-served point (deterministic)
+                worst = int(np.argmin(sims[np.arange(len(X)), assign]))
+                newC[c] = X[worst]
+        if np.allclose(newC, C, atol=1e-9):
+            C = newC
+            break
+        C = newC
+    return C
+
+
 def knn_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -345,18 +397,15 @@ def knn_ivf(
     brute-forces only those inverted lists.  Cost per query drops from O(N)
     to O(N · n_probe / n_cells); the cell join shuffles on a small int key.
 
-    Centroids here are the ``n_cells`` lowest-id vectors (deterministic,
-    training-free); production would plug in offline sampled k-means
-    centroids — the assignment/probe plumbing is identical and that is what
-    this operator demonstrates.  Same output contract as ``knn_bruteforce``.
+    Centroids are trained with spherical k-means on a deterministic,
+    bounded sample (``_train_centroids``): the collect is capped at
+    ``train_size`` rows regardless of corpus size — the 100 TB-safe version
+    of "train offline, broadcast the codebook".  Same output contract as
+    ``knn_bruteforce``.
     """
     import pandas as pd
 
-    crows = (
-        vectors.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
-    )
-    C = np.array([r[vec_col] for r in crows], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = _train_centroids(vectors, id_col, vec_col, n_cells)
     bc = vectors.sparkSession.sparkContext.broadcast(Cn)
 
     def assign(n_top: int):

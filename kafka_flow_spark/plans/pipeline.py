@@ -1,0 +1,143 @@
+"""Phase-4 training-data pipeline queries: dedup clustering + reproducible
+sampling (SURVEY.md §2 LLM ops; SURVEY.md Phase-4 dedup→cluster→sample).
+
+Reference parity: kafka-flow stops at per-key folds
+(core/src/main/scala/com/evolutiongaming/kafka/flow/KeyStateOf.scala is the
+closest analog — one state per key); a curation pipeline built on it needs the
+cluster/sample steps, so they are first-class oracle-gated queries here.
+
+Oracle strategy:
+- ``q_dedup_clusters``: DuckDB recursive CTE computes min-reachable-id over the
+  SAME brute-force jaccard≥0.7 pair set the minhash oracle uses — exact
+  connected-components truth, tractable because the verified pair set is small.
+- sampling queries: the operators hash with md5 on purpose so DuckDB reproduces
+  the sample bit-for-bit — the oracle is direct SQL, not an approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators.dedup import minhash_lsh_pairs
+from kafka_flow_spark.operators.graph import dedup_clusters
+from kafka_flow_spark.operators.sampling import (
+    fraction_threshold,
+    hash_sample,
+    stratified_sample,
+)
+from kafka_flow_spark.plans.llm import _DD_3GRAM
+from kafka_flow_spark.plans.registry import register
+from kafka_flow_spark.tables import load
+
+# Brute-force jaccard≥0.7 pairs — same fragment the minhash-lsh oracle uses,
+# so the cluster oracle and the pair oracle agree by construction.
+_PAIRS_CTE = f"""
+    t AS (SELECT doc_id, {_DD_3GRAM} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs)
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTE},
+    reach(node, r) AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(r)) AS comp FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash-LSH pairs → connected components → (doc_id, cluster_id) for
+    EVERY doc; cluster_id = min doc id of the cluster (the canonical
+    survivor).  Oracle is exact CC over the brute-force pair truth."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text", k=64, bands=16, threshold=0.7)
+    return dedup_clusters(docs, pairs, id_col="doc_id", a_col="a_id", b_col="b_id")
+
+
+@register(
+    "q_dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTE},
+    reach(node, r) AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(r)) AS comp FROM reach GROUP BY node),
+    assign AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT cluster_id, COUNT(*) AS cluster_size
+    FROM assign GROUP BY cluster_id HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-trivial cluster sizes — the dedup savings report (docs removable =
+    sum(cluster_size - 1))."""
+    assign = q_dedup_clusters(spark, sf_dir)
+    return (
+        assign.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .where(F.col("cluster_size") > 1)
+    )
+
+
+_SAMPLE_FRACTION = 0.1
+_SAMPLE_T = fraction_threshold(_SAMPLE_FRACTION)
+
+
+@register(
+    "q_hash_sample",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) < '{_SAMPLE_T}'
+    """,
+    bench=True,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed bernoulli(0.1) sample of orders — scan-side predicate,
+    no shuffle, reproducible across engines (oracle reproduces it exactly)."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "_key", F.col("o_orderkey").cast("string")
+    )
+    return hash_sample(orders, "_key", _SAMPLE_FRACTION).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey FROM (
+      SELECT o_orderpriority, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6),
+                        CAST(o_orderkey AS VARCHAR)) AS rk
+      FROM orders) WHERE rk <= 20
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 orders per priority stratum, content-addressed order —
+    the deterministic eval-set carve-out."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "_key", F.col("o_orderkey").cast("string")
+    )
+    return stratified_sample(
+        orders, strata_cols=["o_orderpriority"], key_col="_key", k=20
+    ).select("o_orderpriority", "o_orderkey")

@@ -45,7 +45,14 @@ def load_all_plans() -> None:
     global _LOADED
     if _LOADED:
         return
-    from kafka_flow_spark.plans import events, llm, media, relational, tpch  # noqa: F401
+    from kafka_flow_spark.plans import (  # noqa: F401
+        events,
+        llm,
+        media,
+        pipeline,
+        relational,
+        tpch,
+    )
 
     _LOADED = True
 

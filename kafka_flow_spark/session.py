@@ -56,9 +56,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
-        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
-        # timestamp type — read as long, converted to µs in tables.load
-        # (identical to DuckDB's ns→µs truncation, so oracles agree).
+        # testdata events.parquet stores TIMESTAMP(NANOS).  Spark 3.x needs
+        # this conf to read it at all (as long, converted to µs in
+        # tables.load); on Spark 4.1+ the conf is a no-op and the column reads
+        # natively as timestamp_ntz (ns→µs truncation matching DuckDB either
+        # way, so oracles agree).  Kept for cross-version portability.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # ObjectHashAggregate (collect_set/collect_list mixed with scalar aggs,
         # e.g. the MinHash mins+shingle-set aggregate) falls back to SORT-based

@@ -42,15 +42,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); Spark refuses that physical
-        # type unless nanosAsLong is on. The conf is runtime-settable, and any
-        # externally built SparkSession (driver harness, embedding app) won't
-        # have it — set it here so load() works in a vanilla session.
+        # events.parquet carries TIMESTAMP(NANOS).  Version matrix:
+        #   Spark 3.x:  the read ERRORS unless nanosAsLong is on; with it the
+        #               column arrives as bigint and the branch below converts.
+        #   Spark 4.1+: nanosAsLong is a NO-OP — the column reads natively as
+        #               timestamp_ntz with ns truncated to µs (identical to
+        #               DuckDB's ns→µs cast, so oracles agree) and the bigint
+        #               branch below never fires.
+        # The conf is runtime-settable and harmless where ignored; set it so
+        # load() works in a vanilla externally-built session on either version.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (see session.py); truncate to µs —
-        # the same conversion DuckDB applies when casting ns → its µs timestamps.
+        # Spark 3.x path only (see matrix above): TIMESTAMP(NANOS) read as
+        # long; truncate to µs — same conversion DuckDB applies for ns→µs.
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

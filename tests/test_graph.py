@@ -1,0 +1,108 @@
+"""connected_components / dedup_clusters unit tests on known graphs, plus the
+end-to-end dedup chain (pairs → clusters → canonical survivors) against
+brute-force union-find truth at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+
+from kafka_flow_spark.operators.dedup import minhash_lsh_pairs
+from kafka_flow_spark.operators.graph import connected_components, dedup_clusters
+from kafka_flow_spark.tables import load
+from tests.conftest import SF_SMALL
+
+
+def _cc(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges or [(0, 0)], "u: long, v: long")
+    if not edges:
+        df = df.where("u <> u")  # empty frame with schema
+    out = connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_chain(spark):
+    assert _cc(spark, [(1, 2), (2, 3), (3, 4)]) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_star(spark):
+    # high-id center: every leaf still maps to the global min (a leaf)
+    assert _cc(spark, [(9, 1), (9, 2), (9, 3)]) == {1: 1, 2: 1, 3: 1, 9: 1}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_self_loop_ignored(spark):
+    assert _cc(spark, [(5, 5), (1, 2)]) == {1: 1, 2: 1}
+
+
+def test_empty_edges(spark):
+    assert _cc(spark, []) == {}
+
+
+def test_long_path_converges(spark):
+    # path of 33 nodes exercises multiple large/small-star rounds
+    n = 33
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_dedup_clusters_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id: long")
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "a_id: long, b_id: long")
+    out = dedup_clusters(docs, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
+
+
+class _UnionFind:
+    def __init__(self):
+        self.p: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def test_e2e_dedup_chain_vs_bruteforce(spark):
+    """Full Phase-4 chain: minhash-LSH pairs → connected components → keep the
+    min-id survivor per cluster.  Truth: brute-force all-pairs jaccard in
+    DuckDB + union-find in Python."""
+    docs = load(spark, SF_SMALL, "documents")
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text", k=64, bands=16, threshold=0.7)
+    clusters = dedup_clusters(docs, pairs)
+    survivors = {r["cluster_id"] for r in clusters.select("cluster_id").distinct().collect()}
+
+    con = duckdb.connect()
+    truth_pairs = con.sql(
+        f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 0) + 1),
+                   i -> list_aggr(list_slice(string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), i, i + 2),
+                                 'string_agg', ' '))) AS sh
+          FROM '{SF_SMALL}/documents.parquet')
+        SELECT a.doc_id, b.doc_id FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+        """
+    ).fetchall()
+    all_ids = {
+        r[0] for r in con.sql(f"SELECT doc_id FROM '{SF_SMALL}/documents.parquet'").fetchall()
+    }
+    uf = _UnionFind()
+    for a, b in truth_pairs:
+        uf.union(a, b)
+    truth_survivors = {i for i in all_ids if uf.find(i) == i}
+    assert survivors == truth_survivors

@@ -1,0 +1,85 @@
+"""Deterministic sampling: content-addressed, partition-invariant, and
+bit-identical to the DuckDB md5 reproduction."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators.sampling import (
+    fraction_threshold,
+    hash_sample,
+    stratified_sample,
+)
+from kafka_flow_spark.tables import load
+from tests.conftest import SF_SMALL
+
+
+def _orders(spark):
+    return load(spark, SF_SMALL, "orders").withColumn(
+        "_key", F.col("o_orderkey").cast("string")
+    )
+
+
+def test_fraction_one_keeps_everything(spark):
+    df = _orders(spark)
+    # regression: threshold capping used to drop keys in bucket 'ffffff'
+    assert hash_sample(df, "_key", 1.0).count() == df.count()
+
+
+def test_invalid_fractions_raise(spark):
+    df = _orders(spark)
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            hash_sample(df, "_key", bad)
+    with pytest.raises(ValueError):
+        fraction_threshold(0.0)
+
+
+def test_partition_invariance(spark):
+    df = _orders(spark)
+    a = {r["o_orderkey"] for r in hash_sample(df, "_key", 0.2).select("o_orderkey").collect()}
+    b = {
+        r["o_orderkey"]
+        for r in hash_sample(df.repartition(7), "_key", 0.2).select("o_orderkey").collect()
+    }
+    assert a == b and 0 < len(a) < df.count()
+
+
+def test_matches_duckdb_exactly(spark):
+    t = fraction_threshold(0.15)
+    got = {
+        r["o_orderkey"]
+        for r in hash_sample(_orders(spark), "_key", 0.15).select("o_orderkey").collect()
+    }
+    want = {
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT o_orderkey FROM '{SF_SMALL}/orders.parquet'
+                WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) < '{t}'"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_stratified_exactly_k_and_invariant(spark):
+    df = _orders(spark)
+    out = stratified_sample(df, ["o_orderpriority"], "_key", k=7)
+    counts = {
+        r["o_orderpriority"]: r["n"]
+        for r in out.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    strata = {r["o_orderpriority"] for r in df.select("o_orderpriority").distinct().collect()}
+    assert set(counts) == strata and all(n == 7 for n in counts.values())
+    again = stratified_sample(df.repartition(5), ["o_orderpriority"], "_key", k=7)
+    assert {tuple(r) for r in out.select("o_orderpriority", "o_orderkey").collect()} == {
+        tuple(r) for r in again.select("o_orderpriority", "o_orderkey").collect()
+    }
+
+
+def test_stratified_small_stratum_keeps_all(spark):
+    df = _orders(spark)
+    total = df.count()
+    out = stratified_sample(df, ["o_orderpriority"], "_key", k=10**9)
+    assert out.count() == total

@@ -99,18 +99,24 @@ def test_auto_n_blocks_bounds_block_and_pair_matrix_sizes():
 
 
 def test_ivf_recall_against_bruteforce(spark):
+    from pyspark.sql import functions as F
+
     from kafka_flow_spark.operators.similarity import knn_ivf
 
     emb = load(spark, SF_SMALL, "embeddings")
-    queries = emb.limit(20)
+    # hash-selected queries, NOT limit(20): the lowest-id vectors coincide
+    # with the old untrained-centroid stand-in, which made recall numbers an
+    # artifact of the quantizer being trained on the query points themselves
+    queries = emb.orderBy(F.xxhash64("vec_id")).limit(20)
     exact = knn_bruteforce(emb, queries, k=5)
     approx = knn_ivf(emb, queries, k=5, n_cells=16, n_probe=4)
     truth = {(r["q_id"], r["neighbor_id"]) for r in exact.collect()}
     got = {(r["q_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
-    # probing 4/16 cells scans ~25% of the corpus; on this weakly-clustered
-    # synthetic data that still recovers well over half the exact top-5
-    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+    # trained spherical-k-means centroids: probing 4/16 cells (~25% scan)
+    # recovers >0.8 of the exact top-5 (measured 0.83; untrained balanced
+    # cells sit near 0.5) — the trained codebook earns ~2× scan efficiency
+    assert recall >= 0.75, f"IVF recall {recall:.2f}"
 
 
 def test_arrow_bruteforce_equals_expr_bruteforce(spark):

@@ -19,7 +19,13 @@ def test_events_loads_without_preconfigured_nanos_conf(spark):
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     df = load(spark, SF_SMALL, "events")
     assert df.count() > 0
-    assert dict(df.dtypes)["ts"] == "timestamp"
+    # Version matrix for TIMESTAMP(NANOS) parquet:
+    #   Spark 3.x:   errors without nanosAsLong; with it reads bigint, which
+    #                tables.load converts to timestamp (µs truncation).
+    #   Spark 4.1+:  nanosAsLong is a no-op; the nanos column reads natively
+    #                as timestamp_ntz (ns truncated to µs, same as DuckDB).
+    # Either way the column must land as a usable timestamp type.
+    assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
 
 
 @pytest.mark.parametrize("name", TABLE_NAMES)
