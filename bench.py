@@ -40,7 +40,14 @@ def main() -> None:
     # 32-way shuffles cost ~32 task launches per stage — pure constant overhead
     # when the whole input is megabytes (measured 25% of wall-clock at sf0.1).
     # On big inputs AQE + wide shuffles are the 100 TB defaults and stay on.
-    small = _input_bytes(sf_dir) < 1 << 30
+    # SPARK_GRAFT_PROFILE=small|large overrides the gate (the sf1 PERF.md row
+    # is measured with `large`, i.e. the exact 100 TB-default config).
+    profile = os.environ.get("SPARK_GRAFT_PROFILE", "auto")
+    small = (
+        profile == "small"
+        if profile in ("small", "large")
+        else _input_bytes(sf_dir) < 1 << 30
+    )
     extra = (
         {"spark.sql.adaptive.enabled": "false", "spark.sql.shuffle.partitions": "8"}
         if small

@@ -212,21 +212,32 @@ def _auto_n_blocks(
     target_block_bytes: int = 32 << 20,
     max_pair_bytes: int = 256 << 20,
     max_block_pairs: int = 100_000,
+    parallelism: int = 0,
 ) -> int:
     """Corpus-size-aware block count for the block-matmul pair scan.
 
     Two per-task memory budgets bound the rows per block: the collected block
     itself (rows × dim × 8 B ≤ ``target_block_bytes``, the shuffle-row bound)
     and the similarity sub-matrix of a block pair (rows² × 8 B ≤
-    ``max_pair_bytes`` — the binding constraint for small dim).  When the
-    resulting B(B+1)/2 block-pair task count exceeds ``max_block_pairs`` the
-    corpus is simply too large for an exact all-pairs scan — refuse loudly
-    rather than schedule an unbounded quadratic job (use the band-blocked
-    ``cosine_near_dup_pairs`` with a high threshold instead).
+    ``max_pair_bytes`` — the binding constraint for small dim).  A third,
+    scheduling bound kicks in when ``parallelism`` is given: memory-sized
+    blocks can leave B(B+1)/2 ≪ cores (measured 10 tasks on 32 cores at a
+    20k-vector corpus), so rows-per-block is also capped to yield ≥ ~2×
+    ``parallelism`` pair tasks — floored at 1024 rows so small corpora don't
+    shatter into pure-overhead micro-tasks.  When the resulting B(B+1)/2
+    block-pair task count exceeds ``max_block_pairs`` the corpus is simply too
+    large for an exact all-pairs scan — refuse loudly rather than schedule an
+    unbounded quadratic job (use the band-blocked ``cosine_near_dup_pairs``
+    with a high threshold instead).
     """
     rows_by_bytes = max(1, target_block_bytes // (8 * max(dim, 1)))
     rows_by_pairs = max(1, int((max_pair_bytes // 8) ** 0.5))
     rows_per_block = min(rows_by_bytes, rows_by_pairs)
+    if parallelism > 0:
+        # B blocks -> B(B+1)/2 tasks; B >= sqrt(4*parallelism) gives >= ~2x
+        min_blocks = max(1, int((4 * parallelism) ** 0.5))
+        rows_by_sched = max(1024, -(-n_rows // min_blocks))
+        rows_per_block = min(rows_per_block, rows_by_sched)
     n_blocks = max(1, -(-n_rows // rows_per_block))
     if n_blocks * (n_blocks + 1) // 2 > max_block_pairs:
         raise ValueError(
@@ -271,9 +282,17 @@ def cosine_near_dup_pairs_matmul(
     import pandas as pd
 
     if n_blocks is None:
-        first = df.select(F.size(vec_col).alias("d")).first()
-        dim = int(first["d"]) if first else 1
-        n_blocks = _auto_n_blocks(df.count(), dim)
+        # ONE statistics job, not two (count + dim probe fused): each extra
+        # driver job costs a fixed ~80 ms of scheduling floor that dominates
+        # at small SF and adds driver latency at any SF
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size(vec_col)).alias("d")
+        ).first()
+        n_blocks = _auto_n_blocks(
+            int(stats["n"]),
+            int(stats["d"] or 1),
+            parallelism=df.sparkSession.sparkContext.defaultParallelism,
+        )
 
     blocks = (
         df.select(

@@ -1,0 +1,101 @@
+"""Deterministic scale-up of the driver's testdata for large-SF benchmarking.
+
+Replicates each fact table K times with key-space offsets (dims region/nation
+stay fixed, TPC-H style).  Two tables need content perturbation so near-dup
+structure stays LINEAR in K instead of exploding quadratically:
+
+- documents: replica i>0 of doc j gets ``text_j || ' ' || text_partner(j,i)``
+  (partner chosen by a deterministic stride).  Jaccard(replica, original)
+  ≈ |A|/|A∪B| ≈ 0.5 < the 0.7 dedup threshold, so replicas are NOT near-dups
+  of their source and pair counts scale ~K, matching how a real corpus grows.
+- embeddings: replica i>0 rotates the vector by a nonzero offset — norm is
+  preserved, cosine with the original is ~0, so ANN/near-dup density per
+  vector is unchanged.
+
+Everything is pure SQL over the source parquet (DuckDB), fully deterministic:
+same inputs → byte-identical sample/bench semantics for both engines.
+
+Usage: python tools/scale_testdata.py [K] [src_dir] [dst_dir]
+Defaults: K=10, src=/root/testdata/sf0.1, dst=_scaled/sf1 (≈K× src bytes).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+TABLES_PLAIN = ["region", "nation"]
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dst = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_scaled", "sf1"
+    )
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads = {os.cpu_count() or 8}")
+
+    def t(name: str) -> str:
+        return f"'{src}/{name}.parquet'"
+
+    def off(name: str, key: str) -> int:
+        return con.execute(f"SELECT max({key}) + 1 FROM {t(name)}").fetchone()[0]
+
+    ck, sk, pk = off("customer", "c_custkey"), off("supplier", "s_suppkey"), off("part", "p_partkey")
+    ok, ek, uk = off("orders", "o_orderkey"), off("events", "event_id"), off("events", "user_id")
+    dk, vk = off("documents", "doc_id"), off("embeddings", "vec_id")
+    rep = f"CROSS JOIN range({k}) AS r(i)"
+
+    jobs = {
+        "region": f"SELECT * FROM {t('region')}",
+        "nation": f"SELECT * FROM {t('nation')}",
+        "customer": f"""SELECT c_custkey + i*{ck} AS c_custkey, c_name, c_nationkey,
+                        c_acctbal, c_mktsegment FROM {t('customer')} {rep}""",
+        "supplier": f"""SELECT s_suppkey + i*{sk} AS s_suppkey, s_name, s_nationkey,
+                        s_acctbal FROM {t('supplier')} {rep}""",
+        "part": f"""SELECT p_partkey + i*{pk} AS p_partkey, p_name, p_brand, p_type,
+                    p_size, p_retailprice FROM {t('part')} {rep}""",
+        "orders": f"""SELECT o_orderkey + i*{ok} AS o_orderkey,
+                      o_custkey + i*{ck} AS o_custkey, o_orderstatus, o_totalprice,
+                      o_orderdate, o_orderpriority FROM {t('orders')} {rep}""",
+        "lineitem": f"""SELECT l_orderkey + i*{ok} AS l_orderkey,
+                        l_partkey + i*{pk} AS l_partkey,
+                        l_suppkey + i*{sk} AS l_suppkey,
+                        l_linenumber, l_quantity, l_extendedprice, l_discount,
+                        l_tax, l_returnflag, l_linestatus, l_shipdate
+                        FROM {t('lineitem')} {rep}""",
+        "events": f"""SELECT event_id + i*{ek} AS event_id, ts,
+                      user_id + i*{uk} AS user_id, event_type, value, props
+                      FROM {t('events')} {rep}""",
+        "documents": f"""
+            SELECT d.doc_id + i*{dk} AS doc_id,
+                   CASE WHEN i = 0 THEN d.text
+                        ELSE d.text || ' ' || p.text END AS text,
+                   d.lang, d.source,
+                   CASE WHEN i = 0 THEN d.n_chars
+                        ELSE length(d.text || ' ' || p.text) END AS n_chars
+            FROM {t('documents')} d {rep}
+            JOIN {t('documents')} p
+              ON p.doc_id = (d.doc_id + 137 * (i + 1)) % {dk}""",
+        "embeddings": f"""
+            SELECT vec_id + i*{vk} AS vec_id,
+                   CASE WHEN i = 0 THEN embedding
+                        ELSE list_concat(embedding[1 + ((i*7) % 63 + 1):],
+                                         embedding[1:((i*7) % 63 + 1)]) END
+                     ::FLOAT[] AS embedding,
+                   label
+            FROM {t('embeddings')} {rep}""",
+    }
+    for name, sql in jobs.items():
+        out = os.path.join(dst, f"{name}.parquet")
+        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+        print(f"{name}: {n} rows -> {out} ({os.path.getsize(out) >> 20} MB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Time the DuckDB oracle SQL for the bench's comparable queries at a given
+sf dir — the same-engine-same-data counterpart of bench.py (min of 3 warm
+runs, all cores).  Quadratic-oracle queries (minhash/cosine/knn brute force
+truths) are excluded exactly as in PERF.md's comparison methodology.
+
+Usage: python tools/time_oracle.py [sf_dir] > duck.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+from kafka_flow_spark.plans.registry import all_oracles
+from kafka_flow_spark.tables import TABLE_NAMES
+
+COMPARABLE = [
+    "q_fold_running_totals",
+    "q_asof_purchase_click",
+    "q_dedup_exact",
+    "q_text_stats",
+    "q_hash_sample",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_broadcast_brand_qty",
+    "q_window_top_orders_per_customer",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    oracles = all_oracles()
+    con = duckdb.connect()
+    con.execute(f"SET threads = {os.cpu_count() or 8}")
+    for name in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    timings: dict[str, float] = {}
+    for q in COMPARABLE:
+        sql = oracles[q]
+        con.sql(sql).fetchall()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[q] = round(best, 3)
+    print(
+        json.dumps(
+            {
+                "engine": f"duckdb-{duckdb.__version__}",
+                "sf_dir": sf_dir,
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
