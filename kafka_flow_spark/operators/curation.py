@@ -1,0 +1,148 @@
+"""Corpus-curation operators for training-data pipelines: split, mix, pack,
+decontaminate.
+
+All four are content-addressed via the same md5 bucketing as
+``operators.sampling`` (reproducible across runs, engines, partitionings —
+and bit-shared with the DuckDB oracles), and all stay JVM-side: the split/mix
+are scan predicates (zero shuffle, stack with parquet pushdown), packing is
+one window shuffle on the shard key, contamination is one equi-join on the
+n-gram key.  No counterpart in the reference (SURVEY.md Phase 4 — the steps
+between a deduped corpus and a training run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators.dedup import word_shingles
+from kafka_flow_spark.operators.sampling import fraction_threshold, hash_bucket
+from kafka_flow_spark.operators.text import token_count
+
+
+def split_thresholds(splits: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, upper-bound-hex) per split, cumulative in dict order; the last
+    split absorbs the remainder (so fractions may sum to < 1 only if a
+    catch-all last split is acceptable; they must not exceed 1)."""
+    total = sum(splits.values())
+    if not 0.0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"split fractions must sum to (0, 1], got {total}")
+    out, acc = [], 0.0
+    for name, frac in splits.items():
+        if frac <= 0:
+            raise ValueError(f"split {name!r} has non-positive fraction {frac}")
+        acc = min(acc + frac, 1.0)
+        out.append((name, fraction_threshold(acc)))
+    return out
+
+
+def hash_split(df: DataFrame, key_col: str, splits: dict[str, float]) -> DataFrame:
+    """Deterministic train/val/test split: adds a ``split`` column assigned by
+    content hash of ``key_col``.  A document's split NEVER changes when the
+    corpus grows or repartitions — the property that keeps eval sets stable
+    across dataset versions.  The last split absorbs the top bucket edge, so
+    every row is assigned."""
+    bounds = split_thresholds(splits)
+    b = hash_bucket(key_col)
+    expr: Column = F.lit(bounds[-1][0])  # catch-all: last split
+    for name, hi in reversed(bounds[:-1]):
+        expr = F.when(b < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def weighted_mix(
+    df: DataFrame, group_col: str, key_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Per-group bernoulli mixing: keep a ``weights[group]`` fraction of each
+    group (language/source/domain re-balancing).  Groups absent from
+    ``weights`` are DROPPED (explicit allowlist — the curation posture).
+    Weight 1.0 keeps the whole group (no hash-edge loss); weights are
+    content-addressed so the mix is reproducible and auditable.  Pure scan
+    predicate: no shuffle, pushes down alongside other filters."""
+    for g, w in weights.items():
+        if not 0.0 < w <= 1.0:
+            raise ValueError(f"weight for {g!r} must be in (0, 1], got {w}")
+    b = hash_bucket(key_col)
+    keep: Column = F.lit(False)
+    for g, w in weights.items():
+        cond = F.lit(True) if w >= 1.0 else b < F.lit(fraction_threshold(w))
+        keep = F.when(F.col(group_col) == F.lit(g), cond).otherwise(keep)
+    return df.where(keep)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (sequence packing for
+    training): shard by id (uniform), order within each shard by content hash
+    (a deterministic shuffle), then cut the running token stream every
+    ``budget`` tokens.  Output: (id, shard, pack_id, pack_offset, n_tokens);
+    a document starting at ``pack_offset`` spans packs if it crosses the
+    budget boundary — the concat-then-chunk contract training loaders use.
+
+    One window shuffle on the shard key; shards are independent, so
+    parallelism = ``n_shards`` × whatever the window needs — there is NO
+    global ordering (a global window would serialize the corpus; per-shard
+    windows are the 100 TB shape, matching how loaders shard anyway)."""
+    from pyspark.sql import Window
+
+    key = F.col(id_col).cast("string")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(hash_bucket(key), key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .withColumn("_cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col,
+            "shard",
+            F.floor(F.col("_cum") / F.lit(budget)).alias("pack_id"),
+            (F.col("_cum") % F.lit(budget)).alias("pack_offset"),
+            "n_tokens",
+        )
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-decontamination check: for every train document, the number
+    of distinct word ``n``-grams it shares with the eval corpus.  Standard
+    n=8..13 washout test for eval leakage into training data.
+
+    Shape: explode distinct n-grams on both sides, equi-join on a 64-bit
+    n-gram hash (compact shuffle key; the string never shuffles), count
+    distinct per train doc.  Both sides partition by the hash, so skew is
+    bounded by n-gram popularity — stopword-only 8-grams are rare enough
+    that no salting is needed at this n."""
+    def grams(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, n=n)).alias("_ng"),
+        ).select(id_col, F.xxhash64("_ng").alias("_ngh"))
+
+    hits = (
+        grams(train)
+        .join(grams(eval_df).select("_ngh").distinct(), "_ngh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_ngh").alias("n_shared"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce("n_shared", F.lit(0)).alias("n_shared"))
+    )

@@ -19,6 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_flow_spark.operators.curation import (
+    hash_split,
+    ngram_contamination,
+    pack_sequences,
+    weighted_mix,
+)
 from kafka_flow_spark.operators.dedup import minhash_lsh_pairs
 from kafka_flow_spark.operators.graph import dedup_clusters
 from kafka_flow_spark.operators.sampling import (
@@ -118,6 +124,124 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(orders, "_key", _SAMPLE_FRACTION).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_T_TRAIN = fraction_threshold(0.8)
+_T_VAL = fraction_threshold(0.9)
+
+
+@register(
+    "q_hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN b < '{_T_TRAIN}' THEN 'train'
+                WHEN b < '{_T_VAL}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS b
+          FROM documents)
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment, stable under corpus growth."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    return hash_split(docs, "_key", _SPLITS).select("doc_id", "split")
+
+
+_MIX = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+_MIX_CASE = " ".join(
+    f"WHEN lang = '{g}' THEN "
+    + ("TRUE" if w >= 1.0 else f"b < '{fraction_threshold(w)}'")
+    for g, w in _MIX.items()
+)
+
+
+@register(
+    "q_weighted_mix",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS b
+          FROM documents)
+    WHERE CASE {_MIX_CASE} ELSE FALSE END
+    """,
+)
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language re-balancing: keep all English, half de/fr, a quarter es/zh —
+    reproducible bernoulli per group."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    return weighted_mix(docs, "lang", "_key", _MIX).select("doc_id", "lang")
+
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS hb
+      FROM documents),
+    w AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY hb, CAST(doc_id AS VARCHAR)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM t)
+    SELECT doc_id, shard, CAST(cum // 512 AS BIGINT) AS pack_id,
+           cum % 512 AS pack_offset, CAST(n_tokens AS INT) AS n_tokens
+    FROM w
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: 8 shards, 512-token budget, content-hash order
+    within shard (deterministic shuffle), concat-then-chunk offsets."""
+    return pack_sequences(
+        load(spark, sf_dir, "documents"), "doc_id", "text", budget=512, n_shards=8
+    )
+
+
+def _gram8(src: str) -> str:
+    toks = "string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+    return f"""
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len({toks}) - 7, 0) + 1),
+               i -> list_aggr(list_slice({toks}, i, i + 7), 'string_agg', ' ')))) AS ng
+      FROM {src}"""
+
+
+_T_EVAL = fraction_threshold(0.05)
+
+
+@register(
+    "q_ngram_contamination",
+    oracle=f"""
+    WITH g AS ({_gram8("documents")}),
+    ev AS (SELECT DISTINCT ng FROM g
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '{_T_EVAL}'),
+    tr AS (SELECT doc_id, ng FROM g
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) >= '{_T_EVAL}'),
+    hits AS (SELECT tr.doc_id, COUNT(DISTINCT tr.ng) AS n_shared
+             FROM tr JOIN ev USING (ng) GROUP BY tr.doc_id)
+    SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) >= '{_T_EVAL}'
+    """,
+)
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage washout: shared distinct 8-grams between each train doc
+    and a hash-held-out 5% eval slice of the same corpus."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    ev = hash_sample(docs, "_key", 0.05)
+    train = docs.join(ev.select("doc_id"), "doc_id", "left_anti")
+    return ngram_contamination(train, ev, "doc_id", "text", n=8)
 
 
 @register(
