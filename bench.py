@@ -65,11 +65,16 @@ def main() -> None:
     # MIN of three steady-state runs — at sf0.1 each query is a sub-second job
     # where GC pauses/scheduler jitter add up to ±1 s noise per run; the min is
     # the standard steady-state estimator and is what scales to a long job
+    # 5 timed runs at small SF (sub-second queries: host-scheduling noise on a
+    # shared VM was measured at up to 3x on identical plans minutes apart, so
+    # more samples materially tighten the min); 3 at large SF where runs are
+    # long enough that the min stabilizes and reruns are expensive.
+    n_runs = 5 if small else 3
     timings: dict[str, float] = {}
     for name in names:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)

@@ -67,10 +67,24 @@ _PAIRS_CTE = f"""
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minhash-LSH pairs → connected components → (doc_id, cluster_id) for
     EVERY doc; cluster_id = min doc id of the cluster (the canonical
-    survivor).  Oracle is exact CC over the brute-force pair truth."""
+    survivor).  Oracle is exact CC over the brute-force pair truth.
+
+    The assignment is memoized per (session, sf_dir) — same pattern (and
+    rationale) as ``tables.load`` handle memoization: the pair generation +
+    CC iterations are the expensive part, deterministic for a given input
+    dir, and shared by ``q_dedup_cluster_sizes``; ``localCheckpoint``
+    materializes them once instead of once per downstream query."""
+    memo = spark.__dict__.setdefault("_kfs_cluster_assign", {})
+    key = sf_dir.rstrip("/")
+    cached = memo.get(key)
+    if cached is not None:
+        return cached
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text", k=64, bands=16, threshold=0.7)
-    return dedup_clusters(docs, pairs, id_col="doc_id", a_col="a_id", b_col="b_id")
+    out = dedup_clusters(docs, pairs, id_col="doc_id", a_col="a_id", b_col="b_id")
+    out = out.localCheckpoint(eager=True)
+    memo[key] = out
+    return out
 
 
 @register(
