@@ -4,13 +4,21 @@ Replicates each fact table K times with key-space offsets (dims region/nation
 stay fixed, TPC-H style).  Two tables need content perturbation so near-dup
 structure stays LINEAR in K instead of exploding quadratically:
 
-- documents: replica i>0 of doc j gets ``text_j || ' ' || text_partner(j,i)``
-  (partner chosen by a deterministic stride).  Jaccard(replica, original)
-  ≈ |A|/|A∪B| ≈ 0.5 < the 0.7 dedup threshold, so replicas are NOT near-dups
-  of their source and pair counts scale ~K, matching how a real corpus grows.
-- embeddings: replica i>0 rotates the vector by a nonzero offset — norm is
-  preserved, cosine with the original is ~0, so ANN/near-dup density per
-  vector is unchanged.
+- documents: replica i>0 prefixes EVERY word with a replica tag (``q<i>z``).
+  That is a bijection of the word vocabulary per replica, so every replica's
+  word-n-gram shingle space is an isomorphic image of the source's:
+  intra-replica jaccards (and therefore MinHash/LSH candidate and verified
+  pair counts) match the source corpus exactly, while shingle sets are
+  pairwise disjoint ACROSS replicas — totals scale exactly ×K, the
+  constant-dup-rate regime of a real growing corpus.  (Two earlier designs
+  failed: mixing in a partner doc's text let short partners leave same-doc
+  replicas ≥0.7-jaccard — ~quadratic verified pairs, 102× candidates at
+  K=100; interleaving a separator token between words created ``(sep, w,
+  sep)`` shingles shared by ANY two docs with a word in common — verified
+  pairs went linear but LSH candidates stayed ~600× at K=100.)
+- embeddings: replica i>0 rotates the vector by a nonzero offset — norm and
+  all intra-replica inner products are preserved (near-dup structure ×K),
+  while cross-replica cosines decorrelate.
 
 Everything is pure SQL over the source parquet (DuckDB), fully deterministic:
 same inputs → byte-identical sample/bench semantics for both engines.
@@ -72,15 +80,15 @@ def main() -> None:
                       user_id + i*{uk} AS user_id, event_type, value, props
                       FROM {t('events')} {rep}""",
         "documents": f"""
-            SELECT d.doc_id + i*{dk} AS doc_id,
-                   CASE WHEN i = 0 THEN d.text
-                        ELSE d.text || ' ' || p.text END AS text,
-                   d.lang, d.source,
-                   CASE WHEN i = 0 THEN d.n_chars
-                        ELSE length(d.text || ' ' || p.text) END AS n_chars
-            FROM {t('documents')} d {rep}
-            JOIN {t('documents')} p
-              ON p.doc_id = (d.doc_id + 137 * (i + 1)) % {dk}""",
+            SELECT doc_id + i*{dk} AS doc_id,
+                   CASE WHEN i = 0 THEN text
+                        ELSE regexp_replace(trim(COALESCE(text, '')), '(\\S+)',
+                                            'q' || i || 'z\\1', 'g') END AS text,
+                   lang, source,
+                   CASE WHEN i = 0 THEN n_chars
+                        ELSE length(regexp_replace(trim(COALESCE(text, '')), '(\\S+)',
+                                                   'q' || i || 'z\\1', 'g')) END AS n_chars
+            FROM {t('documents')} {rep}""",
         "embeddings": f"""
             SELECT vec_id + i*{vk} AS vec_id,
                    CASE WHEN i = 0 THEN embedding
