@@ -849,3 +849,115 @@ def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("price"),
         unscaled(F.col("_sqc"), 2).alias("sum_qty"),
     )
+
+
+# --- TPC-H Q2 analog: correlated min over the part-supplier relationship.
+# The testdata has no partsupp table; lineitem IS the observed part↔supplier
+# relation (l_partkey, l_suppkey), so "supply cost" is the minimum observed
+# extendedprice-per-unit for the (part, supplier) pair ---
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000 AS BIGINT)
+                 // CAST(l_quantity AS BIGINT)) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey)
+    SELECT p.p_partkey, s.s_name, n.n_name,
+           CAST(ps.unit_cost AS DOUBLE) / 10000 AS min_unit_cost
+    FROM ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_size <= 15 AND p.p_type = 'LARGE'
+      AND ps.unit_cost = (
+        SELECT MIN(ps2.unit_cost) FROM (
+          SELECT l_partkey, l_suppkey,
+                 MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000 AS BIGINT)
+                     // CAST(l_quantity AS BIGINT)) AS unit_cost
+          FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey) ps2
+        JOIN supplier s2 ON ps2.l_suppkey = s2.s_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE r2.r_name = 'EUROPE' AND ps2.l_partkey = ps.l_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-min supplier selection (TPC-H Q2 shape; reference: the
+    engine has no such operator — pure Spark SQL surface).
+
+    The correlated subquery is decorrelated the way Catalyst's own rewrite
+    would: compute each part's min unit-cost over EUROPE suppliers once
+    (groupBy), then equi-join it back — one aggregation + one join instead of
+    a per-row subquery.  Unit cost is exact integer arithmetic (cents×100 div
+    quantity) so min/equality behave identically in both engines."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = (F.floor((cents("l_extendedprice") * 100) / F.col("l_quantity").cast("long"))).cast("long")
+    ps = (
+        l.select("l_partkey", "l_suppkey", unit.alias("_uc"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("_uc").alias("unit_cost"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    eu = (
+        ps.join(_bc(s.select("s_suppkey", "s_name", "s_nationkey"), sf_dir, "supplier"),
+                ps["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    best = eu.groupBy("l_partkey").agg(F.min("unit_cost").alias("_best"))
+    return (
+        eu.join(best, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("_best"))
+        .join(_bc(p.select("p_partkey"), sf_dir, "part"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            (F.col("unit_cost").cast("double") / F.lit(10000)).alias("min_unit_cost"),
+        )
+    )
+
+
+# --- skew-resilient two-stage aggregation (driver-visible form of
+# operators.skew.two_stage_agg; oracle = the plain one-stage aggregate it
+# must equal by construction) ---
+@register(
+    "q_skew_two_stage_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_skew_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 event types over every event row — the archetypal hot-key aggregate
+    (each key holds ~20% of the table).  Salted partials spread each key over
+    16 tasks before the 5-row final merge; unscaled-LONG cents keep the
+    double sum exact and order-insensitive so the result is bit-equal to the
+    plain aggregate."""
+    from kafka_flow_spark.operators.skew import two_stage_agg
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("_c")
+    )
+    return two_stage_agg(
+        e,
+        ["event_type"],
+        16,
+        partial=[F.sum("_c").alias("_ps"), F.count(F.lit(1)).alias("_pn")],
+        final=[
+            unscaled(F.sum("_ps"), 2).alias("total_value"),
+            F.sum("_pn").alias("n_events"),
+        ],
+    )
