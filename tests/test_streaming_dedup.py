@@ -1,0 +1,69 @@
+"""Streaming exact dedup: first-wins across micro-batches (state survives the
+checkpoint), and watermark-bounded state for the windowed form."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from kafka_flow_spark.streaming import dedup
+
+SCHEMA = "ts TIMESTAMP, doc_id INT, text STRING"
+
+
+def ts(minute):
+    return datetime(2026, 1, 1, 12, minute)
+
+
+def write_batch(spark, d, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(d)
+
+
+def run_stream(spark, input_dir, checkpoint, build):
+    out_dir = checkpoint + "__out"
+    records = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    q = (
+        build(records)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).collect()
+
+
+def test_first_wins_across_restarts(spark, tmp_path):
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    build = lambda r: dedup.dedup_exact_stream(r, "text")
+    write_batch(spark, input_dir, [(ts(0), 1, "alpha"), (ts(1), 2, "beta"), (ts(2), 3, "alpha")])
+    out1 = run_stream(spark, input_dir, chk, build)
+    assert sorted(r["doc_id"] for r in out1) == [1, 2]
+    # restart from checkpoint: a later duplicate of 'alpha' must STILL drop
+    # (fingerprint state recovered), a new text passes
+    write_batch(spark, input_dir, [(ts(9), 4, "alpha"), (ts(9), 5, "gamma")])
+    out2 = run_stream(spark, input_dir, chk, build)
+    assert sorted(r["doc_id"] for r in out2) == [1, 2, 5]
+    # whitespace/case variants are the same content (normalized fingerprint)
+    write_batch(spark, input_dir, [(ts(10), 6, "  ALPHA "), (ts(10), 7, "beta\n")])
+    out3 = run_stream(spark, input_dir, chk, build)
+    assert sorted(r["doc_id"] for r in out3) == [1, 2, 5]
+
+
+def test_windowed_dedup_bounds_state_but_drops_near_duplicates(spark, tmp_path):
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    build = lambda r: dedup.dedup_exact_stream_windowed(r, "text", "ts", "5 minutes")
+    # duplicate within the horizon drops
+    write_batch(spark, input_dir, [(ts(0), 1, "alpha"), (ts(2), 2, "alpha"), (ts(3), 3, "beta")])
+    out1 = run_stream(spark, input_dir, chk, build)
+    assert sorted(r["doc_id"] for r in out1) == [1, 3]
+    # the watermark advances only AFTER a batch is processed: first push it
+    # far past the horizon with unrelated content (evicting 'alpha' state)...
+    write_batch(spark, input_dir, [(ts(30), 4, "delta")])
+    out2 = run_stream(spark, input_dir, chk, build)
+    assert sorted(r["doc_id"] for r in out2) == [1, 3, 4]
+    # ...then the same content is admitted again (bounded-state contract)
+    write_batch(spark, input_dir, [(ts(31), 5, "alpha")])
+    out3 = run_stream(spark, input_dir, chk, build)
+    assert sorted(r["doc_id"] for r in out3) == [1, 3, 4, 5]
