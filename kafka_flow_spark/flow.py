@@ -65,6 +65,20 @@ class Flow:
     def with_column(self, name: str, col: Column) -> "Flow":
         return Flow(self.df.withColumn(name, col), self._timered)
 
+    def dedup(self, text_col: str) -> "Flow":
+        """First-wins exact content dedup (streaming.dedup) — Phase-4 ingest
+        dedup as a pipeline step; state = one row per distinct fingerprint."""
+        from kafka_flow_spark.streaming.dedup import dedup_exact_stream
+
+        return Flow(dedup_exact_stream(self.df, text_col), self._timered)
+
+    def dedup_within(self, text_col: str, ts_col: str, horizon: str) -> "Flow":
+        """Watermark-bounded exact dedup: duplicates within ``horizon`` drop,
+        older fingerprint state is evicted."""
+        from kafka_flow_spark.streaming.dedup import dedup_exact_stream_windowed
+
+        return Flow(dedup_exact_stream_windowed(self.df, text_col, ts_col, horizon), self._timered)
+
     # --- the keyed stateful core (#9, #17, #18) ---
     def fold(self, spec: FlowSpec) -> "Flow":
         # only wall-clock timers break availableNow termination (see _drain);
