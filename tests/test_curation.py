@@ -95,3 +95,30 @@ def test_ngram_contamination_by_hand(spark):
     got = {r["doc_id"]: r["n_shared"] for r in ngram_contamination(train, ev, "doc_id", "text").collect()}
     # doc 1 shares both of eval's 8-grams; doc 2 none; doc 3 has no 8-grams
     assert got == {1: 2, 2: 0, 3: 0}
+
+
+def test_split_thresholds_properties():
+    from hypothesis import given, strategies as st
+
+    from kafka_flow_spark.operators.sampling import fraction_threshold
+
+    @given(
+        st.lists(
+            st.floats(min_value=0.01, max_value=0.5, allow_nan=False),
+            min_size=1,
+            max_size=4,
+        ).filter(lambda fs: sum(fs) <= 1.0)
+    )
+    def check(fracs):
+        splits = {f"s{i}": f for i, f in enumerate(fracs)}
+        bounds = split_thresholds(splits)
+        # names preserved in order; thresholds non-decreasing and cumulative
+        assert [n for n, _ in bounds] == list(splits)
+        hexes = [h for _, h in bounds]
+        assert hexes == sorted(hexes)
+        acc = 0.0
+        for (_, h), f in zip(bounds, fracs):
+            acc = min(acc + f, 1.0)
+            assert h == fraction_threshold(acc)
+
+    check()

@@ -83,3 +83,35 @@ def test_stratified_small_stratum_keeps_all(spark):
     total = df.count()
     out = stratified_sample(df, ["o_orderpriority"], "_key", k=10**9)
     assert out.count() == total
+
+
+def test_sample_nesting(spark):
+    """Smaller fractions are strict subsets of larger ones (same key hash) —
+    the property that lets a pipeline downsample reproducibly."""
+    df = _orders(spark)
+    sets = {
+        f: {r["o_orderkey"] for r in hash_sample(df, "_key", f).select("o_orderkey").collect()}
+        for f in (0.05, 0.2, 0.5)
+    }
+    assert sets[0.05] <= sets[0.2] <= sets[0.5]
+    assert len(sets[0.05]) < len(sets[0.2]) < len(sets[0.5])
+
+
+def test_fraction_threshold_properties():
+    from hypothesis import given, strategies as st
+
+    @given(st.floats(min_value=1e-9, max_value=1.0, allow_nan=False))
+    def check(f):
+        t = fraction_threshold(f)
+        assert len(t) == 6 and t == t.lower()
+        assert int(t, 16) <= 16**6 - 1
+
+    @given(
+        st.floats(min_value=1e-6, max_value=0.5, allow_nan=False),
+        st.floats(min_value=1e-6, max_value=0.49, allow_nan=False),
+    )
+    def check_monotone(f, delta):
+        assert fraction_threshold(f) <= fraction_threshold(min(f + delta, 1.0))
+
+    check()
+    check_monotone()
