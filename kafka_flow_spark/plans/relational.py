@@ -552,12 +552,22 @@ def q_scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join as a binned equi-join (operators.rangejoin) instead of the
+    BroadcastNestedLoopJoin Spark would otherwise plan: every event hashes to
+    one bin, intervals explode across their bins, and the residual predicate
+    runs after an AQE-planned hash join — linear work WITH a shuffle key.
+    The bands table is built JVM-side (spark.range), not createDataFrame —
+    a driver round trip per call is pure latency."""
+    from kafka_flow_spark.operators.rangejoin import bin_range_join
+
     e = load(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
-        [(i, i * 50.0, (i + 1) * 50.0) for i in range(10)], "band_id BIGINT, lo DOUBLE, hi DOUBLE"
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50.0).alias("lo"),
+        ((F.col("id") + 1) * 50.0).alias("hi"),
     )
     return (
-        e.join(F.broadcast(bands), (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        bin_range_join(e, "value", bands, "lo", "hi", bin_width=50.0)
         .groupBy("band_id")
         .agg(F.count("*").alias("n_events"), csum(cents("value"), "sum_value"))
     )
