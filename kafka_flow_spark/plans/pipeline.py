@@ -259,6 +259,51 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTE},
+    reach(node, r) AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(r)) AS comp FROM reach GROUP BY node),
+    canon AS (
+      SELECT d.doc_id, d.lang,
+             substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS b
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      WHERE COALESCE(c.comp, d.doc_id) = d.doc_id),
+    mixed AS (SELECT doc_id, lang, b FROM canon
+              WHERE CASE {_MIX_CASE} ELSE FALSE END),
+    sp AS (SELECT lang,
+                  CASE WHEN b < '{_T_TRAIN}' THEN 'train'
+                       WHEN b < '{_T_VAL}' THEN 'val'
+                       ELSE 'test' END AS split
+           FROM mixed)
+    SELECT split, lang, COUNT(*) AS n_docs FROM sp GROUP BY split, lang
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole Phase-4 chain as ONE declarative plan: minhash-LSH pairs →
+    connected components → keep canonical survivors → language-weighted mix →
+    train/val/test split → counts per (split, lang).  Every stage is the
+    already-oracle-gated operator; this query proves they compose (the
+    cluster assignment is the memoized checkpoint from q_dedup_clusters, so
+    the chain costs one CC run per session)."""
+    assign = q_dedup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    canon = (
+        docs.join(assign, "doc_id")
+        .where(F.col("doc_id") == F.col("cluster_id"))
+        .withColumn("_key", F.col("doc_id").cast("string"))
+    )
+    mixed = weighted_mix(canon, "lang", "_key", _MIX)
+    split = hash_split(mixed, "_key", _SPLITS)
+    return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
     "q_stratified_sample",
     oracle="""
     SELECT o_orderpriority, o_orderkey FROM (
