@@ -11,13 +11,18 @@ def test_lsh_recall_against_bruteforce(spark):
     emb = load(spark, SF_SMALL, "embeddings")
     queries = emb.limit(20)
     exact = knn_bruteforce(emb, queries, k=5)
-    approx = knn_lsh(emb, queries, k=5, dim=len(emb.first()["embedding"]))
     truth = {(r["q_id"], r["neighbor_id"]) for r in exact.collect()}
+    dim = len(emb.first()["embedding"])
+    # plain multi-table sign-LSH: deterministic seeds -> stable floor
+    plain = knn_lsh(emb, queries, k=5, dim=dim, multiprobe_bits=0)
+    got0 = {(r["q_id"], r["neighbor_id"]) for r in plain.collect()}
+    assert len(truth & got0) / len(truth) >= 0.6
+    # Hamming-1 multiprobe (the default): near-complete recall at 5x
+    # query-side probes, corpus shuffle volume unchanged (measured 1.0 here)
+    approx = knn_lsh(emb, queries, k=5, dim=dim)
     got = {(r["q_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
-    # multi-table sign-LSH on this synthetic data: well above half of the
-    # exact top-5 must be recovered (deterministic seeds -> stable number)
-    assert recall >= 0.6, f"LSH recall {recall:.2f}"
+    assert recall >= 0.9, f"multiprobe LSH recall {recall:.2f}"
 
 
 def test_lsh_ranks_are_dense_per_query(spark):
