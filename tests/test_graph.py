@@ -106,3 +106,23 @@ def test_e2e_dedup_chain_vs_bruteforce(spark):
         uf.union(a, b)
     truth_survivors = {i for i in all_ids if uf.find(i) == i}
     assert survivors == truth_survivors
+
+
+def test_random_graph_matches_union_find(spark):
+    """1000-node seeded random graph (mixed sparse/dense regions, self-loops,
+    duplicate edges): operator output must equal union-find exactly."""
+    import random
+
+    rng = random.Random(777)
+    edges = [(rng.randrange(1000), rng.randrange(1000)) for _ in range(1500)]
+    edges += [(i, i) for i in range(0, 1000, 97)]          # self-loops
+    edges += edges[:50]                                     # duplicates
+    got = _cc(spark, edges)
+    uf = _UnionFind()
+    for a, b in edges:
+        if a != b:
+            uf.union(a, b)
+    # operator covers every node appearing in a non-self-loop edge
+    non_loop_nodes = {x for a, b in edges if a != b for x in (a, b)}
+    want = {n: uf.find(n) for n in non_loop_nodes}
+    assert got == want
