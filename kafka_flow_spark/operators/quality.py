@@ -1,0 +1,172 @@
+"""Document-quality filtering and PII scrubbing for training-data curation.
+
+Rule-based quality gates in the style of the published Gopher / C4 cleaning
+heuristics (Rae et al. 2021 §A1.1; Raffel et al. 2020 §2.2): word-count
+bounds, mean-word-length bounds, stopword presence, symbol density, and
+repeated-content fractions.  No counterpart in the reference (SURVEY.md
+Phase 4 — corpus curation the streaming engine never needed).
+
+Scale posture: every rule in ``quality_flags`` is a PER-ROW projection over
+one staged token array — zero shuffles, stacks with parquet pushdown, and the
+whole gate runs map-side at 100 TB.  Only ``top_word_stats`` shuffles (the
+per-(doc, word) count is a real aggregation), and it is map-combinable.
+PII redaction is sequential JVM ``regexp_replace`` — no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators.text import STOPWORDS, tokens
+
+# Conservative defaults tuned for short web-ish documents; callers override.
+DEFAULT_RULES = {
+    "min_words": 10,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "min_stopwords": 1,
+    "max_dup_2gram_frac": 0.9,
+    "max_symbol_frac": 0.1,
+}
+
+
+def _bigrams(toks: Column) -> Column:
+    """Adjacent word pairs as strings; empty array for < 2 tokens."""
+    n = F.size(toks)
+    pairs = F.transform(
+        F.sequence(F.lit(0), n - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
+
+
+def quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: dict | None = None,
+    lang: str = "en",
+) -> DataFrame:
+    """Per-document quality statistics + a single ``keep`` verdict.
+
+    Output columns: id, n_words, mean_word_len, n_stopwords, dup_2gram_frac,
+    symbol_frac, keep.  Every stat is integer arithmetic with ONE final
+    division (deterministic across engines); the token array and bigram array
+    are each staged once so the text is split exactly once per row.
+    """
+    r = {**DEFAULT_RULES, **(rules or {})}
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+
+    staged = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("_nc"),
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+        ).alias("_np"),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        id_col,
+        "_nc",
+        "_np",
+        F.size("_toks").alias("n_words"),
+        F.aggregate(
+            F.transform("_toks", F.length), F.lit(0), lambda a, x: a + x
+        ).alias("_chars"),
+        F.size(F.filter("_toks", lambda t: F.array_contains(stops, F.lower(t)))).alias(
+            "n_stopwords"
+        ),
+        _bigrams(F.col("_toks")).alias("_g2"),
+    )
+
+    n = F.col("n_words")
+    mean_wl = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.col("_chars").cast("double") / n.cast("double")
+    )
+    n_g2 = F.size("_g2")
+    dup_frac = F.when(n_g2 == 0, F.lit(0.0)).otherwise(
+        (n_g2 - F.size(F.array_distinct("_g2"))).cast("double") / n_g2.cast("double")
+    )
+    sym_frac = F.when(F.col("_nc") == 0, F.lit(0.0)).otherwise(
+        F.col("_np").cast("double") / F.col("_nc").cast("double")
+    )
+
+    out = staged.select(
+        id_col,
+        "n_words",
+        mean_wl.alias("mean_word_len"),
+        "n_stopwords",
+        dup_frac.alias("dup_2gram_frac"),
+        sym_frac.alias("symbol_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= r["min_words"])
+        & (F.col("n_words") <= r["max_words"])
+        & (F.col("mean_word_len") >= r["min_mean_word_len"])
+        & (F.col("mean_word_len") <= r["max_mean_word_len"])
+        & (F.col("n_stopwords") >= r["min_stopwords"])
+        & (F.col("dup_2gram_frac") <= r["max_dup_2gram_frac"])
+        & (F.col("symbol_frac") <= r["max_symbol_frac"])
+    )
+    return out.withColumn("keep", keep)
+
+
+def top_word_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Most frequent word per document and its frequency ratio (the Gopher
+    "fraction of text in the most common word" repetition signal).
+
+    Shape: explode → map-combinable count per (doc, word) → per-doc max via
+    one window (rank-limit pushdown keeps it partial).  Ties break to the
+    lexicographically smallest word so the result is deterministic.  Documents
+    with zero tokens are absent from the output (nothing to rank).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("word_count"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("word_count"), F.asc("word"))
+    totals = Window.partitionBy(id_col)
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_tot", F.sum("word_count").over(totals))
+        .where(F.col("_rk") == 1)
+        .select(
+            id_col,
+            F.col("word").alias("top_word"),
+            F.col("word_count").alias("top_count"),
+            (F.col("word_count").cast("double") / F.col("_tot").cast("double")).alias(
+                "top_word_frac"
+            ),
+        )
+    )
+
+
+# PII patterns kept to syntax shared by java.util.regex and RE2 (DuckDB), so
+# the same literal string drives both engines.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Count and redact common PII shapes (emails, NANP-style phone numbers,
+    IPv4 addresses).  Counts are taken on the ORIGINAL text (each against the
+    untouched input, so a phone inside an email can't be double-counted after
+    redaction reshapes the string), then replacements apply sequentially.
+    Output: id, n_email, n_phone, n_ipv4, redacted.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red: Column = F.col(text_col)
+    for _, pat, tag in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tag)
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))

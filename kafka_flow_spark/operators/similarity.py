@@ -565,3 +565,22 @@ def knn_lsh(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization (the standard 4× memory
+    compression for ANN serving: max-abs scale, round-to-nearest codes).
+
+    Output: id, scale (double, = max|v| / 127), codes (array<int> in
+    [-127, 127]).  All-zero vectors get scale 0 and all-zero codes.  Pure
+    per-row projection — zero shuffle, runs map-side at any corpus size; the
+    codes column is what a 100 TB ANN index would persist instead of float32.
+    """
+    v = _as_double(F.col(vec_col))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    codes = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    )
+    return df.select(
+        F.col(id_col), scale.alias("scale"), codes.cast("array<int>").alias("codes")
+    )

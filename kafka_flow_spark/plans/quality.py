@@ -1,0 +1,147 @@
+"""Quality-gate / PII / quantization queries for the curation pipeline.
+
+These extend the Phase-4 chain (SURVEY.md — dedup→cluster→sample→curate) with
+the cleaning steps a pretraining corpus pass runs BEFORE dedup: rule-based
+quality filtering (Gopher/C4-style heuristics), repetition signals, PII
+redaction, and int8 embedding compression for the ANN index.
+
+Oracle strategy: every stat is integer arithmetic with one final division and
+both engines stage the identical whitespace token array, so doubles are
+bit-identical; PII regexes are restricted to syntax java.util.regex and RE2
+interpret the same way (the literal pattern string is shared — see
+``operators.quality.PII_PATTERNS``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators.quality import (
+    PII_PATTERNS,
+    pii_redact,
+    quality_flags,
+    top_word_stats,
+)
+from kafka_flow_spark.operators.similarity import quantize_int8
+from kafka_flow_spark.plans.registry import register
+from kafka_flow_spark.tables import load
+
+_TOKS = """
+    CASE WHEN trim(text) = '' THEN []
+         ELSE string_split_regex(trim(text), '\\s+') END
+"""
+
+
+@register(
+    "q_quality_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS nc,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np,
+             {_TOKS} AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, nc, np,
+             CAST(len(toks) AS INT) AS n_words,
+             COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS chars,
+             CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','and','of','to','is'], lower(x)))) AS INT) AS n_stopwords,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END AS g2
+      FROM t),
+    u AS (
+      SELECT doc_id, n_words, n_stopwords,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE chars * 1.0 / n_words END AS mean_word_len,
+             CASE WHEN len(g2) = 0 THEN 0.0
+                  ELSE (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2)
+                  END AS dup_2gram_frac,
+             CASE WHEN nc = 0 THEN 0.0 ELSE np * 1.0 / nc END AS symbol_frac
+      FROM s)
+    SELECT doc_id, n_words, mean_word_len, n_stopwords, dup_2gram_frac, symbol_frac,
+           (n_words >= 10 AND n_words <= 100000
+            AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+            AND n_stopwords >= 1
+            AND dup_2gram_frac <= 0.9
+            AND symbol_frac <= 0.1) AS keep
+    FROM u
+    """,
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule gate over documents — zero-shuffle scan projection."""
+    return quality_flags(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_top_word_frac",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+    c AS (SELECT doc_id, word, COUNT(*) AS word_count FROM w GROUP BY doc_id, word),
+    r AS (SELECT doc_id, word, word_count,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY word_count DESC, word ASC) AS rk,
+                 CAST(SUM(word_count) OVER (PARTITION BY doc_id) AS DOUBLE) AS tot
+          FROM c)
+    SELECT doc_id, word AS top_word, word_count AS top_count,
+           word_count * 1.0 / tot AS top_word_frac
+    FROM r WHERE rk = 1
+    """,
+)
+def q_top_word_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common-word repetition signal (explode → map-combinable count)."""
+    return top_word_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _pii_oracle() -> str:
+    (_, em, _), (_, ph, _), (_, ip, _) = PII_PATTERNS
+    red = "text"
+    for _, pat, tag in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{em}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{ph}')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{ip}')) AS INT) AS n_ipv4,
+           md5({red}) AS redacted_fp
+    FROM documents
+    """
+
+
+@register("q_pii_redaction", oracle=_pii_oracle())
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + fingerprint of the redacted text (counts on the original
+    text; fingerprint proves the sequential JVM regex rewrite matches RE2)."""
+    out = pii_redact(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_fp"),
+    )
+
+
+@register(
+    "q_embedding_quantization",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
+               AS scale,
+             embedding
+      FROM embeddings)
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                                    x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))
+           END AS codes
+    FROM s
+    """,
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 codes per embedding — the persisted form of a 100 TB ANN
+    index (4× smaller scans; exact codes are engine-independent by design)."""
+    return quantize_int8(load(spark, sf_dir, "embeddings"), "vec_id", "embedding")

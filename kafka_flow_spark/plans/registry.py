@@ -50,6 +50,7 @@ def load_all_plans() -> None:
         llm,
         media,
         pipeline,
+        quality,
         relational,
         tpch,
     )

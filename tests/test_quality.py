@@ -1,0 +1,118 @@
+"""Quality-gate, PII-redaction, and int8-quantization operator semantics.
+
+The oracle-parity suite proves engine agreement on the fixture corpus; these
+tests pin the *semantics* on crafted rows the fixtures don't contain (real
+emails/phones/IPs, rule-boundary documents, negative/zero vectors).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_flow_spark.operators.quality import (
+    pii_redact,
+    quality_flags,
+    top_word_stats,
+)
+from kafka_flow_spark.operators.similarity import quantize_int8
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_quality_flags_basic_pass(spark):
+    text = "the quick brown fox jumps over a lazy dog near the old mill today"
+    [r] = quality_flags(_docs(spark, [(1, text)]), "doc_id", "text").collect()
+    assert r.n_words == 14
+    assert r.n_stopwords >= 2
+    assert r.dup_2gram_frac == 0.0
+    assert r.symbol_frac == 0.0
+    assert r.keep is True
+
+
+def test_quality_flags_too_short_and_empty(spark):
+    out = {
+        r.doc_id: r
+        for r in quality_flags(
+            _docs(spark, [(1, "the cat sat"), (2, "   ")]), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1].keep is False  # < min_words
+    assert out[2].n_words == 0 and out[2].mean_word_len == 0.0
+    assert out[2].keep is False
+
+
+def test_quality_flags_repetition_fails(spark):
+    # "ab ab ab..." — every bigram identical → dup fraction → 1 - 1/(n-1)
+    text = " ".join(["ab"] * 20)
+    [r] = quality_flags(_docs(spark, [(1, text)]), "doc_id", "text").collect()
+    assert r.dup_2gram_frac == pytest.approx(1 - 1 / 19)
+    assert r.keep is False  # > max_dup_2gram_frac (0.9)
+
+
+def test_quality_flags_custom_rules(spark):
+    text = "one two three four five"
+    [r] = quality_flags(
+        _docs(spark, [(1, text)]), "doc_id", "text", rules={"min_words": 3, "min_stopwords": 0}
+    ).collect()
+    assert r.keep is True
+
+
+def test_top_word_stats_tiebreak_and_frac(spark):
+    # 'b' and 'a' both appear twice → tie breaks to lexicographically smaller
+    [r] = top_word_stats(_docs(spark, [(1, "b a b a c")]), "doc_id", "text").collect()
+    assert r.top_word == "a" and r.top_count == 2
+    assert r.top_word_frac == pytest.approx(2 / 5)
+    # empty doc → absent from output
+    assert top_word_stats(_docs(spark, [(1, "  ")]), "doc_id", "text").count() == 0
+
+
+def test_pii_redact_all_kinds(spark):
+    text = "mail bob.smith+x@example.org or call 555-123-4567; host 10.0.0.1 ok"
+    [r] = pii_redact(_docs(spark, [(1, text)]), "doc_id", "text").collect()
+    assert (r.n_email, r.n_phone, r.n_ipv4) == (1, 1, 1)
+    assert r.redacted == "mail [EMAIL] or call [PHONE]; host [IP] ok"
+
+
+def test_pii_redact_counts_on_original_text(spark):
+    # An email whose domain looks like an IP must not ALSO count as an IP hit
+    # after redaction reshapes the string; counts are independent per pattern.
+    text = "x@1.2.3.4x and 1.2.3.4"
+    [r] = pii_redact(_docs(spark, [(1, text)]), "doc_id", "text").collect()
+    assert r.n_email == 0  # TLD must be alphabetic
+    assert r.n_ipv4 == 1
+    assert "[IP]" in r.redacted
+
+
+def test_pii_redact_clean_text_unchanged(spark):
+    [r] = pii_redact(_docs(spark, [(1, "nothing here")]), "doc_id", "text").collect()
+    assert (r.n_email, r.n_phone, r.n_ipv4) == (0, 0, 0)
+    assert r.redacted == "nothing here"
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_quantize_int8_codes_and_scale(spark):
+    [r] = quantize_int8(_vecs(spark, [(1, [1.0, -2.0, 0.5])]), "vec_id", "embedding").collect()
+    assert r.scale == pytest.approx(2.0 / 127.0)
+    assert r.codes == [64, -127, 32]  # round(v / scale)
+    assert max(abs(c) for c in r.codes) <= 127
+
+
+def test_quantize_int8_zero_vector(spark):
+    [r] = quantize_int8(_vecs(spark, [(1, [0.0, 0.0])]), "vec_id", "embedding").collect()
+    assert r.scale == 0.0 and r.codes == [0, 0]
+
+
+def test_quantize_int8_reconstruction_error_bounded(spark):
+    import random
+
+    rng = random.Random(7)
+    vec = [rng.uniform(-1, 1) for _ in range(64)]
+    [r] = quantize_int8(_vecs(spark, [(1, vec)]), "vec_id", "embedding").collect()
+    # dequantized error ≤ scale/2 per component (round-to-nearest guarantee)
+    for orig, code in zip(vec, r.codes):
+        assert abs(orig - code * r.scale) <= r.scale / 2 + 1e-9
