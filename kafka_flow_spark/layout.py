@@ -1,0 +1,71 @@
+"""Physical table layout for 100 TB datasets: partitioned writes, bucketed
+tables, and sort-within-partition clustering.
+
+These are the write-side halves of the engine's scale posture (the read-side
+halves — partition pruning, storage-aware joins — come free from Catalyst once
+the layout exists):
+
+- **Hive-style partitioning** (``write_partitioned``): coarse pruning column
+  (date, region).  A filter on the partition column prunes entire directories
+  before any I/O — the scan's ``PartitionFilters`` — so a day query over a
+  100 TB / 3-year events table reads ~0.1% of files.  Keep cardinality low
+  (≤ ~10k partitions); high-cardinality keys belong in buckets, not dirs.
+- **Bucketing** (``write_bucketed``): pre-shuffles a table ONCE at write time
+  into N hash buckets on the join/agg key.  Two tables bucketed the same way
+  join with ZERO exchange — the shuffle that dominates a fact-fact join at
+  100 TB is paid once at ingest instead of per query.  Spark's bucket join
+  needs both sides' bucket counts equal (or a multiple, with
+  ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``).
+- **Clustering** (``cluster_within_partitions``): sorts rows inside each file
+  so parquet row-group min/max stats become selective — the open-format
+  analog of z-ordering on a single key.  Pure map-side sort, no shuffle.
+
+The reference never needed these (Kafka topics are its only layout — keyed
+partitions, SURVEY.md §1.2); a relational engine at 100 TB lives or dies by
+them.  Plan-shape contracts are pinned in ``tests/test_layout.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Write parquet hive-partitioned by ``partition_cols`` (directory per
+    value; filters on these columns prune at the file index, not the scan)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-clustered) managed
+    table.  Joins/aggregations on ``bucket_cols`` between tables bucketed with
+    the same ``n_buckets`` run shuffle-free; pick ``n_buckets`` so one bucket
+    of the table at target scale fits an executor core (e.g. 100 TB / 4096
+    buckets ≈ 25 GB per bucket — split further by file within the bucket)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def cluster_within_partitions(df: DataFrame, sort_cols: list[str]) -> DataFrame:
+    """Sort rows inside each partition (NO shuffle) so parquet row-group
+    min/max statistics on ``sort_cols`` become range-selective for later
+    scans.  Compose before any write_* call."""
+    return df.sortWithinPartitions(*sort_cols)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back with its bucket spec intact (plain
+    ``spark.read.parquet`` on the files would DROP the spec — the metastore
+    entry is what carries it)."""
+    return spark.table(table)

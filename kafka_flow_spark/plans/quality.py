@@ -68,6 +68,7 @@ _TOKS = """
             AND symbol_frac <= 0.1) AS keep
     FROM u
     """,
+    bench=True,
 )
 def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style rule gate over documents — zero-shuffle scan projection."""

@@ -1,0 +1,92 @@
+"""Physical-layout contracts: bucketed joins are exchange-free, partitioned
+writes prune at the file index, clustering stays map-side.
+
+These pin the WRITE-side scale mechanics (layout.py): at 100 TB the dominant
+cost of a fact-fact join is the shuffle, and bucketing is how the engine pays
+it once at ingest instead of per query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.layout import (
+    cluster_within_partitions,
+    read_bucketed,
+    write_bucketed,
+    write_partitioned,
+)
+from kafka_flow_spark.tables import load
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle-join planning so the bucket spec (not broadcast) is what
+    removes the exchange."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _executed(df) -> str:
+    df.write.mode("overwrite").format("noop").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_exchange_free(no_broadcast):
+    spark = no_broadcast
+    orders = load(spark, SF_SMALL, "orders").select("o_orderkey", "o_orderdate")
+    lineitem = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "t_lineitem_b", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+
+    ob, lb = read_bucketed(spark, "t_orders_b"), read_bucketed(spark, "t_lineitem_b")
+    joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+    plan = _executed(joined)
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+    # same rows as the layout-free join
+    expected = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+    assert joined.count() == expected
+
+
+def test_bucketed_aggregation_is_exchange_free(no_broadcast):
+    spark = no_broadcast
+    lb = read_bucketed(spark, "t_lineitem_b")  # written by the join test
+    agg = lb.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+    plan = _executed(agg)
+    assert "Exchange" not in plan, f"bucketed agg still shuffles:\n{plan}"
+    expected = (
+        load(spark, SF_SMALL, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .count()
+    )
+    assert agg.count() == expected
+
+
+def test_partitioned_write_prunes_at_file_index(spark, tmp_path):
+    ev = load(spark, SF_SMALL, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["day"])
+
+    days = [r.day for r in spark.read.parquet(path).select("day").distinct().collect()]
+    target = sorted(days)[0]
+    q = spark.read.parquet(path).where(F.col("day") == target)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+    # pruned read returns exactly that day's rows
+    assert q.count() == ev.where(F.col("day") == target).count()
+
+
+def test_cluster_within_partitions_no_shuffle(spark):
+    l = load(spark, SF_SMALL, "lineitem")
+    plan = cluster_within_partitions(l, ["l_shipdate"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Sort" in plan
