@@ -584,3 +584,30 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return df.select(
         F.col(id_col), scale.alias("scale"), codes.cast("array<int>").alias("codes")
     )
+
+
+def knn_quantized(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-rank kNN over the int8-quantized corpus (asymmetric distance:
+    queries stay full-precision, the corpus side is dequantized codes — the
+    standard ADC setup).  This is what search looks like against the persisted
+    100 TB index: the scan reads 4×-smaller int8 codes + one scale per vector
+    and reconstructs on the fly; ranking error is bounded by the
+    round-to-nearest guarantee (≤ scale/2 per component).
+
+    Same output contract as ``knn_bruteforce`` (q_id, neighbor_id, sim, rank;
+    ties on neighbor_id ASC).
+    """
+    q8 = quantize_int8(vectors, id_col, vec_col)
+    deq = q8.select(
+        F.col(id_col),
+        F.transform("codes", lambda c: c.cast("double") * F.col("scale")).alias(
+            vec_col
+        ),
+    )
+    return knn_bruteforce(deq, queries, id_col=id_col, vec_col=vec_col, k=k)

@@ -146,3 +146,47 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 codes per embedding — the persisted form of a 100 TB ANN
     index (4× smaller scans; exact codes are engine-independent by design)."""
     return quantize_int8(load(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+@register(
+    "q_knn_quantized",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
+               AS scale,
+             embedding
+      FROM embeddings),
+    v AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT) * scale)
+             END AS e
+      FROM s),
+    q AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE vec_id < 10),
+    sims AS (
+      SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.e, v.e), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                * sqrt(list_sum(list_transform(v.e, x -> x * x)))) AS sim
+      FROM q JOIN v ON v.vec_id != q.vec_id)
+    SELECT q_id, neighbor_id, ROUND(sim, 4) AS sim, rank FROM (
+      SELECT q_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims)
+    WHERE rank <= 5
+    """,
+)
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance kNN against the int8-quantized corpus — search as
+    it runs against the persisted index form.  The oracle quantizes and
+    dequantizes inline with the identical round-to-nearest arithmetic, so the
+    exact ranking over reconstructed codes is engine-independent."""
+    from kafka_flow_spark.operators.similarity import knn_quantized
+
+    e = load(spark, sf_dir, "embeddings")
+    out = knn_quantized(e, e.filter(F.col("vec_id") < 10), k=5)
+    return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")

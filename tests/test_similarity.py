@@ -136,3 +136,17 @@ def test_arrow_bruteforce_equals_expr_bruteforce(spark):
     assert set(a) == set(b)
     for key in a:
         assert abs(a[key] - b[key]) < 1e-9
+
+
+def test_quantized_knn_recall_against_bruteforce(spark):
+    """int8 asymmetric-distance kNN must nearly reproduce the exact ranking —
+    quantization noise is ≤ scale/2 per component, far below the cosine gaps
+    between distinct 64-dim vectors."""
+    from kafka_flow_spark.operators.similarity import knn_quantized
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    queries = emb.limit(20)
+    truth = {(r["q_id"], r["neighbor_id"]) for r in knn_bruteforce(emb, queries, k=5).collect()}
+    got = {(r["q_id"], r["neighbor_id"]) for r in knn_quantized(emb, queries, k=5).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.95, f"quantized kNN recall {recall:.2f}"
