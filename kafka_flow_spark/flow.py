@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kafka_flow_spark import sources
 from kafka_flow_spark.streaming.flow import (
@@ -71,6 +72,22 @@ class Flow:
         from kafka_flow_spark.streaming.dedup import dedup_exact_stream
 
         return Flow(dedup_exact_stream(self.df, text_col), self._timered)
+
+    def quality_gate(
+        self, text_col: str, rules: dict | None = None, lang: str = "en"
+    ) -> "Flow":
+        """Drop records failing the Gopher/C4-style rule gate
+        (operators.quality).  Stateless projection + filter — streaming-safe
+        with no state, watermark, or shuffle; the stat columns are computed,
+        consulted, and dropped so the record schema is unchanged."""
+        from kafka_flow_spark.operators.quality import STAT_COLS, with_quality_stats
+
+        gated = (
+            with_quality_stats(self.df, text_col, rules, lang)
+            .where(F.col("keep"))
+            .drop(*STAT_COLS)
+        )
+        return Flow(gated, self._timered)
 
     def dedup_within(self, text_col: str, ts_col: str, horizon: str) -> "Flow":
         """Watermark-bounded exact dedup: duplicates within ``horizon`` drop,

@@ -42,25 +42,37 @@ def _bigrams(toks: Column) -> Column:
     return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
 
 
-def quality_flags(
+STAT_COLS = [
+    "n_words",
+    "mean_word_len",
+    "n_stopwords",
+    "dup_2gram_frac",
+    "symbol_frac",
+    "keep",
+]
+
+
+def with_quality_stats(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     rules: dict | None = None,
     lang: str = "en",
 ) -> DataFrame:
-    """Per-document quality statistics + a single ``keep`` verdict.
+    """Append the quality statistics + ``keep`` verdict to ``df``, preserving
+    every existing column (streaming-safe: stateless projection, no watermark,
+    no shuffle).
 
-    Output columns: id, n_words, mean_word_len, n_stopwords, dup_2gram_frac,
-    symbol_frac, keep.  Every stat is integer arithmetic with ONE final
-    division (deterministic across engines); the token array and bigram array
-    are each staged once so the text is split exactly once per row.
+    Every stat is integer arithmetic with ONE final division (deterministic
+    across engines).  The token array and bigram array are staged in their own
+    projections so the text is split exactly once per row — Catalyst's
+    CollapseProject declines to merge them because that would duplicate the
+    non-cheap split/transform expressions.
     """
     r = {**DEFAULT_RULES, **(rules or {})}
     stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
 
     staged = df.select(
-        F.col(id_col),
+        "*",
         F.length(text_col).alias("_nc"),
         (
             F.length(text_col)
@@ -68,9 +80,7 @@ def quality_flags(
         ).alias("_np"),
         tokens(text_col).alias("_toks"),
     ).select(
-        id_col,
-        "_nc",
-        "_np",
+        "*",
         F.size("_toks").alias("n_words"),
         F.aggregate(
             F.transform("_toks", F.length), F.lit(0), lambda a, x: a + x
@@ -93,14 +103,13 @@ def quality_flags(
         F.col("_np").cast("double") / F.col("_nc").cast("double")
     )
 
-    out = staged.select(
-        id_col,
-        "n_words",
-        mean_wl.alias("mean_word_len"),
-        "n_stopwords",
-        dup_frac.alias("dup_2gram_frac"),
-        sym_frac.alias("symbol_frac"),
-    )
+    out = staged.withColumns(
+        {
+            "mean_word_len": mean_wl,
+            "dup_2gram_frac": dup_frac,
+            "symbol_frac": sym_frac,
+        }
+    ).drop("_nc", "_np", "_toks", "_chars", "_g2")
     keep = (
         (F.col("n_words") >= r["min_words"])
         & (F.col("n_words") <= r["max_words"])
@@ -111,6 +120,20 @@ def quality_flags(
         & (F.col("symbol_frac") <= r["max_symbol_frac"])
     )
     return out.withColumn("keep", keep)
+
+
+def quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: dict | None = None,
+    lang: str = "en",
+) -> DataFrame:
+    """Per-document quality statistics + a single ``keep`` verdict.
+
+    Output columns: id, n_words, mean_word_len, n_stopwords, dup_2gram_frac,
+    symbol_frac, keep (the stats-only view of ``with_quality_stats``)."""
+    return with_quality_stats(df, text_col, rules, lang).select(id_col, *STAT_COLS)
 
 
 def top_word_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -67,3 +67,37 @@ def test_windowed_dedup_bounds_state_but_drops_near_duplicates(spark, tmp_path):
     write_batch(spark, input_dir, [(ts(31), 5, "alpha")])
     out3 = run_stream(spark, input_dir, chk, build)
     assert sorted(r["doc_id"] for r in out3) == [1, 3, 4, 5]
+
+
+def test_streaming_quality_gate_filters_and_keeps_schema(spark, tmp_path):
+    """Flow.quality_gate in a streaming pipeline: failing docs drop, schema is
+    unchanged, and the step is stateless (no state rows in the checkpoint)."""
+    from kafka_flow_spark.flow import Flow
+    from kafka_flow_spark.operators.quality import with_quality_stats
+
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    good = "the quick brown fox jumps over a lazy dog near the old mill today"
+    write_batch(
+        spark,
+        input_dir,
+        [(ts(0), 1, good), (ts(1), 2, "too short"), (ts(2), 3, " ".join(["ab"] * 20))],
+    )
+    records = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    flow = Flow(records).quality_gate("text")
+    assert flow.df.columns == ["ts", "doc_id", "text"]
+    out_dir = chk + "__out"
+    q = (
+        flow.df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    # batch/stream parity: the same operator on a batch df agrees
+    batch = spark.createDataFrame([(ts(0), 1, good), (ts(1), 2, "too short")], SCHEMA)
+    kept = with_quality_stats(batch, "text").where("keep").count()
+    assert kept == 1
