@@ -31,18 +31,33 @@ def no_broadcast(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    """Write the two bucketed tables once per module.  The in-memory metastore
+    forgets tables between pytest sessions while their warehouse directories
+    survive, so clear both the catalog entry AND any orphaned location first."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    orders = load(spark, SF_SMALL, "orders").select("o_orderkey", "o_orderdate")
+    lineitem = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "t_lineitem_b", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    return spark
+
+
 def _executed(df) -> str:
     df.write.mode("overwrite").format("noop").save()
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_bucketed_join_is_exchange_free(no_broadcast):
+def test_bucketed_join_is_exchange_free(bucketed_tables, no_broadcast):
     spark = no_broadcast
     orders = load(spark, SF_SMALL, "orders").select("o_orderkey", "o_orderdate")
     lineitem = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
-    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
-    write_bucketed(lineitem, "t_lineitem_b", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
-
     ob, lb = read_bucketed(spark, "t_orders_b"), read_bucketed(spark, "t_lineitem_b")
     joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
     plan = _executed(joined)
@@ -54,9 +69,9 @@ def test_bucketed_join_is_exchange_free(no_broadcast):
     assert joined.count() == expected
 
 
-def test_bucketed_aggregation_is_exchange_free(no_broadcast):
+def test_bucketed_aggregation_is_exchange_free(bucketed_tables, no_broadcast):
     spark = no_broadcast
-    lb = read_bucketed(spark, "t_lineitem_b")  # written by the join test
+    lb = read_bucketed(spark, "t_lineitem_b")
     agg = lb.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
     plan = _executed(agg)
     assert "Exchange" not in plan, f"bucketed agg still shuffles:\n{plan}"

@@ -100,7 +100,11 @@ def main() -> None:
     }
     for name, sql in jobs.items():
         out = os.path.join(dst, f"{name}.parquet")
-        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        # Small row groups: parquet splits at row-group granularity, and the
+        # driver's single-file-per-table layout would otherwise cap Spark's
+        # scan parallelism at 1-2 tasks (a 100 TB table is many files; this
+        # makes the scaled fixture behave like one).
+        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 10000)")
         n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
         print(f"{name}: {n} rows -> {out} ({os.path.getsize(out) >> 20} MB)")
 
