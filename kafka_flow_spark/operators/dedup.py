@@ -169,8 +169,8 @@ def shingle_hashes(
     """
     from pyspark.sql.window import Window
 
-    if shingle_n not in (1, 2, 3):
-        raise ValueError("shingle_n must be 1, 2 or 3")
+    if not 1 <= shingle_n <= 64:
+        raise ValueError("shingle_n must be in [1, 64]")
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     toks = tokens(normalize_text(text_col))
@@ -247,6 +247,70 @@ def winnowing_fingerprints(
         (F.count("_h").over(w) == window).alias("_full"),
     ).filter(F.col("_full") | (F.col("_pos") == 0))
     return sel.select("doc_id", "fingerprint").distinct()
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    min_occurrences: int = 2,
+    cross_doc_only: bool = False,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Exact duplicated token *spans*: maximal runs of tokens whose every
+    n-gram occurs at least ``min_occurrences`` times corpus-wide (the
+    substring-level dedup of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better" — suffix-array semantics at n-gram
+    granularity: a repeated substring of length >= shingle_n is flagged,
+    boundaries resolved to +/- shingle_n-1 tokens).
+
+    Shape for 100 TB: three shuffles, all equi-partitioned and skew-free —
+    (1) count n-gram hash occurrences (map-combinable aggregate on _h);
+    (2) semi-join positions against the duplicated-hash set (equi-join on
+    _h, reuses the aggregate's partitioning); (3) per-doc gaps-and-islands
+    window merging overlapping hits into maximal spans.  No pair explosion:
+    work is linear in token count + duplicated-hit count.
+
+    ``cross_doc_only=True`` restricts to n-grams seen in >= 2 distinct
+    documents (self-repetition within one doc is then not a duplicate).
+    Output: (doc_id, span_start, span_end, span_tokens) with token-index
+    bounds, one row per maximal duplicated span.
+    """
+    from pyspark.sql.window import Window
+
+    h = shingle_hashes(
+        df, id_col, text_col, shingle_n, with_pos=True, hash_fn=hash_fn
+    ).filter(F.col("_h").isNotNull())
+    counts = h.groupBy("_h").agg(
+        F.count("*").alias("_c"), F.count_distinct("doc_id").alias("_d")
+    )
+    cond = (
+        F.col("_d") >= 2 if cross_doc_only else F.col("_c") >= min_occurrences
+    )
+    hits = h.join(counts.filter(cond).select("_h"), "_h").select("doc_id", "_pos")
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    # hits at positions p, q (p < q) cover token intervals [p, p+n) and
+    # [q, q+n): one contiguous duplicated region iff q - p <= n
+    new_span = (
+        F.lag("_pos").over(w).isNull()
+        | (F.col("_pos") - F.lag("_pos").over(w) > shingle_n)
+    ).cast("int")
+    return (
+        hits.select("doc_id", "_pos", new_span.alias("_new"))
+        .select("doc_id", "_pos", F.sum("_new").over(w).alias("_isl"))
+        .groupBy("doc_id", "_isl")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + F.lit(shingle_n - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
 
 
 def _minhash_mins(

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from kafka_flow_spark.operators import text as T
 from kafka_flow_spark.operators.dedup import (
+    duplicate_spans,
     exact_duplicates,
     jaccard_pairs_blocked,
     minhash_lsh_pairs,
@@ -179,6 +180,48 @@ _WINNOW_ORACLE = """
 @register("q_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- exact duplicated token spans (substring-level dedup, Lee et al. 2021
+# semantics at n-gram granularity).  Oracle shares the md5→first-15-hex→Horner
+# fold with the winnowing oracle, generalized to 8-grams, then runs the same
+# duplicate-hash semi-join + gaps-and-islands merge in SQL. ---
+def _span_oracle(n: int = 8) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(lower(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents),
+    g AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS i, toks FROM t),
+    h AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             list_reduce(
+               list_transform(range(1, 16), d ->
+                 CAST(strpos('0123456789abcdef', substr(md5({gram}), d, 1)) - 1
+                      AS BIGINT)),
+               (a, b) -> a * 16 + b) % 2147483647 AS fh
+      FROM g),
+    dup AS (SELECT fh FROM h GROUP BY fh HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM h WHERE fh IN (SELECT fh FROM dup)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {n} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM hits))
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {n - 1} AS span_end,
+           MAX(pos) + {n - 1} - MIN(pos) + 1 AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """
+
+
+@register("q_duplicate_spans", oracle=_span_oracle(8))
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated 8-gram token spans across the corpus — the
+    substring-dedup primitive (find what's repeated, then cut or drop)."""
+    return duplicate_spans(load(spark, sf_dir, "documents"), "doc_id", "text", shingle_n=8)
 
 
 # --- text statistics / quality scoring ---

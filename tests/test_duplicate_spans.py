@@ -1,0 +1,97 @@
+"""duplicate_spans: substring-level dedup (Lee et al. 2021 semantics at
+n-gram granularity).  Constructed corpora with known shared runs verify span
+boundaries, overlap merging, adjacency, self-repetition scoping, and the
+no-duplicates case; oracle parity at sf0.001/sf0.01 carries the corpus-scale
+check (tests/test_oracle_parity.py::q_duplicate_spans).
+"""
+
+from __future__ import annotations
+
+from kafka_flow_spark.operators.dedup import duplicate_spans
+
+N = 3
+
+
+def _spans(spark, docs, **kw):
+    df = spark.createDataFrame(list(docs.items()), "doc_id BIGINT, text STRING")
+    rows = duplicate_spans(df, "doc_id", "text", shingle_n=N, **kw).collect()
+    return {
+        d: sorted(
+            (r["span_start"], r["span_end"]) for r in rows if r["doc_id"] == d
+        )
+        for d in docs
+    }
+
+
+def test_shared_run_exact_boundaries(spark):
+    # docs 1/2 share exactly tokens 'a b c d' -> span [0,3] in doc1, [2,5] in doc2
+    out = _spans(
+        spark,
+        {
+            1: "a b c d x1 y1 z1 w1 q1",
+            2: "p2 q2 a b c d r2 s2 t2",
+            3: "nothing here matches anything else at all today",
+        },
+    )
+    assert out[1] == [(0, 3)]
+    assert out[2] == [(2, 5)]
+    assert out[3] == []
+
+
+def test_two_separate_shared_runs_stay_separate(spark):
+    # shared runs 'a b c' and 'x y z' separated by >n unique tokens in both
+    out = _spans(
+        spark,
+        {
+            1: "a b c u1 u2 u3 u4 u5 x y z",
+            2: "a b c v1 v2 v3 v4 v5 x y z",
+        },
+    )
+    assert out[1] == [(0, 2), (8, 10)]
+    assert out[2] == [(0, 2), (8, 10)]
+
+
+def test_overlapping_hits_merge_into_one_span(spark):
+    # doc2 contains doc1's whole text -> every 3-gram of doc1 duplicated,
+    # hits at consecutive positions merge into ONE maximal span
+    out = _spans(
+        spark,
+        {
+            1: "m n o p q r s",
+            2: "pre1 pre2 m n o p q r s post1",
+        },
+    )
+    assert out[1] == [(0, 6)]
+    assert out[2] == [(2, 8)]
+
+
+def test_self_repetition_scope(spark):
+    docs = {
+        1: "rep1 rep2 rep3 mid1 mid2 mid3 rep1 rep2 rep3",
+        2: "other words entirely unrelated to the first document",
+    }
+    # corpus scope: within-doc repeated 3-gram counts as duplicated
+    out = _spans(spark, docs)
+    assert out[1] == [(0, 2), (6, 8)]
+    # cross-doc scope: no other doc shares it -> clean
+    out = _spans(spark, docs, cross_doc_only=True)
+    assert out[1] == []
+    assert out[2] == []
+
+
+def test_min_occurrences_threshold(spark):
+    # 'a b c' occurs 3x corpus-wide, 'x y z' occurs 2x
+    docs = {
+        1: "a b c s1 s2 s3 x y z",
+        2: "a b c t1 t2 t3 x y z",
+        3: "a b c u1 u2 u3 w y z",
+    }
+    out = _spans(spark, docs, min_occurrences=3)
+    assert out[1] == [(0, 2)]
+    assert out[2] == [(0, 2)]
+    assert out[3] == [(0, 2)]
+
+
+def test_short_docs_no_full_shingle(spark):
+    out = _spans(spark, {1: "a b", 2: "a b", 3: ""})
+    assert out[1] == [] and out[2] == [] and out[3] == []
