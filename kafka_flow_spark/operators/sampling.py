@@ -47,6 +47,66 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     return df.where(hash_bucket(key_col) < F.lit(fraction_threshold(fraction)))
 
 
+def key_uniform(col: Column | str) -> Column:
+    """Content-addressed uniform in [0, 1): md5 bucket / 16^6.  Division by a
+    power of two is IEEE-exact, so the value is bit-identical across engines."""
+    return F.conv(hash_bucket(col), 16, 10).cast("long") / F.lit(
+        float(16**_HEX_DIGITS)
+    )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: Column | str
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row iff u(key) < weight,
+    i.e. P[keep] = clamp(weight, 0, 1) — but with the keep DECISION a pure
+    function of the row (content-addressed, stable across runs/engines/
+    cluster sizes).  Clamping is implicit: u < 1 always, u >= 0 always, so
+    weights >= 1 always keep and weights <= 0 never do.
+
+    The curation use: upsample nothing, downsample by quality/length/domain
+    weight in ONE scan-side predicate (stacks with parquet pushdown) — the
+    standard way to temper a source mix without a shuffle.  Compare
+    ``curation.weighted_mix`` (exact per-group fractions via thresholds) —
+    this form takes a per-ROW weight expression instead of a group map."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.where(key_uniform(key_col) < w)
+
+
+def shuffle_shard(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training order.
+
+    Training runs need the corpus in pseudo-random order, split into N
+    shards, and REPRODUCIBLY so — resuming or re-sharding on a different
+    cluster must yield the identical order.  Content-addressed: shard =
+    md5-bucket(salt||key) mod N, within-shard order by the full md5 then the
+    key (total order, no hash-collision ambiguity).  ``salt`` varies the
+    permutation per epoch without touching the data.
+
+    One shuffle: the rank window partitions on shard (N partitions, balanced
+    by the uniform hash); writing shards is then a partitionBy write with
+    sortWithinPartitions — no global sort.  Output adds (shard, shard_rank).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    df = df.withColumn("_md5", F.md5(key.cast("binary")))
+    shard = F.pmod(
+        F.conv(F.substring("_md5", 1, _HEX_DIGITS), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("_md5"), F.col(key_col).cast("string"))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("shard_rank", F.row_number().over(w))
+        .drop("_md5")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

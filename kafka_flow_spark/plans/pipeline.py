@@ -140,6 +140,65 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Horner fold of the first 6 md5 hex digits — the DuckDB mirror of
+# sampling.key_uniform's conv(bucket,16,10)/16^6 (division by 2^24 is
+# IEEE-exact, so u is bit-identical in both engines).
+_U_EXPR = """
+    list_reduce(list_transform(range(1, 7), d ->
+        CAST(strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR)), d, 1)) - 1 AS BIGINT)),
+      (a, b) -> a * 16 + b) / 16777216.0
+"""
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM (SELECT doc_id, lang, n_chars, {_U_EXPR} AS u FROM documents)
+    WHERE u < n_chars / 2000.0
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-tempered importance sample: P[keep] = clamp(n_chars/2000, 0, 1)
+    per document, decided content-addressedly — one scan-side predicate."""
+    from kafka_flow_spark.operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    return weighted_sample(
+        docs, "_key", F.col("n_chars") / F.lit(2000.0)
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q_shuffle_shard",
+    oracle=f"""
+    SELECT doc_id, shard, CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY h, CAST(doc_id AS VARCHAR)) AS INT
+           ) AS shard_rank
+    FROM (SELECT doc_id, md5('ep0' || CAST(doc_id AS VARCHAR)) AS h,
+                 CAST(list_reduce(list_transform(range(1, 7), d ->
+                        CAST(strpos('0123456789abcdef',
+                             substr(md5('ep0' || CAST(doc_id AS VARCHAR)), d, 1)) - 1
+                             AS BIGINT)),
+                      (a, b) -> a * 16 + b) % 8 AS INT) AS shard
+          FROM documents)
+    """,
+)
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: 8 balanced shards, reproducible
+    pseudo-random order within each (salt 'ep0' varies the permutation per
+    epoch without touching the data)."""
+    from kafka_flow_spark.operators.sampling import shuffle_shard
+
+    docs = load(spark, sf_dir, "documents")
+    return shuffle_shard(docs, "doc_id", n_shards=8, salt="ep0").select(
+        "doc_id", "shard", "shard_rank"
+    )
+
+
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _T_TRAIN = fraction_threshold(0.8)
 _T_VAL = fraction_threshold(0.9)

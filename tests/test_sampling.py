@@ -115,3 +115,99 @@ def test_fraction_threshold_properties():
 
     check()
     check_monotone()
+
+
+# --- weighted_sample ---
+
+
+def test_weighted_sample_clamp_semantics(spark):
+    from kafka_flow_spark.operators.sampling import weighted_sample
+
+    df = _orders(spark)
+    n = df.count()
+    assert weighted_sample(df, "_key", F.lit(1.0)).count() == n
+    assert weighted_sample(df, "_key", F.lit(2.5)).count() == n
+    assert weighted_sample(df, "_key", F.lit(0.0)).count() == 0
+    assert weighted_sample(df, "_key", F.lit(-1.0)).count() == 0
+
+
+def test_weighted_sample_monotone_and_nested(spark):
+    # raising the weight only ADDS rows (the kept set is nested), and a
+    # constant weight w matches hash_sample(w) up to the conv-vs-string
+    # threshold rounding of at most one bucket
+    from kafka_flow_spark.operators.sampling import weighted_sample
+
+    df = _orders(spark)
+    lo = {r["_key"] for r in weighted_sample(df, "_key", F.lit(0.2)).select("_key").collect()}
+    hi = {r["_key"] for r in weighted_sample(df, "_key", F.lit(0.5)).select("_key").collect()}
+    assert lo <= hi
+    hs = {r["_key"] for r in hash_sample(df, "_key", 0.5).select("_key").collect()}
+    assert hi == hs
+
+
+def test_weighted_sample_partition_invariant(spark):
+    from kafka_flow_spark.operators.sampling import weighted_sample
+
+    df = _orders(spark)
+    w = F.col("o_totalprice") / F.lit(300000.0)
+    a = {r["_key"] for r in weighted_sample(df, "_key", w).select("_key").collect()}
+    b = {
+        r["_key"]
+        for r in weighted_sample(df.repartition(7), "_key", w).select("_key").collect()
+    }
+    assert a == b and 0 < len(a) < df.count()
+
+
+# --- shuffle_shard ---
+
+
+def test_shuffle_shard_total_cover_and_contiguous_ranks(spark):
+    from kafka_flow_spark.operators.sampling import shuffle_shard
+
+    df = _orders(spark)
+    out = shuffle_shard(df, "_key", n_shards=4)
+    assert out.count() == df.count()
+    per = {
+        r["shard"]: (r["n"], r["mx"])
+        for r in out.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.max("shard_rank").alias("mx"))
+        .collect()
+    }
+    assert set(per) == {0, 1, 2, 3}
+    for n, mx in per.values():
+        assert n == mx  # row_number is dense from 1..n per shard
+    # balanced within 20% of even
+    sizes = [n for n, _ in per.values()]
+    assert max(sizes) <= 1.2 * min(sizes)
+
+
+def test_shuffle_shard_deterministic_under_repartition(spark):
+    from kafka_flow_spark.operators.sampling import shuffle_shard
+
+    df = _orders(spark)
+    a = {
+        (r["_key"], r["shard"], r["shard_rank"])
+        for r in shuffle_shard(df, "_key", 4).select("_key", "shard", "shard_rank").collect()
+    }
+    b = {
+        (r["_key"], r["shard"], r["shard_rank"])
+        for r in shuffle_shard(df.repartition(13), "_key", 4)
+        .select("_key", "shard", "shard_rank")
+        .collect()
+    }
+    assert a == b
+
+
+def test_shuffle_shard_salt_changes_permutation(spark):
+    from kafka_flow_spark.operators.sampling import shuffle_shard
+
+    df = _orders(spark)
+    a = {
+        (r["_key"], r["shard"], r["shard_rank"])
+        for r in shuffle_shard(df, "_key", 4, salt="ep0").collect()
+    }
+    b = {
+        (r["_key"], r["shard"], r["shard_rank"])
+        for r in shuffle_shard(df, "_key", 4, salt="ep1").collect()
+    }
+    assert a != b  # different epoch -> different permutation
