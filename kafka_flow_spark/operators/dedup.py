@@ -313,6 +313,81 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    keep: str = "first",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The *cut* step of substring-level dedup (Lee et al. 2021): rewrite each
+    document with its duplicated spans removed, keeping one canonical
+    occurrence of each repeated passage.
+
+    Span occurrences are grouped by a content fingerprint (md5 of the covered
+    token slice); within a group the lexicographically-first occurrence by
+    (doc_id, span_start) survives (``keep="first"``) — a deterministic,
+    engine-independent choice — or every occurrence is cut (``keep="none"``,
+    the aggressive mode for boilerplate).  The rewrite operates on the
+    NORMALIZED token stream (lowercased, whitespace-collapsed — the same
+    stream the spans were detected on), so offsets always line up.
+
+    Scale shape: spans per doc are few and disjoint (maximal islands), so the
+    per-doc cut list is a bounded collect_list; the token rewrite is one
+    higher-order array filter per row (JVM codegen, no explode of the corpus).
+    Output: (doc_id, clean_text, n_tokens_removed).
+    """
+    from pyspark.sql.window import Window
+
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    spans = duplicate_spans(df, id_col, text_col, shingle_n, hash_fn=hash_fn)
+    toks_df = df.select(
+        F.col(id_col).alias("doc_id"), tokens(normalize_text(text_col)).alias("_toks")
+    )
+    spans = spans.join(toks_df, "doc_id")
+    if keep == "first":
+        fp = F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "_toks",
+                    F.col("span_start") + 1,
+                    F.col("span_end") - F.col("span_start") + 1,
+                ),
+            )
+        )
+        w = Window.partitionBy("_fp").orderBy("doc_id", "span_start")
+        spans = (
+            spans.withColumn("_fp", fp)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > 1)
+        )
+    cuts = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_cuts")
+    )
+    out = toks_df.join(cuts, "doc_id", "left")
+    covered = lambda s: F.exists(  # noqa: E731
+        F.col("_cuts"),
+        lambda c: (s["i"] >= c["span_start"]) & (s["i"] <= c["span_end"]),
+    )
+    kept = F.when(F.col("_cuts").isNull(), F.col("_toks")).otherwise(
+        F.transform(
+            F.filter(
+                F.transform("_toks", lambda x, i: F.struct(x.alias("t"), i.alias("i"))),
+                lambda s: ~covered(s),
+            ),
+            lambda s: s["t"],
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("_toks") - F.size(kept)).cast("int").alias("n_tokens_removed"),
+    )
+
+
 def _minhash_mins(
     df: DataFrame,
     id_col: str,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from kafka_flow_spark.operators import text as T
 from kafka_flow_spark.operators.dedup import (
     duplicate_spans,
+    remove_duplicate_spans,
     exact_duplicates,
     jaccard_pairs_blocked,
     minhash_lsh_pairs,
@@ -215,6 +216,70 @@ def _span_oracle(n: int = 8) -> str:
            MAX(pos) + {n - 1} - MIN(pos) + 1 AS span_tokens
     FROM isl GROUP BY doc_id, island
     """
+
+
+def _span_cut_oracle(n: int = 8) -> str:
+    """Span detection (as _span_oracle) + the keep-first cut: fingerprint each
+    span occurrence by md5 of its token slice, cut rank>=2 occurrences, rebuild
+    each doc from the uncut positions of the normalized token stream."""
+    gram = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(lower(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents),
+    g AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS i, toks FROM t),
+    h AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             list_reduce(
+               list_transform(range(1, 16), d ->
+                 CAST(strpos('0123456789abcdef', substr(md5({gram}), d, 1)) - 1
+                      AS BIGINT)),
+               (a, b) -> a * 16 + b) % 2147483647 AS fh
+      FROM g),
+    dup AS (SELECT fh FROM h GROUP BY fh HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM h WHERE fh IN (SELECT fh FROM dup)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {n} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM hits)),
+    sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + {n - 1} AS e
+           FROM isl GROUP BY doc_id, island),
+    fp AS (SELECT sp.doc_id, sp.s, sp.e,
+                  md5(array_to_string(list_slice(t.toks, sp.s + 1, sp.e + 1), ' ')) AS f
+           FROM sp JOIN t ON sp.doc_id = t.doc_id),
+    cut AS (SELECT doc_id, s, e FROM (
+              SELECT doc_id, s, e,
+                     ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id, s) AS rk
+              FROM fp)
+            WHERE rk > 1),
+    tk AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS pos, toks FROM t),
+    tk2 AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tk),
+    clean AS (
+      SELECT tk2.doc_id,
+             string_agg(tk2.tok, ' ' ORDER BY tk2.pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM tk2 LEFT JOIN cut c
+        ON tk2.doc_id = c.doc_id AND tk2.pos BETWEEN c.s AND c.e
+      WHERE c.doc_id IS NULL
+      GROUP BY tk2.doc_id)
+    SELECT t.doc_id,
+           COALESCE(clean.clean_text, '') AS clean_text,
+           CAST(len(t.toks) - COALESCE(clean.n_kept, 0) AS INT) AS n_tokens_removed
+    FROM t LEFT JOIN clean ON t.doc_id = clean.doc_id
+    """
+
+
+@register("q_remove_duplicate_spans", oracle=_span_cut_oracle(8))
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cut step of substring dedup: rewrite documents with duplicated
+    8-gram spans removed, first occurrence of each repeated passage kept."""
+    return remove_duplicate_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", shingle_n=8
+    )
 
 
 @register("q_duplicate_spans", oracle=_span_oracle(8))

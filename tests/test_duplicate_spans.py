@@ -95,3 +95,55 @@ def test_min_occurrences_threshold(spark):
 def test_short_docs_no_full_shingle(spark):
     out = _spans(spark, {1: "a b", 2: "a b", 3: ""})
     assert out[1] == [] and out[2] == [] and out[3] == []
+
+
+# --- remove_duplicate_spans (the cut step) ---
+
+
+def _clean(spark, docs, **kw):
+    from kafka_flow_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id BIGINT, text STRING")
+    rows = remove_duplicate_spans(df, "doc_id", "text", shingle_n=N, **kw).collect()
+    return {r["doc_id"]: (r["clean_text"], r["n_tokens_removed"]) for r in rows}
+
+
+def test_cut_keeps_first_occurrence(spark):
+    out = _clean(
+        spark,
+        {
+            1: "a b c d x1 y1 z1",
+            2: "p2 q2 a b c d r2",
+            3: "w3 a b c d v3 u3",
+        },
+    )
+    # doc 1 (lowest doc_id) keeps the shared run; docs 2 and 3 lose it
+    assert out[1] == ("a b c d x1 y1 z1", 0)
+    assert out[2] == ("p2 q2 r2", 4)
+    assert out[3] == ("w3 v3 u3", 4)
+
+
+def test_cut_none_removes_all_occurrences(spark):
+    out = _clean(spark, {1: "a b c d x1", 2: "y2 a b c d"}, keep="none")
+    assert out[1] == ("x1", 4)
+    assert out[2] == ("y2", 4)
+
+
+def test_cut_preserves_unaffected_docs_normalized(spark):
+    # untouched docs come back as their normalized token stream
+    out = _clean(spark, {1: "  Mixed   CASE    doc  ", 2: "another doc entirely here"})
+    assert out[1] == ("mixed case doc", 0)
+    assert out[2] == ("another doc entirely here", 0)
+
+
+def test_cut_total_tokens_conserved(spark):
+    docs = {
+        1: "a b c d e f g h i j",
+        2: "z2 a b c d e f g h i j y2",
+    }
+    out = _clean(spark, docs)
+    for d, text in docs.items():
+        n_orig = len(text.split())
+        clean, removed = out[d]
+        n_clean = len(clean.split()) if clean else 0
+        assert n_clean + removed == n_orig
