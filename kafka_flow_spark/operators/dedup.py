@@ -413,6 +413,41 @@ def _minhash_mins(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def _banded(per_doc: DataFrame, bands: int, r: int) -> DataFrame:
+    """Explode k minima columns into the LSH banding table
+    (doc_id, band_id, band_hash) — r minima hashed per band."""
+    return per_doc.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.hash(*[F.col(f"_m{bi * r + j}") for j in range(r)]).alias("band_hash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def band_hashes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = _K_DEFAULT,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document LSH band hashes (doc_id, band_id, band_hash): two docs are
+    near-dup CANDIDATES iff they share any (band_id, band_hash) row.  The unit
+    of the banding equi-join in ``minhash_lsh_pairs``, exposed for incremental
+    use — a persisted band-hash table IS the streaming dedup index."""
+    assert k % bands == 0
+    return _banded(_minhash_mins(df, id_col, text_col, k, shingle_n), bands, k // bands)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -443,20 +478,7 @@ def minhash_lsh_pairs(
     )
     if verify:
         per_doc = per_doc.persist()
-    banded = per_doc.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_id"),
-                        F.hash(*[F.col(f"_m{bi * r + j}") for j in range(r)]).alias("band_hash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    banded = _banded(per_doc, bands, r)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

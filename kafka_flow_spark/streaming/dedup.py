@@ -27,7 +27,10 @@ batch and streaming dedup agree on what "identical" means.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kafka_flow_spark.operators.text import fingerprint
 
@@ -41,6 +44,111 @@ def dedup_exact_stream(records: DataFrame, text_col: str) -> DataFrame:
         .dropDuplicates([FP_COL])
         .drop(FP_COL)
     )
+
+
+def make_near_dedup_batch_fn(
+    text_col: str,
+    id_col: str,
+    index_dir: str,
+    out_dir: str,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+):
+    """First-wins NEAR-dup dedup for a document stream — the streaming form of
+    ``operators.dedup.minhash_lsh_pairs``, as a ``foreachBatch`` function.
+
+    The dedup state is a persisted band-hash table (``index_dir``), not
+    executor state: at 100 TB the index is a parquet/Delta table that any
+    batch job can also read, and each micro-batch is one stream-static
+    anti-join against it — the standard incremental-index design.  Per batch:
+
+    1. band-hash the batch docs (same k/bands/shingles as the batch operator,
+       so stream and batch agree on what "near-duplicate" means);
+    2. drop docs sharing ANY band with the index (near-dup of an already-kept
+       doc; LSH-probabilistic recall, as in the batch operator);
+    3. batch-atomic first-wins among survivors: connected components over
+       intra-batch band collisions keep the min-id doc per component (a batch
+       is processed as one atomic arrival, so chains collapse to their
+       canonical survivor — deterministic regardless of partitioning);
+    4. append kept docs to ``out_dir`` and their bands to ``index_dir``.
+
+    Parquet appends in foreachBatch are at-least-once under batch retry (same
+    contract as persistence/journal.py sinks; use an epoch-id MERGE sink for
+    exactly-once).
+    """
+    from kafka_flow_spark.operators.dedup import band_hashes
+    from kafka_flow_spark.operators.graph import connected_components
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bh = band_hashes(batch_df, id_col, text_col, k, bands, shingle_n).persist()
+        if os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        ):
+            seen = spark.read.parquet(index_dir)
+            hit = (
+                bh.join(seen, ["band_id", "band_hash"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            alive_bh = bh.join(hit, "doc_id", "left_anti").persist()
+        else:
+            alive_bh = bh
+        a, b = alive_bh.alias("a"), alive_bh.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .distinct()
+        )
+        cc = connected_components(pairs, src="a_id", dst="b_id")
+        drop = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        kept_ids = alive_bh.select("doc_id").distinct().join(drop, "doc_id", "left_anti")
+        kept = batch_df.join(
+            kept_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        )
+        kept.write.mode("append").parquet(out_dir)
+        alive_bh.join(drop, "doc_id", "left_anti").write.mode("append").parquet(
+            index_dir
+        )
+        alive_bh.unpersist()
+        bh.unpersist()
+
+    return fn
+
+
+def dedup_near_stream(
+    records: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+    **kw,
+):
+    """Attach the near-dedup foreachBatch sink to a streaming DataFrame and
+    return the started query.  Kept docs land in ``out_dir``; the band-hash
+    index in ``index_dir`` carries the dedup state across restarts (it is
+    rebuilt from data, not from the checkpoint, so batch jobs can share it)."""
+    fn = make_near_dedup_batch_fn(text_col, id_col, index_dir, out_dir, **kw)
+    writer = (
+        records.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(fn)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def dedup_exact_stream_windowed(

@@ -101,3 +101,59 @@ def test_streaming_quality_gate_filters_and_keeps_schema(spark, tmp_path):
     batch = spark.createDataFrame([(ts(0), 1, good), (ts(1), 2, "too short")], SCHEMA)
     kept = with_quality_stats(batch, "text").where("keep").count()
     assert kept == 1
+
+
+def _near_docs():
+    base = "the quick brown fox jumps over the lazy dog while seven wizards watch quietly tonight"
+    near = base.replace("quietly", "silently")  # high-jaccard near-dup of base
+    other = "completely different content about databases indexes shuffles partitions and aggregation strategies"
+    return base, near, other
+
+
+def run_near_stream(spark, input_dir, chk, index_dir, out_dir):
+    from kafka_flow_spark.streaming.dedup import dedup_near_stream
+
+    records = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    q = dedup_near_stream(records, "text", "doc_id", index_dir, out_dir, chk)
+    q.awaitTermination()
+    return sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+
+
+def test_near_dedup_stream_first_wins_across_batches(spark, tmp_path):
+    """Streaming MinHash-LSH dedup: near-dups drop within a batch (min id
+    survives) and across batches/restarts (persisted band index)."""
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    index_dir, out_dir = str(tmp_path / "idx"), str(tmp_path / "out")
+    base, near, other = _near_docs()
+
+    # batch 1: base + its near-dup + one unique -> keep 1 (min id) and 3
+    write_batch(spark, input_dir, [(ts(0), 1, base), (ts(0), 2, near), (ts(0), 3, other)])
+    assert run_near_stream(spark, input_dir, chk, index_dir, out_dir) == [1, 3]
+
+    # batch 2 (restart from checkpoint): another near-dup of base drops via
+    # the index; a fresh doc passes
+    fresh = "yet another unrelated document mentioning graphs components stars and deterministic convergence checks"
+    write_batch(spark, input_dir, [(ts(5), 4, base + " extra"), (ts(5), 5, fresh)])
+    assert run_near_stream(spark, input_dir, chk, index_dir, out_dir) == [1, 3, 5]
+
+
+def test_near_dedup_stream_agrees_with_batch_operator(spark, tmp_path):
+    """Stream-ingesting a corpus in one batch keeps exactly the canonical
+    survivors the batch pipeline (minhash_lsh_pairs -> dedup_clusters) keeps."""
+    from kafka_flow_spark.operators.dedup import minhash_lsh_pairs
+    from kafka_flow_spark.operators.graph import dedup_clusters
+
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    index_dir, out_dir = str(tmp_path / "idx"), str(tmp_path / "out")
+    base, near, other = _near_docs()
+    rows = [(ts(0), 1, base), (ts(0), 2, near), (ts(0), 3, other), (ts(0), 4, near + " tail")]
+    write_batch(spark, input_dir, rows)
+    kept_stream = run_near_stream(spark, input_dir, chk, index_dir, out_dir)
+
+    docs = spark.createDataFrame(rows, SCHEMA)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.0)
+    clusters = dedup_clusters(docs, pairs)
+    kept_batch = sorted(
+        r["cluster_id"] for r in clusters.select("cluster_id").distinct().collect()
+    )
+    assert kept_stream == kept_batch
