@@ -53,6 +53,7 @@ def load_all_plans() -> None:
         quality,
         relational,
         tpch,
+        udx,
     )
 
     _LOADED = True
