@@ -41,7 +41,7 @@ def _token_offsets_udtf():
     if "udtf" not in _CACHE:
         from pyspark.sql.functions import udtf
 
-        @udtf(returnType="tok_idx INT, token STRING, char_start INT")
+        @udtf(returnType="tok_idx INT, token STRING, char_start INT", useArrow=True)
         class TokenOffsets:
             """Tokens of a normalized text with character offsets (one space
             between tokens after normalization, so offsets are prefix sums of
