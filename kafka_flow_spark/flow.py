@@ -110,6 +110,25 @@ class Flow:
     def to_memory(self, query_name: str, checkpoint: str) -> None:
         run_to_memory_sink(self.df, checkpoint, query_name, available_now=not self._timered)
 
+    def to_near_dedup(
+        self,
+        text_col: str,
+        id_col: str,
+        index_dir: str,
+        out_dir: str,
+        checkpoint: str,
+        **kw,
+    ) -> None:
+        """Near-dup dedup sink (streaming MinHash-LSH vs a persisted band
+        index — streaming.dedup.dedup_near_stream): kept docs append to
+        ``out_dir``, the dedup index to ``index_dir``."""
+        from kafka_flow_spark.streaming.dedup import dedup_near_stream
+
+        q = dedup_near_stream(
+            self.df, text_col, id_col, index_dir, out_dir, checkpoint, **kw
+        )
+        q.awaitTermination()
+
     def foreach_batch(self, fn, checkpoint: str) -> None:
         """Custom sink per epoch (explicit snapshot/journal tables, Kafka
         writes, MERGE upserts) — the foreachBatch escape hatch."""

@@ -64,6 +64,33 @@ def cluster_within_partitions(df: DataFrame, sort_cols: list[str]) -> DataFrame:
     return df.sortWithinPartitions(*sort_cols)
 
 
+def write_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    path: str,
+    salt: str = "",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a training corpus as N pseudo-randomly-ordered shards
+    (operators.sampling.shuffle_shard): directory per shard, rows inside each
+    file in the deterministic within-shard order.  One repartition on the
+    shard id (so a shard is one write task → one ordered file) + a map-side
+    sort — no global sort at any scale.  Re-running with the same salt
+    reproduces byte-identical shard contents; a new salt is a new epoch
+    permutation."""
+    from kafka_flow_spark.operators.sampling import shuffle_shard
+
+    sharded = shuffle_shard(df, key_col, n_shards, salt)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_rank")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back with its bucket spec intact (plain
     ``spark.read.parquet`` on the files would DROP the spec — the metastore

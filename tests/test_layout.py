@@ -105,3 +105,42 @@ def test_cluster_within_partitions_no_shuffle(spark):
     plan = cluster_within_partitions(l, ["l_shipdate"])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Sort" in plan
+
+
+def test_write_shards_reproducible_ordered_files(spark, tmp_path):
+    """write_shards: one ordered file per shard dir; same salt -> byte-stable
+    contents; new salt -> different permutation."""
+    import glob
+    import pandas as pd
+
+    from kafka_flow_spark.layout import write_shards
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    orders = load(spark, SF_SMALL, "orders").select("o_orderkey").withColumn(
+        "_key", F.col("o_orderkey").cast("string")
+    )
+    p1 = str(tmp_path / "ep0")
+    write_shards(orders, "_key", 4, p1, salt="ep0")
+    dirs = sorted(glob.glob(p1 + "/shard=*"))
+    assert len(dirs) == 4
+    total = 0
+    for d in dirs:
+        files = [f for f in glob.glob(d + "/*.parquet")]
+        assert len(files) == 1  # one write task per shard -> one ordered file
+        pdf = pd.read_parquet(files[0])
+        total += len(pdf)
+        assert list(pdf["shard_rank"]) == sorted(pdf["shard_rank"])  # ordered
+        assert pdf["shard_rank"].iloc[0] == 1
+    assert total == orders.count()
+    # reproducibility: same salt -> identical (key, rank) assignment
+    p2 = str(tmp_path / "ep0b")
+    write_shards(orders, "_key", 4, p2, salt="ep0")
+    a = pd.read_parquet(p1).sort_values("_key").reset_index(drop=True)
+    b = pd.read_parquet(p2).sort_values("_key").reset_index(drop=True)
+    assert a[["_key", "shard_rank"]].equals(b[["_key", "shard_rank"]])
+    # a new salt is a different permutation
+    p3 = str(tmp_path / "ep1")
+    write_shards(orders, "_key", 4, p3, salt="ep1")
+    c = pd.read_parquet(p3).sort_values("_key").reset_index(drop=True)
+    assert not a[["_key", "shard_rank"]].equals(c[["_key", "shard_rank"]])

@@ -157,3 +157,17 @@ def test_near_dedup_stream_agrees_with_batch_operator(spark, tmp_path):
         r["cluster_id"] for r in clusters.select("cluster_id").distinct().collect()
     )
     assert kept_stream == kept_batch
+
+
+def test_flow_to_near_dedup_sink(spark, tmp_path):
+    """Flow API form of the near-dedup sink behaves like dedup_near_stream."""
+    from kafka_flow_spark.flow import Flow
+
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    index_dir, out_dir = str(tmp_path / "idx"), str(tmp_path / "out")
+    base, near, other = _near_docs()
+    write_batch(spark, input_dir, [(ts(0), 1, base), (ts(0), 2, near), (ts(0), 3, other)])
+    flow = Flow.from_files(spark, input_dir, SCHEMA)
+    flow.to_near_dedup("text", "doc_id", index_dir, out_dir, chk)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert kept == [1, 3]
