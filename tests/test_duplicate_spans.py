@@ -147,3 +147,47 @@ def test_cut_total_tokens_conserved(spark):
         clean, removed = out[d]
         n_clean = len(clean.split()) if clean else 0
         assert n_clean + removed == n_orig
+
+
+# --- randomized differential: operator vs pure-Python brute force ---
+
+
+def _brute_spans(docs: dict[int, str], n: int) -> dict[int, list[tuple[int, int]]]:
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in docs.items()}
+    grams: Counter = Counter()
+    for ts_ in toks.values():
+        for i in range(len(ts_) - n + 1):
+            grams[tuple(ts_[i : i + n])] += 1
+    out: dict[int, list[tuple[int, int]]] = {}
+    for d, ts_ in toks.items():
+        hits = [
+            i for i in range(len(ts_) - n + 1) if grams[tuple(ts_[i : i + n])] >= 2
+        ]
+        spans: list[list[int]] = []
+        for p in hits:
+            if spans and p - (spans[-1][1] - n + 1) <= n:
+                spans[-1][1] = p + n - 1
+            else:
+                spans.append([p, p + n - 1])
+        out[d] = [tuple(s) for s in spans]
+    return out
+
+
+def test_random_corpora_match_brute_force(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    doc = st.lists(token, min_size=0, max_size=18).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=5).map(
+        lambda ds: {i + 1: d for i, d in enumerate(ds)}
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(corpus)
+    def check(docs):
+        assert _spans(spark, docs) == _brute_spans(docs, N)
+
+    check()
