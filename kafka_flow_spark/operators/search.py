@@ -1,0 +1,252 @@
+"""Full-text keyword search over a document corpus: inverted index + BM25.
+
+The training-data counterpart of "grep the corpus": targeted retrieval for
+eval-set curation, contamination triage, and topic mining over a 100 TB text
+table.  No counterpart in the reference (kafka-flow never inspects payloads);
+this is Phase-4 surface (SURVEY.md §7).
+
+Scale design
+------------
+- The inverted index is ONE explode + ONE map-side-combinable groupBy per doc
+  batch: ``(term, doc_id, tf)`` postings plus per-doc lengths.  At 100 TB the
+  postings table is written bucketed by term (layout.py) so query-time lookups
+  are partition-pruned scans, exchange-free.
+- Query sets are small by nature → broadcast equi-join against postings; the
+  per-(query, doc) score aggregation groups on (query_id, doc_id) — one
+  shuffle whose reduce-side cardinality is bounded by matched postings, not
+  the corpus.
+- Scoring avoids transcendentals so results are bit-reproducible across
+  engines: the classic BM25 idf ``ln((N-df+0.5)/(df+0.5)+1)`` is replaced by
+  its argument (a rational function — ``ln`` is monotone, so rankings are
+  UNCHANGED; only the score scale differs, documented as ``rational-idf
+  BM25``).  Per-term scores then quantize to integer micro-units so the
+  cross-term SUM is order-insensitive (bigint), making distributed
+  aggregation exact — same trick as functions.cents for money.
+- Everything is JVM built-ins in whole-stage codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators import text as T
+
+# BM25 shape parameters, pre-folded so both engines evaluate the identical
+# IEEE expression tree: k1=1.2, b=0.75 → k1+1=2.2, k1*(1-b)=0.3, k1*b=0.9.
+K1_PLUS_1 = 2.2
+K1_ONE_MINUS_B = 0.3
+K1_B = 0.9
+SCORE_SCALE = 1_000_000  # micro-units: quantized per-term score granularity
+
+
+def doc_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term) pairs: normalized (lowercase, whitespace-collapsed)
+    tokens exploded — the single scan every index structure derives from."""
+    return (
+        docs.filter(F.length(F.trim(text_col)) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(T.tokens(T.normalize_text(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def postings(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Inverted-index postings ``(term, doc_id, tf)``.
+
+    One explode + one groupBy: partial aggregation collapses each doc's
+    repeated terms map-side, so the shuffle carries at most |vocab| rows per
+    doc, not |tokens|."""
+    return (
+        doc_tokens(docs, text_col, id_col)
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dl): token count per doc — BM25's length normalizer.  Computed
+    from the token array size directly (no explode, no shuffle)."""
+    return docs.filter(F.length(F.trim(text_col)) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(T.tokens(T.normalize_text(text_col))).alias("dl"),
+    )
+
+
+def term_stats(post: DataFrame) -> DataFrame:
+    """(term, df): document frequency per term, from postings."""
+    return post.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch multi-query BM25: score every (query_id, doc) pair that shares at
+    least one term.
+
+    ``queries`` is ``(query_id, term)`` — one row per query term.  Returns
+    ``(query_id, doc_id, score_micro)`` where ``score_micro`` is the summed
+    per-term rational-idf BM25 score in integer micro-units (bigint — exact,
+    order-insensitive; divide by 1e6 for the float score).
+
+    Plan shape: postings ⋈ broadcast(queries) (query term sets are small) →
+    join doc lengths → per-term quantized score → groupBy (query_id, doc_id)
+    sum.  corpus-size scalars (N, avgdl) ride along via a broadcast single-row
+    aggregate, not a driver collect.
+    """
+    post = postings(docs, text_col, id_col)
+    dls = doc_lengths(docs, text_col, id_col)
+    # One tiny aggregate row: corpus doc count + total token count.  Broadcast
+    # cross-join (1 row) keeps the plan fully distributed.
+    corpus = dls.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    # Restrict postings to the query vocabulary FIRST (broadcast semi-ish
+    # join) — document frequency per query term then falls out of the small
+    # filtered postings (one row per (term, doc)), no corpus-wide term_stats
+    # aggregate needed at query time.
+    qterms = queries.select("term").distinct()
+    qpost = post.join(F.broadcast(qterms), "term")
+    dfreq = qpost.groupBy("term").agg(F.count("*").alias("df"))
+
+    matched = (
+        qpost.join(F.broadcast(queries), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    # avgdl = total_dl / n_docs: one exact bigint-to-double division; all
+    # following arithmetic is IEEE +,-,*,/ in a fixed tree → bit-identical
+    # across engines evaluating the same shape.
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    tf_part = (tf_d * F.lit(K1_PLUS_1)) / (
+        tf_d
+        + (F.lit(K1_ONE_MINUS_B) + (F.lit(K1_B) * F.col("dl").cast("double")) / avgdl)
+    )
+    score_micro = F.floor(idf * tf_part * F.lit(float(SCORE_SCALE)) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        matched.select("query_id", "doc_id", score_micro.alias("_s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_s").alias("score_micro"))
+    )
+
+
+def search_bm25(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs per query by BM25: ``(query_id, doc_id, rank, score_micro)``.
+
+    One window shuffle on query_id (tiny cardinality: ranking runs as a
+    per-query top-k with rank-limit pushdown).  Ties break on doc_id so the
+    result is a total order — reproducible across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    scored = bm25_scores(docs, queries, text_col, id_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score_micro")
+    )
+
+
+def vocab_top_k(
+    docs: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: top-k terms by total occurrences.
+
+    ``(term, n_occurrences, n_docs, rank)`` — ties break on the term string so
+    the cut is a total order.  One explode + one map-combinable groupBy + one
+    single-partition top-k window (k is small; the heavy lifting is the
+    partial aggregation map-side).  This is the tokenizer-training /
+    vocab-coverage primitive of a corpus pipeline."""
+    from pyspark.sql import Window
+
+    counts = (
+        doc_tokens(docs, text_col, id_col)
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+    # Distributed top-k FIRST (TakeOrderedAndProject — per-partition heaps,
+    # no global sort), then rank the k survivors with a window that only ever
+    # sees k rows.  A bare row_number window here would funnel the whole
+    # vocabulary (billions of terms at 100 TB) through one partition.
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "term", "n_occurrences", "n_docs", "rank"
+    )
+
+
+def oov_stats(
+    docs: DataFrame,
+    vocab: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per group against a vocab DataFrame (``term``).
+
+    ``(group, n_tokens, n_oov, oov_rate)`` — the coverage report that decides
+    whether a tokenizer vocab is big enough for a corpus slice.  Exact-rational
+    output: bigint token counts aggregated first, ONE double division per
+    output group (order-insensitive, engine-exact).  Plan: explode → broadcast
+    left-semi-style vocab probe (vocab is small by construction) → one
+    groupBy."""
+    toks = docs.filter(F.length(F.trim(text_col)) > 0).select(
+        F.col(group_col).alias("grp"),
+        F.explode(T.tokens(T.normalize_text(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    marked = toks.join(
+        F.broadcast(vocab.select("term").distinct().withColumn("_iv", F.lit(1))),
+        "term",
+        "left",
+    )
+    return (
+        marked.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+def queries_from_terms(spark, query_terms: dict[str, list[str]]) -> DataFrame:
+    """Build the ``(query_id, term)`` DataFrame from a {query_id: [terms]}
+    dict (terms are normalized the same way doc text is)."""
+    rows = [
+        (qid, t.strip().lower())
+        for qid, terms in sorted(query_terms.items())
+        for t in terms
+    ]
+    return spark.createDataFrame(rows, "query_id string, term string").distinct()

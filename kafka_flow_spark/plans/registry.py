@@ -52,6 +52,7 @@ def load_all_plans() -> None:
         pipeline,
         quality,
         relational,
+        search,
         tpch,
         udx,
     )

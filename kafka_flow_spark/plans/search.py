@@ -1,0 +1,132 @@
+"""Oracle-gated queries for the full-text search operators (operators/search.py).
+
+The reference never inspects payload text (kafka-flow folds opaque bytes —
+`core/.../Fold.scala:14`); keyword retrieval over the corpus is Phase-4
+surface (SURVEY.md §7): eval-curation "grep", contamination triage, topic
+mining.  Scoring is rational-idf BM25 quantized to integer micro-units so the
+cross-term sum is order-insensitive and bit-identical across engines (see the
+operator module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators import search as S
+from kafka_flow_spark.plans.registry import register
+from kafka_flow_spark.tables import load
+
+# The fixed query set for the registry proof (two multi-term queries over the
+# synthetic corpus vocabulary).
+QUERY_TERMS = {
+    "q_engine": ["spark", "vector", "merge"],
+    "q_retail": ["customer", "join"],
+}
+
+_QUERY_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in sorted(QUERY_TERMS.items()) for t in terms
+)
+
+# Tokenization shared with q_explode_word_counts' oracle: normalize (collapse
+# whitespace, lower, trim) then split on single spaces.
+_TOKS = (
+    "string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+)
+
+_BM25_ORACLE = f"""
+WITH queries(query_id, term) AS (VALUES {_QUERY_VALUES}),
+toks AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+post AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks2 GROUP BY term, doc_id),
+dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dls),
+qpost AS (SELECT p.* FROM post p JOIN (SELECT DISTINCT term FROM queries) USING (term)),
+dfreq AS (SELECT term, COUNT(*) AS df FROM qpost GROUP BY term),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(floor(
+           (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+            * ((CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + (0.3 + (0.9 * CAST(dl AS DOUBLE))
+                           / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+           * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM qpost p
+  JOIN queries q USING (term)
+  JOIN dfreq USING (term)
+  JOIN dls USING (doc_id)
+  CROSS JOIN corpus),
+agg AS (SELECT query_id, doc_id, SUM(s) AS score_micro FROM scored GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, rank, score_micro FROM (
+  SELECT query_id, doc_id, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS rank
+  FROM agg)
+WHERE rank <= 10
+"""
+
+
+@register("q_search_bm25", oracle=_BM25_ORACLE)
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs for each of two fixed multi-term queries, rational-idf BM25.
+
+    Plan: postings restricted to the query vocabulary via a broadcast join,
+    per-term quantized scores summed in one (query_id, doc_id) aggregate, then
+    a per-query top-k window — the matched-postings shuffle is the only one
+    whose width scales with the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    queries = S.queries_from_terms(spark, QUERY_TERMS)
+    return S.search_bm25(docs, queries, k=10)
+
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+counts AS (
+  SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+  FROM toks2 GROUP BY term)
+SELECT term, n_occurrences, n_docs,
+       ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) AS rank
+FROM counts
+ORDER BY n_occurrences DESC, term
+LIMIT 20
+"""
+
+
+@register("q_vocab_top_terms", oracle=_VOCAB_ORACLE)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vocabulary by occurrences (tokenizer-training primitive).
+    Distributed top-k (per-partition heaps) before the k-row rank window."""
+    docs = load(spark, sf_dir, "documents")
+    return S.vocab_top_k(docs, k=20)
+
+
+_OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, UNNEST({_TOKS}) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+toks2 AS (SELECT lang, term FROM toks WHERE term <> ''),
+counts AS (SELECT term, COUNT(*) AS n FROM toks2 GROUP BY term),
+vocab AS (SELECT term FROM counts ORDER BY n DESC, term LIMIT 10),
+marked AS (
+  SELECT t.lang, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks2 t LEFT JOIN vocab v ON t.term = v.term)
+SELECT lang, COUNT(*) AS n_tokens, SUM(oov) AS n_oov,
+       CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM marked GROUP BY lang
+"""
+
+
+@register("q_vocab_oov_rate", oracle=_OOV_ORACLE)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV rate against the corpus top-10 vocab: the coverage
+    report deciding whether a tokenizer vocabulary fits a corpus slice.
+    Bigint counts aggregate first; one double division per output group."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = S.vocab_top_k(docs, k=10)
+    return S.oov_stats(docs, vocab, group_col="lang")

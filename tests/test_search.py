@@ -1,0 +1,121 @@
+"""Unit tests for the full-text search operators (operators/search.py).
+
+The registry queries are oracle-gated (tests/test_oracle_parity.py covers
+hash-exactness); these tests pin semantics on crafted corpora where the
+expected answer is hand-checkable: postings/tf, document-frequency, BM25
+ranking direction, vocab cut determinism, and OOV accounting.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_flow_spark.operators import search as S
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark spark spark join"),          # tf(spark)=3, dl=4
+        (2, "spark join merge"),                # tf(spark)=1, dl=3
+        (3, "merge merge sort sort sort sort"),  # no spark, dl=6
+        (4, "   "),                             # whitespace-only: excluded
+        (5, "Spark  JOIN"),                     # case/whitespace normalize, dl=2
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_postings_tf_and_normalization(corpus):
+    post = {(r.term, r.doc_id): r.tf for r in S.postings(corpus).collect()}
+    assert post[("spark", 1)] == 3
+    assert post[("spark", 2)] == 1
+    assert post[("spark", 5)] == 1  # "Spark" lowercased
+    assert post[("join", 5)] == 1
+    assert ("sort", 3) in post and post[("sort", 3)] == 4
+    assert not any(d == 4 for (_, d) in post)  # blank doc indexed nowhere
+
+
+def test_doc_lengths_skip_blank(corpus):
+    dls = {r.doc_id: r.dl for r in S.doc_lengths(corpus).collect()}
+    assert dls == {1: 4, 2: 3, 3: 6, 5: 2}
+
+
+def test_term_stats_df(corpus):
+    dfreq = {r.term: r.df for r in S.term_stats(S.postings(corpus)).collect()}
+    assert dfreq["spark"] == 3  # docs 1, 2, 5
+    assert dfreq["merge"] == 2  # docs 2, 3
+    assert dfreq["sort"] == 1
+
+
+def test_bm25_ranks_higher_tf_first(spark, corpus):
+    queries = S.queries_from_terms(spark, {"q": ["spark"]})
+    res = S.search_bm25(corpus, queries, k=10).collect()
+    ranked = [r.doc_id for r in sorted(res, key=lambda r: r.rank)]
+    # doc 1 has tf=3 but dl=4; doc 5 tf=1 dl=2 (short-doc boost); doc 2 tf=1 dl=3.
+    # tf dominates here: doc 1 first; doc 5 beats doc 2 on length normalization.
+    assert ranked[0] == 1
+    assert set(ranked) == {1, 2, 5}
+    assert ranked.index(5) < ranked.index(2)
+    assert all(r.score_micro > 0 for r in res)
+
+
+def test_bm25_multi_term_sums_and_k_cut(spark, corpus):
+    queries = S.queries_from_terms(spark, {"q": ["spark", "merge"]})
+    res = S.search_bm25(corpus, queries, k=2).collect()
+    assert len(res) == 2  # k cut applied
+    assert [r.rank for r in sorted(res, key=lambda r: r.rank)] == [1, 2]
+    # every matched doc scores the sum over its matched terms only
+    all_scores = S.bm25_scores(corpus, queries).collect()
+    assert {r.doc_id for r in all_scores} == {1, 2, 3, 5}
+
+
+def test_bm25_batch_queries_are_independent(spark, corpus):
+    queries = S.queries_from_terms(spark, {"a": ["spark"], "b": ["sort"]})
+    res = S.search_bm25(corpus, queries, k=10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    assert by_q == {"a": {1, 2, 5}, "b": {3}}
+
+
+def test_vocab_top_k_total_order(spark, corpus):
+    vocab = S.vocab_top_k(corpus, k=3).collect()
+    assert [r.term for r in sorted(vocab, key=lambda r: r.rank)] == [
+        "spark",  # 5 occurrences
+        "sort",   # 4
+        "join",   # 3 — ties with merge (3), lexicographic break
+    ]
+    top = {r.term: (r.n_occurrences, r.n_docs) for r in vocab}
+    assert top["spark"] == (5, 3)
+    assert top["sort"] == (4, 1)
+
+
+def test_vocab_ties_break_on_term(spark):
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "a b")], "doc_id int, text string"
+    )
+    vocab = S.vocab_top_k(df, k=1).collect()
+    assert vocab[0].term == "a"  # equal counts -> lexicographic
+
+
+def test_oov_stats_exact_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", "known known new1"),
+            (2, "en", "known new2"),
+            (3, "fr", "known known"),
+        ],
+        "doc_id int, lang string, text string",
+    )
+    vocab = spark.createDataFrame([("known",)], "term string")
+    res = {r.lang: r for r in S.oov_stats(df, vocab).collect()}
+    assert (res["en"].n_tokens, res["en"].n_oov) == (5, 2)
+    assert res["en"].oov_rate == 2 / 5
+    assert (res["fr"].n_tokens, res["fr"].n_oov) == (2, 0)
+    assert res["fr"].oov_rate == 0.0
+
+
+def test_search_plan_has_no_python_udf(spark, corpus):
+    queries = S.queries_from_terms(spark, {"q": ["spark"]})
+    plan = S.search_bm25(corpus, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
