@@ -107,6 +107,57 @@ def shuffle_shard(
     )
 
 
+def rebalance_classes(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    target_n: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exactly ``target_n`` rows per stratum, by deterministic over/under-
+    sampling — the class-balancing step of a training mix (e.g. equalize
+    languages or sources before epoch sharding).
+
+    Every stratum of size n gets, per row of content-addressed rank r
+    (ordered by (md5(key), key, *tiebreak) — uniform but reproducible):
+
+        copies(r) = target_n // n  +  (1 if r <= target_n % n else 0)
+
+    which covers BOTH regimes with one formula: n > target_n reduces to
+    "keep the first target_n rows once" (a stratified downsample), n <
+    target_n replicates the whole stratum floor(target/n) times and the
+    hash-ranked remainder once more.  Output adds ``copy_idx`` (1-based) so
+    downstream shuffling/packing can distinguish replicas.
+
+    Scale shape: ONE shuffle (the per-stratum rank window; the size count
+    rides the same partitioning), then a copies-explode that is pure map-side
+    row generation — no join, no driver state.  Content-addressed ranks make
+    the result independent of partitioning/cluster size, and md5 is
+    bit-shared with SQL engines so the whole operator is oracle-exact."""
+    if target_n < 1:
+        raise ValueError(f"target_n must be >= 1, got {target_n}")
+    from pyspark.sql import Window
+
+    order = [
+        hash_bucket(key_col),
+        F.col(key_col),
+        *[F.col(c) for c in (tiebreak_cols or [])],
+    ]
+    w = Window.partitionBy(*strata_cols).orderBy(*order)
+    wn = Window.partitionBy(*strata_cols)
+    copies = (F.lit(target_n) / F.col("_n")).cast("long") + F.when(
+        F.col("_rk") <= F.lit(target_n) % F.col("_n"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .withColumn("_copies", copies)
+        .where(F.col("_copies") >= 1)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_rk", "_n", "_copies")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

@@ -30,6 +30,7 @@ from kafka_flow_spark.operators.graph import dedup_clusters
 from kafka_flow_spark.operators.sampling import (
     fraction_threshold,
     hash_sample,
+    rebalance_classes,
     stratified_sample,
 )
 from kafka_flow_spark.plans.llm import _DD_3GRAM
@@ -360,6 +361,37 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = weighted_mix(canon, "lang", "_key", _MIX)
     split = hash_split(mixed, "_key", _SPLITS)
     return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "q_rebalance_classes",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 6),
+                        CAST(doc_id AS VARCHAR)) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents),
+    c AS (SELECT lang, doc_id,
+                 (100 // n) + CASE WHEN rk <= 100 % n THEN 1 ELSE 0 END AS copies
+          FROM ranked)
+    SELECT lang, doc_id, UNNEST(generate_series(1, copies)) AS copy_idx
+    FROM c WHERE copies >= 1
+    """,
+)
+def q_rebalance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equalize languages to exactly 100 docs each: over-represented langs
+    downsample (content-addressed first-100), under-represented ones replicate
+    whole plus a hash-ranked remainder — the class-balancing step before
+    epoch sharding.  One rank-window shuffle, then map-side copy explode."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    return rebalance_classes(
+        docs, strata_cols=["lang"], key_col="_key", target_n=100
+    ).select("lang", "doc_id", "copy_idx")
 
 
 @register(

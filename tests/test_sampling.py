@@ -211,3 +211,54 @@ def test_shuffle_shard_salt_changes_permutation(spark):
         for r in shuffle_shard(df, "_key", 4, salt="ep1").collect()
     }
     assert a != b  # different epoch -> different permutation
+
+
+def test_rebalance_exact_target_both_regimes(spark):
+    from kafka_flow_spark.operators.sampling import rebalance_classes
+
+    # stratum 'big' has 7 rows (> target 5 -> downsample), 'small' has 2
+    # (< target -> oversample: each row twice, one hash-ranked row a 3rd time)
+    rows = [("big", f"b{i}") for i in range(7)] + [("small", "s0"), ("small", "s1")]
+    df = spark.createDataFrame(rows, "grp string, _key string")
+    out = rebalance_classes(df, ["grp"], "_key", target_n=5).collect()
+    by_grp: dict[str, list] = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert len(by_grp["big"]) == 5 and len(by_grp["small"]) == 5
+    # downsampled stratum: distinct keys, single copy each
+    assert all(r.copy_idx == 1 for r in by_grp["big"])
+    assert len({r._key for r in by_grp["big"]}) == 5
+    # oversampled stratum: both keys present, copies 2 and 3
+    copies = sorted(
+        len([r for r in by_grp["small"] if r._key == k]) for k in ("s0", "s1")
+    )
+    assert copies == [2, 3]
+    # copy_idx is 1..copies per key
+    for k in ("s0", "s1"):
+        idx = sorted(r.copy_idx for r in by_grp["small"] if r._key == k)
+        assert idx == list(range(1, len(idx) + 1))
+
+
+def test_rebalance_partition_invariant(spark):
+    from kafka_flow_spark.operators.sampling import rebalance_classes
+
+    rows = [(f"g{i % 3}", f"k{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "grp string, _key string")
+    a = {(r.grp, r._key, r.copy_idx) for r in rebalance_classes(df, ["grp"], "_key", 9).collect()}
+    b = {
+        (r.grp, r._key, r.copy_idx)
+        for r in rebalance_classes(df.repartition(11), ["grp"], "_key", 9).collect()
+    }
+    assert a == b
+    for g in ("g0", "g1", "g2"):
+        assert len([t for t in a if t[0] == g]) == 9
+
+
+def test_rebalance_rejects_bad_target(spark):
+    from kafka_flow_spark.operators.sampling import rebalance_classes
+
+    df = spark.createDataFrame([("a", "k")], "grp string, _key string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rebalance_classes(df, ["grp"], "_key", target_n=0)
