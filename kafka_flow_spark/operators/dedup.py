@@ -183,7 +183,16 @@ def shingle_hashes(
     # on 32 cores at a 50k-doc corpus, 12× slower than the pinned plan.  A
     # user-specified repartition count is exempt from AQE coalescing and
     # satisfies the window's clustering, so no second exchange appears.
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # max(shuffle.partitions, defaultParallelism): this pipeline is bound by
+    # per-token CPU, not shuffle width, so a shuffle-partition setting tuned
+    # below core count (small-input profiles) must not starve it of cores.
+    # At 100 TB defaults both values are the cluster width and the max is a
+    # no-op.
+    sess = df.sparkSession
+    n_part = max(
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+        sess.sparkContext.defaultParallelism,
+    )
     df = df.repartition(n_part, F.col(id_col))
     if hash_fn == "md5":
         tok_rows = df.select(
