@@ -52,6 +52,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # File-split floor.  Spark sizes scan splits as
+        # max(openCostInBytes, totalBytes/defaultParallelism) capped at
+        # maxPartitionBytes; the 4 MB default floor was tuned for
+        # seek-expensive filesystems and leaves a megabytes-scale columnar
+        # file on 1-2 cores even when it holds many row groups — fatal for
+        # per-row CPU-heavy scans (tokenization/quality gates measured 2-3×
+        # slower at sf1).  1 MB keeps splits row-group-aligned in practice
+        # and is invisible at cluster scale, where bytes-per-core dwarfs any
+        # floor.
+        .config("spark.sql.files.openCostInBytes", "1048576")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
