@@ -611,3 +611,98 @@ def knn_quantized(
         ),
     )
     return knn_bruteforce(deq, queries, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): spherical-k-means cluster the corpus, then compare
+    vectors only INSIDE each cluster — the quadratic pair scan becomes
+    per-cell, O(N²/n_cells) expected, and the cell join shuffles on a small
+    int key.
+
+    The coarse quantizer is the same bounded-sample trainer the IVF index
+    uses (`_train_centroids`: content-addressed sample, deterministic
+    Lloyd's — identical centroids across runs/partitionings).  ``n_probe > 1``
+    assigns each vector to its n nearest cells (multi-assignment trades
+    candidate volume for recall of borderline cross-cell pairs; pairs are
+    deduplicated by max-sim groupBy).
+
+    Output: (a_id, b_id, cos_sim) with a_id < b_id, cos_sim rounded to 4 —
+    the same contract as ``cosine_near_dup_pairs`` (which is the EXACT
+    all-pairs operator; this one is its approximate big-corpus sibling).
+    """
+    import pandas as pd  # noqa: F401 - mapInPandas dependency, import-checked
+
+    Cn = _train_centroids(df, id_col, vec_col, n_cells)
+    bc = df.sparkSession.sparkContext.broadcast(Cn)
+    n_probe = max(1, min(n_probe, len(Cn)))
+
+    def gen(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = Vn @ C.T
+            top = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(n_probe), [id_col, vec_col]].reset_index(
+                drop=True
+            )
+            out["cell"] = top.reshape(-1).astype("int32")
+            yield out
+
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} BIGINT, {vec_col} {vec_t}, cell INT"
+    )
+    left = assigned.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "cell"
+    )
+    right = assigned.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "cell"
+    )
+    sim = cosine(_as_double(F.col("a_vec")), _as_double(F.col("b_vec")))
+    return (
+        left.join(right, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("_sim"))
+        .filter(F.col("_sim") >= F.lit(threshold))
+        .groupBy("a_id", "b_id")  # n_probe > 1 can match a pair in 2+ cells
+        .agg(F.round(F.max("_sim"), 4).alias("cos_sim"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Semantic deduplication: drop every vector that has a near-duplicate
+    (within-cluster cosine ≥ threshold) with a smaller id; keep the rest.
+
+    Keep-first semantics — one deterministic parallel rule, the same contract
+    streaming/dedup.py uses.  For component-canonical semantics (duplicate
+    CHAINS collapse to one survivor even when the endpoints aren't directly
+    similar) feed ``semantic_dedup_pairs`` into ``graph.dedup_clusters``
+    instead; keep-first is the SemDeDup paper's per-cluster prune, which
+    never compares across clusters by design.
+
+    Returns ``df``'s surviving rows unchanged (all original columns).
+    """
+    dropped = (
+        semantic_dedup_pairs(df, id_col, vec_col, threshold, n_cells, n_probe)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")

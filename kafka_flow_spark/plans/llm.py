@@ -515,6 +515,22 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
 
 
+# --- SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup.
+# Rows-only: the spherical-k-means quantizer is not SQL-expressible; the
+# pair subset/recall contract vs the EXACT operator is pinned in
+# tests/test_similarity.py (recall 1.0 at n_cells=8/n_probe=4 on sf0.001) ---
+@register("q_semantic_dedup")
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flow_spark.operators.similarity import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(e, threshold=0.40, n_cells=8, n_probe=4)
+    return kept.groupBy("label").agg(
+        F.count("*").alias("n_kept"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
 # --- approximate ANN via hyperplane LSH (rows-only; recall tested vs brute force) ---
 @register("q_knn_lsh")
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,3 +150,93 @@ def test_quantized_knn_recall_against_bruteforce(spark):
     got = {(r["q_id"], r["neighbor_id"]) for r in knn_quantized(emb, queries, k=5).collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.95, f"quantized kNN recall {recall:.2f}"
+
+
+# --- SemDeDup: cluster-then-prune semantic dedup (Abbas et al. 2023) ---
+
+
+def _semdedup_corpus(spark):
+    """Two tight near-dup groups on orthogonal axes + two isolated vectors."""
+    import numpy as np
+
+    rows = []
+    base_a = np.zeros(8); base_a[0] = 1.0
+    base_b = np.zeros(8); base_b[1] = 1.0
+    for i, eps in enumerate([0.0, 0.01, 0.02]):        # group A: ids 0,1,2
+        v = base_a.copy(); v[7] = eps
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for i, eps in enumerate([0.0, 0.015]):             # group B: ids 10,11
+        v = base_b.copy(); v[6] = eps
+        rows.append((10 + i, (v / np.linalg.norm(v)).tolist()))
+    lone = np.zeros(8); lone[2] = 1.0
+    rows.append((20, lone.tolist()))                   # isolated
+    lone2 = np.zeros(8); lone2[3] = 1.0
+    rows.append((21, lone2.tolist()))                  # isolated
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_keeps_min_id_per_group(spark):
+    from kafka_flow_spark.operators.similarity import semantic_dedup
+
+    df = _semdedup_corpus(spark)
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(df, threshold=0.95, n_cells=1).collect()
+    )
+    assert kept == [0, 10, 20, 21]
+
+
+def test_semantic_dedup_pairs_subset_of_exact(spark):
+    """Cell blocking may MISS cross-cell pairs but must never invent one:
+    every semantic pair must appear in the exact all-pairs operator's output
+    with the same rounded similarity."""
+    from kafka_flow_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+    from kafka_flow_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in cosine_near_dup_pairs(emb, threshold=0.40, n_projections=2).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in semantic_dedup_pairs(emb, threshold=0.40, n_cells=8, n_probe=4).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert all(exact[p] == s for p, s in approx.items())
+    # high-threshold near-dups are intra-cluster by construction: recall is
+    # the operator's fitness signal
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.9, f"recall {recall}"
+
+
+def test_semantic_dedup_multi_probe_recall_monotone(spark):
+    from kafka_flow_spark.operators.similarity import semantic_dedup_pairs
+    from kafka_flow_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    p1 = set(
+        (r.a_id, r.b_id)
+        for r in semantic_dedup_pairs(emb, threshold=0.40, n_cells=8, n_probe=1).collect()
+    )
+    p2 = set(
+        (r.a_id, r.b_id)
+        for r in semantic_dedup_pairs(emb, threshold=0.40, n_cells=8, n_probe=2).collect()
+    )
+    assert p1 <= p2  # extra probes only ADD candidate pairs
+
+
+def test_semantic_dedup_deterministic_under_repartition(spark):
+    from kafka_flow_spark.operators.similarity import semantic_dedup
+
+    df = _semdedup_corpus(spark)
+    a = sorted(r.vec_id for r in semantic_dedup(df, threshold=0.95, n_cells=4).collect())
+    b = sorted(
+        r.vec_id
+        for r in semantic_dedup(df.repartition(7), threshold=0.95, n_cells=4).collect()
+    )
+    assert a == b
