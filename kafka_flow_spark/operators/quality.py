@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_flow_spark.operators.text import STOPWORDS, tokens
+from kafka_flow_spark.operators.text import STOPWORDS, normalize_text, tokens
 
 # Conservative defaults tuned for short web-ish documents; callers override.
 DEFAULT_RULES = {
@@ -193,3 +193,88 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for _, pat, tag in PII_PATTERNS:
         red = F.regexp_replace(red, pat, tag)
     return df.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+def unigram_doc_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus-statistics language-model score per document (the CCNet-style
+    "LM quality filter" shape, with a scoring function chosen to be exactly
+    reproducible across engines).
+
+    Builds the corpus unigram distribution p(w) = count(w)/total, then scores
+    each doc by its MEAN token probability — documents made of corpus-typical
+    words score high, gibberish/rare-token docs score low.  The arithmetic
+    mean replaces the usual perplexity's geometric mean so no transcendental
+    enters: per-term probabilities are one IEEE division each, quantized to
+    integer nano-units, summed as bigint (order-insensitive), and divided
+    once per doc — bit-identical in any engine (same trick as the BM25
+    scorer in operators/search.py; ranking direction matches -perplexity for
+    the filtering use).
+
+    Output: (id, n_tokens, mean_p_nano) where mean_p_nano is the mean token
+    probability in integer nano-units (divide by 1e9 for the float).
+
+    Scale shape: two map-combinable aggregates (term counts, per-doc sums)
+    and one term-key shuffle join — no driver state; the corpus-total scalar
+    rides a broadcast single-row aggregate.
+    """
+    toks = (
+        df.filter(F.length(F.trim(text_col)) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(tokens(normalize_text(text_col))).alias("_term"),
+        )
+        .filter(F.col("_term") != "")
+    )
+    counts = toks.groupBy("_term").agg(F.count("*").alias("_cnt"))
+    total = counts.agg(F.sum("_cnt").alias("_total"))
+    p_nano = F.floor(
+        (F.col("_cnt").cast("double") / F.col("_total").cast("double"))
+        * F.lit(1_000_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    term_p = counts.crossJoin(F.broadcast(total)).select(
+        "_term", p_nano.alias("_p_nano")
+    )
+    return (
+        toks.join(term_p, "_term")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("_p_nano").alias("_sum_nano"))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_sum_nano").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("mean_p_nano"),
+        )
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    bucket_width: int = 16,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Token-length histogram per group — the data-card staple (length
+    distribution per language/source).  Bucket = min(n_tokens // width,
+    n_buckets-1); pure integer arithmetic, one map-combinable aggregate,
+    zero joins.  Output: (group, bucket, lo, hi, n_docs) where [lo, hi) is
+    the bucket's token range (hi is NULL for the open-ended last bucket)."""
+    if bucket_width < 1 or n_buckets < 2:
+        raise ValueError("bucket_width >= 1 and n_buckets >= 2 required")
+    n_tok = F.size(tokens(text_col))
+    bucket = F.least(
+        (n_tok / F.lit(bucket_width)).cast("long"), F.lit(n_buckets - 1)
+    ).cast("int")
+    out = (
+        df.withColumn("_b", bucket)
+        .groupBy(F.col(group_col), F.col("_b").alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    lo = (F.col("bucket") * bucket_width).cast("int")
+    hi = F.when(
+        F.col("bucket") < n_buckets - 1, (F.col("bucket") + 1) * bucket_width
+    ).cast("int")
+    return out.select(group_col, "bucket", lo.alias("lo"), hi.alias("hi"), "n_docs")

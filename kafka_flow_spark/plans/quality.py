@@ -190,3 +190,55 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     out = knn_quantized(e, e.filter(F.col("vec_id") < 10), k=5)
     return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+_NTOKS = """
+    CASE WHEN trim(text) = '' THEN []
+         ELSE string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') END
+"""
+
+
+@register(
+    "q_unigram_doc_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_NTOKS}) AS term
+      FROM documents WHERE length(trim(text)) > 0),
+    t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    counts AS (SELECT term, COUNT(*) AS cnt FROM t2 GROUP BY term),
+    total AS (SELECT SUM(cnt) AS tot FROM counts),
+    tp AS (SELECT term,
+                  CAST(floor((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                             * 1000000000.0 + 0.5) AS BIGINT) AS p
+           FROM counts CROSS JOIN total)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_p_nano
+    FROM t2 JOIN tp USING (term)
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM score per doc (CCNet-flavored quality filter with
+    engine-exact rational arithmetic — see operators/quality.py)."""
+    from kafka_flow_spark.operators.quality import unigram_doc_scores
+
+    return unigram_doc_scores(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_length_histogram",
+    oracle=f"""
+    WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+    b AS (SELECT lang, CAST(LEAST(len(toks) // 16, 15) AS INT) AS bucket FROM t)
+    SELECT lang, bucket, CAST(bucket * 16 AS INT) AS lo,
+           CASE WHEN bucket < 15 THEN CAST((bucket + 1) * 16 AS INT) END AS hi,
+           COUNT(*) AS n_docs
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per language — the corpus data-card staple.
+    Pure integer bucketing, one map-combinable aggregate."""
+    from kafka_flow_spark.operators.quality import length_histogram
+
+    return length_histogram(load(spark, sf_dir, "documents"), "lang", "text")

@@ -116,3 +116,61 @@ def test_quantize_int8_reconstruction_error_bounded(spark):
     # dequantized error ≤ scale/2 per component (round-to-nearest guarantee)
     for orig, code in zip(vec, r.codes):
         assert abs(orig - code * r.scale) <= r.scale / 2 + 1e-9
+
+
+def test_unigram_doc_scores_hand_checked(spark):
+    from kafka_flow_spark.operators.quality import unigram_doc_scores
+
+    # corpus: 4 tokens total -> p(a)=2/4, p(b)=1/4, p(c)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c"), (3, "  ")], "doc_id int, text string"
+    )
+    res = {r.doc_id: r for r in unigram_doc_scores(df, "doc_id", "text").collect()}
+    assert set(res) == {1, 2}  # blank doc absent
+    # doc 1: mean(p) = (0.5 + 0.5 + 0.25)/3 in nano-units
+    assert res[1].n_tokens == 3
+    assert abs(res[1].mean_p_nano - (500e6 + 500e6 + 250e6) / 3) < 1.0
+    # doc 2: single rare token
+    assert res[2].n_tokens == 1
+    assert abs(res[2].mean_p_nano - 250e6) < 1.0
+    # corpus-typical doc outranks the rare-token doc
+    assert res[1].mean_p_nano > res[2].mean_p_nano
+
+
+def test_unigram_scores_case_normalized(spark):
+    from kafka_flow_spark.operators.quality import unigram_doc_scores
+
+    df = spark.createDataFrame([(1, "Word word"), (2, "WORD")], "doc_id int, text string")
+    res = {r.doc_id: r for r in unigram_doc_scores(df, "doc_id", "text").collect()}
+    # all three tokens are the same term after normalization: p = 1.0
+    assert abs(res[1].mean_p_nano - 1e9) < 1.0
+    assert abs(res[2].mean_p_nano - 1e9) < 1.0
+
+
+def test_length_histogram_buckets(spark):
+    from kafka_flow_spark.operators.quality import length_histogram
+
+    rows = [
+        (1, "en", "w " * 5),     # 5 tokens  -> bucket 0 [0,16)
+        (2, "en", "w " * 20),    # 20 tokens -> bucket 1 [16,32)
+        (3, "en", "w " * 300),   # 300 tokens -> bucket 15 (open-ended)
+        (4, "fr", ""),           # 0 tokens  -> bucket 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    res = {(r.lang, r.bucket): r for r in length_histogram(df, "lang", "text").collect()}
+    assert res[("en", 0)].n_docs == 1 and res[("en", 0)].lo == 0 and res[("en", 0)].hi == 16
+    assert res[("en", 1)].n_docs == 1 and res[("en", 1)].lo == 16
+    assert res[("en", 15)].n_docs == 1 and res[("en", 15)].hi is None
+    assert res[("fr", 0)].n_docs == 1
+
+
+def test_length_histogram_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.quality import length_histogram
+
+    df = spark.createDataFrame([(1, "en", "x")], "doc_id int, lang string, text string")
+    with _pytest.raises(ValueError):
+        length_histogram(df, "lang", "text", bucket_width=0)
+    with _pytest.raises(ValueError):
+        length_histogram(df, "lang", "text", n_buckets=1)
