@@ -146,3 +146,100 @@ def ngram_contamination(
         .join(hits, id_col, "left")
         .select(id_col, F.coalesce("n_shared", F.lit(0)).alias("n_shared"))
     )
+
+
+def _bloom_positions(gram: Column, m_bits: int, k: int) -> Column:
+    """Array of k bloom bit positions for one n-gram: seeded md5 re-hashes,
+    first 15 hex digits (60 bits) folded to a long, mod m.  md5 so the whole
+    filter — including its false positives — is bit-reproducible in any
+    engine (same idiom as the winnowing/span oracles)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), gram)), 1, 15), 16, 10
+                ).cast("long"),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_bitmap(
+    eval_df: DataFrame, text_col: str, n: int = 8, m_bits: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Bloom filter of the eval corpus's distinct word n-grams, as a bitmap
+    DataFrame ``(bucket BIGINT, bits BIGINT)`` — bucket = position DIV 64.
+
+    This is the DECONTAMINATION-AT-SCALE structure: the exact n-gram
+    semi-join (`ngram_contamination`) shuffles every train n-gram against the
+    reference set, which is right when the reference is a small benchmark
+    suite but not when it is itself a corpus.  The bloom compresses ANY
+    reference cardinality into m bits (128 KiB at the default 2^20) that
+    broadcast to every executor; membership error is one-sided (no false
+    negatives — contamination is never missed; false positives over-flag at
+    ~(1-e^{-kn/m})^k).  Built with one explode + one map-combinable bit_or
+    aggregate."""
+    grams = eval_df.select(
+        F.explode(word_shingles(text_col, n=n)).alias("_ng")
+    ).distinct()
+    pos = grams.select(
+        F.explode(_bloom_positions(F.col("_ng"), m_bits, k)).alias("_pos")
+    )
+    return (
+        pos.select(
+            (F.col("_pos") / F.lit(64)).cast("long").alias("bucket"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_b"),
+        )
+        .groupBy("bucket")
+        .agg(F.bit_or("_b").alias("bits"))
+    )
+
+
+def bloom_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """`ngram_contamination` through a bloom filter: per train doc, how many
+    of its distinct n-grams the eval bloom flags.  Upper-bounds the exact
+    count (one-sided error); the probe is a BROADCAST join against the
+    bitmap, so the train side never shuffles by n-gram — the 100 TB-corpus
+    decontamination path.
+
+    Output: (id, n_flagged).  Deterministic including false positives (md5
+    positions), so the whole operator is oracle-checkable."""
+    bitmap = bloom_bitmap(eval_df, text_col, n=n, m_bits=m_bits, k=k)
+    tg = train.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n=n)).alias("_ng")
+    )
+    probes = tg.select(
+        id_col,
+        "_ng",
+        F.explode(_bloom_positions(F.col("_ng"), m_bits, k)).alias("_pos"),
+    ).select(
+        id_col,
+        "_ng",
+        (F.col("_pos") / F.lit(64)).cast("long").alias("bucket"),
+        F.expr("CAST(_pos % 64 AS INT)").alias("_i"),
+    )
+    hit = F.col("bits").isNotNull() & F.expr(
+        "(bits & shiftleft(CAST(1 AS BIGINT), _i)) != 0"
+    )
+    flagged = (
+        probes.join(F.broadcast(bitmap), "bucket", "left")
+        .groupBy(id_col, "_ng")
+        .agg(F.min(hit.cast("int")).alias("_all_hit"))
+        .groupBy(id_col)
+        .agg(F.sum("_all_hit").alias("n_flagged"))
+    )
+    return (
+        train.select(id_col)
+        .join(flagged, id_col, "left")
+        .select(id_col, F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"))
+    )

@@ -415,3 +415,52 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         orders, strata_cols=["o_orderpriority"], key_col="_key", k=20
     ).select("o_orderpriority", "o_orderkey")
+
+
+# Horner fold of the first 15 md5 hex digits of a seeded n-gram re-hash — the
+# DuckDB mirror of curation._bloom_positions (60-bit value, exact in BIGINT).
+def _bloom_pos_sql(expr: str, m_bits: int) -> str:
+    return f"""
+    list_reduce(list_transform(range(1, 16), d ->
+        CAST(strpos('0123456789abcdef',
+             substr(md5({expr}), d, 1)) - 1 AS BIGINT)),
+      (a, b) -> a * 16 + b) % {m_bits}"""
+
+
+@register(
+    "q_bloom_contamination",
+    oracle=f"""
+    WITH g AS ({_gram8("documents")}),
+    ev AS (SELECT DISTINCT ng FROM g
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '{_T_EVAL}'),
+    tr AS (SELECT doc_id, ng FROM g
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) >= '{_T_EVAL}'),
+    seeds AS (SELECT unnest(range(0, 4)) AS s),
+    epos AS (SELECT DISTINCT {_bloom_pos_sql("CAST(s AS VARCHAR) || ':' || ng", 1 << 20)} AS pos
+             FROM ev CROSS JOIN seeds),
+    tpos AS (SELECT doc_id, ng, {_bloom_pos_sql("CAST(s AS VARCHAR) || ':' || ng", 1 << 20)} AS pos
+             FROM tr CROSS JOIN seeds),
+    perg AS (SELECT doc_id, ng,
+                    MIN(CASE WHEN e.pos IS NOT NULL THEN 1 ELSE 0 END) AS hit
+             FROM tpos t LEFT JOIN epos e USING (pos)
+             GROUP BY doc_id, ng),
+    hits AS (SELECT doc_id, SUM(hit) AS n_flagged FROM perg GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(h.n_flagged, 0) AS n_flagged
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) >= '{_T_EVAL}'
+    """,
+)
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path of eval decontamination: same train/eval carve as
+    q_ngram_contamination, but membership through a 2^20-bit / 4-hash bloom
+    of the eval n-grams — a broadcast bitmap probe instead of an n-gram
+    shuffle join, with deterministic (md5) and therefore oracle-checkable
+    false positives.  n_flagged upper-bounds the exact n_shared."""
+    from kafka_flow_spark.operators.curation import bloom_contamination
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    ev = hash_sample(docs, "_key", 0.05)
+    train = docs.join(ev.select("doc_id"), "doc_id", "left_anti")
+    return bloom_contamination(train, ev, "doc_id", "text", n=8)

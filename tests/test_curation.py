@@ -122,3 +122,72 @@ def test_split_thresholds_properties():
             assert h == fraction_threshold(acc)
 
     check()
+
+
+# --- bloom-filter decontamination (the broadcast-bitmap scale path) ---
+
+
+def test_bloom_contamination_no_false_negatives(spark):
+    """Every exactly-shared n-gram must be flagged: bloom error is one-sided."""
+    from kafka_flow_spark.operators.curation import (
+        bloom_contamination,
+        ngram_contamination,
+    )
+    from kafka_flow_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    ev = docs.where("doc_id % 20 = 0")
+    tr = docs.where("doc_id % 20 <> 0")
+    exact = {r.doc_id: r.n_shared for r in ngram_contamination(tr, ev, "doc_id", "text", n=8).collect()}
+    bloom = {r.doc_id: r.n_flagged for r in bloom_contamination(tr, ev, "doc_id", "text", n=8).collect()}
+    assert set(exact) == set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n, f"doc {d}: bloom {bloom[d]} < exact {n}"
+
+
+def test_bloom_tiny_filter_overflags_but_never_underflags(spark):
+    """A deliberately undersized bitmap saturates: false positives explode but
+    no shared n-gram is ever missed."""
+    from kafka_flow_spark.operators.curation import (
+        bloom_contamination,
+        ngram_contamination,
+    )
+
+    rows = [
+        (1, "a b c d e f g h extra tokens here now"),
+        (2, "totally different words one two three four five six"),
+    ]
+    ev_rows = [(100, "a b c d e f g h unrelated suffix text ok")]
+    tr = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+    exact = {r.doc_id: r.n_shared for r in ngram_contamination(tr, ev, "doc_id", "text", n=8).collect()}
+    tiny = {r.doc_id: r.n_flagged for r in bloom_contamination(tr, ev, "doc_id", "text", n=8, m_bits=64, k=2).collect()}
+    assert exact[1] >= 1            # docs share the 8-gram "a b c d e f g h"
+    assert tiny[1] >= exact[1]
+    assert tiny[2] >= exact[2]
+
+
+def test_bloom_bitmap_shape(spark):
+    from kafka_flow_spark.operators.curation import bloom_bitmap
+
+    ev = spark.createDataFrame([(1, "one two three four five six seven eight nine")], "doc_id long, text string")
+    bm = bloom_bitmap(ev, "text", n=8, m_bits=1 << 12, k=4).collect()
+    assert all(0 <= r.bucket < (1 << 12) // 64 for r in bm)
+    # 2 distinct 8-grams * 4 hashes = at most 8 set bits across all buckets
+    total_bits = sum(bin(r.bits & ((1 << 64) - 1)).count("1") for r in bm)
+    assert 1 <= total_bits <= 8
+
+
+def test_bloom_deterministic_under_repartition(spark):
+    from kafka_flow_spark.operators.curation import bloom_contamination
+    from kafka_flow_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    ev = docs.where("doc_id % 20 = 0")
+    tr = docs.where("doc_id % 20 <> 0")
+    a = sorted((r.doc_id, r.n_flagged) for r in bloom_contamination(tr, ev, "doc_id", "text").collect())
+    b = sorted(
+        (r.doc_id, r.n_flagged)
+        for r in bloom_contamination(tr.repartition(13), ev.repartition(5), "doc_id", "text").collect()
+    )
+    assert a == b
