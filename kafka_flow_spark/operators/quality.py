@@ -219,6 +219,12 @@ def unigram_doc_scores(
     and one term-key shuffle join — no driver state; the corpus-total scalar
     rides a broadcast single-row aggregate.
     """
+    from pyspark.sql import Window
+
+    # Branch economy (Spark re-runs the lineage per branch — each branch is
+    # a full tokenize scan): ONE pass builds per-(doc, term) occurrence
+    # counts and a window over term turns them into corpus term counts in
+    # place; only the corpus-total scalar needs a second pass.
     toks = (
         df.filter(F.length(F.trim(text_col)) > 0)
         .select(
@@ -227,20 +233,25 @@ def unigram_doc_scores(
         )
         .filter(F.col("_term") != "")
     )
-    counts = toks.groupBy("_term").agg(F.count("*").alias("_cnt"))
-    total = counts.agg(F.sum("_cnt").alias("_total"))
+    occ = (
+        toks.groupBy(id_col, "_term")
+        .agg(F.count("*").alias("_n_occ"))
+        .withColumn("_cnt", F.sum("_n_occ").over(Window.partitionBy("_term")))
+    )
+    total = toks.agg(F.count("*").alias("_total"))
     p_nano = F.floor(
         (F.col("_cnt").cast("double") / F.col("_total").cast("double"))
         * F.lit(1_000_000_000.0)
         + F.lit(0.5)
     ).cast("long")
-    term_p = counts.crossJoin(F.broadcast(total)).select(
-        "_term", p_nano.alias("_p_nano")
-    )
     return (
-        toks.join(term_p, "_term")
+        occ.crossJoin(F.broadcast(total))
+        .select(F.col(id_col), "_n_occ", p_nano.alias("_p_nano"))
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_tokens"), F.sum("_p_nano").alias("_sum_nano"))
+        .agg(
+            F.sum("_n_occ").alias("n_tokens"),
+            F.sum(F.col("_p_nano") * F.col("_n_occ")).alias("_sum_nano"),
+        )
         .select(
             id_col,
             "n_tokens",

@@ -99,7 +99,17 @@ def bm25_scores(
     sum.  corpus-size scalars (N, avgdl) ride along via a broadcast single-row
     aggregate, not a driver collect.
     """
-    post = postings(docs, text_col, id_col)
+    from pyspark.sql import Window
+
+    # Branch economy: Spark re-executes the whole lineage per DataFrame
+    # branch (no CTE materialization like DuckDB), and each branch here pays
+    # a full tokenize scan.  The plan keeps exactly THREE such passes —
+    # query-term postings, doc lengths, corpus scalars — by (a) filtering
+    # the exploded tokens to the query vocabulary BEFORE any aggregation and
+    # (b) deriving document frequency from the filtered postings with a
+    # window count instead of a separate aggregate+join branch.  At real
+    # scale the index is persisted once (`postings`/`doc_lengths` written
+    # bucketed by layout.py) and query time touches none of these scans.
     dls = doc_lengths(docs, text_col, id_col)
     # One tiny aggregate row: corpus doc count + total token count.  Broadcast
     # cross-join (1 row) keeps the plan fully distributed.
@@ -107,17 +117,17 @@ def bm25_scores(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("total_dl"),
     )
-    # Restrict postings to the query vocabulary FIRST (broadcast semi-ish
-    # join) — document frequency per query term then falls out of the small
-    # filtered postings (one row per (term, doc)), no corpus-wide term_stats
-    # aggregate needed at query time.
     qterms = queries.select("term").distinct()
-    qpost = post.join(F.broadcast(qterms), "term")
-    dfreq = qpost.groupBy("term").agg(F.count("*").alias("df"))
+    qpost = (
+        doc_tokens(docs, text_col, id_col)
+        .join(F.broadcast(qterms), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    )
 
     matched = (
         qpost.join(F.broadcast(queries), "term")
-        .join(F.broadcast(dfreq), "term")
         .join(dls, "doc_id")
         .crossJoin(F.broadcast(corpus))
     )
