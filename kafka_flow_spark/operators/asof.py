@@ -33,13 +33,25 @@ def asof_join(
     right_time: str,
     payload_cols: Sequence[str],
     right_order: Sequence[str] = (),
+    direction: str = "backward",
+    tolerance: Column | None = None,
 ) -> DataFrame:
-    """Left as-of join: every left row, plus the payload of the latest right row
-    (same ``on`` key, ``right_time`` <= ``left_time``); NULL payload if none.
+    """Left as-of join: every left row, plus the payload of one right row with
+    the same ``on`` key — the latest with ``right_time <= left_time``
+    (``direction="backward"``, default) or the earliest with ``right_time >=
+    left_time`` (``"forward"``); NULL payload if none.  The pandas
+    ``merge_asof`` surface, built on the same single-shuffle union+window
+    plan in both directions (forward just traverses the per-key timeline
+    descending).
 
     ``right_order``: extra right-side columns to break equal-time ties
     deterministically (last one wins).
+    ``tolerance``: optional maximum |right_time - left_time| as an interval
+    Column (e.g. ``F.expr("INTERVAL 1 HOUR")``); matches farther away have
+    their payload nulled, exactly like pandas' tolerance.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     on = list(on)
     payload_cols = list(payload_cols)
     left_cols = left.columns
@@ -48,6 +60,7 @@ def asof_join(
         *[F.col(c) for c in on],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
+        F.col(right_time).alias("__prt"),
         *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
         *[F.col(c).alias(f"__o_{i}") for i, c in enumerate(right_order)],
     )
@@ -57,6 +70,7 @@ def asof_join(
         F.lit(1).alias("__side"),
     )
     # align schemas for unionByName
+    lt = lt.withColumn("__prt", F.lit(None).cast(dict(rt.dtypes)["__prt"]))
     for c in payload_cols:
         lt = lt.withColumn(f"__p_{c}", F.lit(None).cast(dict(rt.dtypes)[f"__p_{c}"]))
     for i in range(len(right_order)):
@@ -66,7 +80,10 @@ def asof_join(
             rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
 
     unioned = lt.unionByName(rt.select(*lt.columns))
-    order: list[Column] = [F.col("__t"), F.col("__side")] + [
+    # Forward traverses each key's timeline DESCENDING, so "last right row
+    # carried so far" = earliest right row with time >= the left row's.
+    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
+    order: list[Column] = [t_order, F.col("__side")] + [
         F.col(f"__o_{i}") for i in range(len(right_order))
     ]
     w = (
@@ -77,6 +94,23 @@ def asof_join(
     carried = unioned.select(
         *left_cols,
         F.col("__side"),
+        F.col("__t"),
+        F.last("__prt", ignorenulls=True).over(w).alias("__crt"),
         *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c) for c in payload_cols],
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        in_tol = (
+            F.col("__t") <= F.col("__crt") + tolerance
+            if direction == "backward"
+            else F.col("__t") >= F.col("__crt") - tolerance
+        )
+        valid = F.col("__crt").isNotNull() & in_tol
+        out = out.select(
+            *left_cols,
+            F.col("__side"),
+            F.col("__t"),
+            F.col("__crt"),
+            *[F.when(valid, F.col(c)).otherwise(F.lit(None)).alias(c) for c in payload_cols],
+        )
+    return out.drop("__side", "__t", "__crt")

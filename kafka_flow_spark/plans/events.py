@@ -363,3 +363,51 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_event_id",
         "click_value",
     )
+
+
+# --- forward as-of with tolerance (purchase → next click within 1 hour) ---
+@register(
+    "q_asof_forward_tolerance",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, c.event_id AS cid, c.value AS cval,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts ASC, c.event_id DESC) AS rk
+      FROM p JOIN c ON p.user_id = c.user_id
+                   AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR)
+    SELECT p.event_id, p.user_id,
+           j.cid AS next_click_id, j.cval AS next_click_value
+    FROM p LEFT JOIN (SELECT * FROM j WHERE rk = 1) j ON p.event_id = j.event_id
+    """,
+)
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-merge_asof-style forward as-of with a 1-hour tolerance: each
+    purchase picks the user's EARLIEST subsequent click no more than an hour
+    later (ties on equal ts break to the larger click id — the union+window
+    last-one-wins rule, mirrored in the oracle's ORDER BY).  Same
+    single-shuffle union+window plan as the backward form, traversed
+    descending."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("next_click_id"),
+        F.col("value").alias("next_click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["next_click_id", "next_click_value"],
+        right_order=["next_click_id"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return joined.select("event_id", "user_id", "next_click_id", "next_click_value")
