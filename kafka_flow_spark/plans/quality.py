@@ -242,3 +242,27 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flow_spark.operators.quality import length_histogram
 
     return length_histogram(load(spark, sf_dir, "documents"), "lang", "text")
+
+
+_PROFILE_LEG = """
+    SELECT '{c}' AS "column", COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM documents"""
+
+
+@register(
+    "q_profile_documents",
+    oracle=" UNION ALL ".join(
+        _PROFILE_LEG.format(c=c) for c in ["doc_id", "lang", "source", "n_chars"]
+    ),
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data card of the documents table (exact cardinalities;
+    min/max on native types).  One column-pruned aggregate leg per column."""
+    from kafka_flow_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        load(spark, sf_dir, "documents"), ["doc_id", "lang", "source", "n_chars"]
+    )

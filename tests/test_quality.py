@@ -174,3 +174,43 @@ def test_length_histogram_rejects_bad_params(spark):
         length_histogram(df, "lang", "text", bucket_width=0)
     with _pytest.raises(ValueError):
         length_histogram(df, "lang", "text", n_buckets=1)
+
+
+def test_profile_columns_exact(spark):
+    from kafka_flow_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 9), (3, "a", None), (4, "b", 200)],
+        "id long, s string, v long",
+    )
+    prof = {r.column: r for r in profile_columns(df).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_nonnull == 4
+    assert prof["s"].n_nonnull == 3 and prof["s"].n_distinct == 2
+    assert prof["v"].n_nonnull == 3
+    # min/max are computed on the NATIVE type (numeric, not lexicographic):
+    assert prof["v"].min_value == "9" and prof["v"].max_value == "200"
+    assert prof["s"].min_value == "a" and prof["s"].max_value == "b"
+
+
+def test_profile_scan_prunes_to_one_column(spark):
+    from kafka_flow_spark.operators.profile import profile_columns
+    from kafka_flow_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        profile_columns(docs, ["lang"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<lang:string>" in plan  # text column never read
+
+
+def test_profile_empty_cols_raises(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        profile_columns(df, [])
