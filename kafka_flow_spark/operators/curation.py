@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from kafka_flow_spark.operators.dedup import word_shingles
 from kafka_flow_spark.operators.sampling import fraction_threshold, hash_bucket
-from kafka_flow_spark.operators.text import token_count
+from kafka_flow_spark.operators.text import token_count, tokens
 
 
 def split_thresholds(splits: dict[str, float]) -> list[tuple[str, str]]:
@@ -242,4 +242,53 @@ def bloom_contamination(
         train.select(id_col)
         .join(flagged, id_col, "left")
         .select(id_col, F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"))
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Sliding-window token chunks — the context-window prep step between a
+    curated corpus and a training run (RAG indexing / fixed-context packing
+    both start here).  A chunk starts every ``stride`` tokens and spans up to
+    ``chunk`` tokens; the final windows are short rather than dropped, so
+    every token appears in at least one chunk (``stride < chunk`` gives
+    overlap for boundary-context preservation).
+
+    Output: (id, chunk_idx, start, n_chunk_tokens, chunk_text); empty docs
+    emit nothing.
+
+    Scale shape: entirely narrow — tokenize, ``sequence`` of starts,
+    ``posexplode``, ``slice``; zero shuffles, whole-stage codegen end to end,
+    and output rows stay co-partitioned with their input file splits (a
+    chunker that shuffles the corpus would be the bottleneck of the whole
+    pipeline at 100 TB).  No counterpart in the reference (SURVEY.md Phase 4).
+    """
+    if chunk < 1 or stride < 1:
+        raise ValueError("chunk >= 1 and stride >= 1 required")
+    toks = tokens(text_col)
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
+            F.col(id_col),
+            F.col("_t"),
+            F.posexplode(
+                F.sequence(F.lit(0), F.size("_t") - 1, F.lit(stride))
+            ).alias("chunk_idx", "start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("start").cast("int").alias("start"),
+            F.size(F.slice(F.col("_t"), F.col("start") + 1, F.lit(chunk)))
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("_t"), F.col("start") + 1, F.lit(chunk)), " "
+            ).alias("chunk_text"),
+        )
     )

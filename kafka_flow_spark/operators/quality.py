@@ -289,3 +289,88 @@ def length_histogram(
         F.col("bucket") < n_buckets - 1, (F.col("bucket") + 1) * bucket_width
     ).cast("int")
     return out.select(group_col, "bucket", lo.alias("lo"), hi.alias("hi"), "n_docs")
+
+
+def bigram_doc_scores(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.75
+) -> DataFrame:
+    """Interpolated-bigram LM score per document — the next rung above
+    ``unigram_doc_scores`` on the CCNet-style quality ladder: a doc scores
+    high when its word TRANSITIONS are corpus-typical, which separates
+    shuffled-word salad from fluent text that a unigram model cannot.
+
+    Per adjacent token pair (w1, w2) the interpolated probability is
+    p = lam * p(w2 | w1) + (1 - lam) * p(w2), with p(w2|w1) =
+    count(w1 w2)/count(w1 .) and p(w2) over second-position occurrences.
+    As in the unigram scorer the mean replaces the geometric mean so no
+    transcendental enters: each p is a handful of IEEE multiplies/divides,
+    quantized to integer nano-units, summed as bigint (order-insensitive),
+    divided once per doc — bit-identical in any engine.
+
+    Output: (id, n_bigrams, mean_p_nano); docs with < 2 tokens emit nothing.
+
+    Scale shape: pairs are built NARROWLY (an in-row transform over the token
+    array — no per-doc window shuffle), then one map-combinable groupBy on
+    (doc, w1, w2) and three window passes keyed on small term keys turn group
+    counts into bigram/context/second-position corpus counts in place; the
+    corpus total rides a broadcast single-row aggregate.  Everything shuffles
+    on term keys whose cardinality grows sublinearly with corpus size — the
+    right 100 TB shape for corpus-statistics scoring.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    toks = tokens(normalize_text(text_col))
+    pairs = (
+        df.filter(F.length(F.trim(text_col)) > 0)
+        .select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_t"), i).alias("_w1"),
+                        F.element_at(F.col("_t"), i + 1).alias("_w2"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select(F.col(id_col), F.col("_p._w1").alias("_w1"), F.col("_p._w2").alias("_w2"))
+    )
+    # Hash partitioning on a single term key SATISFIES the (_w1, _w2) window's
+    # clustering requirement (subset rule), and Catalyst transposes windows to
+    # exploit it: the physical plan runs the _big window on the _w2 exchange
+    # with only a local re-sort — three stats cost two term-key exchanges.
+    occ = (
+        pairs.groupBy(id_col, "_w1", "_w2")
+        .agg(F.count("*").alias("_n_occ"))
+        .withColumn("_ctx", F.sum("_n_occ").over(Window.partitionBy("_w1")))
+        .withColumn("_big", F.sum("_n_occ").over(Window.partitionBy("_w1", "_w2")))
+        .withColumn("_sec", F.sum("_n_occ").over(Window.partitionBy("_w2")))
+    )
+    total = pairs.agg(F.count("*").alias("_total"))
+    p_cond = F.col("_big").cast("double") / F.col("_ctx").cast("double")
+    p_uni = F.col("_sec").cast("double") / F.col("_total").cast("double")
+    p_nano = F.floor(
+        (F.lit(float(lam)) * p_cond + F.lit(float(1.0 - lam)) * p_uni)
+        * F.lit(1_000_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        occ.crossJoin(F.broadcast(total))
+        .select(F.col(id_col), "_n_occ", p_nano.alias("_p_nano"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n_occ").alias("n_bigrams"),
+            F.sum(F.col("_p_nano") * F.col("_n_occ")).alias("_sum_nano"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (F.col("_sum_nano").cast("double") / F.col("n_bigrams").cast("double"))
+            .alias("mean_p_nano"),
+        )
+    )

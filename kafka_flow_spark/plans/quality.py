@@ -266,3 +266,65 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         load(spark, sf_dir, "documents"), ["doc_id", "lang", "source", "n_chars"]
     )
+
+
+@register(
+    "q_bigram_doc_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_NTOKS} AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    pr0 AS (SELECT doc_id, t, UNNEST(range(len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2),
+    pr AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2 FROM pr0),
+    occ AS (SELECT doc_id, w1, w2, COUNT(*) AS n_occ
+            FROM pr GROUP BY doc_id, w1, w2),
+    wins AS (SELECT doc_id, n_occ,
+                    SUM(n_occ) OVER (PARTITION BY w1, w2) AS big,
+                    SUM(n_occ) OVER (PARTITION BY w1) AS ctx,
+                    SUM(n_occ) OVER (PARTITION BY w2) AS sec
+             FROM occ),
+    total AS (SELECT COUNT(*) AS tot FROM pr),
+    p AS (SELECT doc_id, n_occ,
+                 CAST(floor((0.75 * (CAST(big AS DOUBLE) / CAST(ctx AS DOUBLE))
+                             + 0.25 * (CAST(sec AS DOUBLE) / CAST(tot AS DOUBLE)))
+                            * 1000000000.0 + 0.5) AS BIGINT) AS p_nano
+          FROM wins CROSS JOIN total)
+    SELECT doc_id, SUM(n_occ) AS n_bigrams,
+           CAST(SUM(p_nano * n_occ) AS DOUBLE) / CAST(SUM(n_occ) AS DOUBLE)
+             AS mean_p_nano
+    FROM p GROUP BY doc_id
+    """,
+)
+def q_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM score per doc (lam=0.75) — transition-level
+    quality signal above the unigram filter; engine-exact nano-unit
+    arithmetic (see operators/quality.py bigram_doc_scores)."""
+    from kafka_flow_spark.operators.quality import bigram_doc_scores
+
+    return bigram_doc_scores(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+    s AS (SELECT doc_id, toks, UNNEST(range(0, len(toks), 16)) AS start
+          FROM nz)
+    SELECT doc_id,
+           CAST(start // 16 AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start,
+           CAST(len(list_slice(toks, start + 1, start + 32)) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunks (chunk=32, stride=16) over documents —
+    the context-window prep step; fully narrow plan, zero shuffles."""
+    from kafka_flow_spark.operators.curation import chunk_tokens
+
+    return chunk_tokens(load(spark, sf_dir, "documents"), "doc_id", "text", 32, 16)

@@ -191,3 +191,46 @@ def test_bloom_deterministic_under_repartition(spark):
         for r in bloom_contamination(tr.repartition(13), ev.repartition(5), "doc_id", "text").collect()
     )
     assert a == b
+
+
+# --- chunk_tokens -----------------------------------------------------------
+
+def _chunk_df(spark, rows, chunk=4, stride=2):
+    from kafka_flow_spark.operators.curation import chunk_tokens
+
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    return chunk_tokens(df, "doc_id", "text", chunk=chunk, stride=stride)
+
+
+def test_chunk_covers_every_token_with_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens, chunk=4 stride=2
+    rows = _chunk_df(spark, [(1, text)]).orderBy("chunk_idx").collect()
+    assert [r["start"] for r in rows] == [0, 2, 4, 6, 8]
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4, 4, 2]
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[-1]["chunk_text"] == "w8 w9"  # short tail kept, not dropped
+    covered = set()
+    for r in rows:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_chunk_empty_and_single_token_docs(spark):
+    rows = _chunk_df(spark, [(1, "   "), (2, "only")]).collect()
+    assert [(r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in rows] == [
+        (2, 0, "only")
+    ]
+
+
+def test_chunk_no_overlap_when_stride_equals_chunk(spark):
+    text = " ".join(f"w{i}" for i in range(6))
+    rows = _chunk_df(spark, [(1, text)], chunk=3, stride=3).orderBy("chunk_idx").collect()
+    texts = [r["chunk_text"] for r in rows]
+    assert texts == ["w0 w1 w2", "w3 w4 w5"]
+
+
+def test_chunk_validation(spark):
+    with pytest.raises(ValueError):
+        _chunk_df(spark, [(1, "a b")], chunk=0)
+    with pytest.raises(ValueError):
+        _chunk_df(spark, [(1, "a b")], stride=0)

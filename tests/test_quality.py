@@ -214,3 +214,38 @@ def test_profile_empty_cols_raises(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError):
         profile_columns(df, [])
+
+
+# --- bigram_doc_scores ------------------------------------------------------
+
+def test_bigram_scores_hand_checked(spark):
+    from kafka_flow_spark.operators.quality import bigram_doc_scores
+
+    # corpus: doc1 "a b a b" -> pairs (a,b)x2, (b,a); doc2 "a b" -> (a,b)
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo"), (4, "")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in bigram_doc_scores(df, "doc_id", "text").collect()}
+    # docs with <2 tokens emit nothing
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 1
+    # corpus pair counts: (a,b)=3, (b,a)=1; ctx a=3, b=1; sec b=3, a=1; tot=4
+    p_ab = 0.75 * (3 / 3) + 0.25 * (3 / 4)      # 0.9375
+    p_ba = 0.75 * (1 / 1) + 0.25 * (1 / 4)      # 0.8125
+    nano = lambda p: float(int(p * 1e9 + 0.5))
+    assert out[2]["mean_p_nano"] == nano(p_ab)
+    assert out[1]["mean_p_nano"] == (2 * nano(p_ab) + nano(p_ba)) / 3
+
+
+def test_bigram_scores_rank_fluent_above_shuffled(spark):
+    from kafka_flow_spark.operators.quality import bigram_doc_scores
+
+    # many fluent docs share transitions; one scrambled doc uses the same
+    # vocabulary but corpus-atypical transitions -> lower bigram score
+    fluent = [(i, "the cat sat on the mat") for i in range(10)]
+    df = spark.createDataFrame(
+        fluent + [(99, "mat the on sat cat the")], "doc_id BIGINT, text STRING"
+    )
+    out = {r["doc_id"]: r["mean_p_nano"] for r in bigram_doc_scores(df, "doc_id", "text").collect()}
+    assert out[99] < out[0]
