@@ -27,7 +27,7 @@ from kafka_flow_spark.tables import load, table_bytes
 
 
 def _bc(df: DataFrame, sf_dir: str, *source_tables: str, limit: int = 32 << 20) -> DataFrame:
-    """Size-gated broadcast hint.
+    """Size-gated broadcast hint, degrading to a build-side hint.
 
     Catalyst already auto-broadcasts below ``autoBroadcastJoinThreshold`` from
     file stats, but a hint on a *pre-joined dim chain* collapses the chain into
@@ -35,11 +35,21 @@ def _bc(df: DataFrame, sf_dir: str, *source_tables: str, limit: int = 32 << 20) 
     2× on the Q5 analog at sf0.1).  The gate makes the hint scale-honest: it
     sums the on-disk size of the chain's source tables and only hints when the
     build side is provably small, so at 100 TB (where supplier/orders/customer
-    grow with SF) the hint silently disappears and join strategy falls back to
-    Catalyst stats + AQE instead of OOMing a forced broadcast."""
+    grow with SF) the broadcast silently disappears.
+
+    Past the gate the hint degrades to ``shuffle_hash`` rather than nothing:
+    every ``_bc`` call site passes the REDUCED side of a fact join (a dim
+    chain or semi-join-reduced fact), which the caller knows is the smaller
+    side but Catalyst's post-filter size guess can get backwards — at sf10
+    the Q3 analog's stats picked the 33.6M-row filtered lineitem as the SHJ
+    build side over the 1.4M-row reduced orders (measured 4.0 s; pinning the
+    build side with this hint: 2.7 s).  The hint fixes the build side, not
+    the distribution: both sides still shuffle on the join key, AQE still
+    sizes/splits the reduce stage, and sort-merge remains the fallback if
+    the build partition outgrows memory."""
     if sum(table_bytes(sf_dir, t) for t in source_tables) <= limit:
         return F.broadcast(df)
-    return df
+    return df.hint("shuffle_hash")
 
 
 # --- aggregation: hash agg with partial/final, decimal-exact (TPC-H Q1 analog) ---
@@ -198,26 +208,35 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     disc4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
-    # fact-first: build the supplier→nation→region chain once (nation/region are
+    # fact-once: build the supplier→nation→region chain once (nation/region are
     # fixed-cardinality — always hint-broadcastable; the chain hint itself is
-    # size-gated because supplier grows with SF), stream lineitem past it, then
-    # resolve orders/customer.  One broadcast build for the whole dim chain
-    # instead of three (measured 2.2× at sf0.1); at 100 TB the oversized hints
-    # vanish and the fact joins become stats-planned shuffle joins.
+    # size-gated because supplier grows with SF), and pre-join orders⋈customer
+    # on THEIR shared key so the 60M-row fact shuffles at most ONCE (on
+    # l_orderkey).  The earlier shape joined the fact to orders and then to
+    # customer — two full fact shuffles (orderkey, then custkey); associating
+    # the small sides first moves the custkey shuffle onto the 2.3M-row
+    # filtered orders instead (sf10: 2.5 s → measured below).  The
+    # c_nationkey = s_nationkey predicate rides the orderkey join.  At 100 TB
+    # the oversized hints vanish and every join becomes a stats-planned
+    # shuffle join in this same fact-once order.
     dims = (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
     )
+    o_c = (
+        o.select("o_orderkey", "o_custkey")
+        .join(
+            _bc(c.select("c_custkey", "c_nationkey"), sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "c_nationkey")
+    )
     return (
         l.join(_bc(dims, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            _bc(o.select("o_orderkey", "o_custkey"), sf_dir, "orders"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(
-            _bc(c.select("c_custkey", "c_nationkey"), sf_dir, "customer"),
-            (F.col("o_custkey") == F.col("c_custkey"))
+            _bc(o_c, sf_dir, "orders", "customer"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")

@@ -40,13 +40,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # coalesce post-shuffle partitions to the advisory size (64 MB) instead
-        # of stopping at default-parallelism-many tiny partitions: on tiny
-        # inputs this turns 32 one-row reduce tasks into 1 (measured ~2× on
-        # window/fold queries at sf0.1); at 100 TB the advisory size governs
-        # either way.  This is the setting Spark's own tuning guide recommends
-        # for production clusters.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Post-shuffle coalescing keeps Spark's DEFAULT parallelism-first
+        # policy: coalesce only down to the 1 MB minPartitionSize while
+        # preserving ≥ default-parallelism reduce tasks.  The alternative
+        # (parallelismFirst=false, coalesce straight to the 64 MB advisory)
+        # was measured here both ways: it wins only on sub-megabyte shuffles
+        # (32 one-row reduce tasks → 1), a regime the bench now covers with
+        # its AQE-off small profile anyway — while at GB scale on local[32]
+        # it starves CPU-bound reduces to ⌈shuffle/64 MB⌉ ≈ 8 tasks (sf10
+        # measured: window-rank 4.1→1.7 s, fold 4.9→1.1 s, as-of 5.5→1.4 s,
+        # minhash 10.5→4.2 s with parallelism-first).  At 100 TB shuffles
+        # dwarf advisory×cores, so the two policies converge; the default
+        # only matters in the cores-starved middle, where parallelism wins.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
