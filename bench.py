@@ -12,6 +12,7 @@ shape a cluster job has.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -79,6 +80,16 @@ def main() -> None:
             queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Inter-query hygiene (untimed): the Arrow/numpy operators broadcast
+        # per-invocation weight blocks whose JVM block-manager entries are
+        # reaped by the async ContextCleaner only after the Python references
+        # die — under back-to-back runs the garbage outlives the query and
+        # queries AFTER a matmul-heavy one measured up to 3× slower at sf10
+        # (q_quality_rules 1.9→5.5 s) purely from session pollution.  Forcing
+        # the collect cycle between queries makes each number reflect that
+        # query's plan, not its predecessor's leftovers.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(
