@@ -1,0 +1,142 @@
+"""Time-series analytics over keyed event streams: regular-grid resampling
+with forward-fill, and ordered-step funnel analysis.
+
+Neither has a counterpart in the reference (kafka-flow folds are the
+mechanism a user WOULD build these with — see `MIGRATION.md`); both are
+table-stakes event-analytics queries a replacement engine must answer, and
+both are expressed as pure DataFrame plans:
+
+- ``resample_ffill``: per-key hourly/step grid between each key's first and
+  last observation, carrying the latest observation forward onto every grid
+  point (gap-filling for downstream models that want aligned samples).
+- ``funnel_steps``: per key, the earliest strictly-ordered completion chain
+  of N named steps (first A, first B after that A, first C after that B...)
+  and the reached depth.
+
+Scale shape: every shuffle is keyed on the stream key (or (key, ts)) — never
+on event-pair volume.  The resample grid is generated narrowly per key
+(``sequence`` between aggregated bounds — grid size is bounded by
+time-span/step, independent of event count) and the fill is one window pass;
+the funnel's N per-step windows all share the same partition key, so
+Catalyst plans ONE exchange and N in-place window operators (no per-step
+shuffle; plan-verified).  No Python UDFs, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Forward-filled regular resampling: one row per (key, grid point).
+
+    The grid for a key spans ``date_trunc(step-unit, min ts)`` through
+    ``date_trunc(step-unit, max ts)`` inclusive, stepping by ``step``.  Each
+    grid point carries the value of the latest observation at-or-before it;
+    leading grid points before the first observation are NULL.  When several
+    observations share a timestamp the one with the greatest
+    ``tiebreak_col`` wins (required for engine-reproducible output when the
+    value column is not functionally determined by (key, ts)).
+
+    Output: (key, grid_ts, value) with ``value`` forward-filled.
+
+    Mechanics: observations are first reduced to one row per (key, ts)
+    (``max_by`` on the tiebreak), then unioned with the NULL-valued grid
+    rows and forward-filled by a single ``last(value, ignorenulls)`` window
+    ordered by (ts, is_grid) — a grid point coincident with an observation
+    samples AFTER it.  Three map-combinable key-family shuffles total (the
+    (key, ts) dedup aggregate, the per-key bounds aggregate, and the fill
+    window) — all keyed on the stream key, none on event volume squared;
+    the grid itself is generated narrowly from the bounds row.
+    """
+    unit = step.split()[-1].rstrip("s")  # "1 hour" -> "hour"
+    obs = (
+        df.groupBy(F.col(key_col), F.col(ts_col).alias("_t"))
+        .agg(
+            F.max_by(
+                F.col(value_col), F.col(tiebreak_col) if tiebreak_col else F.col(value_col)
+            ).alias("_v")
+        )
+        .select(key_col, "_t", "_v", F.lit(0).alias("_is_grid"))
+    )
+    grid = (
+        df.groupBy(key_col)
+        .agg(F.min(ts_col).alias("_mn"), F.max(ts_col).alias("_mx"))
+        .select(
+            F.col(key_col),
+            F.explode(
+                F.sequence(
+                    F.date_trunc(unit, "_mn"),
+                    F.date_trunc(unit, "_mx"),
+                    F.expr(f"INTERVAL {step}"),
+                )
+            ).alias("_t"),
+        )
+        .select(key_col, "_t", F.lit(None).cast(obs.schema["_v"].dataType).alias("_v"),
+                F.lit(1).alias("_is_grid"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_t", "_is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        obs.unionByName(grid)
+        .withColumn("_fill", F.last("_v", ignorenulls=True).over(w))
+        .filter(F.col("_is_grid") == 1)
+        .select(F.col(key_col), F.col("_t").alias("grid_ts"), F.col("_fill").alias("value"))
+    )
+
+
+def funnel_steps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Earliest ordered completion of ``steps`` per key.
+
+    ``t1`` is the key's first ``steps[0]`` event; ``t_{i+1}`` is its first
+    ``steps[i]`` event STRICTLY AFTER ``t_i`` (the standard ordered-funnel
+    semantics: a click before any view does not count).  ``depth`` is the
+    number of completed steps.  Each t_i is a deterministic MIN, so output
+    is engine-reproducible without tie-break columns.
+
+    Output: (key, t_1 .. t_n, depth) — one row per key that has at least
+    one event of any kind.
+
+    Mechanics: N conditional-min windows over the same key partition —
+    Catalyst plans ONE exchange and N in-place window operators, so funnel
+    depth never multiplies shuffles.  (A self-join formulation would shuffle
+    N times and explode on hot keys; the window form is the 100 TB shape.)
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    w = Window.partitionBy(key_col)
+    out = df.select(key_col, ts_col, type_col)
+    prev: Column | None = None
+    names = []
+    for i, s in enumerate(steps, start=1):
+        cond = F.col(type_col) == F.lit(s)
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        name = f"t{i}"
+        out = out.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(name)
+        names.append(name)
+    depth = sum((F.col(n).isNotNull()).cast("int") for n in names)
+    return (
+        out.groupBy(key_col)
+        .agg(*[F.first(n).alias(n) for n in names])
+        .withColumn("depth", depth)
+    )

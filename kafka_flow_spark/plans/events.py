@@ -411,3 +411,72 @@ def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance=F.expr("INTERVAL 1 HOUR"),
     )
     return joined.select("event_id", "user_id", "next_click_id", "next_click_value")
+
+
+# --- regular-grid resampling with forward-fill (timeseries gap-fill) ---
+@register(
+    "q_resample_ffill_hourly",
+    oracle="""
+    WITH ev AS (SELECT user_id, ts AS t, arg_max(value, event_id) AS v,
+                       0 AS is_grid
+                FROM events GROUP BY user_id, ts),
+    b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS mn,
+                 date_trunc('hour', MAX(ts)) AS mx
+          FROM events GROUP BY user_id),
+    g AS (SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS t,
+                 CAST(NULL AS DOUBLE) AS v, 1 AS is_grid FROM b),
+    u AS (SELECT * FROM ev UNION ALL SELECT * FROM g),
+    f AS (SELECT user_id, t, is_grid,
+                 last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, is_grid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill
+          FROM u)
+    SELECT user_id, t AS grid_ts, fill AS value FROM f WHERE is_grid = 1
+    """,
+)
+def q_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly forward-filled resampling of each user's value series — the
+    gap-filling/alignment step time-series models need (see
+    operators/timeseries.py; one key shuffle, grid generated narrowly)."""
+    from kafka_flow_spark.operators.timeseries import resample_ffill
+
+    return resample_ffill(
+        load(spark, sf_dir, "events"), "user_id", "ts", "value",
+        step="1 hour", tiebreak_col="event_id",
+    )
+
+
+# --- ordered-step funnel (view -> click -> purchase) ---
+@register(
+    "q_funnel_view_click_purchase",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM w1),
+    w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM w2)
+    SELECT user_id, t1, t2, t3,
+           CAST((CASE WHEN t1 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS INT) AS depth
+    FROM (SELECT DISTINCT user_id, t1, t2, t3 FROM w3)
+    """,
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest ordered view→click→purchase chain per user with reached
+    depth — ordered-funnel semantics (strictly-after steps), one exchange
+    for all three conditional-min windows (operators/timeseries.py)."""
+    from kafka_flow_spark.operators.timeseries import funnel_steps
+
+    return funnel_steps(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
