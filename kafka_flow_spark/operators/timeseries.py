@@ -140,3 +140,53 @@ def funnel_steps(
         .agg(*[F.first(n).alias(n) for n in names])
         .withColumn("depth", depth)
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: keys grouped by first-activity period, then
+    counted distinct-active per (cohort, period-offset) — the standard
+    retention triangle behind "what fraction of week-N signups were still
+    active k weeks later".
+
+    Output: (cohort, period_offset, n_active, n_cohort, retention) where
+    ``retention = n_active / n_cohort`` (offset 0 rows have retention 1.0 by
+    construction).
+
+    Scale shape: one window over the key partition assigns each event its
+    key's cohort in place (no self-join back onto the event stream), one
+    map-combinable distinct aggregate on (cohort, period) counts actives,
+    and the cohort sizes come from the offset-0 rows themselves via a
+    cohort-key window — no second scan of the events.  Shuffles are keyed on
+    the stream key and on (cohort, period): both tiny key spaces relative to
+    event volume.
+    """
+    w = Window.partitionBy(key_col)
+    per = df.select(
+        F.col(key_col), F.date_trunc(period, F.col(ts_col)).alias("_p")
+    ).withColumn("_cohort", F.min("_p").over(w))
+    counts = per.groupBy(F.col("_cohort").alias("cohort"), F.col("_p")).agg(
+        F.countDistinct(key_col).alias("n_active")
+    )
+    wc = Window.partitionBy("cohort")
+    unit_days = {"week": 7, "day": 1}[period]
+    return (
+        counts.withColumn(
+            "n_cohort",
+            F.max(F.when(F.col("_p") == F.col("cohort"), F.col("n_active"))).over(wc),
+        )
+        .select(
+            "cohort",
+            (F.datediff(F.col("_p"), F.col("cohort")) / F.lit(unit_days))
+            .cast("int")
+            .alias("period_offset"),
+            "n_active",
+            "n_cohort",
+            (F.col("n_active").cast("double") / F.col("n_cohort").cast("double"))
+            .alias("retention"),
+        )
+    )

@@ -480,3 +480,34 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
         ["view", "click", "purchase"],
     )
+
+
+# --- cohort retention triangle (weekly) ---
+@register(
+    "q_cohort_retention_weekly",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, date_trunc('week', ts) AS p,
+             MIN(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort
+      FROM events),
+    counts AS (SELECT cohort, p, COUNT(DISTINCT user_id) AS n_active
+               FROM per GROUP BY cohort, p),
+    sized AS (SELECT *, MAX(CASE WHEN p = cohort THEN n_active END)
+                          OVER (PARTITION BY cohort) AS n_cohort
+              FROM counts)
+    SELECT cohort,
+           CAST(date_diff('day', cohort, p) // 7 AS INT) AS period_offset,
+           n_active, n_cohort,
+           CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+    FROM sized
+    """,
+)
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events — first-activity-week
+    cohorts × distinct-active counts per offset (operators/timeseries.py;
+    cohort assigned by an in-place key window, no event self-join)."""
+    from kafka_flow_spark.operators.timeseries import cohort_retention
+
+    out = cohort_retention(load(spark, sf_dir, "events"), "user_id", "ts", "week")
+    # DuckDB's date_trunc('week') yields DATE; align the cohort label type
+    return out.withColumn("cohort", F.col("cohort").cast("date"))

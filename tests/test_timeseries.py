@@ -105,3 +105,24 @@ def test_funnel_requires_steps(spark):
     with pytest.raises(ValueError):
         funnel_steps(_funnel_df(spark, [(1, _ts(1), "view")]),
                      "user_id", "ts", "event_type", [])
+
+
+def test_cohort_retention_hand_checked(spark):
+    from kafka_flow_spark.operators.timeseries import cohort_retention
+
+    # cohort of Mon Jan 1: users 1,2 first seen wk0; user 1 returns wk1.
+    # cohort of Mon Jan 8: user 3 only.
+    rows = [
+        (1, datetime(2024, 1, 2)), (2, datetime(2024, 1, 3)),
+        (1, datetime(2024, 1, 10)),
+        (3, datetime(2024, 1, 9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP_NTZ")
+    out = {
+        (r["cohort"].day, r["period_offset"]): (r["n_active"], r["n_cohort"], r["retention"])
+        for r in cohort_retention(df, "user_id", "ts", "week").collect()
+    }
+    assert out[(1, 0)] == (2, 2, 1.0)
+    assert out[(1, 1)] == (1, 2, 0.5)
+    assert out[(8, 0)] == (1, 1, 1.0)
+    assert len(out) == 3
