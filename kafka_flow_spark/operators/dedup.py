@@ -561,3 +561,52 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("_v63") > 0, F.lit(-(1 << 63)).cast("long")
     ).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", val.alias("simhash"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    band_width: int = 8,
+) -> DataFrame:
+    """Exact edit-distance self-join — the record-linkage primitive: every
+    pair with ``levenshtein(a, b) <= max_dist``, recall 1.0.
+
+    Blocking is the LOSSLESS length band: qualifying pairs differ in length
+    by at most ``max_dist``, so with ``band_width > max_dist`` they lie in
+    the same or adjacent ``len // band_width`` band — the left side probes
+    {b-1, b, b+1} and the right keeps its own band, so each qualifying pair
+    survives in exactly one probe cell (the roles-swapped duplicate dies on
+    the ``a_id < b_id`` filter).  Output: (a_id, b_id, dist).
+
+    Scale posture: length banding alone leaves O(n²/bands) candidate pairs —
+    the exact-verification regime, right when the input is an entity column
+    of bounded cardinality (names, SKUs, addresses after a group-by).  For
+    corpus-scale linkage, generate candidates FIRST with the probabilistic
+    operators in this module (``minhash_lsh_pairs`` over character shingles)
+    and verify with the same ``levenshtein`` predicate; this operator is the
+    oracle-checkable exact form, not the 100 TB candidate generator.
+    """
+    if band_width <= max_dist:
+        raise ValueError(f"band_width must exceed max_dist, got {band_width} <= {max_dist}")
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_s"),
+        F.floor(F.length(text_col) / F.lit(band_width)).cast("int").alias("_band"),
+    )
+    left = base.select(
+        F.col(id_col).alias("a_id"),
+        F.col("_s").alias("_a"),
+        F.explode(
+            F.array(*[(F.col("_band") + F.lit(d)).alias("_band") for d in (-1, 0, 1)])
+        ).alias("_band"),
+    )
+    right = base.select(F.col(id_col).alias("b_id"), F.col("_s").alias("_b"), "_band")
+    return (
+        left.join(right, "_band")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.abs(F.length("_a") - F.length("_b")) <= F.lit(max_dist))
+        .filter(F.levenshtein("_a", "_b") <= F.lit(max_dist))
+        .select("a_id", "b_id", F.levenshtein("_a", "_b").alias("dist"))
+    )

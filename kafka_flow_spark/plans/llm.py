@@ -573,3 +573,26 @@ def q_explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(T.tokens(T.normalize_text("text"))).alias("word")
     ).filter(F.col("word") != "")
     return words.groupBy("word").agg(F.count("*").alias("n")).filter(F.col("n") >= 10)
+
+
+# --- exact edit-distance pairs (record linkage; lossless length-band blocking) ---
+@register(
+    "q_fuzzy_customer_names",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name FROM customer)
+    SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer-name pairs within edit distance 1 — the record-linkage
+    verification primitive (operators/dedup.py edit_distance_pairs; exact,
+    recall 1.0 via lossless length-band blocking)."""
+    from kafka_flow_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        load(spark, sf_dir, "customer"), "c_custkey", "c_name", max_dist=1
+    )

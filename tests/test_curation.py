@@ -234,3 +234,29 @@ def test_chunk_validation(spark):
         _chunk_df(spark, [(1, "a b")], chunk=0)
     with pytest.raises(ValueError):
         _chunk_df(spark, [(1, "a b")], stride=0)
+
+
+# --- edit_distance_pairs (record linkage) ---------------------------------
+
+def test_edit_distance_pairs_adjacent_band_and_dedup(spark):
+    from kafka_flow_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "abcdefgh"),    # len 8 -> band 1 (width 8)
+        (2, "abcdefg"),     # len 7 -> band 0; dist(1,2)=1 across bands
+        (3, "abcdefgh"),    # dup of 1 -> dist 0, same band
+        (4, "zzzzzzzz"),    # far from everything
+    ]
+    df = spark.createDataFrame(rows, "rid BIGINT, name STRING")
+    out = {(r["a_id"], r["b_id"]): r["dist"]
+           for r in edit_distance_pairs(df, "rid", "name", max_dist=1).collect()}
+    # adjacent-band pair found once, exact dup found once, nothing else
+    assert out == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+
+def test_edit_distance_pairs_validation(spark):
+    from kafka_flow_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "a")], "rid BIGINT, name STRING")
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "rid", "name", max_dist=8, band_width=8)
