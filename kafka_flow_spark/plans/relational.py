@@ -990,3 +990,69 @@ def q_skew_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_pn").alias("n_events"),
         ],
     )
+
+
+# --- distribution window functions (ntile / percent_rank / cume_dist) ---
+@register(
+    "q_window_distribution_functions",
+    oracle="""
+    SELECT user_id, event_id,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def q_window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family window functions per user — ntile buckets plus
+    the two rational-rank statistics (exact divisions, engine-identical)."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# --- unpivot / melt (wide measures -> long (measure, value) rows) ---
+@register(
+    "q_unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           ROUND(l_quantity, 2) AS value
+    FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', ROUND(l_extendedprice, 2)
+    FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 2)
+    FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
+    """,
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) three lineitem measures into long (measure, value)
+    rows — the inverse of q_pivot_priority_by_status; Spark's native
+    ``unpivot`` is a narrow generator (no shuffle, pushdown intact)."""
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 1000))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 2).alias("l_quantity"),
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+            F.round("l_discount", 2).alias("l_discount"),
+        )
+    )
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
