@@ -569,6 +569,7 @@ def edit_distance_pairs(
     text_col: str,
     max_dist: int = 1,
     band_width: int = 8,
+    max_candidate_pairs: int = 50_000_000,
 ) -> DataFrame:
     """Exact edit-distance self-join — the record-linkage primitive: every
     pair with ``levenshtein(a, b) <= max_dist``, recall 1.0.
@@ -582,11 +583,18 @@ def edit_distance_pairs(
 
     Scale posture: length banding alone leaves O(n²/bands) candidate pairs —
     the exact-verification regime, right when the input is an entity column
-    of bounded cardinality (names, SKUs, addresses after a group-by).  For
-    corpus-scale linkage, generate candidates FIRST with the probabilistic
-    operators in this module (``minhash_lsh_pairs`` over character shingles)
-    and verify with the same ``levenshtein`` predicate; this operator is the
-    oracle-checkable exact form, not the 100 TB candidate generator.
+    of bounded cardinality (names, SKUs, addresses after a group-by).  On
+    near-uniform-length data the banding degenerates to all-pairs (measured:
+    1.5M equal-length names at sf10 → ~10¹² candidates), so the operator
+    counts rows per band up front (one tiny aggregate — band count is
+    bounded by max-length/band_width) and REFUSES loudly past
+    ``max_candidate_pairs`` instead of scheduling an unbounded quadratic
+    join — same posture as the block-matmul guard in
+    ``operators/similarity.py``.  For corpus-scale linkage, generate
+    candidates FIRST with the probabilistic operators in this module
+    (``minhash_lsh_pairs`` over character shingles) and verify with the same
+    ``levenshtein`` predicate; this operator is the oracle-checkable exact
+    form, not the 100 TB candidate generator.
     """
     if band_width <= max_dist:
         raise ValueError(f"band_width must exceed max_dist, got {band_width} <= {max_dist}")
@@ -595,6 +603,21 @@ def edit_distance_pairs(
         F.col(text_col).alias("_s"),
         F.floor(F.length(text_col) / F.lit(band_width)).cast("int").alias("_band"),
     )
+    hist = {
+        r["_band"]: r["n"]
+        for r in base.groupBy("_band").agg(F.count("*").alias("n")).collect()
+    }
+    est = sum(
+        n * (n + hist.get(b + 1, 0) + hist.get(b - 1, 0)) for b, n in hist.items()
+    )
+    if est > max_candidate_pairs:
+        raise ValueError(
+            f"edit_distance_pairs: length-band blocking leaves ~{est:.2e} candidate "
+            f"pairs (> {max_candidate_pairs:.0e}) — the length distribution is too "
+            "uniform for exact all-pairs verification at this cardinality. Generate "
+            "candidates with minhash_lsh_pairs over character shingles and verify "
+            "those with F.levenshtein instead."
+        )
     left = base.select(
         F.col(id_col).alias("a_id"),
         F.col("_s").alias("_a"),

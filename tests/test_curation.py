@@ -260,3 +260,13 @@ def test_edit_distance_pairs_validation(spark):
     df = spark.createDataFrame([(1, "a")], "rid BIGINT, name STRING")
     with pytest.raises(ValueError):
         edit_distance_pairs(df, "rid", "name", max_dist=8, band_width=8)
+
+
+def test_edit_distance_pairs_refuses_quadratic_blowup(spark):
+    from kafka_flow_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"name{i:04d}") for i in range(100)], "rid BIGINT, name STRING"
+    )
+    with pytest.raises(ValueError, match="candidate"):
+        edit_distance_pairs(df, "rid", "name", max_candidate_pairs=1000)
