@@ -511,3 +511,39 @@ def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cohort_retention(load(spark, sf_dir, "events"), "user_id", "ts", "week")
     # DuckDB's date_trunc('week') yields DATE; align the cohort label type
     return out.withColumn("cohort", F.col("cohort").cast("date"))
+
+
+def funnel_via_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_funnel_view_click_purchase through the generic fold machinery
+    (test-only path — tests/test_fold_vs_window.py proves it row-identical
+    to the registered window plan, which the oracle proves against DuckDB).
+    A ts-ordered left fold computes the same strictly-after chain: the first
+    qualifying step-k event in ts order IS the min over qualifying events."""
+    from kafka_flow_spark.operators.keyed import keyed_fold_final
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    steps = ["view", "click", "purchase"]
+
+    def step_fn(s, rec):
+        s = dict(s) if s else {"t1": None, "t2": None, "t3": None}
+        t, ty = rec["ts"], rec["event_type"]
+        if ty == steps[0] and s["t1"] is None:
+            s["t1"] = t
+        elif ty == steps[1] and s["t2"] is None and s["t1"] is not None and t > s["t1"]:
+            s["t2"] = t
+        elif ty == steps[2] and s["t3"] is None and s["t2"] is not None and t > s["t2"]:
+            s["t3"] = t
+        return s
+
+    def finish(key, s):
+        return {
+            "user_id": key["user_id"],
+            "t1": s["t1"], "t2": s["t2"], "t3": s["t3"],
+            "depth": sum(s[k] is not None for k in ("t1", "t2", "t3")),
+        }
+
+    return keyed_fold_final(
+        e, ["user_id"], "ts", fold_option(step_fn),
+        "user_id BIGINT, t1 TIMESTAMP_NTZ, t2 TIMESTAMP_NTZ, t3 TIMESTAMP_NTZ, depth INT",
+        finish,
+    )

@@ -17,6 +17,7 @@ PAIRS = [
     (ev.q_fold_running_totals, ev.fold_running_totals_via_fold),
     (ev.q_fold_reset_on_error, ev.fold_reset_on_error_via_fold),
     (ev.q_fold_final_state, ev.fold_final_state_via_fold),
+    (ev.q_funnel_view_click_purchase, ev.funnel_via_fold),
 ]
 
 
