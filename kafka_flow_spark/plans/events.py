@@ -433,6 +433,7 @@ def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM u)
     SELECT user_id, t AS grid_ts, fill AS value FROM f WHERE is_grid = 1
     """,
+    bench=True,
 )
 def q_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly forward-filled resampling of each user's value series — the

@@ -110,3 +110,27 @@ def test_cosine_matmul_path_is_arrow_batched(spark):
     plan = plan_of(spark, "q_dedup_embedding_cosine")
     assert "MapInPandas" in plan  # BLAS block compute, not per-pair expressions
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    """All N conditional-min step windows must ride ONE key exchange — a
+    per-step shuffle would multiply funnel cost by its depth."""
+    plan = plan_of(spark, "q_funnel_view_click_purchase")
+    assert plan.count("Window") == 3
+    assert plan.count("Exchange") <= 2  # key exchange (+ the final-agg reuse)
+
+
+def test_chunk_documents_is_narrow(spark):
+    """The chunker must never shuffle the corpus — tokenize, sequence,
+    posexplode, slice are all narrow."""
+    plan = plan_of(spark, "q_chunk_documents")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_resample_window_input_is_bucket_reduced(spark):
+    """The fill window must consume bucket survivors (one max_by aggregate
+    per (key, bucket)), not raw event volume."""
+    plan = plan_of(spark, "q_resample_ffill_hourly")
+    assert "max_by" in plan or "maxby" in plan.lower()
+    assert plan.count("Window") == 1

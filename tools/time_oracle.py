@@ -29,6 +29,7 @@ COMPARABLE = [
     "q5_region_revenue",
     "q_broadcast_brand_qty",
     "q_window_top_orders_per_customer",
+    "q_resample_ffill_hourly",
 ]
 
 
