@@ -96,3 +96,40 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     ``spark.read.parquet`` on the files would DROP the spec — the metastore
     entry is what carries it)."""
     return spark.table(table)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    path: str,
+    salt: str = "",
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """``write_shards`` in JSON-Lines — the interchange format LLM training
+    loaders actually consume (one JSON object per line, a directory of
+    ``shard=K`` folders, optionally gzipped).  Same reproducibility contract
+    as the parquet form: content-addressed shard assignment + deterministic
+    within-shard order, so the same salt yields byte-identical shard
+    contents and a new salt is a new epoch permutation.  The shard id and
+    rank columns are dropped from the payload — they are layout, not data.
+
+    Spark's JSON writer streams rows straight from the sorted shuffle
+    partition (one write task per shard, no driver involvement); gzip
+    trades CPU for the ~5× text-corpus compression that makes JSONL viable
+    at scale.
+    """
+    from kafka_flow_spark.operators.sampling import shuffle_shard
+
+    sharded = shuffle_shard(df, key_col, n_shards, salt)
+    writer = (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_rank")
+        .drop("shard_rank")
+        .write.mode(mode)
+        .partitionBy("shard")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

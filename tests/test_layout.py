@@ -144,3 +144,44 @@ def test_write_shards_reproducible_ordered_files(spark, tmp_path):
     write_shards(orders, "_key", 4, p3, salt="ep1")
     c = pd.read_parquet(p3).sort_values("_key").reset_index(drop=True)
     assert not a[["_key", "shard_rank"]].equals(c[["_key", "shard_rank"]])
+
+
+def test_write_jsonl_shards_reproducible(spark, tmp_path):
+    import gzip
+    import json
+    import os
+
+    from kafka_flow_spark.layout import write_jsonl_shards
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").select("doc_id", "text", "lang")
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_jsonl_shards(docs, "doc_id", 4, out1, salt="epoch0")
+    write_jsonl_shards(docs, "doc_id", 4, out2, salt="epoch0")
+
+    def slurp(root):
+        shards = {}
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("shard="):
+                continue
+            lines = []
+            for f in sorted(os.listdir(os.path.join(root, d))):
+                if f.endswith(".gz"):
+                    with gzip.open(os.path.join(root, d, f), "rt") as fh:
+                        lines += fh.read().splitlines()
+            shards[d] = lines
+        return shards
+
+    a, b = slurp(out1), slurp(out2)
+    assert set(a) == {f"shard={i}" for i in range(4)}
+    assert a == b  # same salt -> byte-identical shard contents
+    total = sum(len(v) for v in a.values())
+    assert total == docs.count()
+    # payload rows are clean JSON without layout columns
+    rec = json.loads(a["shard=0"][0])
+    assert set(rec) <= {"doc_id", "text", "lang"} and "shard_rank" not in rec
+    # a new salt is a different permutation
+    out3 = str(tmp_path / "c")
+    write_jsonl_shards(docs, "doc_id", 4, out3, salt="epoch1")
+    assert slurp(out3) != a
