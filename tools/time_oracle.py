@@ -29,7 +29,12 @@ COMPARABLE = [
     "q5_region_revenue",
     "q_broadcast_brand_qty",
     "q_window_top_orders_per_customer",
-    "q_resample_ffill_hourly",
+    # q_resample_ffill_hourly is deliberately NOT here: its oracle SQL (per-key
+    # hour grid x as-of fill) costs 140+ s per run at sf10, so including it
+    # makes this tool impractical to re-run and would break comparability of
+    # DUCK_sf*.json with the 10-query subtotals in PERF.md.  Its head-to-head
+    # (Spark 0.38x at sf1, ~0.07x at sf10) is recorded in PERF.md's
+    # supplementary section.
 ]
 
 
