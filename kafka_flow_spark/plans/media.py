@@ -93,8 +93,8 @@ def q_media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id AS media_id,
            CAST(16 AS INT) AS dim,
-           CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0
-                THEN 0.0 ELSE 1.0 END AS sq_norm
+           CAST(CASE WHEN octet_length(encode(COALESCE(text, ''))) = 0
+                THEN 0.0 ELSE 1.0 END AS DOUBLE) AS sq_norm
     FROM documents
     """,
 )

@@ -267,7 +267,7 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
       FROM t)
     SELECT doc_id, shard, CAST(cum // 512 AS BIGINT) AS pack_id,
-           cum % 512 AS pack_offset, CAST(n_tokens AS INT) AS n_tokens
+           CAST(cum % 512 AS BIGINT) AS pack_offset, CAST(n_tokens AS INT) AS n_tokens
     FROM w
     """,
 )
@@ -445,7 +445,7 @@ def _bloom_pos_sql(expr: str, m_bits: int) -> str:
              FROM tpos t LEFT JOIN epos e USING (pos)
              GROUP BY doc_id, ng),
     hits AS (SELECT doc_id, SUM(hit) AS n_flagged FROM perg GROUP BY doc_id)
-    SELECT d.doc_id, COALESCE(h.n_flagged, 0) AS n_flagged
+    SELECT d.doc_id, CAST(COALESCE(h.n_flagged, 0) AS BIGINT) AS n_flagged
     FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
     WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) >= '{_T_EVAL}'
     """,

@@ -290,7 +290,7 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                              + 0.25 * (CAST(sec AS DOUBLE) / CAST(tot AS DOUBLE)))
                             * 1000000000.0 + 0.5) AS BIGINT) AS p_nano
           FROM wins CROSS JOIN total)
-    SELECT doc_id, SUM(n_occ) AS n_bigrams,
+    SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
            CAST(SUM(p_nano * n_occ) AS DOUBLE) / CAST(SUM(n_occ) AS DOUBLE)
              AS mean_p_nano
     FROM p GROUP BY doc_id

@@ -59,7 +59,8 @@ scored AS (
   JOIN dfreq USING (term)
   JOIN dls USING (doc_id)
   CROSS JOIN corpus),
-agg AS (SELECT query_id, doc_id, SUM(s) AS score_micro FROM scored GROUP BY query_id, doc_id)
+agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_micro
+        FROM scored GROUP BY query_id, doc_id)
 SELECT query_id, doc_id, rank, score_micro FROM (
   SELECT query_id, doc_id, score_micro,
          ROW_NUMBER() OVER (PARTITION BY query_id
@@ -116,7 +117,7 @@ vocab AS (SELECT term FROM counts ORDER BY n DESC, term LIMIT 10),
 marked AS (
   SELECT t.lang, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
   FROM toks2 t LEFT JOIN vocab v ON t.term = v.term)
-SELECT lang, COUNT(*) AS n_tokens, SUM(oov) AS n_oov,
+SELECT lang, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
        CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
 FROM marked GROUP BY lang
 """

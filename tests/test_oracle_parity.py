@@ -25,3 +25,32 @@ def test_query_matches_oracle(spark, name):
 def test_rows_only_query_runs(spark, name):
     df = QUERIES[name](spark, SF_SMALL)
     assert df.count() >= 0
+
+
+def test_no_oracle_emits_decimal_columns():
+    """The driver's hasher canonicalizes DuckDB DECIMAL/HUGEINT differently
+    from Spark's BIGINT/DOUBLE (exactly the two r3 hash-fails: integer-SUM
+    columns typed decimal128(38,0)), while the local mirror's fetchall()
+    coerces both to Python numbers and hides the mismatch.  Guard the whole
+    registry: no oracle result column may be decimal-typed — CAST integer
+    SUMs to BIGINT and decimal literals to DOUBLE in the oracle SQL."""
+    import duckdb
+
+    from kafka_flow_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_SMALL}/{name}.parquet'"
+        )
+    offenders = []
+    for name, sql in sorted(ORACLES.items()):
+        schema = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+        bad = [
+            f"{f.name}:{f.type}" for f in schema if str(f.type).startswith("decimal")
+        ]
+        if bad:
+            offenders.append(f"{name} -> {', '.join(bad)}")
+    assert not offenders, "decimal-typed oracle columns (driver hash landmine): " + "; ".join(
+        offenders
+    )
