@@ -49,31 +49,62 @@ def resample_ffill(
 
     Output: (key, grid_ts, value) with ``value`` forward-filled.
 
-    Mechanics: only the LAST observation per (key, grid bucket) can be
-    sampled by any grid point, so observations are first reduced to one row
-    per (key, ``date_trunc`` bucket) with ``max_by(value, (ts, tiebreak))``
-    and ``_t = max(ts)`` — a MAP-COMBINABLE aggregate over bucket-count
-    groups (≈ grid size, independent of event volume) that replaces a full
-    event-volume window sort.  The survivors are unioned with the
-    NULL-valued grid rows and forward-filled by one ``last(value,
+    Mechanics: the only observations any grid point can sample are, per
+    (key, grid bucket), the bucket's LAST observation (sampled by the NEXT
+    grid point) and the observation exactly ON the bucket's grid point
+    (sampled by THAT grid point — "coincident observation first").  So
+    observations are reduced to at most two survivors per (key,
+    ``date_trunc`` bucket) with ``max_by(value, (ts, tiebreak))`` — once
+    unrestricted with ``_t = max(ts)``, once restricted to ``ts == bucket
+    start`` — a MAP-COMBINABLE aggregate over bucket-count groups (≈ grid
+    size, independent of event volume) that replaces a full event-volume
+    window sort.  (One survivor is NOT enough: with events at 01:00 v=4 and
+    01:30 v=6, the bucket-last reduction alone would leave grid 01:00
+    without its coincident 01:00 observation.)  The survivors are unioned
+    with the NULL-valued grid rows and forward-filled by one ``last(value,
     ignorenulls)`` window ordered by (ts, is_grid): a bucket survivor at
-    10:30 sorts after the 10:00 grid point and before 11:00, so every grid
-    point samples exactly the latest at-or-before observation (coincident
-    observation first — the grid row samples it).  NULL observation values
-    are treated as gaps (carried over).  Two shuffles keyed on
-    (key, bucket)-family keys; the fill window sorts ~2× grid-size rows,
-    never event volume (sf10, 10M events: ~16 s → 7.9 s warm for this
+    10:30 sorts after the 10:00 grid point and before 11:00, and a
+    boundary survivor at 10:00 sorts before the 10:00 grid point, so every
+    grid point samples exactly the latest at-or-before observation.  NULL
+    observation values are treated as gaps (carried over).  Two shuffles
+    keyed on (key, bucket)-family keys; the fill window sorts ~2× grid-size
+    rows, never event volume (sf10, 10M events: ~16 s → 7.9 s warm for this
     rewrite, vs 9.2 s for the DuckDB oracle on the same data).
     """
     unit = step.split()[-1].rstrip("s")  # "1 hour" -> "hour"
     tb = F.col(tiebreak_col) if tiebreak_col else F.col(value_col)
+    at0 = F.col(ts_col) == F.date_trunc(unit, F.col(ts_col))
+    surv = df.groupBy(
+        F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("_bkt")
+    ).agg(
+        F.max(ts_col).alias("_t"),
+        F.max_by(F.col(value_col), F.struct(F.col(ts_col), tb)).alias("_v"),
+        F.max_by(
+            F.when(at0, F.col(value_col)), F.when(at0, F.struct(F.col(ts_col), tb))
+        ).alias("_v0"),
+    )
+    # NULL-valued boundary survivors are inert under last(ignorenulls), so
+    # only a non-null _v0 needs its own row (and only when the bucket-last
+    # survivor isn't already the boundary observation itself).
+    boundary = F.when(
+        F.col("_v0").isNotNull() & (F.col("_t") != F.col("_bkt")),
+        F.struct(F.col("_bkt").alias("_t"), F.col("_v0").alias("_v")),
+    )
     obs = (
-        df.groupBy(F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("_bkt"))
-        .agg(
-            F.max(ts_col).alias("_t"),
-            F.max_by(F.col(value_col), F.struct(F.col(ts_col), tb)).alias("_v"),
+        surv.select(
+            F.col(key_col),
+            F.explode(
+                F.array_compact(
+                    F.array(F.struct(F.col("_t"), F.col("_v")), boundary)
+                )
+            ).alias("_s"),
         )
-        .select(key_col, "_t", "_v", F.lit(0).alias("_is_grid"))
+        .select(
+            key_col,
+            F.col("_s._t").alias("_t"),
+            F.col("_s._v").alias("_v"),
+            F.lit(0).alias("_is_grid"),
+        )
     )
     grid = (
         df.groupBy(key_col)
@@ -172,6 +203,13 @@ def cohort_retention(
     the stream key and on (cohort, period): both tiny key spaces relative to
     event volume.
     """
+    supported = {"week": 7, "day": 1}
+    if period not in supported:
+        raise ValueError(
+            f"period must be one of {sorted(supported)} (fixed-length periods; "
+            f"calendar periods like 'month' need months_between offset math), "
+            f"got {period!r}"
+        )
     w = Window.partitionBy(key_col)
     per = df.select(
         F.col(key_col), F.date_trunc(period, F.col(ts_col)).alias("_p")
@@ -180,7 +218,7 @@ def cohort_retention(
         F.countDistinct(key_col).alias("n_active")
     )
     wc = Window.partitionBy("cohort")
-    unit_days = {"week": 7, "day": 1}[period]
+    unit_days = supported[period]
     return (
         counts.withColumn(
             "n_cohort",

@@ -55,6 +55,49 @@ def test_resample_ffill_grid_point_samples_after_coincident_event(spark):
     assert [(r["grid_ts"].hour, r["value"]) for r in rows] == [(1, 4.0), (2, 6.0)]
 
 
+def test_resample_ffill_boundary_event_survives_later_same_bucket_event(spark):
+    # Regression: a later event in the SAME bucket must not evict the
+    # boundary-coincident observation from the bucket reduction — grid 01:00
+    # samples the 01:00 event even though 01:30 is the bucket's last event.
+    df = spark.createDataFrame(
+        [(1, _ts(1), 4.0, 1), (1, _ts(1, 30), 6.0, 2), (1, _ts(3), 9.0, 3)],
+        "user_id BIGINT, ts TIMESTAMP_NTZ, value DOUBLE, event_id BIGINT",
+    )
+    rows = resample_ffill(df, "user_id", "ts", "value", "1 hour", "event_id").orderBy(
+        "grid_ts"
+    ).collect()
+    assert [(r["grid_ts"].hour, r["value"]) for r in rows] == [
+        (1, 4.0), (2, 6.0), (3, 9.0),
+    ]
+
+
+def test_resample_ffill_null_boundary_value_is_a_gap(spark):
+    # A NULL-valued observation exactly on the grid point is a gap: the grid
+    # row carries the previous value, and the bucket's later event still
+    # feeds the next grid point.
+    df = spark.createDataFrame(
+        [(1, _ts(0, 30), 2.0, 1), (1, _ts(1), None, 2), (1, _ts(1, 45), 5.0, 3),
+         (1, _ts(2, 10), 7.0, 4)],
+        "user_id BIGINT, ts TIMESTAMP_NTZ, value DOUBLE, event_id BIGINT",
+    )
+    rows = resample_ffill(df, "user_id", "ts", "value", "1 hour", "event_id").orderBy(
+        "grid_ts"
+    ).collect()
+    assert [(r["grid_ts"].hour, r["value"]) for r in rows] == [
+        (0, None), (1, 2.0), (2, 5.0),
+    ]
+
+
+def test_cohort_retention_rejects_unsupported_period(spark):
+    from kafka_flow_spark.operators.timeseries import cohort_retention
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2))], "user_id BIGINT, ts TIMESTAMP_NTZ"
+    )
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention(df, "user_id", "ts", "month")
+
+
 def _funnel_df(spark, rows):
     return spark.createDataFrame(
         rows, "user_id BIGINT, ts TIMESTAMP_NTZ, event_type STRING"
