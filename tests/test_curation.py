@@ -262,11 +262,64 @@ def test_edit_distance_pairs_validation(spark):
         edit_distance_pairs(df, "rid", "name", max_dist=8, band_width=8)
 
 
-def test_edit_distance_pairs_refuses_quadratic_blowup(spark):
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_deletion_fallback_matches_bruteforce(spark):
+    from itertools import combinations
+
     from kafka_flow_spark.operators.dedup import edit_distance_pairs
 
+    # all length 8: substitutions, a dup, and unrelated strings
+    names = ["abcdefgh", "abcdefgx", "abcdefgh", "zzzzzzzz", "abxdefgh",
+             "qrstuvwx", "qrstuvwy"]
+    rows = [(i, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "rid BIGINT, name STRING")
+    # max_candidate_pairs=0 forces the band path over the cap -> fallback
+    out = {(r["a_id"], r["b_id"]): r["dist"]
+           for r in edit_distance_pairs(df, "rid", "name", max_dist=1,
+                                        max_candidate_pairs=30).collect()}
+    want = {(i, j): _lev(a, b)
+            for (i, a), (j, b) in combinations(rows, 2) if _lev(a, b) <= 1}
+    assert out == want
+
+
+def test_edit_distance_deletion_fallback_insertions_k2(spark):
+    from itertools import combinations
+
+    from kafka_flow_spark.operators.dedup import edit_distance_pairs
+
+    import hashlib
+
+    names = ["abcdefgh", "abcdefghi", "bcdefgh", "abcdegh", "abcdefghij",
+             "xydefgh", "abcdffgh"]
+    # pad with pairwise-distant uniform-length filler so the LENGTH-BAND
+    # estimate blows past the cap (forcing the fallback) while the deletion
+    # blocks stay small (the filler shares no variants)
+    names += [hashlib.md5(str(i).encode()).hexdigest()[:8] for i in range(30)]
+    rows = [(i, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "rid BIGINT, name STRING")
+    out = {(r["a_id"], r["b_id"]): r["dist"]
+           for r in edit_distance_pairs(df, "rid", "name", max_dist=2,
+                                        max_candidate_pairs=200).collect()}
+    want = {(i, j): _lev(a, b)
+            for (i, a), (j, b) in combinations(rows, 2) if _lev(a, b) <= 2}
+    assert out == want
+
+
+def test_edit_distance_pairs_refuses_identical_string_blowup(spark):
+    from kafka_flow_spark.operators.dedup import edit_distance_pairs
+
+    # mass-identical strings: length bands AND deletion blocks both degenerate
     df = spark.createDataFrame(
-        [(i, f"name{i:04d}") for i in range(100)], "rid BIGINT, name STRING"
+        [(i, "samename") for i in range(100)], "rid BIGINT, name STRING"
     )
     with pytest.raises(ValueError, match="candidate"):
         edit_distance_pairs(df, "rid", "name", max_candidate_pairs=1000)
