@@ -17,9 +17,12 @@ Scale design
   the corpus.
 - Scoring avoids transcendentals so results are bit-reproducible across
   engines: the classic BM25 idf ``ln((N-df+0.5)/(df+0.5)+1)`` is replaced by
-  its argument (a rational function — ``ln`` is monotone, so rankings are
-  UNCHANGED; only the score scale differs, documented as ``rational-idf
-  BM25``).  Per-term scores then quantize to integer micro-units so the
+  its argument (a rational function — ``ln`` is monotone, so PER-TERM
+  rankings are unchanged and single-term queries rank identically to
+  classic BM25; multi-term orderings can differ, because a sum of per-term
+  scores is not invariant under a per-term monotone transform — documented
+  as ``rational-idf BM25``, a variant with its own well-defined contract).
+  Per-term scores then quantize to integer micro-units so the
   cross-term SUM is order-insensitive (bigint), making distributed
   aggregation exact — same trick as functions.cents for money.
 - Everything is JVM built-ins in whole-stage codegen; no Python UDFs.

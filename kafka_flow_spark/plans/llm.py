@@ -490,7 +490,6 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
           / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
              * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.40
     """,
-    bench=True,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine ≥ 0.40 (the testdata has no planted
@@ -499,10 +498,34 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact block-matmul path (cosine_near_dup_pairs_matmul); the band-blocked
     variant (cosine_near_dup_pairs) is the high-threshold strategy and is
     equivalence-tested against this one.  Oracle = brute-force all-pairs truth.
+
+    NOT bench-flagged: the t=0.40 all-pairs matmul is quadratic BY DESIGN
+    and refuses past `_auto_n_blocks` — a correctness gate, not a plan that
+    survives 100×.  The bench's embedding near-dup line is
+    ``q_semantic_dedup_pairs`` (cluster-then-prune, O(N²/cells)).
     """
     return cosine_near_dup_pairs_matmul(
         load(spark, sf_dir, "embeddings"), threshold=0.40
     )
+
+
+@register("q_semantic_dedup_pairs", bench=True)
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs at cosine ≥ 0.9 via SemDeDup cluster-then-prune —
+    the embedding near-dup plan that SURVIVES scale: spherical-k-means cells
+    sized to ~200 vectors (n_cells grows with the corpus), quadratic only
+    within a cell, int-keyed cell-join shuffle.  Random-projection banding
+    cannot prune isotropic high-dim data (projections concentrate in
+    ~1/sqrt(dim), far narrower than the t=0.9 band width sqrt(2-2t)), and
+    the exact matmul is quadratic — cluster-then-prune is the 100 TB
+    strategy (Abbas et al. 2023, arXiv:2303.09540).  Rows-only: the trained
+    quantizer is not SQL-expressible; recall and subset tests vs the exact
+    operator live in tests/test_similarity.py."""
+    from kafka_flow_spark.operators.similarity import semantic_dedup_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    n_cells = max(16, min(2048, e.count() // 200))
+    return semantic_dedup_pairs(e, threshold=0.9, n_cells=n_cells, n_probe=2)
 
 
 # --- IVF ANN (coarse-quantizer inverted lists; rows-only, recall-tested) ---

@@ -138,6 +138,18 @@ def test_arrow_bruteforce_equals_expr_bruteforce(spark):
         assert abs(a[key] - b[key]) < 1e-9
 
 
+def test_arrow_bruteforce_refuses_oversized_query_set(spark):
+    """The probe set is collected to the driver — an unbounded query side
+    must refuse loudly, not silently pull the corpus into driver memory."""
+    import pytest
+
+    from kafka_flow_spark.operators.similarity import knn_bruteforce_arrow
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_bruteforce_arrow(emb, emb, k=5, max_queries=100)
+
+
 def test_quantized_knn_recall_against_bruteforce(spark):
     """int8 asymmetric-distance kNN must nearly reproduce the exact ranking —
     quantization noise is ≤ scale/2 per component, far below the cosine gaps
