@@ -45,9 +45,10 @@ def tws_available() -> bool:
 
 def best_stateful_flow(records: DataFrame, spec: FlowSpec) -> DataFrame:
     """Runtime operator selection (SURVEY.md §7): transformWithStateInPandas
-    when the environment supports it and the spec doesn't need the emulated
-    offset timers; otherwise the applyInPandasWithState executor."""
-    if tws_available() and spec.offset_timer_threshold is None:
+    when the environment supports it; otherwise the applyInPandasWithState
+    executor.  Both paths carry the full timer surface (clock/watermark
+    native, offset emulated in the state envelope)."""
+    if tws_available():
         return stateful_flow_tws(records, spec)
     return stateful_flow(records, spec)
 
@@ -58,6 +59,8 @@ def _make_processor(spec: FlowSpec):
         StatefulProcessorHandle,
     )
 
+    off_thresh = spec.offset_timer_threshold
+
     class _FlowProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self.handle = handle
@@ -67,9 +70,23 @@ def _make_processor(spec: FlowSpec):
                 "flow_state", spec.state_schema, spec.state_ttl_ms
             )
 
+        # offset timers (KafkaTimer.Offset, KafkaTimer.scala:16-37) ride
+        # inside the state blob as {"v": user_state, "reg": offset} — the
+        # exact envelope stateful_flow's applyInPandasWithState executor
+        # uses, so the two paths restart from each other's journal output
         def _decode(self):
             stored = self.state.get()
-            return spec.decode_state(tuple(stored)) if stored is not None else None
+            if stored is None:
+                return None, None
+            raw = spec.decode_state(tuple(stored))
+            if off_thresh is not None:
+                return raw["v"], raw["reg"]
+            return raw, None
+
+        def _encode(self, s, reg):
+            return spec.encode_state(
+                {"v": s, "reg": reg} if off_thresh is not None else s
+            )
 
         def _register(self, timer_values, pdf: pd.DataFrame | None) -> None:
             if spec.timeout_ms is None:
@@ -92,6 +109,15 @@ def _make_processor(spec: FlowSpec):
                     self.handle.deleteTimer(ts)
             self.handle.registerTimer(expiry)
 
+        def _run_tick(self, key_dict, s, out):
+            """Tick + tick_emit (the timer path); returns new state."""
+            s2 = spec.tick(s) if spec.tick is not None else s
+            if spec.tick_emit is not None:
+                row = spec.tick_emit(key_dict, s, s2)
+                if row is not None:
+                    out.append(row)
+            return s2
+
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
             from kafka_flow_spark.operators.keyed import _iter_records
 
@@ -99,7 +125,7 @@ def _make_processor(spec: FlowSpec):
             pdf = pd.concat(list(rows), ignore_index=True).sort_values(
                 spec.order_col, kind="mergesort"
             )
-            s = self._decode()
+            s, reg = self._decode()
             out = []
             for rec in _iter_records(pdf):
                 if spec.filter_record is not None and not spec.filter_record(rec):
@@ -109,26 +135,32 @@ def _make_processor(spec: FlowSpec):
                 row = spec.emit(key_dict, rec, before, s)
                 if row is not None:
                     out.append(row)
+                if off_thresh is not None:
+                    # offset timer: register at first record, tick on
+                    # order-column advance >= threshold, re-register —
+                    # identical to streaming.flow's emulation
+                    cur = rec[spec.order_col]
+                    if reg is None:
+                        reg = cur
+                    elif cur - reg >= off_thresh:
+                        s = self._run_tick(key_dict, s, out)
+                        reg = cur
             if s is None:
                 self.state.clear()  # delete-on-None (FoldToState.scala:83-89)
             else:
-                self.state.update(spec.encode_state(s))
+                self.state.update(self._encode(s, reg))
                 self._register(timerValues, pdf)
             yield pd.DataFrame(out, columns=_schema_cols(spec.output_schema))
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
             key_dict = dict(zip(spec.key_cols, key))
-            s = self._decode()
-            s2 = spec.tick(s) if spec.tick is not None else s
+            s, reg = self._decode()
             out = []
-            if spec.tick_emit is not None:
-                row = spec.tick_emit(key_dict, s, s2)
-                if row is not None:
-                    out.append(row)
+            s2 = self._run_tick(key_dict, s, out)
             if s2 is None:
                 self.state.clear()
             else:
-                self.state.update(spec.encode_state(s2))
+                self.state.update(self._encode(s2, reg))
                 if spec.timeout_mode != "event":
                     self._register(timerValues, None)
             yield pd.DataFrame(out, columns=_schema_cols(spec.output_schema))
@@ -146,10 +178,6 @@ def stateful_flow_tws(records: DataFrame, spec: FlowSpec) -> DataFrame:
     physical operators (SURVEY.md §7 'abstract behind one interface, pick at
     runtime').
     """
-    if spec.offset_timer_threshold is not None:
-        raise NotImplementedError(
-            "offset timers are emulated in stateful_flow (applyInPandasWithState path)"
-        )
     if spec.timeout_ms is None:
         time_mode = "None"
         event_col = ""
