@@ -563,6 +563,80 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("doc_id", val.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_candidate_pairs: int = 250_000_000,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance ≤ ``max_hamming`` over the
+    64-bit SimHash fingerprints — EXACT w.r.t. the fingerprints (recall 1.0)
+    via pigeonhole chunk blocking (Manku, Jain & Sarma, WWW'07): split the
+    64 bits into ``max_hamming + 1`` chunks; a pair within Hamming k must
+    agree EXACTLY on at least one chunk, so an equi-join on
+    (chunk_index, chunk_value) finds every qualifying pair, verified by
+    ``bit_count(a XOR b) <= k``.
+
+    Scale shape: one fingerprint aggregate (the ``simhash`` operator's
+    map-combinable shuffle), then a (k+1)-way fan-out to narrow
+    (int, int64) keys — for random-ish fingerprints a 16-bit chunk block
+    holds ~n/65536 docs, so candidates stay near-linear.  Degenerate
+    fingerprint mass (e.g. many empty docs → simhash 0 agreeing on every
+    chunk) is caught by the same up-front candidate estimate the other
+    blocking operators use, refusing past ``max_candidate_pairs``.
+
+    Output: (a_id, b_id, hamming) with a_id < b_id.
+    """
+    k = max_hamming
+    if not 0 <= k <= 15:
+        raise ValueError(f"max_hamming must be in [0, 15], got {k}")
+    n_chunks = k + 1
+    width = 64 // n_chunks
+    sh = simhash(df, id_col, text_col)
+    chunks = []
+    for i in range(n_chunks):
+        lo = i * width
+        w = 64 - lo if i == n_chunks - 1 else width
+        mask = (1 << w) - 1
+        chunks.append(
+            F.struct(
+                F.lit(i).alias("i"),
+                F.shiftrightunsigned("simhash", lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("v"),
+            )
+        )
+    keys = sh.select("doc_id", "simhash", F.explode(F.array(*chunks)).alias("_c"))
+    est = (
+        keys.groupBy("_c")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("c"))
+        .collect()[0]["c"]
+    )
+    if est is not None and est > max_candidate_pairs:
+        raise ValueError(
+            f"simhash_pairs: chunk blocking leaves ~{est:.2e} candidate pairs "
+            f"(> {max_candidate_pairs:.0e}) — the fingerprint distribution is "
+            "degenerate (mass-identical fingerprints, e.g. empty or boilerplate "
+            "docs). Exact-dedup identical fingerprints first."
+        )
+    left = keys.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("_a"), "_c"
+    )
+    right = keys.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("_b"), "_c"
+    )
+    ham = F.bit_count(F.col("_a").bitwiseXOR(F.col("_b"))).cast("int")
+    return (
+        left.join(right, "_c")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(ham <= F.lit(k))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

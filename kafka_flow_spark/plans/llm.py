@@ -117,7 +117,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash fingerprints: md5-bit token hashes + 64 bit-vote aggregates, all
 # JVM-side; the oracle regenerates the identical bits from DuckDB's md5 ---
-def _simhash_oracle() -> str:
+def _simhash_oracle(table: str = "documents") -> str:
     votes = []
     for b in range(64):
         i, j = b // 4 + 1, 3 - (b % 4)  # nibble index (1-based), MSB-first bit
@@ -134,17 +134,47 @@ def _simhash_oracle() -> str:
       SELECT doc_id,
              unnest(list_distinct(string_split(
                trim(lower(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))), ' '))) AS tok
-      FROM documents),
+      FROM {table}),
     th AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
     votes AS (SELECT doc_id, {", ".join(votes)} FROM th GROUP BY doc_id)
     SELECT d.doc_id, CAST(COALESCE(({bits}), 0) AS BIGINT) AS simhash
-    FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+    FROM {table} d LEFT JOIN votes v ON d.doc_id = v.doc_id
     """
 
 
 @register("q_simhash_fingerprints", oracle=_simhash_oracle())
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "q_simhash_near_dup_pairs",
+    oracle=f"""
+    WITH dd AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+    sh AS ({_simhash_oracle("dd")})
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤3 SimHash near-dup pairs via pigeonhole chunk blocking
+    (operators/dedup.py simhash_pairs) — exact recall over the fingerprints,
+    (k+1)-chunk equi-join, no quadratic scan; the oracle brute-forces
+    all-pairs XOR popcount over the same bit-exact fingerprints.  Dedupe-
+    first: byte-identical texts collapse to a representative before pair
+    discovery (the standard exact-then-near pipeline order — identical
+    texts have identical fingerprints, so carrying them through blocking
+    just multiplies every block by the duplicate count)."""
+    from kafka_flow_spark.operators.dedup import simhash_pairs
+
+    dd = (
+        load(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return simhash_pairs(dd, "doc_id", "text", max_hamming=3)
 
 
 # --- winnowing (rolling-hash) fingerprints.  The operator's md5 hash mode
