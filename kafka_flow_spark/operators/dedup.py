@@ -598,16 +598,18 @@ def simhash_pairs(
     for i in range(n_chunks):
         lo = i * width
         w = 64 - lo if i == n_chunks - 1 else width
-        mask = (1 << w) - 1
-        chunks.append(
-            F.struct(
-                F.lit(i).alias("i"),
-                F.shiftrightunsigned("simhash", lo)
-                .bitwiseAND(F.lit(mask))
-                .alias("v"),
-            )
-        )
-    keys = sh.select("doc_id", "simhash", F.explode(F.array(*chunks)).alias("_c"))
+        if w == 64:
+            # k=0: the single chunk is the whole fingerprint — (1 << 64) - 1
+            # overflows LongType, and no shift/mask is needed anyway
+            v = F.col("simhash")
+        else:
+            v = F.shiftrightunsigned("simhash", lo).bitwiseAND(F.lit((1 << w) - 1))
+        chunks.append(F.struct(F.lit(i).alias("i"), v.alias("v")))
+    # persist: the 64-vote fingerprint aggregate feeds the estimate collect
+    # AND both sides of the self-join — without this it is computed 3×
+    keys = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*chunks)).alias("_c")
+    ).persist()
     est = (
         keys.groupBy("_c")
         .agg(F.count("*").alias("n"))
@@ -708,8 +710,10 @@ def edit_distance_pairs(
     # near-duplicate-tight.  Past ~50 verified pairs per input row the
     # fan-out is the cheaper trade (and past max_candidate_pairs the band
     # join is refused outright).
-    band_ok = est <= max_candidate_pairs and (est <= 50 * n_rows or max_dist > 2)
-    if band_ok:
+    band_feasible = est <= max_candidate_pairs
+    band_ok = band_feasible and (est <= 50 * n_rows or max_dist > 2)
+
+    def _band_join() -> DataFrame:
         left = base.select(
             F.col(id_col).alias("a_id"),
             F.col("_s").alias("_a"),
@@ -725,6 +729,9 @@ def edit_distance_pairs(
             .filter(F.levenshtein("_a", "_b") <= F.lit(max_dist))
             .select("a_id", "b_id", F.levenshtein("_a", "_b").alias("dist"))
         )
+
+    if band_ok:
+        return _band_join()
     if max_dist > 2:
         # est > max_candidate_pairs here (band_ok covers the small-est case)
         raise ValueError(
@@ -759,6 +766,11 @@ def edit_distance_pairs(
         .collect()[0]["c"]
     )
     if cand is not None and cand > max_candidate_pairs:
+        # the deletion neighborhood can be the worse trade (mass-identical
+        # strings share EVERY variant key) — if the band join stayed under
+        # the cap, take it rather than refuse an input it handles
+        if band_feasible:
+            return _band_join()
         raise ValueError(
             f"edit_distance_pairs: deletion-neighborhood blocking still leaves "
             f"~{cand:.2e} candidate pairs (> {max_candidate_pairs:.0e}) — the input "

@@ -323,3 +323,22 @@ def test_edit_distance_pairs_refuses_identical_string_blowup(spark):
     )
     with pytest.raises(ValueError, match="candidate"):
         edit_distance_pairs(df, "rid", "name", max_candidate_pairs=1000)
+
+
+def test_edit_distance_band_rescue_when_deletion_blocks_degenerate(spark):
+    from kafka_flow_spark.operators.dedup import edit_distance_pairs
+
+    # 60 identical length-8 strings: deletion-neighborhood blocks are
+    # degenerate (every copy shares every variant key) and blow past the
+    # cap, but the length-band estimate (n^2 = 3600) stays under it — the
+    # operator must fall back to the band join, not refuse
+    rows = [(i, "abcdefgh") for i in range(60)] + [(60, "abcdefgx")]
+    df = spark.createDataFrame(rows, "rid BIGINT, name STRING")
+    out = edit_distance_pairs(
+        df, "rid", "name", max_dist=1, max_candidate_pairs=10_000
+    )
+    got = {(r["a_id"], r["b_id"]): r["dist"] for r in out.collect()}
+    # 60 identical -> C(60,2) dist-0 pairs; each identical vs the
+    # substitution variant -> 60 dist-1 pairs
+    assert len(got) == 60 * 59 // 2 + 60
+    assert got[(0, 1)] == 0 and got[(0, 60)] == 1

@@ -53,3 +53,15 @@ def test_simhash_pairs_plan_has_no_cartesian(spark):
     docs = load(spark, SF_SMALL, "documents")
     plan = simhash_pairs(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_simhash_pairs_k0_exact_fingerprint_match(spark):
+    # k=0 → a single 64-bit chunk; the (1 << 64) - 1 mask would overflow
+    # LongType, so the chunk must be the raw fingerprint (exact-match join)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz qq ww ee rr tt")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {(r["a_id"], r["b_id"], r["hamming"])
+           for r in simhash_pairs(df, "doc_id", "text", max_hamming=0).collect()}
+    assert got == {(1, 2, 0)}
