@@ -21,6 +21,21 @@ from kafka_flow_spark.plans.registry import all_queries, bench_queries
 from kafka_flow_spark.session import get_spark
 
 
+def _await_quiescence(max_wait_s: float = 90.0, threshold: float = 8.0) -> None:
+    """Wait (bounded) for the host 1-min load average to settle before timing.
+
+    The bench is often launched seconds after a correctness sweep whose
+    32-thread JVM is still draining; a loaded host inflates every sub-second
+    query uniformly (measured: a full bench run 5.8 → 8.3 s with identical
+    plans).  Waiting for quiescence makes the numbers reflect the plans."""
+    try:
+        deadline = time.monotonic() + max_wait_s
+        while os.getloadavg()[0] > threshold and time.monotonic() < deadline:
+            time.sleep(5.0)
+    except OSError:
+        pass
+
+
 def _input_bytes(sf_dir: str) -> int:
     try:
         return sum(
@@ -66,12 +81,13 @@ def main() -> None:
     # MIN of three steady-state runs — at sf0.1 each query is a sub-second job
     # where GC pauses/scheduler jitter add up to ±1 s noise per run; the min is
     # the standard steady-state estimator and is what scales to a long job
-    # 5 timed runs at small SF (sub-second queries: host-scheduling noise on a
+    # 7 timed runs at small SF (sub-second queries: host-scheduling noise on a
     # shared VM was measured at up to 3x on identical plans minutes apart, so
     # more samples materially tighten the min); 3 at large SF where runs are
     # long enough that the min stabilizes and reruns are expensive.
-    n_runs = 5 if small else 3
+    n_runs = 7 if small else 3
     timings: dict[str, float] = {}
+    _await_quiescence()
     for name in names:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
