@@ -749,3 +749,234 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def _train_pq_codebooks(
+    X: "np.ndarray",
+    m_subspaces: int,
+    n_codes: int,
+    iters: int = 20,
+) -> "np.ndarray":
+    """Per-subspace Euclidean k-means codebooks over a training matrix
+    (deterministic: hash-shuffled sample order seeds the centroids, empty
+    clusters reseed from the worst-served point — same discipline as
+    ``_train_centroids``).  Returns (m, n_codes, sub_dim)."""
+    n, dim = X.shape
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    ks = min(n_codes, n)
+    books = np.zeros((m_subspaces, ks, sub), dtype=np.float64)
+    for mi in range(m_subspaces):
+        S = X[:, mi * sub : (mi + 1) * sub]
+        C = S[:ks].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            newC = C.copy()
+            for c in range(ks):
+                members = S[assign == c]
+                if len(members):
+                    newC[c] = members.mean(axis=0)
+                else:
+                    worst = int(np.argmax(d2[np.arange(n), assign]))
+                    newC[c] = S[worst]
+            if np.allclose(newC, C, atol=1e-12):
+                C = newC
+                break
+            C = newC
+        books[mi] = C
+    return books
+
+
+def pq_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    train_size: int = 4096,
+):
+    """Build an IVF-PQ index: (index DataFrame, coarse centroids, codebooks).
+
+    The index relation is (id, cell, codes) — ``m_subspaces`` one-byte-range
+    codes per vector instead of ``dim`` floats (64-dim float32 → 8 codes is
+    a 32× scan-size reduction; THIS is what a 100 TB ANN deployment persists
+    and scans).  Product quantization is on the RESIDUAL against the
+    vector's coarse cell centroid with codebooks pooled across cells — the
+    standard IVF-PQ layout (Jégou, Douze & Schmid, TPAMI'11): residuals are
+    far better centered than raw vectors, so the same code budget carries
+    more precision.
+
+    Training is driver-side on the bounded content-addressed sample
+    (``train_size`` cap — identical discipline and determinism as
+    ``_train_centroids``); encoding is one mapInPandas pass over the corpus,
+    zero shuffle.
+    """
+    Cn = _train_centroids(vectors, id_col, vec_col, n_cells, train_size)
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(train_size)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    res = X - Cn[np.argmax(X @ Cn.T, axis=1)]
+    books = _train_pq_codebooks(res, m_subspaces, n_codes)
+    sc = vectors.sparkSession.sparkContext
+    bc_C, bc_B = sc.broadcast(Cn), sc.broadcast(books)
+    m = m_subspaces
+
+    def encode(batches):
+        C, B = bc_C.value, bc_B.value
+        sub = B.shape[2]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(Vn @ C.T, axis=1)
+            R = Vn - C[cell]
+            codes = np.empty((len(R), m), dtype=np.int32)
+            for mi in range(m):
+                S = R[:, mi * sub : (mi + 1) * sub]
+                d2 = ((S[:, None, :] - B[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = np.argmin(d2, axis=1)
+            out = pdf[[id_col]].copy()
+            out["cell"] = cell.astype("int32")
+            out["codes"] = list(codes)
+            yield out
+
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    index = vectors.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} {id_t}, cell INT, codes ARRAY<INT>"
+    )
+    return index, Cn, books
+
+
+def knn_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    refine: int = 4,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Approximate top-k cosine via IVF-PQ with asymmetric distance (ADC)
+    and exact re-rank — the memory-bound tier of the ANN family
+    (brute-force → int8 → IVF → LSH → IVF-PQ).
+
+    Search shape: each query probes its ``n_probe`` nearest coarse cells;
+    candidates come from the cell equi-join of the CODES index against the
+    broadcast query fan-out (the corpus side never shuffles, and the scan
+    reads m one-byte-range codes per vector, not the embedding column).
+    ADC scores are ``q·c_cell + Σ_m LUT_m[code_m]`` where the per-query
+    lookup table ``LUT_m = q_sub · codebook_mᵀ`` is built once per query per
+    Arrow batch — O(m·n_codes·sub_dim) amortized over the batch's
+    candidates, each of which then costs m table lookups instead of a
+    dim-length dot product.  The top ``k·refine`` ADC survivors per query
+    are re-ranked with EXACT cosine against the raw vectors (a broadcast
+    semi-probe of the corpus — tiny, id-pushed), so reported sims carry no
+    quantization error and the contract matches ``knn_bruteforce``
+    (q_id, neighbor_id, sim, rank; ties neighbor_id ASC).
+    """
+    import pandas as pd
+
+    index, Cn, books = pq_index(
+        vectors, id_col, vec_col, n_cells, m_subspaces, n_codes
+    )
+    n_probe = max(1, min(n_probe, len(Cn)))
+    bc_B = vectors.sparkSession.sparkContext.broadcast(books)
+
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_ivfpq: query set exceeds max_queries={max_queries} — the probe "
+            "fan-out is broadcast; split the query set or raise the cap explicitly."
+        )
+    Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = [r[id_col] for r in qrows]
+    sims_qc = Qn @ Cn.T
+    probe = np.argsort(-sims_qc, kind="stable", axis=1)[:, :n_probe]
+    fan = [
+        (qids[i], Qn[i].tolist(), int(c), float(sims_qc[i, c]))
+        for i in range(len(qids))
+        for c in probe[i]
+    ]
+    spark = vectors.sparkSession
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    qdf = spark.createDataFrame(
+        fan, schema=f"q_id {id_t}, q_vec ARRAY<DOUBLE>, cell INT, bias DOUBLE"
+    )
+
+    cand = index.join(F.broadcast(qdf), "cell").filter(
+        F.col(id_col) != F.col("q_id")
+    )
+
+    m = m_subspaces
+
+    def adc(batches):
+        B = bc_B.value
+        sub = B.shape[2]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for _, grp in pdf.groupby("q_id", sort=False):
+                qv = np.asarray(grp["q_vec"].iloc[0], dtype=np.float64)
+                lut = np.stack(
+                    [
+                        qv[mi * sub : (mi + 1) * sub] @ B[mi].T
+                        for mi in range(m)
+                    ]
+                )  # (m, n_codes)
+                gc = np.stack(grp["codes"].to_numpy())  # (n_grp, m)
+                score = grp["bias"].to_numpy() + lut[
+                    np.arange(m)[None, :], gc
+                ].sum(axis=1)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": grp["q_id"],
+                            "neighbor_id": grp[id_col],
+                            "adc": score,
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    scored = cand.mapInPandas(
+        adc, schema=f"q_id {id_t}, neighbor_id {id_t}, adc DOUBLE"
+    ).groupBy("q_id", "neighbor_id").agg(F.max("adc").alias("adc"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    short = scored.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k * refine
+    )
+
+    # exact re-rank: broadcast the (queries × k·refine) survivor ids against
+    # the raw vectors — id-pushed probe, then full-precision cosine
+    nvec = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    qvec = qdf.select("q_id", "q_vec").dropDuplicates(["q_id"])
+    exact = (
+        nvec.join(F.broadcast(short.select("q_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), _as_double(F.col("n_vec"))).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

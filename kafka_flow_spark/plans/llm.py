@@ -568,6 +568,19 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
 
 
+# --- IVF-PQ (Jégou et al. TPAMI'11): product-quantized inverted file with
+# ADC shortlist + exact re-rank.  Rows-only: the trained coarse + residual
+# codebooks are not SQL-expressible; recall vs brute force and re-ranked
+# sim exactness are pinned in tests/test_similarity.py ---
+@register("q_knn_ivfpq")
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flow_spark.operators.similarity import knn_ivfpq
+
+    e = load(spark, sf_dir, "embeddings")
+    out = knn_ivfpq(e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4)
+    return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+
+
 # --- SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup.
 # Rows-only: the spherical-k-means quantizer is not SQL-expressible; the
 # pair subset/recall contract vs the EXACT operator is pinned in

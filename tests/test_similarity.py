@@ -252,3 +252,37 @@ def test_semantic_dedup_deterministic_under_repartition(spark):
         for r in semantic_dedup(df.repartition(7), threshold=0.95, n_cells=4).collect()
     )
     assert a == b
+
+
+def test_ivfpq_recall_against_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.operators.similarity import knn_ivfpq
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    queries = emb.orderBy(F.xxhash64("vec_id")).limit(20)
+    exact = knn_bruteforce(emb, queries, k=5)
+    approx = knn_ivfpq(emb, queries, k=5, n_cells=16, n_probe=4)
+    truth = {(r["q_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["q_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    # same probe budget as the IVF test (4/16 cells): PQ codes only SHORTLIST
+    # candidates (k*refine ADC survivors) and exact re-rank removes the
+    # quantization error, so recall must track the IVF bound
+    assert recall >= 0.75, f"IVF-PQ recall {recall:.2f}"
+    # re-ranked sims are exact: every overlapping (q, neighbor) pair agrees
+    # with brute force to float tolerance
+    es = {(r["q_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["q_id"], r["neighbor_id"])
+        if key in es:
+            assert abs(r["sim"] - es[key]) < 1e-9
+
+
+def test_ivfpq_refuses_unbounded_query_collect(spark):
+    import pytest as _pytest
+    from kafka_flow_spark.operators.similarity import knn_ivfpq
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    with _pytest.raises(ValueError, match="max_queries"):
+        knn_ivfpq(emb, emb, max_queries=10)
