@@ -328,3 +328,70 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flow_spark.operators.curation import chunk_tokens
 
     return chunk_tokens(load(spark, sf_dir, "documents"), "doc_id", "text", 32, 16)
+
+
+def _repetition_oracle() -> str:
+    """Mirror of ``repetition_stats``: per-gram GROUP BY counts stand in for
+    the engine's sorted-run-length pass (same multiset, same (cnt, chars)
+    tie rule, same final int-ratio division)."""
+    parts = [
+        f"""
+    g{n} AS (
+      SELECT b.doc_id, array_to_string(b.toks[u.i:u.i+{n - 1}], ' ') AS gram
+      FROM b, unnest(range(1, greatest(len(b.toks)-{n - 1}, 0)+1)) AS u(i)),
+    c{n} AS (
+      SELECT doc_id, gram, count(*) AS cnt,
+             length(replace(gram, ' ', '')) AS ch
+      FROM g{n} GROUP BY doc_id, gram)"""
+        for n in (2, 3, 4)
+    ]
+    tops = [
+        f"""
+    t{n} AS (
+      SELECT doc_id, cnt * ch AS w FROM c{n}
+      QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY cnt DESC, ch DESC, gram) = 1)"""
+        for n in (2, 3, 4)
+    ]
+    frac_cols = ",\n           ".join(
+        f"CASE WHEN b.tc = 0 OR t{n}.w IS NULL THEN 0.0"
+        f" ELSE t{n}.w * 1.0 / b.tc END AS top{n}gram_frac"
+        for n in (2, 3, 4)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS tc
+      FROM t),{",".join(parts)},{",".join(tops)},
+    d3 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cnt >= 2 THEN cnt * ch ELSE 0 END) AS dup,
+             SUM(cnt * ch) AS tot
+      FROM c3 GROUP BY doc_id)
+    SELECT b.doc_id,
+           {frac_cols},
+           CASE WHEN d3.tot IS NULL OR d3.tot = 0 THEN 0.0
+                ELSE d3.dup * 1.0 / d3.tot END AS dup3gram_frac
+    FROM b
+    LEFT JOIN t2 USING (doc_id)
+    LEFT JOIN t3 USING (doc_id)
+    LEFT JOIN t4 USING (doc_id)
+    LEFT JOIN d3 USING (doc_id)
+    """
+
+
+@register("q_repetition_stats", oracle=_repetition_oracle())
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal signals: top-{2,3,4}-gram char fraction and
+    duplicate-3-gram char fraction per document — zero-shuffle scan
+    projection (sorted-run-length aggregate, no per-gram explode/groupBy).
+    dup n=3 rather than Gopher's 5-10: the synthetic corpus has no repeated
+    5-gram anywhere (measured), so the 5-gram signal would be vacuously 0;
+    the operator default keeps Gopher's n=5."""
+    from kafka_flow_spark.operators.quality import repetition_stats
+
+    return repetition_stats(
+        load(spark, sf_dir, "documents"), "doc_id", "text", dup_ns=(3,)
+    )

@@ -249,3 +249,65 @@ def test_bigram_scores_rank_fluent_above_shuffled(spark):
     )
     out = {r["doc_id"]: r["mean_p_nano"] for r in bigram_doc_scores(df, "doc_id", "text").collect()}
     assert out[99] < out[0]
+
+
+# --- repetition_stats (Gopher repetition-removal signals) -------------------
+
+def _rep_brute(text, top_ns=(2, 3, 4), dup_ns=(5,)):
+    from collections import Counter
+
+    toks = text.strip().split() if text.strip() else []
+    tc = sum(len(t) for t in toks)
+    out = {}
+    for n in top_ns:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        if not c or tc == 0:
+            out[f"top{n}gram_frac"] = 0.0
+            continue
+        # max count, ties toward more chars — the documented rule
+        best = max(c.items(), key=lambda kv: (kv[1], len(kv[0].replace(" ", ""))))
+        out[f"top{n}gram_frac"] = best[1] * len(best[0].replace(" ", "")) / tc
+    for n in dup_ns:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        tot = sum(cnt * len(g.replace(" ", "")) for g, cnt in c.items())
+        dup = sum(cnt * len(g.replace(" ", "")) for g, cnt in c.items() if cnt >= 2)
+        out[f"dup{n}gram_frac"] = dup / tot if tot else 0.0
+    return out
+
+
+def test_repetition_stats_matches_bruteforce(spark):
+    from kafka_flow_spark.operators.quality import repetition_stats
+
+    docs = [
+        "the cat sat on the mat the cat sat again",
+        "a b a b a b a b",                # heavy 2-gram repetition
+        "xx yy zz",                       # no repeats, shorter than 5-gram
+        "one",                            # single token
+        "",                               # empty
+        "   ",                            # whitespace only
+        "tie tie zz zz",                  # count tie: 'tie tie' vs 'zz zz' etc
+        "w w w w w w",                    # one token repeated
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(docs):
+        want = _rep_brute(t)
+        for k, v in want.items():
+            assert abs(got[i][k] - v) < 1e-12, (i, k, got[i][k], v)
+
+
+def test_repetition_stats_plan_is_scan_projection(spark):
+    from kafka_flow_spark.operators.quality import repetition_stats
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    df = repetition_stats(load(spark, SF_SMALL, "documents"), "doc_id", "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
