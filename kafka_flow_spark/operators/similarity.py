@@ -771,7 +771,9 @@ def _train_pq_codebooks(
         S = X[:, mi * sub : (mi + 1) * sub]
         C = S[:ks].copy()
         for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # ||s-c||^2 = ||s||^2 - 2 s·c + ||c||^2; the ||s||^2 term is
+            # constant per row, so argmin needs only the matmul form
+            d2 = (C**2).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
             assign = np.argmin(d2, axis=1)
             newC = C.copy()
             for c in range(ks):
@@ -842,7 +844,8 @@ def pq_index(
             codes = np.empty((len(R), m), dtype=np.int32)
             for mi in range(m):
                 S = R[:, mi * sub : (mi + 1) * sub]
-                d2 = ((S[:, None, :] - B[mi][None, :, :]) ** 2).sum(axis=2)
+                # matmul form of the squared distance (row term constant)
+                d2 = (B[mi] ** 2).sum(axis=1)[None, :] - 2.0 * (S @ B[mi].T)
                 codes[:, mi] = np.argmin(d2, axis=1)
             out = pdf[[id_col]].copy()
             out["cell"] = cell.astype("int32")
