@@ -1,0 +1,144 @@
+"""Count-min sketch: fixed-memory frequency estimation + heavy hitters.
+
+The mergeable-sketch family beyond the built-ins (HLL via
+``approx_count_distinct``, KLL via ``percentile_approx``): a count-min
+sketch (Cormode & Muthukrishnan, J.Alg'05) summarizes ANY key-frequency
+distribution in ``depth × width`` counters regardless of key cardinality —
+the 100 TB shape for "how often does X occur" when the key space (n-grams,
+URLs, user ids) is too large to hash-aggregate exactly.
+
+Scale posture: the build is one map-side-combinable aggregate whose shuffle
+cardinality is bounded by ``depth × width`` CELLS (not rows, not keys) per
+map task — the sketch itself is the only state that moves.  Probes fan each
+candidate key to ``depth`` (row, bucket) pairs and take the min cell count:
+an equi-join on two small ints.
+
+Hashing is the repo's cross-engine scheme (first 15 hex digits of md5,
+seed-prefixed — the same construction the winnowing/simhash oracles
+reproduce in DuckDB), so estimates are bit-identical across engines and the
+sketch arithmetic is oracle-gated, unlike the rows-only HLL estimates.
+
+No counterpart in the reference (SURVEY.md §7 Phase 4 / §2.2 approx
+sketches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _bucket(col: Column, seed: int, width: int, hash_mode: str = "md5") -> Column:
+    """Deterministic bucket in [0, width).
+
+    ``md5``: Horner value of the first 15 md5 hex digits of "seed:value"
+    (60 bits — inside long range) mod width — the cross-engine mode the
+    DuckDB oracle reproduces (same precedent as the winnowing operator's
+    md5 mode).  ``xxhash64``: the fast JVM hash for production sketches
+    (~2× cheaper per cell at sf10); pmod keeps the bucket non-negative."""
+    if hash_mode == "md5":
+        h = F.md5(F.concat_ws(":", F.lit(str(seed)), col.cast("string")))
+        return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % width).cast("int")
+    if hash_mode == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(seed), col), F.lit(width)).cast("int")
+    raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', got {hash_mode!r}")
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Build the sketch: (r, b, cnt) cells, at most ``depth × width`` rows.
+
+    One exploded projection + one hash aggregate; partial aggregation caps
+    every map task's output at the cell count, so shuffle volume is
+    O(depth·width·tasks) — independent of input rows AND key cardinality.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    c = F.col(col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bucket(c, r, width, hash_mode).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_rb")
+    ).select("_rb.r", "_rb.b")
+    return cells.groupBy("r", "b").agg(F.count("*").alias("cnt"))
+
+
+def cms_probe(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Point-query the sketch for each distinct key: est = min over rows of
+    the key's bucket count (the classic one-sided ≥-truth estimator).
+    Output: (col, est)."""
+    probes = (
+        keys.select(F.col(col).alias("_v"))
+        .distinct()
+        .select(
+            "_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _bucket(F.col("_v"), r, width, hash_mode).alias("b"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("_rb"),
+        )
+        .select("_v", "_rb.r", "_rb.b")
+    )
+    return (
+        probes.join(sketch, ["r", "b"], "left")
+        .groupBy("_v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
+        .select(F.col("_v").alias(col), "est")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 1024,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Top-k keys by exact count, each with its count-min estimate alongside
+    the truth — (col, rank, exact_cnt, cms_est), cms_est ≥ exact_cnt always,
+    equality iff no colliding key inflated every one of the key's cells.
+
+    The exact pass is a map-combinable hash aggregate + TakeOrdered top-k
+    (this is the candidate generator; production pipelines over unbounded
+    key spaces substitute their candidate stream and keep the sketch
+    probe).  Ties break toward the smaller key — deterministic across
+    engines and partitionings.
+    """
+    sketch = cms_build(df, col, depth, width, hash_mode)
+    exact = df.groupBy(col).agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc(col)).limit(k)
+    w = Window.orderBy(F.desc("exact_cnt"), F.asc(col))  # k rows — one task
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    est = cms_probe(sketch, ranked.select(col), col, depth, width, hash_mode)
+    return ranked.join(F.broadcast(est), col).select(
+        col, "rank", "exact_cnt", F.col("est").alias("cms_est")
+    )

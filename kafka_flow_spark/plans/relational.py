@@ -650,6 +650,52 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- count-min sketch heavy hitters.  Unlike the HLL row above, the CMS
+# hashes with the repo's shared md5 scheme, so the ESTIMATES are bit-exact
+# cross-engine and the whole sketch arithmetic is oracle-gated.  1.5k
+# custkeys vs width 1024 guarantees bucket collisions at sf0.01 — the
+# estimates genuinely exceed truth for inflated keys. ---
+def _cms_oracle(k: int = 10, depth: int = 4, width: int = 1024) -> str:
+    seeds = "[" + ", ".join(str(r) for r in range(depth)) + "]"
+    bucket = f"""CAST(list_reduce(
+               list_transform(range(1, 16), d ->
+                 CAST(strpos('0123456789abcdef',
+                      substr(md5(r::VARCHAR || ':' || o_custkey::VARCHAR), d, 1)) - 1
+                      AS BIGINT)),
+               (a, b) -> a * 16 + b) % {width} AS INT)"""
+    return f"""
+    WITH cells AS (
+      SELECT u.r, {bucket} AS b, COUNT(*) AS cnt
+      FROM orders, unnest({seeds}) AS u(r)
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT o_custkey, COUNT(*) AS exact_cnt FROM orders GROUP BY 1),
+    top AS (
+      SELECT o_custkey, exact_cnt,
+             CAST(row_number() OVER (ORDER BY exact_cnt DESC, o_custkey) AS INT)
+               AS rank
+      FROM exact QUALIFY rank <= {k}),
+    probe AS (
+      SELECT t.o_custkey, u.r, {bucket} AS b
+      FROM (SELECT o_custkey FROM top) t, unnest({seeds}) AS u(r)),
+    est AS (
+      SELECT p.o_custkey, MIN(COALESCE(c.cnt, 0)) AS cms_est
+      FROM probe p LEFT JOIN cells c USING (r, b) GROUP BY 1)
+    SELECT t.o_custkey, t.rank, t.exact_cnt, e.cms_est
+    FROM top t JOIN est e USING (o_custkey)
+    """
+
+
+@register("q_cms_heavy_hitters", oracle=_cms_oracle())
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by order count with count-min-sketch estimates next
+    to exact truth — validates the fixed-memory (depth×width cells)
+    frequency sketch end-to-end (operators/sketches.py)."""
+    from kafka_flow_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(load(spark, sf_dir, "orders"), "o_custkey", k=10)
+
+
 # --- array functions (split/size/element_at/contains/sort/join) ---
 @register(
     "q_scalar_array_funcs",

@@ -1,0 +1,66 @@
+"""Count-min sketch: one-sided error property, exactness at ample width,
+and plan shape (cell-bounded aggregate, no cartesian)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators.sketches import cms_build, cms_probe, heavy_hitters
+from kafka_flow_spark.tables import load
+from tests.conftest import SF_SMALL
+
+
+def test_cms_estimate_never_undercounts(spark):
+    o = load(spark, SF_SMALL, "orders")
+    sketch = cms_build(o, "o_custkey", depth=4, width=64)  # force collisions
+    exact = o.groupBy("o_custkey").agg(F.count("*").alias("exact"))
+    est = cms_probe(sketch, exact, "o_custkey", depth=4, width=64)
+    joined = exact.join(est, "o_custkey").collect()
+    assert len(joined) > 0
+    assert all(r["est"] >= r["exact"] for r in joined)
+    # width 64 << key cardinality: some key MUST be inflated
+    assert any(r["est"] > r["exact"] for r in joined)
+
+
+def test_cms_exact_at_ample_width(spark):
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(700)], "k BIGINT"
+    )
+    sketch = cms_build(df, "k", depth=4, width=4096)
+    est = {r["k"]: r["est"] for r in cms_probe(sketch, df, "k", 4, 4096).collect()}
+    assert est == {i: 100 for i in range(7)}
+
+
+def test_cms_sketch_is_cell_bounded(spark):
+    o = load(spark, SF_SMALL, "orders")
+    n = cms_build(o, "o_custkey", depth=3, width=32).count()
+    assert n <= 3 * 32
+
+
+def test_heavy_hitters_rank_and_order(spark):
+    o = load(spark, SF_SMALL, "orders")
+    out = heavy_hitters(o, "o_custkey", k=5).orderBy("rank").collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    counts = [r["exact_cnt"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in out)
+
+
+def test_heavy_hitters_plan_clean(spark):
+    o = load(spark, SF_SMALL, "orders")
+    plan = (
+        heavy_hitters(o, "o_custkey", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cms_xxhash_mode_same_properties(spark):
+    o = load(spark, SF_SMALL, "orders")
+    sketch = cms_build(o, "o_custkey", depth=4, width=64, hash_mode="xxhash64")
+    exact = o.groupBy("o_custkey").agg(F.count("*").alias("exact"))
+    est = cms_probe(sketch, exact, "o_custkey", 4, 64, hash_mode="xxhash64")
+    joined = exact.join(est, "o_custkey").collect()
+    assert all(r["est"] >= r["exact"] for r in joined)
