@@ -382,7 +382,7 @@ def _repetition_oracle() -> str:
     """
 
 
-@register("q_repetition_stats", oracle=_repetition_oracle())
+@register("q_repetition_stats", oracle=_repetition_oracle(), bench=True)
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-removal signals: top-{2,3,4}-gram char fraction and
     duplicate-3-gram char fraction per document — zero-shuffle scan

@@ -29,6 +29,9 @@ COMPARABLE = [
     "q5_region_revenue",
     "q_broadcast_brand_qty",
     "q_window_top_orders_per_customer",
+    # joined the bench set in r5: zero-shuffle Spark scan vs explode+groupBy
+    # oracle — practical to re-time (oracle ~30 s at sf10, sub-second below)
+    "q_repetition_stats",
     # q_resample_ffill_hourly is deliberately NOT here: its oracle SQL (per-key
     # hour grid x as-of fill) costs 140+ s per run at sf10, so including it
     # makes this tool impractical to re-run and would break comparability of
