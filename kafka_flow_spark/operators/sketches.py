@@ -142,3 +142,52 @@ def heavy_hitters(
     return ranked.join(F.broadcast(est), col).select(
         col, "rank", "exact_cnt", F.col("est").alias("cms_est")
     )
+
+
+def windowed_cms(
+    records: DataFrame,
+    ts_col: str,
+    col: str,
+    duration: str = "5 minutes",
+    depth: int = 4,
+    width: int = 1024,
+    watermark: str = "0 seconds",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-event-time-window count-min cells — the streaming form of
+    ``cms_build`` (CMS cells are counters, so the sketch is mergeable and
+    drops straight into a watermarked windowed aggregate).
+
+    Works identically on batch and streaming inputs (the streaming state is
+    one row per (window, r, b) — at most depth×width rows per open window,
+    evicted when the watermark passes).  Downstream, ``cms_probe`` over any
+    one window's emitted cells answers per-window frequency queries; batch
+    equivalence per window is pinned in tests/test_sketches.py.
+
+    Output: (window_start, window_end, r, b, cnt).
+    """
+    c = F.col(col)
+    cells = records.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bucket(c, r, width, hash_mode).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_rb"),
+    )
+    agged = cells.groupBy(
+        F.window(ts_col, duration).alias("w"), F.col("_rb.r"), F.col("_rb.b")
+    ).agg(F.count("*").alias("cnt"))
+    return agged.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "r",
+        "b",
+        "cnt",
+    )

@@ -64,3 +64,49 @@ def test_cms_xxhash_mode_same_properties(spark):
     est = cms_probe(sketch, exact, "o_custkey", 4, 64, hash_mode="xxhash64")
     joined = exact.join(est, "o_custkey").collect()
     assert all(r["est"] >= r["exact"] for r in joined)
+
+
+def test_windowed_cms_stream_matches_batch(spark, tmp_path):
+    from datetime import datetime
+
+    from kafka_flow_spark.operators.sketches import windowed_cms
+
+    schema = "ts TIMESTAMP, k BIGINT"
+    rows = [
+        (datetime(2026, 1, 1, 12, 0, 10), 1),
+        (datetime(2026, 1, 1, 12, 0, 20), 1),
+        (datetime(2026, 1, 1, 12, 1, 0), 2),
+        (datetime(2026, 1, 1, 12, 7, 0), 1),   # second window
+        (datetime(2026, 1, 1, 12, 20, 0), 3),  # advances watermark, closes all
+    ]
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(input_dir)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        windowed_cms(stream, "ts", "k", duration="5 minutes", depth=3, width=32,
+                     watermark="1 minute")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"].minute, r["r"], r["b"]): r["cnt"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch reference over the same rows (windows emitted by the stream are
+    # the watermark-closed ones; compare those windows cell-by-cell)
+    batch = windowed_cms(
+        spark.createDataFrame(rows, schema), "ts", "k",
+        duration="5 minutes", depth=3, width=32,
+    )
+    want = {
+        (r["window_start"].minute, r["r"], r["b"]): r["cnt"]
+        for r in batch.collect()
+        if r["window_start"].minute in {m for m, _, _ in got}
+    }
+    assert got == want and len(got) > 0
