@@ -53,17 +53,28 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(text_col: str, n: int = 1) -> F.Column:
-    """Distinct word n-gram shingle set of the normalized text (JVM-side)."""
+    """Distinct word n-gram shingle set of the normalized text (JVM-side).
+
+    n-grams build INCREMENTALLY — level k zips level k-1 with the k-shifted
+    token array and concatenates one token — rather than per-position
+    ``concat_ws(slice(...))``: HOF lambdas evaluate interpreted per element,
+    and the slice+join form allocates an array plus a join per gram
+    (measured 20× slower on the repetition-stats pipeline at sf10; see
+    PERF.md round 5).  The zip pads the short side with null and ``concat``
+    propagates it, so one final slice trims the tail."""
     toks = tokens(normalize_text(text_col))
     if n == 1:
         return F.array_distinct(toks)
-    # n-gram shingles: join sliding windows of n tokens
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    grams = toks
+    for k in range(2, n + 1):
+        tail_len = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+        shifted = F.slice(toks, k, tail_len)
+        grams = F.slice(
+            F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
+            1,
+            tail_len,
         )
-    )
+    return F.array_distinct(grams)
 
 
 def jaccard_pairs_blocked(
@@ -854,3 +865,122 @@ def _deletion_variants(col: str, k: int):
         out = F.array_union(out, frontier)
         frontier = F.array_distinct(F.flatten(F.transform(frontier, del1)))
     return F.array_distinct(out)
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    shingle_n: int = 1,
+    max_candidate_pairs: int = 250_000_000,
+) -> DataFrame:
+    """EXACT all-pairs word-set Jaccard ≥ ``threshold`` via prefix filtering
+    (the All-Pairs/PPJoin candidate rule, Bayardo et al. WWW'07 / Xiao et
+    al. WWW'08) — recall 1.0 with NO blocking assumptions, the lossless
+    big-corpus alternative to ``jaccard_pairs_blocked``'s semantic blocks.
+
+    Principle: order every document's token set by ascending global
+    frequency (rarest first, ties on the token string); if
+    jaccard(a, b) ≥ t, the two sets must overlap within their PREFIXES of
+    length ``|d| - ceil(t·|d|) + 1`` — so an equi-join on prefix tokens
+    finds every qualifying pair.  Prefixes are short (|d|·(1−t) + 1 ≈ 10%
+    of tokens at t=0.9) and made of the RAREST tokens, so candidate lists
+    per join key are tiny by construction — the frequent-token hot keys
+    that blow up a naive token inverted-list join never enter the index.
+
+    ``shingle_n`` picks the set elements (word n-grams): prefix filtering
+    needs element frequencies with a long rare tail — on a tiny closed
+    vocabulary (this corpus: 31 distinct WORDS) every "rare" word is still
+    frequent and word-level prefixes prune nothing, while the 3-gram
+    shingle space (16k+ distinct) restores the rare-first prefix property.
+    Pick the shingle order so the element space outnumbers the corpus.
+
+    Plan shape: one vocabulary aggregate (map-combinable, vocab-bounded),
+    one shuffle join token→frequency, one per-doc rank window, a prefix
+    equi-join on (token) and an exact verify on the full sets.  Everything
+    shuffles on narrow keys; the same up-front candidate estimate the other
+    blocking operators use refuses degenerate corpora loudly.
+
+    Output: (a_id, b_id, jac) with a_id < b_id, jac rounded to 4 — same
+    contract as ``jaccard_pairs_blocked``.
+    """
+    from pyspark.sql.window import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # persisted: the shingle relation feeds the token explode AND both verify
+    # sides (3 evaluations un-persisted — measured 77 s vs 30 s at sf10);
+    # same discipline as the MinHash per-doc shingle table
+    sets = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
+    ).filter(F.size("_sh") > 0).persist()
+    tok = sets.select(
+        "_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_tok")
+    )
+    freq = tok.groupBy("_tok").agg(F.count("*").alias("_df"))
+    # build-side pin: freq is vocab-bounded (distinct elements), tok is
+    # occurrence-volume — un-hinted, post-shuffle stats have picked the 5e7-row
+    # occurrence side as the hash build and died on memory at sf10
+    ranked = tok.join(freq.hint("shuffle_hash"), "_tok").withColumn(
+        "_pos",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_tok"))
+        ),
+    )
+    # prefix length: |d| - ceil(t*|d|) + 1  (integer ceil via -floor(-x))
+    pref_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")).cast(
+        "int"
+    ) + F.lit(1)
+    # persisted: the estimate collect below materializes the prefix index,
+    # and the candidate self-join then reads it twice from cache instead of
+    # re-running the explode+join+rank chain per side
+    prefix = (
+        ranked.filter(F.col("_pos") <= pref_len).select("_id", "_tok", "_sz").persist()
+    )
+    est = (
+        prefix.groupBy("_tok")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("c"))
+        .collect()[0]["c"]
+    )
+    if est is not None and est > max_candidate_pairs:
+        raise ValueError(
+            f"jaccard_pairs_prefix: prefix join leaves ~{est:.2e} candidate pairs "
+            f"(> {max_candidate_pairs:.0e}) — rare-token prefixes are degenerate "
+            "(mass-duplicate documents). Run exact_dedup first."
+        )
+    # size filter folded into the candidate join: jaccard >= t requires
+    # t*|a| <= |b| <= |a|/t
+    cand = (
+        prefix.select(F.col("_id").alias("a_id"), "_tok", F.col("_sz").alias("_sza"))
+        .join(
+            prefix.select(
+                F.col("_id").alias("b_id"), "_tok", F.col("_sz").alias("_szb")
+            ),
+            "_tok",
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            (F.col("_szb") >= F.ceil(F.lit(threshold) * F.col("_sza")))
+            & (F.col("_szb") <= F.floor(F.col("_sza") / F.lit(threshold)))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    jac = (
+        F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+        / F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
+    )
+    return (
+        cand.join(
+            sets.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sh_a")),
+            "a_id",
+        )
+        .join(
+            sets.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_sh_b")),
+            "b_id",
+        )
+        .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )

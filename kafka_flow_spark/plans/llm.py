@@ -669,3 +669,44 @@ def q_fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c_custkey").alias("rid"))
     )
     return edit_distance_pairs(g, "rid", "c_name", max_dist=1)
+
+
+# --- prefix-filtered EXACT set-similarity self-join (All-Pairs/PPJoin
+# candidate rule) — lossless Jaccard >= t with no semantic blocking; the
+# oracle is the plain quadratic truth over the same 3-gram shingle sets ---
+_SH3 = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 0) + 1),"
+    " i -> array_to_string((string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))[i:i+2], ' ')))"
+)
+
+
+@register(
+    "q_dedup_jaccard_prefix",
+    oracle=f"""
+    WITH dd AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+    t AS (SELECT doc_id, {_SH3} AS sh FROM dd WHERE len({_SH3}) > 0)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8
+    """,
+)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard ≥ 0.8 pairs via rare-first prefix
+    filtering (operators/dedup.py jaccard_pairs_prefix) — recall 1.0, no
+    blocking assumptions; the oracle brute-forces all pairs.  Dedupe-first
+    (same pipeline order as q_simhash_near_dup_pairs): byte-identical texts
+    collapse to a representative before pair discovery — identical texts
+    are jac-1.0 by definition, and carrying them through the prefix index
+    multiplies every rare-shingle posting by the duplicate count."""
+    from kafka_flow_spark.operators.dedup import jaccard_pairs_prefix
+
+    dd = (
+        load(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return jaccard_pairs_prefix(dd, "doc_id", "text", threshold=0.8, shingle_n=3)

@@ -342,3 +342,62 @@ def test_edit_distance_band_rescue_when_deletion_blocks_degenerate(spark):
     # substitution variant -> 60 dist-1 pairs
     assert len(got) == 60 * 59 // 2 + 60
     assert got[(0, 1)] == 0 and got[(0, 60)] == 1
+
+
+# --- jaccard_pairs_prefix (All-Pairs/PPJoin prefix filtering) ---------------
+
+def test_jaccard_prefix_equals_bruteforce(spark):
+    from itertools import combinations
+
+    from kafka_flow_spark.operators.dedup import jaccard_pairs_prefix
+
+    docs = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",    # high overlap with 0
+        "alpha beta gamma delta epsilon zeta",   # exact dup of 0
+        "one two three four five six seven",
+        "one two three four five six eight",     # high overlap with 3
+        "totally different words entirely here now",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id BIGINT, text STRING"
+    )
+    t = 0.6
+    got = {(r["a_id"], r["b_id"]): r["jac"]
+           for r in jaccard_pairs_prefix(df, "doc_id", "text", threshold=t).collect()}
+
+    def jac(a, b):
+        sa, sb = set(a.split()), set(b.split())
+        return len(sa & sb) / len(sa | sb)
+
+    want = {(i, j): round(jac(a, b), 4)
+            for (i, a), (j, b) in combinations(enumerate(docs), 2)
+            if round(jac(a, b), 4) >= t}
+    assert got == want
+    assert (0, 2) in got and got[(0, 2)] == 1.0  # exact dup survives
+
+
+def test_jaccard_prefix_refuses_degenerate_prefixes(spark):
+    import pytest
+
+    from kafka_flow_spark.operators.dedup import jaccard_pairs_prefix
+
+    # mass-identical documents: every prefix posting holds every copy
+    df = spark.createDataFrame(
+        [(i, "same tokens in every single document") for i in range(200)],
+        "doc_id BIGINT, text STRING",
+    )
+    with pytest.raises(ValueError, match="candidate"):
+        jaccard_pairs_prefix(df, "doc_id", "text", threshold=0.9,
+                             max_candidate_pairs=1000)
+
+
+def test_jaccard_prefix_plan_clean(spark):
+    from kafka_flow_spark.operators.dedup import jaccard_pairs_prefix
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    out = jaccard_pairs_prefix(load(spark, SF_SMALL, "documents"),
+                               "doc_id", "text", threshold=0.8, shingle_n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
