@@ -401,3 +401,39 @@ def test_jaccard_prefix_plan_clean(spark):
                                "doc_id", "text", threshold=0.8, shingle_n=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_jaccard_prefix_property_random_corpora(spark):
+    """Property: prefix filtering is LOSSLESS — for random small corpora the
+    operator equals the brute-force all-pairs truth at every threshold."""
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_flow_spark.operators.dedup import jaccard_pairs_prefix
+
+    token = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+    doc = st.lists(token, min_size=1, max_size=12).map(" ".join)
+    corpus = st.lists(doc, min_size=2, max_size=6)
+    thresh = st.sampled_from([0.3, 0.5, 0.8])
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus, thresh)
+    def check(docs, t):
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "doc_id BIGINT, text STRING"
+        )
+        got = {(r["a_id"], r["b_id"]): r["jac"]
+               for r in jaccard_pairs_prefix(df, "doc_id", "text", threshold=t).collect()}
+
+        def jac(a, b):
+            sa, sb = set(a.split()), set(b.split())
+            return len(sa & sb) / len(sa | sb)
+
+        want = {(i, j): round(jac(a, b), 4)
+                for (i, a), (j, b) in combinations(enumerate(docs), 2)
+                if round(jac(a, b), 4) >= t}
+        assert got == want
+
+    check()
