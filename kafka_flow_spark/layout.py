@@ -133,3 +133,72 @@ def write_jsonl_shards(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def zvalue(cols, bits: int = 10):
+    """Morton (Z-order) key: round-robin bit interleave of ``len(cols)``
+    pre-quantized non-negative int columns, each truncated to ``bits`` bits.
+
+    Pure integer expression (2·bits·k shift/mask terms, whole-stage codegen,
+    zero shuffle) — and pure ANSI bit arithmetic, so the DuckDB oracle
+    reproduces z-values bit-exactly (q_zorder_events).
+    """
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zvalue needs >= 2 columns (use a plain sort for 1)")
+    if bits * k > 62:
+        raise ValueError(f"bits*k must fit a long, got {bits}*{k}")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1).cast("long"))
+            out = out + bit * F.lit(1 << (i * k + j)).cast("long")
+    return out
+
+
+def quantize_minmax(df: DataFrame, col: str, bits: int = 10):
+    """(quantized column expr, (lo, hi)): map ``col`` into [0, 2^bits) by its
+    observed min/max — integer arithmetic ``(x - lo) * 2^bits DIV span`` so
+    both engines compute identical cells.  One tiny driver-side aggregate
+    (two scalars), the standard stats lookup a table format provides free.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).collect()[0]
+    lo, hi = int(row["lo"]), int(row["hi"])
+    span = hi - lo + 1
+    q = ((F.col(col).cast("long") - F.lit(lo)) * F.lit(1 << bits)) / F.lit(span)
+    return F.floor(q).cast("long"), (lo, hi)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    int_cols: list[str],
+    bits: int = 10,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: range-partition + sort by the Morton
+    key of the quantized dimensions, so EVERY file covers a narrow range of
+    EVERY clustered column and parquet min/max stats prune scans filtered on
+    ANY of them — the multi-dimension generalization of
+    ``cluster_within_partitions``'s single-key sort (Delta/Iceberg's OPTIMIZE
+    ZORDER, built from open primitives).  One range shuffle at write time;
+    reads prune for free.  Narrow-span contract proven from real parquet
+    footers in tests/test_layout.py.
+    """
+    qs = [quantize_minmax(df, c, bits)[0] for c in int_cols]
+    zv = zvalue(qs, bits)
+    (
+        df.withColumn("_zv", zv)
+        .repartitionByRange(n_files, "_zv")
+        .sortWithinPartitions("_zv")
+        .drop("_zv")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1114,3 +1114,42 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+# --- Z-order (Morton) clustering key.  The z-value is pure integer bit
+# arithmetic, so the oracle reproduces it bit-exactly; the write-side layout
+# contract (every file narrow on EVERY clustered dim) is proven from real
+# parquet footers in tests/test_layout.py ---
+def _zorder_oracle(bits: int = 10) -> str:
+    terms = " + ".join(
+        f"(({q} >> {i}) & 1) * {1 << (i * 2 + j)}"
+        for i in range(bits)
+        for j, q in enumerate(("qu", "qv"))
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_id, user_id,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS vc
+      FROM events),
+    b AS (SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+                 MIN(vc) AS vlo, MAX(vc) AS vhi FROM base),
+    q AS (SELECT event_id,
+                 CAST(FLOOR(((user_id - ulo) * {1 << bits}) / (uhi - ulo + 1)) AS BIGINT) AS qu,
+                 CAST(FLOOR(((vc - vlo) * {1 << bits}) / (vhi - vlo + 1)) AS BIGINT) AS qv
+          FROM base, b)
+    SELECT event_id, CAST({terms} AS BIGINT) AS zval FROM q
+    """
+
+
+@register("q_zorder_events", oracle=_zorder_oracle())
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key of (user_id, cents(value)) per event — the clustering key
+    ``layout.write_zordered`` range-partitions and sorts by, emitted as a
+    query so the bit-interleave arithmetic is oracle-gated end to end."""
+    from kafka_flow_spark.functions import cents
+    from kafka_flow_spark.layout import quantize_minmax, zvalue
+
+    e = load(spark, sf_dir, "events").withColumn("_vc", cents("value"))
+    qu, _ = quantize_minmax(e, "user_id", 10)
+    qv, _ = quantize_minmax(e, "_vc", 10)
+    return e.select("event_id", zvalue([qu, qv], 10).alias("zval"))
