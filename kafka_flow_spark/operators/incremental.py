@@ -1,0 +1,77 @@
+"""Incremental aggregate maintenance: algebraic agg state + merge.
+
+The 100 TB refresh pattern: a materialized per-group aggregate is kept as a
+STATE table (one row per group holding the algebraic partials: count, exact
+unscaled sums, min, max); when a delta shard arrives, the new state is
+``merge(old_state, state(delta))`` — an aggregate over (groups + delta), not
+a recompute over the fact history.  Cost scales with |delta| + |groups|,
+never with the accumulated fact volume.
+
+Exactness: money sums ride the repo's unscaled-LONG cents representation
+(functions.cents), so partial sums are associative/commutative integer adds
+— merge order and partitioning cannot change a single bit, which is what
+makes the incremental result provably equal to a full recompute (pinned by
+q_incremental_agg's full-recompute oracle and a differential test).
+
+This generalizes the engine's own execution design (Spark's partial
+aggregation IS state+merge within one job) to state that persists BETWEEN
+jobs.  Reference relation: the closest reference concept is the persisted
+per-key fold state (core/.../snapshot/SnapshotFold.scala) — same algebra,
+relational groups instead of Kafka keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.functions import cents, unscaled
+
+
+def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Algebraic aggregate state of ``value_col`` per key group:
+    (keys..., _n, _sum_c, _min, _max) — ``_sum_c`` is the exact unscaled-cents
+    long sum, so states merge bit-stably in any order."""
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("_n"),
+        F.sum(cents(value_col)).alias("_sum_c"),
+        F.min(value_col).alias("_min"),
+        F.max(value_col).alias("_max"),
+    )
+
+
+def agg_merge(*states: DataFrame) -> DataFrame:
+    """Merge any number of state tables into one (same schema in/out).
+
+    One union + one map-combinable aggregate over group-cardinality rows —
+    the refresh step.  Associative and commutative by construction (integer
+    sum / min / max), so daily shards can merge in any order or tree shape.
+    """
+    if not states:
+        raise ValueError("agg_merge needs at least one state table")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if not c.startswith("_")]
+    return out.groupBy(*keys).agg(
+        F.sum("_n").alias("_n"),
+        F.sum("_sum_c").alias("_sum_c"),
+        F.min("_min").alias("_min"),
+        F.max("_max").alias("_max"),
+    )
+
+
+def agg_result(state: DataFrame, frac_digits: int = 2) -> DataFrame:
+    """Finalize a state table into the user-facing aggregate:
+    (keys..., n_rows, sum_v, avg_v, min_v, max_v) — sum/avg rescaled from the
+    exact unscaled partials exactly as a direct DECIMAL aggregate would."""
+    keys = [c for c in state.columns if not c.startswith("_")]
+    sum_v = unscaled(F.col("_sum_c"), frac_digits)
+    return state.select(
+        *keys,
+        F.col("_n").alias("n_rows"),
+        sum_v.alias("sum_v"),
+        (sum_v / F.col("_n").cast("double")).alias("avg_v"),
+        F.col("_min").alias("min_v"),
+        F.col("_max").alias("max_v"),
+    )

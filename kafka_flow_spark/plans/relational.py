@@ -1153,3 +1153,37 @@ def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     qu, _ = quantize_minmax(e, "user_id", 10)
     qv, _ = quantize_minmax(e, "_vc", 10)
     return e.select("event_id", zvalue([qu, qv], 10).alias("zval"))
+
+
+# --- incremental aggregate maintenance: the materialized per-group aggregate
+# refreshed by MERGING algebraic state (count / exact cents sum / min / max)
+# instead of recomputing over fact history.  The query computes the final
+# aggregate THROUGH the state+merge path on a base/delta split; the oracle is
+# the direct full recompute — equality IS the maintenance-correctness proof ---
+@register(
+    "q_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v,
+           MIN(o_totalprice) AS min_v,
+           MAX(o_totalprice) AS max_v
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh-by-merge over a 90/10 base/delta split of orders
+    (operators/incremental.py): state(base) ⊕ state(delta) finalized must
+    equal the direct aggregate bit-for-bit — integer partials make the merge
+    order-insensitive."""
+    from kafka_flow_spark.operators.incremental import (
+        agg_merge,
+        agg_result,
+        agg_state,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    base = agg_state(o.filter(F.col("o_orderkey") % 10 != 0), ["o_orderpriority"], "o_totalprice")
+    delta = agg_state(o.filter(F.col("o_orderkey") % 10 == 0), ["o_orderpriority"], "o_totalprice")
+    return agg_result(agg_merge(base, delta))

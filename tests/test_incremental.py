@@ -1,0 +1,51 @@
+"""Incremental aggregate maintenance: merge-of-states equals full recompute,
+in any split and any merge shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators.incremental import agg_merge, agg_result, agg_state
+from kafka_flow_spark.tables import load
+from tests.conftest import SF_SMALL
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_merge_equals_full_recompute_any_split(spark):
+    o = load(spark, SF_SMALL, "orders")
+    full = agg_result(agg_state(o, ["o_orderpriority"], "o_totalprice"))
+    # three-way split on a hash — arbitrary, covers empty-group overlap
+    parts = [
+        agg_state(
+            o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(3)) == i),
+            ["o_orderpriority"],
+            "o_totalprice",
+        )
+        for i in range(3)
+    ]
+    merged = agg_result(agg_merge(*parts))
+    assert _rows(merged) == _rows(full)
+
+
+def test_merge_is_associative(spark):
+    o = load(spark, SF_SMALL, "orders")
+    a, b, c = (
+        agg_state(
+            o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(3)) == i),
+            ["o_orderpriority"],
+            "o_totalprice",
+        )
+        for i in range(3)
+    )
+    left = agg_result(agg_merge(agg_merge(a, b), c))
+    right = agg_result(agg_merge(a, agg_merge(b, c)))
+    assert _rows(left) == _rows(right)
+
+
+def test_state_is_group_sized(spark):
+    o = load(spark, SF_SMALL, "orders")
+    st = agg_state(o, ["o_orderpriority"], "o_totalprice")
+    assert st.count() == o.select("o_orderpriority").distinct().count()
