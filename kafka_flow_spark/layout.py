@@ -158,19 +158,43 @@ def zvalue(cols, bits: int = 10):
     return out
 
 
-def quantize_minmax(df: DataFrame, col: str, bits: int = 10):
-    """(quantized column expr, (lo, hi)): map ``col`` into [0, 2^bits) by its
-    observed min/max — integer arithmetic ``(x - lo) * 2^bits DIV span`` so
-    both engines compute identical cells.  One tiny driver-side aggregate
-    (two scalars), the standard stats lookup a table format provides free.
-    """
+def column_bounds(df: DataFrame, cols: list[str]) -> dict:
+    """{col: (lo, hi)} for every column in ONE aggregate pass (the stats
+    lookup a table format would provide free).  Raises on an empty or
+    all-null column — there is nothing to quantize."""
     from pyspark.sql import functions as F
 
-    row = df.agg(
-        F.min(col).alias("lo"), F.max(col).alias("hi")
-    ).collect()[0]
-    lo, hi = int(row["lo"]), int(row["hi"])
+    aggs = [f(c).alias(f"{w}_{c}") for c in cols for w, f in (("lo", F.min), ("hi", F.max))]
+    row = df.agg(*aggs).collect()[0]
+    out = {}
+    for c in cols:
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo is None or hi is None:
+            raise ValueError(f"column_bounds: column {c!r} is empty or all-null")
+        out[c] = (int(lo), int(hi))
+    return out
+
+
+def quantize_minmax(df: DataFrame, col: str, bits: int = 10, bounds=None):
+    """(quantized column expr, (lo, hi)): map ``col`` into [0, 2^bits) by its
+    observed min/max — ``floor((x - lo) * 2^bits / span)`` with the division
+    exact in doubles (both factors are exact integers below 2^53), so both
+    engines compute identical cells.  Pass ``bounds`` to reuse a
+    ``column_bounds`` pass instead of aggregating per column.
+
+    Spans wider than 2^52 are refused loudly: ``(x - lo) * 2^bits`` would
+    leave the exact-double range (and can exceed int64), silently clustering
+    on garbage — pre-bucket such columns (e.g. nanos → seconds) first."""
+    from pyspark.sql import functions as F
+
+    lo, hi = bounds if bounds is not None else column_bounds(df, [col])[col]
     span = hi - lo + 1
+    if span * (1 << bits) > (1 << 62) or span > (1 << 52):
+        raise ValueError(
+            f"quantize_minmax: span of {col!r} is {span:.3e} — (x-lo)*2^bits "
+            "would overflow exact arithmetic. Reduce the column's range first "
+            "(coarser units or an explicit bucket expression)."
+        )
     q = ((F.col(col).cast("long") - F.lit(lo)) * F.lit(1 << bits)) / F.lit(span)
     return F.floor(q).cast("long"), (lo, hi)
 
@@ -192,7 +216,8 @@ def write_zordered(
     reads prune for free.  Narrow-span contract proven from real parquet
     footers in tests/test_layout.py.
     """
-    qs = [quantize_minmax(df, c, bits)[0] for c in int_cols]
+    bounds = column_bounds(df, int_cols)  # one stats pass for all dims
+    qs = [quantize_minmax(df, c, bits, bounds=bounds[c])[0] for c in int_cols]
     zv = zvalue(qs, bits)
     (
         df.withColumn("_zv", zv)

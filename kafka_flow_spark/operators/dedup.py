@@ -22,7 +22,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_flow_spark.operators.text import fingerprint, normalize_text, tokens
+from kafka_flow_spark.operators.text import (
+    fingerprint,
+    ngram_level,
+    normalize_text,
+    tokens,
+)
 
 # MinHash parameters: k independent permutations h_i(x) = (a_i*x + b_i) mod P
 # over base hashes folded into [0, P).  P = 2^31-1 (Mersenne prime) keeps
@@ -53,27 +58,15 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(text_col: str, n: int = 1) -> F.Column:
-    """Distinct word n-gram shingle set of the normalized text (JVM-side).
-
-    n-grams build INCREMENTALLY — level k zips level k-1 with the k-shifted
-    token array and concatenates one token — rather than per-position
-    ``concat_ws(slice(...))``: HOF lambdas evaluate interpreted per element,
-    and the slice+join form allocates an array plus a join per gram
-    (measured 20× slower on the repetition-stats pipeline at sf10; see
-    PERF.md round 5).  The zip pads the short side with null and ``concat``
-    propagates it, so one final slice trims the tail."""
+    """Distinct word n-gram shingle set of the normalized text (JVM-side),
+    built level-by-level with the shared incremental construction
+    (``text.ngram_level`` — see its docstring for the measured rationale)."""
     toks = tokens(normalize_text(text_col))
     if n == 1:
         return F.array_distinct(toks)
     grams = toks
     for k in range(2, n + 1):
-        tail_len = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-        shifted = F.slice(toks, k, tail_len)
-        grams = F.slice(
-            F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
-            1,
-            tail_len,
-        )
+        grams = ngram_level(grams, toks, k)
     return F.array_distinct(grams)
 
 
@@ -972,6 +965,10 @@ def jaccard_pairs_prefix(
         F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
         / F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
     )
+    # the verify filter is on the RAW jaccard (rounding only the output):
+    # candidate generation guarantees recall for true jac >= t, so a filter
+    # on round(jac, 4) would admit pairs in [t - 5e-5, t) only when they
+    # happen to share a prefix token — a nondeterministic contract
     return (
         cand.join(
             sets.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sh_a")),
@@ -981,6 +978,6 @@ def jaccard_pairs_prefix(
             sets.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_sh_b")),
             "b_id",
         )
+        .filter(jac >= F.lit(threshold))
         .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
-        .filter(F.col("jac") >= threshold)
     )

@@ -27,11 +27,19 @@ from pyspark.sql import functions as F
 
 from kafka_flow_spark.functions import cents, unscaled
 
+# the state columns agg_state appends; key inference is membership in this
+# exact set (NOT a name-prefix rule, which would silently eat a user
+# grouping key that happens to start with an underscore)
+STATE_COLS = ("_n", "_sum_c", "_min", "_max")
+
 
 def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """Algebraic aggregate state of ``value_col`` per key group:
     (keys..., _n, _sum_c, _min, _max) — ``_sum_c`` is the exact unscaled-cents
     long sum, so states merge bit-stably in any order."""
+    clash = set(keys) & set(STATE_COLS)
+    if clash:
+        raise ValueError(f"grouping keys collide with state columns: {clash}")
     return df.groupBy(*keys).agg(
         F.count("*").alias("_n"),
         F.sum(cents(value_col)).alias("_sum_c"),
@@ -52,7 +60,7 @@ def agg_merge(*states: DataFrame) -> DataFrame:
     out = states[0]
     for s in states[1:]:
         out = out.unionByName(s)
-    keys = [c for c in out.columns if not c.startswith("_")]
+    keys = [c for c in out.columns if c not in STATE_COLS]
     return out.groupBy(*keys).agg(
         F.sum("_n").alias("_n"),
         F.sum("_sum_c").alias("_sum_c"),
@@ -65,7 +73,7 @@ def agg_result(state: DataFrame, frac_digits: int = 2) -> DataFrame:
     """Finalize a state table into the user-facing aggregate:
     (keys..., n_rows, sum_v, avg_v, min_v, max_v) — sum/avg rescaled from the
     exact unscaled partials exactly as a direct DECIMAL aggregate would."""
-    keys = [c for c in state.columns if not c.startswith("_")]
+    keys = [c for c in state.columns if c not in STATE_COLS]
     sum_v = unscaled(F.col("_sum_c"), frac_digits)
     return state.select(
         *keys,

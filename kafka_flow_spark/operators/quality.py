@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_flow_spark.operators.text import STOPWORDS, normalize_text, tokens
+from kafka_flow_spark.operators.text import STOPWORDS, ngram_level, normalize_text, tokens
 
 # Conservative defaults tuned for short web-ish documents; callers override.
 DEFAULT_RULES = {
@@ -425,18 +425,11 @@ def repetition_stats(
         F.transform(toks, F.length), zero, lambda a, x: a + x
     )
 
-    # stage 0→1: incremental gram build (constraint 1), then one sort per n
+    # stage 0→1: incremental gram build (constraint 1; shared construction
+    # text.ngram_level), then one sort per n
     s0 = df.select(F.col(id_col), tok_chars.alias("_tc"), toks.alias("_u1"))
     for n in range(2, max(all_ns) + 1):
-        tail_len = F.greatest(F.size("_u1") - F.lit(n - 1), F.lit(0))
-        shifted = F.slice(F.col("_u1"), n, tail_len)
-        g = F.slice(
-            F.zip_with(  # zip pads the short side with null; concat nulls it
-                F.col(f"_u{n - 1}"), shifted, lambda a, b: F.concat(a, F.lit(" "), b)
-            ),
-            1,
-            tail_len,
-        )
+        g = ngram_level(F.col(f"_u{n - 1}"), F.col("_u1"), n)
         s0 = s0.select("*", g.alias(f"_u{n}"))
     s1 = s0.select(
         id_col,

@@ -358,27 +358,15 @@ def cosine_near_dup_pairs_matmul(
     return pairs.mapInPandas(compute, schema="a_id BIGINT, b_id BIGINT, cos_sim DOUBLE")
 
 
-def _train_centroids(
-    vectors: DataFrame,
-    id_col: str,
-    vec_col: str,
-    n_cells: int,
-    train_size: int = 4096,
-    iters: int = 20,
+def _hash_sample(
+    vectors: DataFrame, id_col: str, vec_col: str, train_size: int
 ) -> "np.ndarray":
-    """Spherical k-means codebook from a bounded deterministic sample.
+    """Bounded deterministic L2-normalized training sample.
 
-    Sampling orders by ``xxhash64(id)`` — content-addressed, so the training
-    set (and therefore the centroids, the cell assignment, and the query
-    results) is identical across runs and partitionings.  The driver-side
-    collect is capped at ``train_size`` rows — at 100 TB the sample-sort is a
-    top-k (no full sort materializes) and training cost is O(train_size ·
-    n_cells · dim · iters), independent of corpus size.
-
-    Lloyd's iterations run on unit vectors with cosine assignment (spherical
-    k-means); empty cells are reseeded from the point farthest from its
-    centroid, so exactly ``n_cells`` distinct centroids come back.
-    """
+    Ordering by ``xxhash64(id)`` is content-addressed, so the sample (and
+    everything trained from it) is identical across runs and partitionings;
+    the driver-side collect is capped at ``train_size`` rows — at 100 TB the
+    sample-sort is a top-k (no full sort materializes)."""
     rows = (
         vectors.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
@@ -386,7 +374,32 @@ def _train_centroids(
         .collect()
     )
     X = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def _train_centroids(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    train_size: int = 4096,
+    iters: int = 20,
+    sample: "np.ndarray | None" = None,
+) -> "np.ndarray":
+    """Spherical k-means codebook from a bounded deterministic sample
+    (``_hash_sample``; pass ``sample`` to reuse an already-collected one —
+    the PQ index builder trains coarse AND residual codebooks from one
+    sample job instead of two identical corpus scans).
+
+    Training cost is O(train_size · n_cells · dim · iters), independent of
+    corpus size.  Lloyd's iterations run on unit vectors with cosine
+    assignment (spherical k-means); empty cells are reseeded from the point
+    farthest from its centroid, so exactly ``n_cells`` distinct centroids
+    come back.
+    """
+    X = sample if sample is not None else _hash_sample(
+        vectors, id_col, vec_col, train_size
+    )
     n_cells = min(n_cells, len(X))
     C = X[:n_cells].copy()  # hash-shuffled sample → first k is a uniform seed
     for _ in range(iters):
@@ -770,9 +783,12 @@ def _train_pq_codebooks(
     for mi in range(m_subspaces):
         S = X[:, mi * sub : (mi + 1) * sub]
         C = S[:ks].copy()
+        row_sq = (S**2).sum(axis=1)
         for _ in range(iters):
             # ||s-c||^2 = ||s||^2 - 2 s·c + ||c||^2; the ||s||^2 term is
-            # constant per row, so argmin needs only the matmul form
+            # constant per row, so ARGMIN over centroids needs only the
+            # matmul form — but the empty-cluster reseed argmax compares
+            # ACROSS rows, where ||s||^2 varies, so it adds the row term back
             d2 = (C**2).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
             assign = np.argmin(d2, axis=1)
             newC = C.copy()
@@ -781,7 +797,8 @@ def _train_pq_codebooks(
                 if len(members):
                     newC[c] = members.mean(axis=0)
                 else:
-                    worst = int(np.argmax(d2[np.arange(n), assign]))
+                    true_d2 = row_sq + d2[np.arange(n), assign]
+                    worst = int(np.argmax(true_d2))
                     newC[c] = S[worst]
             if np.allclose(newC, C, atol=1e-12):
                 C = newC
@@ -816,15 +833,8 @@ def pq_index(
     ``_train_centroids``); encoding is one mapInPandas pass over the corpus,
     zero shuffle.
     """
-    Cn = _train_centroids(vectors, id_col, vec_col, n_cells, train_size)
-    rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(train_size)
-        .collect()
-    )
-    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = _hash_sample(vectors, id_col, vec_col, train_size)
+    Cn = _train_centroids(vectors, id_col, vec_col, n_cells, train_size, sample=X)
     res = X - Cn[np.argmax(X @ Cn.T, axis=1)]
     books = _train_pq_codebooks(res, m_subspaces, n_codes)
     sc = vectors.sparkSession.sparkContext
@@ -904,6 +914,13 @@ def knn_ivfpq(
             f"knn_ivfpq: query set exceeds max_queries={max_queries} — the probe "
             "fan-out is broadcast; split the query set or raise the cap explicitly."
         )
+    spark = vectors.sparkSession
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    if not qrows:
+        # empty query set → empty result, same contract as knn_bruteforce
+        return spark.createDataFrame(
+            [], schema=f"q_id {id_t}, neighbor_id {id_t}, sim DOUBLE, rank INT"
+        )
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     qids = [r[id_col] for r in qrows]
@@ -914,8 +931,6 @@ def knn_ivfpq(
         for i in range(len(qids))
         for c in probe[i]
     ]
-    spark = vectors.sparkSession
-    id_t = vectors.schema[id_col].dataType.simpleString()
     qdf = spark.createDataFrame(
         fan, schema=f"q_id {id_t}, q_vec ARRAY<DOUBLE>, cell INT, bias DOUBLE"
     )

@@ -45,6 +45,24 @@ def _bucket(col: Column, seed: int, width: int, hash_mode: str = "md5") -> Colum
     raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', got {hash_mode!r}")
 
 
+def _cell_fanout(c: Column, depth: int, width: int, hash_mode: str) -> Column:
+    """The exploded (r, b) cell stream of a key column — the ONE place the
+    sketch's cell addressing lives; build, probe, and the windowed streaming
+    form all consume it, so bucket agreement between them is structural."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"), _bucket(c, r, width, hash_mode).alias("b")
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+
+
 def cms_build(
     df: DataFrame,
     col: str,
@@ -58,21 +76,8 @@ def cms_build(
     every map task's output at the cell count, so shuffle volume is
     O(depth·width·tasks) — independent of input rows AND key cardinality.
     """
-    if depth < 1 or width < 1:
-        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
-    c = F.col(col)
     cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _bucket(c, r, width, hash_mode).alias("b"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("_rb")
+        _cell_fanout(F.col(col), depth, width, hash_mode).alias("_rb")
     ).select("_rb.r", "_rb.b")
     return cells.groupBy("r", "b").agg(F.count("*").alias("cnt"))
 
@@ -91,20 +96,7 @@ def cms_probe(
     probes = (
         keys.select(F.col(col).alias("_v"))
         .distinct()
-        .select(
-            "_v",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"),
-                            _bucket(F.col("_v"), r, width, hash_mode).alias("b"),
-                        )
-                        for r in range(depth)
-                    ]
-                )
-            ).alias("_rb"),
-        )
+        .select("_v", _cell_fanout(F.col("_v"), depth, width, hash_mode).alias("_rb"))
         .select("_v", "_rb.r", "_rb.b")
     )
     return (
@@ -166,20 +158,9 @@ def windowed_cms(
 
     Output: (window_start, window_end, r, b, cnt).
     """
-    c = F.col(col)
     cells = records.withWatermark(ts_col, watermark).select(
         F.col(ts_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _bucket(c, r, width, hash_mode).alias("b"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("_rb"),
+        _cell_fanout(F.col(col), depth, width, hash_mode).alias("_rb"),
     )
     agged = cells.groupBy(
         F.window(ts_col, duration).alias("w"), F.col("_rb.r"), F.col("_rb.b")

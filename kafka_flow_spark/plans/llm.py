@@ -690,8 +690,8 @@ _SH3 = (
            ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
                  / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
     FROM t a JOIN t b ON a.doc_id < b.doc_id
-    WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
-                / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
     """,
 )
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:

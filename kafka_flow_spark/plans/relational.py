@@ -1147,11 +1147,12 @@ def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``layout.write_zordered`` range-partitions and sorts by, emitted as a
     query so the bit-interleave arithmetic is oracle-gated end to end."""
     from kafka_flow_spark.functions import cents
-    from kafka_flow_spark.layout import quantize_minmax, zvalue
+    from kafka_flow_spark.layout import column_bounds, quantize_minmax, zvalue
 
     e = load(spark, sf_dir, "events").withColumn("_vc", cents("value"))
-    qu, _ = quantize_minmax(e, "user_id", 10)
-    qv, _ = quantize_minmax(e, "_vc", 10)
+    bounds = column_bounds(e, ["user_id", "_vc"])  # one stats pass
+    qu, _ = quantize_minmax(e, "user_id", 10, bounds=bounds["user_id"])
+    qv, _ = quantize_minmax(e, "_vc", 10, bounds=bounds["_vc"])
     return e.select("event_id", zvalue([qu, qv], 10).alias("zval"))
 
 

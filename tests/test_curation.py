@@ -372,7 +372,7 @@ def test_jaccard_prefix_equals_bruteforce(spark):
 
     want = {(i, j): round(jac(a, b), 4)
             for (i, a), (j, b) in combinations(enumerate(docs), 2)
-            if round(jac(a, b), 4) >= t}
+            if jac(a, b) >= t}
     assert got == want
     assert (0, 2) in got and got[(0, 2)] == 1.0  # exact dup survives
 
@@ -433,7 +433,7 @@ def test_jaccard_prefix_property_random_corpora(spark):
 
         want = {(i, j): round(jac(a, b), 4)
                 for (i, a), (j, b) in combinations(enumerate(docs), 2)
-                if round(jac(a, b), 4) >= t}
+                if jac(a, b) >= t}
         assert got == want
 
     check()

@@ -49,3 +49,12 @@ def test_state_is_group_sized(spark):
     o = load(spark, SF_SMALL, "orders")
     st = agg_state(o, ["o_orderpriority"], "o_totalprice")
     assert st.count() == o.select("o_orderpriority").distinct().count()
+
+
+def test_underscore_grouping_key_survives(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "_region STRING, amount DOUBLE"
+    )
+    st = agg_state(df, ["_region"], "amount")
+    out = {r["_region"]: r["n_rows"] for r in agg_result(agg_merge(st, st)).collect()}
+    assert out == {"a": 4, "b": 2}
