@@ -48,3 +48,60 @@ def profile_columns(
         for c in cols
     ]
     return reduce(DataFrame.unionByName, legs)
+
+
+def equiwidth_histogram(
+    df,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    n_buckets: int = 20,
+    bounds: tuple | None = None,
+) -> "DataFrame":
+    """Equi-width histogram of ``value_col`` (optionally per group):
+    (group..., bucket, lo, hi, n) for the ``n_buckets`` equal slices of
+    [min, max], the max value folded into the last bucket.
+
+    Equi-WIDTH rather than equi-depth on purpose: bucket assignment is
+    ``floor((x - lo) · n / span)`` — exact integer-and-double arithmetic
+    both engines reproduce bit-identically — while equi-depth boundaries
+    ride interpolated quantiles whose engine-specific interpolation breaks
+    oracle parity (the same reason the HLL query is rows-only).
+
+    Scale shape: one bounds aggregate (or pass ``bounds`` from table stats)
+    + one map-combinable groupBy over at most |groups|·n_buckets cells.
+    """
+    from pyspark.sql import functions as F
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    group_cols = group_cols or []
+    if bounds is None:
+        row = df.agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        ).collect()[0]
+        if row["lo"] is None:
+            raise ValueError(f"equiwidth_histogram: {value_col!r} is empty/all-null")
+        bounds = (float(row["lo"]), float(row["hi"]))
+    lo, hi = bounds
+    span = hi - lo
+    if span <= 0:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.floor(
+                (F.col(value_col) - F.lit(lo)) * F.lit(float(n_buckets)) / F.lit(span)
+            ).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    width = span / n_buckets if span > 0 else 0.0
+    return (
+        df.groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            *group_cols,
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+            "n",
+        )
+    )

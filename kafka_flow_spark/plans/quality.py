@@ -395,3 +395,33 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(
         load(spark, sf_dir, "documents"), "doc_id", "text", dup_ns=(3,)
     )
+
+
+# --- equi-width value histogram (data-card profiling).  Bucket assignment is
+# exact arithmetic both engines share; equi-depth (quantile) boundaries are
+# NOT used because interpolation is engine-specific ---
+@register(
+    "q_value_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    h AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR((value - b.lo) * 20.0 / (b.hi - b.lo)) AS INT), 19)
+               AS bucket,
+             b.lo AS glo, (b.hi - b.lo) / 20 AS width
+      FROM events, b)
+    SELECT event_type, bucket,
+           glo + bucket * width AS lo,
+           glo + (bucket + 1) * width AS hi,
+           COUNT(*) AS n
+    FROM h GROUP BY event_type, bucket, glo, width
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of event values per event type
+    (operators/profile.py equiwidth_histogram)."""
+    from kafka_flow_spark.operators.profile import equiwidth_histogram
+
+    return equiwidth_histogram(
+        load(spark, sf_dir, "events"), "value", ["event_type"], n_buckets=20
+    )

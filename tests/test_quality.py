@@ -311,3 +311,28 @@ def test_repetition_stats_plan_is_scan_projection(spark):
     df = repetition_stats(load(spark, SF_SMALL, "documents"), "doc_id", "text")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# --- equiwidth_histogram ----------------------------------------------------
+
+def test_equiwidth_histogram_counts_and_edges(spark):
+    from kafka_flow_spark.operators.profile import equiwidth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v DOUBLE")
+    h = {r["bucket"]: r["n"] for r in equiwidth_histogram(df, "v", n_buckets=10).collect()}
+    # values 0..99 over [0, 99]: bucket = floor(v*10/99); v=99 folds into 9
+    assert sum(h.values()) == 100 and max(h) == 9 and min(h) == 0
+
+
+def test_equiwidth_histogram_constant_and_empty(spark):
+    import pytest
+
+    from kafka_flow_spark.operators.profile import equiwidth_histogram
+
+    const = spark.createDataFrame([(5.0,), (5.0,)], "v DOUBLE")
+    rows = equiwidth_histogram(const, "v", n_buckets=4).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["n"] == 2
+
+    empty = spark.createDataFrame([], "v DOUBLE")
+    with pytest.raises(ValueError, match="empty"):
+        equiwidth_histogram(empty, "v")
