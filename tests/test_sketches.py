@@ -110,3 +110,46 @@ def test_windowed_cms_stream_matches_batch(spark, tmp_path):
         if r["window_start"].minute in {m for m, _, _ in got}
     }
     assert got == want and len(got) > 0
+
+
+def test_windowed_cms_drops_late_data(spark, tmp_path):
+    """Watermark contract: a record arriving after its window's watermark has
+    passed is dropped from the (already emitted) window's cells."""
+    from datetime import datetime
+
+    from kafka_flow_spark.operators.sketches import windowed_cms
+
+    schema = "ts TIMESTAMP, k BIGINT"
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    out_dir = str(tmp_path / "out")
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(input_dir)
+        q = (
+            windowed_cms(
+                spark.readStream.schema(schema).parquet(input_dir),
+                "ts", "k", duration="5 minutes", depth=2, width=16,
+                watermark="1 minute",
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            ((r["window_start"].minute), r["r"], r["b"]): r["cnt"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    first = run([
+        (datetime(2026, 1, 1, 12, 0, 10), 1),
+        (datetime(2026, 1, 1, 12, 20, 0), 2),   # watermark -> 12:19, closes [12:00,12:05)
+    ])
+    assert any(m == 0 for m, _, _ in first)
+    # late arrival for the already-closed 12:00 window: must change nothing
+    second = run([(datetime(2026, 1, 1, 12, 0, 30), 1)])
+    assert {k: v for k, v in second.items() if k[0] == 0} == \
+           {k: v for k, v in first.items() if k[0] == 0}
