@@ -382,6 +382,7 @@ def repetition_stats(
     text_col: str,
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5,),
+    engine: str = "arrow",
 ) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1, the "repetition
     removal" family): per document, the fraction of (non-space) characters
@@ -391,34 +392,38 @@ def repetition_stats(
 
     Output: id, top{n}gram_frac per top n, dup{n}gram_frac per dup n — every
     value an exact integer ratio evaluated with one final double division,
-    so the DuckDB oracle reproduces it bit-identically.  Zero-shuffle scan
-    projection — the same 100 TB posture as the other quality gates: stats
-    travel WITH the row, no aggregation barrier before the filter downstream.
+    so the DuckDB oracle reproduces it bit-identically.  Both engines are
+    zero-shuffle scan projections — the same 100 TB posture as the other
+    quality gates: stats travel WITH the row, no aggregation barrier before
+    the filter downstream.
 
-    In-row algorithm (replaces the per-gram explode/groupBy a naive plan
-    would shuffle on): equal grams are adjacent after ``array_sort``, so run
-    boundaries are the positions where ``G[i] != G[i-1]``, run lengths (=
-    gram counts) are deltas between consecutive boundary indices, and every
-    statistic is long arithmetic over the short distinct-gram arrays —
-    chars(gram) is ``length(gram) - (n-1)`` (space-joined), and the
-    (cnt, chars) tie rule (max cnt, then max chars) packs into one int64
-    ``cnt<<32 | chars`` max.  Three measured plan constraints shaped this
-    (all at sf10, 500k docs):
-    (1) gram arrays build INCREMENTALLY — ``g_n[i] = g_{n-1}[i]·' '·tok[i+n-1]``
-        via one zip_with per level (3.1 s for n=2..5) — the textbook
-        per-position ``array_join(slice(toks, i, n))`` allocates an array
-        plus a join per gram and measured 61 s;
-    (2) a struct-accumulator fold over the full gram array rebuilds a
-        6-field struct per element, interpreter-bound — 63 s;
-    (3) Catalyst does NOT CSE across higher-order-function trees, so every
-        intermediate referenced more than once (token array, gram arrays,
-        boundary indices, run arrays) is STAGED as a real column — an
-        un-staged draft re-evaluated the whole sort per element via
-        ``element_at(G, i)`` and did not finish sf10 in 10 minutes.
+    ``engine="arrow"`` (default): Arrow-batched ``mapInPandas`` — per-doc
+    ``Counter`` over grams in CPython.  This is the knn_bruteforce_arrow
+    precedent in reverse: Catalyst higher-order functions evaluate
+    interpreted per element, and for string-multiset counting CPython's hash
+    machinery beats them ~3× end-to-end (measured sf10: 2.5 s vs 8.0 s;
+    sf0.1 single-row-group: 0.6 s vs 1.6 s).
+
+    ``engine="expr"``: pure-JVM column expressions, kept as the no-Python
+    fallback and differential baseline.  Its shape carries three measured
+    lessons (sf10, 500k docs): (1) gram arrays must build INCREMENTALLY via
+    ``text.ngram_level`` (per-position ``array_join(slice(...))`` measured
+    61 s vs 3.1 s); (2) a struct-accumulator fold is interpreter-bound
+    (63 s); (3) Catalyst does NOT CSE across higher-order-function trees, so
+    every multiply-referenced intermediate is STAGED as a real column (an
+    un-staged draft re-evaluated the sort per element and never finished).
+    Equal grams are adjacent after ``array_sort``; run boundaries are the
+    ``G[i] != G[i-1]`` positions, run lengths are boundary-index deltas,
+    chars(gram) is ``length(gram) - (n-1)``, and the (cnt, chars) tie rule
+    packs into one int64 ``cnt<<32 | chars`` max.
     """
     all_ns = sorted({*top_ns, *dup_ns})
     if min(all_ns) < 2:
         raise ValueError(f"n-gram orders must be >= 2, got {all_ns}")
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
+    if engine == "arrow":
+        return _repetition_stats_arrow(df, id_col, text_col, top_ns, dup_ns)
     zero = F.lit(0).cast("long")
     toks = tokens(text_col)
     tok_chars = F.aggregate(
@@ -506,3 +511,68 @@ def repetition_stats(
             .alias(f"dup{n}gram_frac")
         )
     return s3.select(*cols)
+
+
+def _repetition_stats_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple,
+    dup_ns: tuple,
+) -> DataFrame:
+    """Arrow-batched engine for ``repetition_stats`` — identical semantics to
+    the expression engine (pinned by a differential test): whitespace tokens
+    of trimmed text, chars(gram) = non-space chars, (cnt, chars) tie rule,
+    exact int ratios with one final IEEE double division."""
+    import pandas as pd
+
+    top_ns, dup_ns = tuple(top_ns), tuple(dup_ns)
+    cols = (
+        [id_col]
+        + [f"top{n}gram_frac" for n in top_ns]
+        + [f"dup{n}gram_frac" for n in dup_ns]
+    )
+
+    def gen(batches):
+        import re
+        from collections import Counter
+
+        # exact mirror of operators.text.tokens: F.trim strips ASCII spaces
+        # only, and Java's \s is the ASCII class (Python's str \s is
+        # unicode-aware, re.split keeps leading/trailing empties like
+        # Spark's limit=-1 split)
+        ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = (text or "").strip(" ")
+                toks = ws.split(t) if t else []
+                tc = sum(len(t) for t in toks)
+                counters = {}
+                for n in {*top_ns, *dup_ns}:
+                    counters[n] = Counter(
+                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    )
+                out[id_col].append(did)
+                for n in top_ns:
+                    c = counters[n]
+                    if not c or tc == 0:
+                        out[f"top{n}gram_frac"].append(0.0)
+                        continue
+                    cnt, ch = max((v, len(g) - (n - 1)) for g, v in c.items())
+                    out[f"top{n}gram_frac"].append(cnt * ch / tc)
+                for n in dup_ns:
+                    c = counters[n]
+                    tot = sum(v * (len(g) - (n - 1)) for g, v in c.items())
+                    dup = sum(
+                        v * (len(g) - (n - 1)) for g, v in c.items() if v >= 2
+                    )
+                    out[f"dup{n}gram_frac"].append(dup / tot if tot else 0.0)
+            yield pd.DataFrame(out)
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = ", ".join(
+        [f"{id_col} {id_t}"] + [f"{c} DOUBLE" for c in cols if c != id_col]
+    )
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)

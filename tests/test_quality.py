@@ -277,7 +277,11 @@ def _rep_brute(text, top_ns=(2, 3, 4), dup_ns=(5,)):
     return out
 
 
-def test_repetition_stats_matches_bruteforce(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("engine", ["arrow", "expr"])
+def test_repetition_stats_matches_bruteforce(spark, engine):
     from kafka_flow_spark.operators.quality import repetition_stats
 
     docs = [
@@ -295,7 +299,7 @@ def test_repetition_stats_matches_bruteforce(spark):
     )
     got = {
         r["doc_id"]: r.asDict()
-        for r in repetition_stats(df, "doc_id", "text").collect()
+        for r in repetition_stats(df, "doc_id", "text", engine=engine).collect()
     }
     for i, t in enumerate(docs):
         want = _rep_brute(t)
@@ -308,9 +312,27 @@ def test_repetition_stats_plan_is_scan_projection(spark):
     from kafka_flow_spark.tables import load
     from tests.conftest import SF_SMALL
 
-    df = repetition_stats(load(spark, SF_SMALL, "documents"), "doc_id", "text")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    for engine in ("arrow", "expr"):
+        df = repetition_stats(
+            load(spark, SF_SMALL, "documents"), "doc_id", "text", engine=engine
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_repetition_stats_engines_agree_on_corpus(spark):
+    """The two engines are the same operator: bit-identical output over the
+    real corpus (including its planted repetition structure)."""
+    from kafka_flow_spark.operators.quality import repetition_stats
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    a = {r["doc_id"]: tuple(r)[1:] for r in
+         repetition_stats(docs, "doc_id", "text", dup_ns=(3,), engine="arrow").collect()}
+    e = {r["doc_id"]: tuple(r)[1:] for r in
+         repetition_stats(docs, "doc_id", "text", dup_ns=(3,), engine="expr").collect()}
+    assert a == e and len(a) > 0
 
 
 # --- equiwidth_histogram ----------------------------------------------------
