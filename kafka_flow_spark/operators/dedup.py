@@ -981,3 +981,110 @@ def jaccard_pairs_prefix(
         .filter(jac >= F.lit(threshold))
         .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
     )
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+    max_candidate_pairs: int = 250_000_000,
+) -> DataFrame:
+    """EXACT directional containment join: all pairs (a, b), a != b, with
+    ``|sh(a) ∩ sh(b)| / |sh(a)| >= threshold`` — "document a is (mostly)
+    contained in document b".  The asymmetric cousin of
+    ``jaccard_pairs_prefix`` for the quote/excerpt/boilerplate-inclusion
+    dedup case Jaccard misses: a short doc pasted inside a much longer one
+    has low Jaccard (the union is large) but containment ≈ 1.
+
+    Candidate rule (the asymmetric variant of the All-Pairs prefix filter):
+    order every set rarest-token-first by global frequency; containment ≥ t
+    forces an overlap of ``ceil(t·|a|)`` elements, so a's PREFIX of length
+    ``|a| - ceil(t·|a|) + 1`` must intersect sh(b).  Because only the
+    probe side (a) knows |a|, the index side (b) cannot be prefix-pruned —
+    the b side indexes its FULL shingle set.  That stays bounded anyway:
+    candidate volume per token is n_prefix(token) · n_full(token), and
+    frequent tokens almost never appear in rare-first prefixes, so the hot
+    keys of a naive inverted-list join contribute ≈ 0 candidates.  The same
+    up-front estimate as the Jaccard variant refuses degenerate corpora
+    loudly (run ``exact_duplicates`` first — identical texts trivially
+    contain each other and multiply every posting).
+
+    Size filter folded into the candidate join: |b| ≥ ceil(t·|a|) (the
+    intersection can be no larger than |b|); containment has NO upper size
+    bound, unlike Jaccard.
+
+    Output: (a_id, b_id, containment) with a_id != b_id — directional, so a
+    mutual near-dup appears in both directions.  Filter is on the raw
+    value, output rounded to 4 (house contract).
+    """
+    from pyspark.sql.window import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
+    ).filter(F.size("_sh") > 0).persist()
+    tok = sets.select(
+        "_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_tok")
+    )
+    freq = tok.groupBy("_tok").agg(F.count("*").alias("_df"))
+    # build-side pin: freq is vocab-bounded, tok is occurrence-volume (same
+    # measured trap as jaccard_pairs_prefix — see its comment)
+    ranked = tok.join(freq.hint("shuffle_hash"), "_tok").withColumn(
+        "_pos",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_tok"))
+        ),
+    )
+    pref_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")).cast(
+        "int"
+    ) + F.lit(1)
+    # probe side: prefix postings only; index side: the full posting list
+    # (both persisted — the estimate collect materializes them once and the
+    # candidate join then reads cache instead of re-running explode+rank)
+    prefix = (
+        ranked.filter(F.col("_pos") <= pref_len).select("_id", "_tok", "_sz").persist()
+    )
+    full = tok.select("_id", "_tok", "_sz").persist()
+    est = (
+        prefix.groupBy("_tok")
+        .agg(F.count("*").alias("na"))
+        .join(full.groupBy("_tok").agg(F.count("*").alias("nb")), "_tok")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("c"))
+        .collect()[0]["c"]
+    )
+    if est is not None and est > max_candidate_pairs:
+        raise ValueError(
+            f"containment_pairs_prefix: prefix-vs-full join leaves ~{est:.2e} "
+            f"candidate pairs (> {max_candidate_pairs:.0e}) — rare-token prefixes "
+            "are degenerate (mass-duplicate documents). Run exact_dedup first."
+        )
+    cand = (
+        prefix.select(F.col("_id").alias("a_id"), "_tok", F.col("_sz").alias("_sza"))
+        .join(
+            full.select(F.col("_id").alias("b_id"), "_tok", F.col("_sz").alias("_szb")),
+            "_tok",
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(F.col("_szb") >= F.ceil(F.lit(threshold) * F.col("_sza")))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    cont = (
+        F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+        / F.size("_sh_a").cast("double")
+    )
+    return (
+        cand.join(
+            sets.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sh_a")),
+            "a_id",
+        )
+        .join(
+            sets.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_sh_b")),
+            "b_id",
+        )
+        .filter(cont >= F.lit(threshold))
+        .select("a_id", "b_id", F.round(cont, 4).alias("containment"))
+    )

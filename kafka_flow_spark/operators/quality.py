@@ -576,3 +576,45 @@ def _repetition_stats_arrow(
         [f"{id_col} {id_t}"] + [f"{c} DOUBLE" for c in cols if c != id_col]
     )
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def group_reputation(
+    df: DataFrame, group_col: str, signal_col: str = "keep"
+) -> DataFrame:
+    """Per-group document-quality reputation: how many docs the group has and
+    what fraction pass the boolean ``signal_col`` gate.  One map-combinable
+    aggregate over the group key — the RefinedWeb/C4 'domain-level decision
+    from document-level signals' shape.  keep_frac is one exact int/int IEEE
+    division (engine-reproducible)."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(signal_col).cast("long")).alias("n_keep"),
+        )
+        .withColumn(
+            "keep_frac",
+            F.col("n_keep").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+
+
+def reputation_filter(
+    df: DataFrame,
+    group_col: str,
+    signal_col: str = "keep",
+    min_keep_frac: float = 0.5,
+) -> DataFrame:
+    """Keep only rows whose GROUP passes the reputation bar — a low-quality
+    source poisons all its documents (spam domains, machine-translated
+    mirrors), which per-document rules can't see.  Appends ``keep_frac``.
+
+    Scale shape: the reputation table is one row per group (domains — orders
+    of magnitude smaller than documents); the join back is left to AQE,
+    whose runtime stats broadcast it when it fits and shuffle-hash it
+    otherwise — no hint needed because the reduced side is always the
+    aggregate."""
+    rep = group_reputation(df, group_col, signal_col).where(
+        F.col("keep_frac") >= F.lit(min_keep_frac)
+    )
+    return df.join(rep.select(group_col, "keep_frac"), group_col)

@@ -710,3 +710,31 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
     )
     return jaccard_pairs_prefix(dd, "doc_id", "text", threshold=0.8, shingle_n=3)
+
+
+@register(
+    "q_containment_pairs",
+    oracle=f"""
+    WITH dd AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+    t AS (SELECT doc_id, {_SH3} AS sh FROM dd WHERE len({_SH3}) > 0)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 4)
+             AS containment
+    FROM t a JOIN t b ON a.doc_id != b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= 0.9
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional 3-gram-shingle containment >= 0.9 pairs (doc a mostly
+    inside doc b) via the asymmetric prefix filter
+    (operators/dedup.py containment_pairs_prefix) — the excerpt/boilerplate
+    inclusion case Jaccard misses; oracle brute-forces all directed pairs.
+    Dedupe-first, same rationale as q_dedup_jaccard_prefix."""
+    from kafka_flow_spark.operators.dedup import containment_pairs_prefix
+
+    dd = (
+        load(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return containment_pairs_prefix(dd, "doc_id", "text", threshold=0.9, shingle_n=3)

@@ -464,3 +464,43 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = hash_sample(docs, "_key", 0.05)
     train = docs.join(ev.select("doc_id"), "doc_id", "left_anti")
     return bloom_contamination(train, ev, "doc_id", "text", n=8)
+
+
+@register(
+    "q_cluster_aware_split",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTE},
+    reach(node, r) AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(r)) AS comp FROM reach GROUP BY node),
+    assign AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    keyed AS (
+      SELECT doc_id, cluster_id,
+             substring(md5('cl:' || CAST(cluster_id AS VARCHAR)), 1, 6) AS b
+      FROM assign)
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < '{_T_TRAIN}' THEN 'train'
+                WHEN b < '{_T_VAL}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by hash of the near-dup
+    CLUSTER id, not the document id — every member of a near-duplicate
+    cluster lands in the SAME split, so eval can never see a near-copy of a
+    training document (the leakage q_hash_split alone cannot prevent).
+    Composition of two oracle-gated stages: the memoized connected-components
+    assignment + the content-addressed hash split keyed on the cluster
+    representative ('cl:' salt decorrelates from per-doc splits)."""
+    assign = q_dedup_clusters(spark, sf_dir)
+    keyed = assign.withColumn(
+        "_ckey", F.concat(F.lit("cl:"), F.col("cluster_id").cast("string"))
+    )
+    return hash_split(keyed, "_ckey", _SPLITS).select("doc_id", "cluster_id", "split")

@@ -425,3 +425,62 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equiwidth_histogram(
         load(spark, sf_dir, "events"), "value", ["event_type"], n_buckets=20
     )
+
+
+@register(
+    "q_source_reputation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, length(text) AS nc,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np,
+             {_TOKS} AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, nc, np,
+             CAST(len(toks) AS INT) AS n_words,
+             COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS chars,
+             CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','and','of','to','is'], lower(x)))) AS INT) AS n_stopwords,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END AS g2
+      FROM t),
+    u AS (
+      SELECT doc_id, source, n_words, n_stopwords,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE chars * 1.0 / n_words END AS mean_word_len,
+             CASE WHEN len(g2) = 0 THEN 0.0
+                  ELSE (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2)
+                  END AS dup_2gram_frac,
+             CASE WHEN nc = 0 THEN 0.0 ELSE np * 1.0 / nc END AS symbol_frac
+      FROM s),
+    q AS (
+      SELECT doc_id, source,
+             (n_words >= 10 AND n_words <= 100000
+              AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+              AND n_stopwords >= 1
+              AND dup_2gram_frac <= 0.9
+              AND symbol_frac <= 0.1) AS keep
+      FROM u),
+    rep AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep
+      FROM q GROUP BY source)
+    SELECT q.doc_id, q.source,
+           CAST(rep.n_keep AS DOUBLE) / CAST(rep.n_docs AS DOUBLE) AS keep_frac
+    FROM q JOIN rep USING (source)
+    WHERE CAST(rep.n_keep AS DOUBLE) / CAST(rep.n_docs AS DOUBLE) >= 0.9
+    """,
+)
+def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation: per-source keep fraction under the Gopher/C4
+    rule gate, keeping every document of sources whose fraction >= 0.9 —
+    the document→domain signal aggregation (operators/quality.py
+    reputation_filter).  One map-combinable aggregate + one AQE-sized join
+    back; no per-doc shuffle."""
+    from kafka_flow_spark.operators.quality import reputation_filter, with_quality_stats
+
+    docs = with_quality_stats(load(spark, sf_dir, "documents"), "text")
+    return reputation_filter(docs, "source", "keep", min_keep_frac=0.9).select(
+        "doc_id", "source", "keep_frac"
+    )

@@ -437,3 +437,88 @@ def test_jaccard_prefix_property_random_corpora(spark):
         assert got == want
 
     check()
+
+
+# --- containment_pairs_prefix (asymmetric prefix filtering) -----------------
+
+def test_containment_prefix_equals_bruteforce(spark):
+    from itertools import permutations
+
+    from kafka_flow_spark.operators.dedup import containment_pairs_prefix
+
+    docs = [
+        "alpha beta gamma delta",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # contains 0
+        "one two three",
+        "one two three four five six seven eight",                   # contains 2
+        "totally different words entirely",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id BIGINT, text STRING"
+    )
+    t = 0.75
+    got = {(r["a_id"], r["b_id"]): r["containment"]
+           for r in containment_pairs_prefix(
+               df, "doc_id", "text", threshold=t, shingle_n=1).collect()}
+
+    def cont(a, b):
+        sa, sb = set(a.split()), set(b.split())
+        return len(sa & sb) / len(sa)
+
+    want = {(i, j): round(cont(a, b), 4)
+            for (i, a), (j, b) in permutations(enumerate(docs), 2)
+            if cont(a, b) >= t}
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0   # small inside large
+    assert (1, 0) not in got                      # direction matters
+
+
+def test_containment_prefix_property_random_corpora(spark):
+    """Property: the asymmetric prefix filter is LOSSLESS — equals the
+    brute-force directed-pairs truth at every threshold."""
+    from itertools import permutations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_flow_spark.operators.dedup import containment_pairs_prefix
+
+    token = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+    doc = st.lists(token, min_size=1, max_size=12).map(" ".join)
+    corpus = st.lists(doc, min_size=2, max_size=6)
+    thresh = st.sampled_from([0.5, 0.8, 1.0])
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus, thresh)
+    def check(docs, t):
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "doc_id BIGINT, text STRING"
+        )
+        got = {(r["a_id"], r["b_id"]): r["containment"]
+               for r in containment_pairs_prefix(
+                   df, "doc_id", "text", threshold=t, shingle_n=1).collect()}
+
+        def cont(a, b):
+            sa, sb = set(a.split()), set(b.split())
+            return len(sa & sb) / len(sa)
+
+        want = {(i, j): round(cont(a, b), 4)
+                for (i, a), (j, b) in permutations(enumerate(docs), 2)
+                if cont(a, b) >= t}
+        assert got == want
+
+    check()
+
+
+def test_containment_prefix_refuses_degenerate(spark):
+    import pytest
+
+    from kafka_flow_spark.operators.dedup import containment_pairs_prefix
+
+    df = spark.createDataFrame(
+        [(i, "same tokens in every single document") for i in range(200)],
+        "doc_id BIGINT, text STRING",
+    )
+    with pytest.raises(ValueError, match="candidate"):
+        containment_pairs_prefix(df, "doc_id", "text", threshold=0.9,
+                                 max_candidate_pairs=1000)

@@ -80,3 +80,24 @@ def test_curation_pipeline_with_restart(spark, tmp_path):
     )
     out2 = _run(spark, input_dir, chk, out_dir)
     assert out2 == [("de", 1), ("en", 1), ("en", 2), ("en", 3), ("fr", 1)]
+
+
+def test_cluster_aware_split_no_leakage(spark):
+    """Every near-dup pair must land in the same split — the property the
+    query exists to guarantee."""
+    from kafka_flow_spark.plans.pipeline import q_cluster_aware_split
+    from tests.conftest import SF_SMALL
+
+    out = q_cluster_aware_split(spark, SF_SMALL)
+    # co-cluster docs share a split by construction of the cluster key
+    n_bad = (
+        out.alias("a")
+        .join(out.alias("b"), "cluster_id")
+        .where("a.split != b.split")
+        .count()
+    )
+    assert n_bad == 0
+    # all three splits are populated and cover every doc
+    rows = {r["split"]: r["n"] for r in out.groupBy("split").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert set(rows) == {"train", "val", "test"}

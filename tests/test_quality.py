@@ -358,3 +358,21 @@ def test_equiwidth_histogram_constant_and_empty(spark):
     empty = spark.createDataFrame([], "v DOUBLE")
     with pytest.raises(ValueError, match="empty"):
         equiwidth_histogram(empty, "v")
+
+
+def test_group_reputation_and_filter(spark):
+    from kafka_flow_spark.operators.quality import group_reputation, reputation_filter
+
+    df = spark.createDataFrame(
+        [("good", 1, True), ("good", 2, True), ("good", 3, False),
+         ("bad", 4, False), ("bad", 5, False), ("bad", 6, True)],
+        "src STRING, doc_id BIGINT, keep BOOLEAN",
+    )
+    rep = {r["src"]: (r["n_docs"], r["n_keep"], r["keep_frac"])
+           for r in group_reputation(df, "src").collect()}
+    assert rep == {"good": (3, 2, 2 / 3), "bad": (3, 1, 1 / 3)}
+
+    kept = reputation_filter(df, "src", min_keep_frac=0.5)
+    rows = kept.select("doc_id", "keep_frac").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]   # whole group kept
+    assert all(r["keep_frac"] == 2 / 3 for r in rows)
