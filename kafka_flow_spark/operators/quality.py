@@ -603,18 +603,191 @@ def reputation_filter(
     df: DataFrame,
     group_col: str,
     signal_col: str = "keep",
-    min_keep_frac: float = 0.5,
+    min_keep_frac: float | None = None,
 ) -> DataFrame:
     """Keep only rows whose GROUP passes the reputation bar — a low-quality
     source poisons all its documents (spam domains, machine-translated
     mirrors), which per-document rules can't see.  Appends ``keep_frac``.
 
+    ``min_keep_frac=None`` (default) sets the bar at the CORPUS-WIDE pass
+    rate — a scale-free relative bar: an absolute constant tuned on one
+    corpus snapshot silently keeps everything (or nothing) when the rule
+    gate's base rate shifts, which it does across corpus versions.  Both
+    sides of the relative comparison are single exact-integer IEEE
+    divisions (never a float mean of per-group fractions, whose summation
+    order is engine-dependent), so the decision is bit-reproducible.
+
     Scale shape: the reputation table is one row per group (domains — orders
     of magnitude smaller than documents); the join back is left to AQE,
     whose runtime stats broadcast it when it fits and shuffle-hash it
     otherwise — no hint needed because the reduced side is always the
-    aggregate."""
-    rep = group_reputation(df, group_col, signal_col).where(
-        F.col("keep_frac") >= F.lit(min_keep_frac)
-    )
+    aggregate.  The corpus total rides a broadcast single-row aggregate."""
+    rep = group_reputation(df, group_col, signal_col)
+    if min_keep_frac is None:
+        tot = df.agg(
+            F.count(F.lit(1)).alias("_td"),
+            F.sum(F.col(signal_col).cast("long")).alias("_tk"),
+        )
+        rep = rep.crossJoin(F.broadcast(tot)).where(
+            F.col("keep_frac")
+            >= F.col("_tk").cast("double") / F.col("_td").cast("double")
+        )
+    else:
+        rep = rep.where(F.col("keep_frac") >= F.lit(min_keep_frac))
     return df.join(rep.select(group_col, "keep_frac"), group_col)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) by pointwise mutual
+    information over the corpus — the phrase-mining / tokenizer-merge-rule
+    primitive.  PMI = log lift with lift = p(w1 w2) / (p(w1)·p(w2)); log is
+    monotone, so ranking by LIFT ranks by PMI while keeping every number a
+    plain IEEE divide of exact integer counts — bit-identical across engines
+    (house rule: no transcendental in oracle-gated arithmetic).
+
+    Output: (w1, w2, n_ab, lift, rank), rank 1..k by (lift DESC, w1, w2),
+    ``lift`` rounded to 4 (ordering on the raw value).
+
+    Scale shape: pairs are built narrowly in-row (no window), then two
+    map-combinable aggregates (bigram counts, unigram counts) and two joins
+    of the bigram relation onto the vocab-bounded unigram counts — build
+    side pinned to the vocab side (post-shuffle stats pick the occurrence
+    side otherwise; same measured trap as jaccard_pairs_prefix).  The final
+    top-k is TakeOrdered (no global sort)."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = tokens(normalize_text(text_col))
+    base = (
+        df.filter(F.length(F.trim(text_col)) > 0)
+        .select(toks.alias("_t"))
+        .filter(F.size("_t") >= 1)
+    )
+    words = base.select(F.explode("_t").alias("_w")).filter(F.col("_w") != "")
+    uni = words.groupBy("_w").agg(F.count("*").alias("_cw"))
+    n1 = words.agg(F.count("*").alias("_n1"))
+    pairs = (
+        base.filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_t"), i).alias("w1"),
+                        F.element_at(F.col("_t"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    n2 = pairs.agg(F.count("*").alias("_n2"))
+    scored = (
+        big.filter(F.col("n_ab") >= F.lit(min_count))
+        .join(
+            uni.hint("shuffle_hash").select(
+                F.col("_w").alias("w1"), F.col("_cw").alias("_ca")
+            ),
+            "w1",
+        )
+        .join(
+            uni.hint("shuffle_hash").select(
+                F.col("_w").alias("w2"), F.col("_cw").alias("_cb")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .withColumn(
+            "_lift",
+            (F.col("n_ab").cast("double") / F.col("_n2").cast("double"))
+            / (
+                (F.col("_ca").cast("double") / F.col("_n1").cast("double"))
+                * (F.col("_cb").cast("double") / F.col("_n1").cast("double"))
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    topk = scored.orderBy(
+        F.desc("_lift"), F.asc("w1"), F.asc("w2")
+    ).limit(k)
+    w = Window.orderBy(F.desc("_lift"), F.asc("w1"), F.asc("w2"))
+    return topk.select(
+        "w1",
+        "w2",
+        "n_ab",
+        F.round("_lift", 4).alias("lift"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def score_buckets(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    sample_fraction: float = 0.2,
+) -> DataFrame:
+    """Quantile bucketing of a score column the way CCNet buckets documents
+    by LM perplexity into head/middle/tail: equal-count thresholds are
+    computed from a CONTENT-ADDRESSED bernoulli sample, then every row is
+    assigned by comparison against the broadcast thresholds.
+
+    Why a sample, not a global ntile: an exact global ntile needs a total
+    order over the corpus (a rank window with no partition key — one task
+    sorts everything, the classic scale-killer); CCNet itself fits its
+    percentile cutoffs on a fraction of the data.  The sample is md5
+    content-addressed (``sampling.hash_bucket``), so thresholds — and hence
+    every bucket decision — are bit-reproducible across runs, engines, and
+    partitionings, unlike a random sample.  Pick ``sample_fraction`` so the
+    sample fits one task's sort at your scale (1e-3 at 100 TB).
+
+    Tie handling is total: rows are ordered by (score DESC, key ASC), and a
+    row sorts "after" a threshold via tuple comparison, so boundary ties
+    break deterministically by key.
+
+    Output: ``df`` + ``bucket`` (labels[0] = highest scores).
+    """
+    from pyspark.sql import Window
+
+    from kafka_flow_spark.operators.sampling import hash_sample
+
+    b = len(labels)
+    if b < 2:
+        raise ValueError("need at least 2 labels")
+    # persisted: df is consumed by the sample count, the threshold window,
+    # and the final assignment — un-persisted, an expensive upstream (e.g.
+    # the corpus LM scorer) re-runs three times (measured 17 s -> 7 s at
+    # sf10 for q_perplexity_buckets)
+    df = df.persist()
+    sample = hash_sample(df, key_col, sample_fraction).select(score_col, key_col)
+    n = sample.count()
+    if n < b:
+        raise ValueError(
+            f"score_buckets: sample has {n} rows < {b} buckets — raise "
+            f"sample_fraction (got {sample_fraction})"
+        )
+    # exact integer ceil(n*i/b) boundary ranks — mirrored by the SQL oracles
+    ranks = [(n * i + b - 1) // b for i in range(1, b)]
+    w = Window.orderBy(F.desc(score_col), F.asc(key_col))
+    thr = (
+        sample.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn").isin(ranks))
+        .select(score_col, key_col)
+        .collect()
+    )
+    idx: Column = F.lit(0)
+    for r in thr:  # b-1 rows — bounded collect
+        after = (F.col(score_col) < F.lit(r[score_col])) | (
+            (F.col(score_col) == F.lit(r[score_col]))
+            & (F.col(key_col) > F.lit(r[key_col]))
+        )
+        idx = idx + after.cast("int")
+    mapping = F.array(*[F.lit(lb) for lb in labels])
+    return df.withColumn("bucket", F.element_at(mapping, idx + F.lit(1)))

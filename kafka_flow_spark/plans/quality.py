@@ -465,22 +465,130 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep AS (
       SELECT source, COUNT(*) AS n_docs,
              SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep
-      FROM q GROUP BY source)
+      FROM q GROUP BY source),
+    tot AS (
+      SELECT COUNT(*) AS td, SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS tk
+      FROM q)
     SELECT q.doc_id, q.source,
            CAST(rep.n_keep AS DOUBLE) / CAST(rep.n_docs AS DOUBLE) AS keep_frac
-    FROM q JOIN rep USING (source)
-    WHERE CAST(rep.n_keep AS DOUBLE) / CAST(rep.n_docs AS DOUBLE) >= 0.9
+    FROM q JOIN rep USING (source) CROSS JOIN tot
+    WHERE CAST(rep.n_keep AS DOUBLE) / CAST(rep.n_docs AS DOUBLE)
+          >= CAST(tot.tk AS DOUBLE) / CAST(tot.td AS DOUBLE)
     """,
 )
 def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level curation: per-source keep fraction under the Gopher/C4
-    rule gate, keeping every document of sources whose fraction >= 0.9 —
-    the document→domain signal aggregation (operators/quality.py
-    reputation_filter).  One map-combinable aggregate + one AQE-sized join
-    back; no per-doc shuffle."""
+    rule gate, keeping every document of sources at or above the
+    CORPUS-WIDE pass rate (a scale-free bar — an absolute constant keeps
+    everything or nothing when the gate's base rate shifts between corpus
+    versions; it does, 0.9 vs 0.009 between this repo's sf0.01 and sf10
+    snapshots).  Document→domain signal aggregation
+    (operators/quality.py reputation_filter): one map-combinable aggregate
+    + one AQE-sized join back; no per-doc shuffle."""
     from kafka_flow_spark.operators.quality import reputation_filter, with_quality_stats
 
     docs = with_quality_stats(load(spark, sf_dir, "documents"), "text")
-    return reputation_filter(docs, "source", "keep", min_keep_frac=0.9).select(
+    return reputation_filter(docs, "source", "keep").select(
         "doc_id", "source", "keep_frac"
     )
+
+
+@register(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_NTOKS} AS toks FROM documents WHERE length(trim(text)) > 0),
+    w AS (SELECT unnest(toks) AS word FROM t),
+    w2 AS (SELECT word FROM w WHERE word <> ''),
+    uni AS (SELECT word, COUNT(*) AS cw FROM w2 GROUP BY word),
+    n1 AS (SELECT COUNT(*) AS n FROM w2),
+    pr0 AS (SELECT toks, UNNEST(range(len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2),
+    pr AS (SELECT toks[i + 1] AS w1, toks[i + 2] AS w2 FROM pr0),
+    big AS (SELECT w1, w2, COUNT(*) AS n_ab FROM pr GROUP BY w1, w2),
+    n2 AS (SELECT COUNT(*) AS n FROM pr),
+    scored AS (
+      SELECT big.w1, big.w2, big.n_ab,
+             (CAST(big.n_ab AS DOUBLE) / CAST(n2.n AS DOUBLE))
+             / ((CAST(a.cw AS DOUBLE) / CAST(n1.n AS DOUBLE))
+                * (CAST(b.cw AS DOUBLE) / CAST(n1.n AS DOUBLE))) AS lift
+      FROM big
+      JOIN uni a ON big.w1 = a.word
+      JOIN uni b ON big.w2 = b.word
+      CROSS JOIN n1 CROSS JOIN n2
+      WHERE big.n_ab >= 5)
+    SELECT w1, w2, n_ab, ROUND(lift, 4) AS lift,
+           CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 50
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by PMI (ranked via the
+    log-monotone integer-count lift — operators/quality.py
+    pmi_collocations); min pair count 5."""
+    from kafka_flow_spark.operators.quality import pmi_collocations
+
+    return pmi_collocations(load(spark, sf_dir, "documents"), "text", min_count=5, k=50)
+
+
+from kafka_flow_spark.operators.sampling import fraction_threshold
+
+_T_PPL_SAMPLE = fraction_threshold(0.2)  # md5-hex bound of the 20% sample
+
+_UNIGRAM_SCORE_CTES = f"""
+    toks AS (
+      SELECT doc_id, UNNEST({_NTOKS}) AS term
+      FROM documents WHERE length(trim(text)) > 0),
+    t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    counts AS (SELECT term, COUNT(*) AS cnt FROM t2 GROUP BY term),
+    total AS (SELECT SUM(cnt) AS tot FROM counts),
+    tp AS (SELECT term,
+                  CAST(floor((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                             * 1000000000.0 + 0.5) AS BIGINT) AS p
+           FROM counts CROSS JOIN total),
+    s AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_p_nano
+      FROM t2 JOIN tp USING (term)
+      GROUP BY doc_id)
+"""
+
+
+@register(
+    "q_perplexity_buckets",
+    oracle=f"""
+    WITH {_UNIGRAM_SCORE_CTES},
+    samp AS (SELECT doc_id, mean_p_nano FROM s
+             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '{_T_PPL_SAMPLE}'),
+    r AS (SELECT mean_p_nano AS ts, CAST(doc_id AS VARCHAR) AS tk,
+                 ROW_NUMBER() OVER (ORDER BY mean_p_nano DESC,
+                                    CAST(doc_id AS VARCHAR)) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM samp),
+    thr AS (SELECT ts, tk FROM r
+            WHERE rn = (n * 1 + 2) // 3 OR rn = (n * 2 + 2) // 3),
+    idx AS (SELECT s.doc_id, s.n_tokens, s.mean_p_nano,
+                   SUM(CASE WHEN s.mean_p_nano < t.ts
+                             OR (s.mean_p_nano = t.ts
+                                 AND CAST(s.doc_id AS VARCHAR) > t.tk)
+                            THEN 1 ELSE 0 END) AS i
+            FROM s CROSS JOIN thr t
+            GROUP BY s.doc_id, s.n_tokens, s.mean_p_nano)
+    SELECT doc_id, n_tokens, mean_p_nano,
+           CASE i WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END
+             AS bucket
+    FROM idx
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail terciles over the unigram LM doc score:
+    cutoffs fitted on a 20% content-addressed sample, assignment by broadcast
+    tuple-comparison (operators/quality.py score_buckets) — no global sort."""
+    from kafka_flow_spark.operators.quality import score_buckets, unigram_doc_scores
+
+    scores = unigram_doc_scores(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumn("_key", F.col("doc_id").cast("string"))
+    out = score_buckets(scores, "mean_p_nano", "_key", sample_fraction=0.2)
+    return out.select("doc_id", "n_tokens", "mean_p_nano", "bucket")

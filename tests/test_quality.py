@@ -376,3 +376,78 @@ def test_group_reputation_and_filter(spark):
     rows = kept.select("doc_id", "keep_frac").collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]   # whole group kept
     assert all(r["keep_frac"] == 2 / 3 for r in rows)
+
+
+def test_pmi_collocations_hand_corpus(spark):
+    from kafka_flow_spark.operators.quality import pmi_collocations
+
+    # "new york" always adjacent; "the dog" and "the cat" dilute "the"
+    docs = ["new york new york new york",
+            "the dog saw the cat",
+            "the dog saw the dog"]
+    df = spark.createDataFrame([(t,) for t in docs], "text STRING")
+    rows = {(r["w1"], r["w2"]): r for r in
+            pmi_collocations(df, "text", min_count=2, k=10).collect()}
+    # tokens: 16 total; pairs: 4 + 4 + 4 = 12... compute exact
+    # doc1: new york new york new york -> 5 pairs (6 tokens)
+    # doc2/3: 4 pairs each  => n2 = 13; n1 = 16
+    assert ("new", "york") in rows
+    ny = rows[("new", "york")]
+    assert ny["n_ab"] == 3
+    n1, n2 = 16, 13
+    lift = (3 / n2) / ((3 / n1) * (3 / n1))
+    assert ny["lift"] == round(lift, 4)
+    # (dog, saw) has the numerically identical lift ((2/13)/((3/16)(2/16)))
+    # and wins the (w1, w2) tie-break — ranks are deterministic
+    assert rows[("dog", "saw")]["rank"] == 1 and ny["rank"] == 2
+    assert rows[("dog", "saw")]["lift"] == ny["lift"]
+    # every returned pair respects min_count
+    assert all(r["n_ab"] >= 2 for r in rows.values())
+
+
+def test_score_buckets_deterministic_terciles(spark):
+    from kafka_flow_spark.operators.quality import score_buckets
+
+    # sample = full population (fraction 1.0): exact terciles, key tie-break
+    df = spark.createDataFrame(
+        [(str(i), float(s)) for i, s in enumerate([9, 8, 7, 6, 5, 4, 3, 2, 1])],
+        "k STRING, score DOUBLE",
+    )
+    out = {r["k"]: r["bucket"]
+           for r in score_buckets(df, "score", "k", sample_fraction=1.0).collect()}
+    # order by score desc: 9,8,7 -> head; 6,5,4 -> middle; 3,2,1 -> tail
+    assert [out[str(i)] for i in range(9)] == [
+        "head", "head", "head", "middle", "middle", "middle", "tail", "tail", "tail"
+    ]
+
+
+def test_score_buckets_tie_break_and_guard(spark):
+    import pytest
+
+    from kafka_flow_spark.operators.quality import score_buckets
+
+    # all scores equal: assignment must still be total + deterministic by key
+    df = spark.createDataFrame(
+        [(f"k{i}", 1.0) for i in range(6)], "k STRING, score DOUBLE"
+    )
+    out = {r["k"]: r["bucket"]
+           for r in score_buckets(df, "score", "k", sample_fraction=1.0).collect()}
+    # keys ascending fill head -> tail
+    assert [out[f"k{i}"] for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    with pytest.raises(ValueError, match="sample has"):
+        score_buckets(df.limit(1), "score", "k", sample_fraction=1.0)
+
+
+def test_reputation_filter_relative_bar(spark):
+    from kafka_flow_spark.operators.quality import reputation_filter
+
+    # corpus pass rate = 3/6 = 0.5; good (2/3) passes, bad (1/3) doesn't
+    df = spark.createDataFrame(
+        [("good", 1, True), ("good", 2, True), ("good", 3, False),
+         ("bad", 4, False), ("bad", 5, False), ("bad", 6, True)],
+        "src STRING, doc_id BIGINT, keep BOOLEAN",
+    )
+    kept = reputation_filter(df, "src")   # relative (corpus-average) bar
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
