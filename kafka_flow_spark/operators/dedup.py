@@ -1121,3 +1121,78 @@ def containment_pairs_prefix(
         .filter(cont >= F.lit(threshold))
         .select("a_id", "b_id", F.round(cont, 4).alias("containment"))
     )
+
+
+def minhash_lsh_pairs_incremental(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = _K_DEFAULT,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING THE NEW BATCH ONLY — the incremental form of
+    ``minhash_lsh_pairs`` for the daily-increment pipeline: when a crawl
+    increment lands, only new-vs-corpus and new-vs-new pairs need discovery;
+    re-banding the 100 TB corpus against itself every day is the O(N) work
+    the incremental contract exists to avoid.
+
+    A doc's band signature depends only on its own text, so incremental and
+    full-corpus runs agree exactly: ``pairs(old ∪ new) = pairs(old) ∪
+    incremental(old, new)`` (differential-tested on random corpora).  In
+    production ``old_df``'s banding table IS the stored index (the batch
+    mirror of ``streaming.dedup.make_near_dedup_batch_fn``'s parquet band
+    index); here it is recomputed from the old corpus, which keeps the
+    operator a pure function of its inputs.
+
+    Output: (a_id, b_id, jac) with ``a_id`` ALWAYS a new-batch doc; ``b_id``
+    is an old doc, or a new doc with a_id < b_id.  Exact-verify is always on
+    (the candidate rule is probabilistic; the emitted contract is not).
+    """
+    assert k % bands == 0
+    r = k // bands
+    per_old = _minhash_mins(
+        old_df, id_col, text_col, k, shingle_n, with_shingle_set=True
+    ).persist()
+    per_new = _minhash_mins(
+        new_df, id_col, text_col, k, shingle_n, with_shingle_set=True
+    ).persist()
+    banded_old = _banded(per_old, bands, r)
+    banded_new = _banded(per_new, bands, r)
+    n = banded_new.alias("n")
+    o = banded_old.alias("o")
+    m = banded_new.alias("m")
+    cand_no = (
+        n.join(
+            o,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(F.col("n.doc_id").alias("a_id"), F.col("o.doc_id").alias("b_id"))
+    )
+    cand_nn = (
+        n.join(
+            m,
+            (F.col("n.band_id") == F.col("m.band_id"))
+            & (F.col("n.band_hash") == F.col("m.band_hash"))
+            & (F.col("n.doc_id") < F.col("m.doc_id")),
+        )
+        .select(F.col("n.doc_id").alias("a_id"), F.col("m.doc_id").alias("b_id"))
+    )
+    cand = cand_no.union(cand_nn).distinct()
+    sets = per_new.select("doc_id", "_sh").union(per_old.select("doc_id", "_sh"))
+    jac = (
+        F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+        / F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
+    )
+    return (
+        cand.join(
+            per_new.select(F.col("doc_id").alias("a_id"), F.col("_sh").alias("_sh_a")),
+            "a_id",
+        )
+        .join(sets.select(F.col("doc_id").alias("b_id"), F.col("_sh").alias("_sh_b")), "b_id")
+        .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )

@@ -105,3 +105,52 @@ def equiwidth_histogram(
             "n",
         )
     )
+
+
+def exact_percentiles_disc(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5,),
+) -> DataFrame:
+    """EXACT discrete percentiles per group without sorting rows — the
+    data-card quantile that must be reproducible (approx_percentile's
+    interpolation and sketch internals are engine-specific; an exact order
+    statistic of integers is not).
+
+    Semantics: percentile_disc — the smallest value v in the group with
+    cume_count(v) >= ceil(q * n).  Deterministic for any orderable column;
+    bit-reproducible cross-engine for integers/strings (no interpolation).
+
+    Scale shape: one map-combinable ``groupBy(group, value).count()``
+    collapses row volume to VALUE CARDINALITY, then one window per group
+    ordered by value runs over the distinct values only — a group with 10^9
+    rows but 10^4 distinct lengths sorts 10^4 rows, not 10^9.  This is the
+    counting-sort trade: right when cardinality << rows (lengths, scores,
+    ratings); for a continuous double column bucket first
+    (``equiwidth_histogram``) or accept a row sort.
+
+    Output: group_cols + (n_rows, p_<q> per q).
+    """
+    from pyspark.sql import Window
+
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    counts = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    cum = counts.withColumn(
+        "_cum", F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("_n", F.sum("_c").over(Window.partitionBy(*group_cols)))
+    aggs = [F.max("_n").alias("n_rows")]
+    for q in qs:
+        tag = str(int(round(q * 100)))
+        # smallest value whose cumulative count reaches ceil(q*n): integer
+        # ceil via (q_num * n + den - 1) // den is not available for float q,
+        # so use the exact predicate _cum * 1.0 >= q * n on exact ints — one
+        # IEEE multiply each side, same in any engine
+        hit = F.when(
+            F.col("_cum").cast("double") >= F.lit(q) * F.col("_n").cast("double"),
+            F.col(value_col),
+        )
+        aggs.append(F.min(hit).alias(f"p_{tag}"))
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -738,3 +738,39 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
     )
     return containment_pairs_prefix(dd, "doc_id", "text", threshold=0.9, shingle_n=3)
+
+
+@register(
+    "q_dedup_incremental",
+    bench=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DD_3GRAM} AS sh FROM documents),
+    p AS (
+      SELECT a.doc_id AS x, b.doc_id AS y,
+             len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+        AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0))
+    SELECT CASE WHEN x % 10 = 0 THEN x ELSE y END AS a_id,
+           CASE WHEN x % 10 = 0 THEN y ELSE x END AS b_id,
+           ROUND(jac, 4) AS jac
+    FROM p
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment near-dup discovery: docs with doc_id % 10 = 0 play the
+    incoming batch, the rest the already-indexed corpus; only pairs touching
+    the new batch are discovered (operators/dedup.py
+    minhash_lsh_pairs_incremental), never old-vs-old.  Same k=64/16-band/
+    jac>=0.7 contract as q_dedup_minhash_lsh; oracle is the brute-force
+    truth restricted to new-touching pairs, a_id normalized to the new doc."""
+    from kafka_flow_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = load(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    return minhash_lsh_pairs_incremental(
+        old, new, id_col="doc_id", text_col="text", k=64, bands=16, threshold=0.7
+    )

@@ -592,3 +592,36 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("_key", F.col("doc_id").cast("string"))
     out = score_buckets(scores, "mean_p_nano", "_key", sample_fraction=0.2)
     return out.select("doc_id", "n_tokens", "mean_p_nano", "bucket")
+
+
+@register(
+    "q_exact_percentiles",
+    oracle="""
+    WITH c AS (
+      SELECT lang, n_chars, COUNT(*) AS cnt
+      FROM documents GROUP BY lang, n_chars),
+    w AS (
+      SELECT lang, n_chars, cnt,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n
+      FROM c)
+    SELECT lang, MAX(n) AS n_rows,
+           MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE)
+                    THEN n_chars END) AS p_50,
+           MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * CAST(n AS DOUBLE)
+                    THEN n_chars END) AS p_90
+    FROM w GROUP BY lang
+    """,
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language median and p90 of document length — counting-sort
+    order statistics (operators/profile.py exact_percentiles_disc): the
+    window runs over distinct lengths, never row volume, and discrete
+    semantics make the result engine-exact (approx_percentile is not)."""
+    from kafka_flow_spark.operators.profile import exact_percentiles_disc
+
+    return exact_percentiles_disc(
+        load(spark, sf_dir, "documents"), "n_chars", ["lang"], qs=(0.5, 0.9)
+    )

@@ -522,3 +522,61 @@ def test_containment_prefix_refuses_degenerate(spark):
     with pytest.raises(ValueError, match="candidate"):
         containment_pairs_prefix(df, "doc_id", "text", threshold=0.9,
                                  max_candidate_pairs=1000)
+
+
+# --- minhash_lsh_pairs_incremental ------------------------------------------
+
+def test_incremental_minhash_equals_full_minus_old(spark):
+    """pairs(old ∪ new) == pairs(old) ∪ incremental(old, new) — band
+    signatures are per-doc, so the incremental run loses nothing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_flow_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    token = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc = st.lists(token, min_size=4, max_size=10).map(" ".join)
+    corpus = st.lists(doc, min_size=4, max_size=8)
+
+    @settings(max_examples=5, deadline=None)
+    @given(corpus)
+    def check(docs):
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "doc_id BIGINT, text STRING"
+        )
+        old = df.where("doc_id % 3 != 0")
+        new = df.where("doc_id % 3 = 0")
+        kw = dict(id_col="doc_id", text_col="text", k=16, bands=8,
+                  threshold=0.4, shingle_n=1)
+        full = {(r["a_id"], r["b_id"]): r["jac"]
+                for r in minhash_lsh_pairs(df, **kw).collect()}
+        old_only = {(r["a_id"], r["b_id"]): r["jac"]
+                    for r in minhash_lsh_pairs(old, **kw).collect()}
+        inc = {tuple(sorted((r["a_id"], r["b_id"]))): r["jac"]
+               for r in minhash_lsh_pairs_incremental(old, new, **kw).collect()}
+        assert {**old_only, **inc} == full
+        # and the two halves are disjoint: inc touches new, old_only doesn't
+        assert not (set(old_only) & set(inc))
+
+    check()
+
+
+def test_incremental_minhash_a_side_is_new(spark):
+    from kafka_flow_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = [(0, "x y z w v"), (1, "x y z w v"), (10, "x y z w u"),
+            (11, "p q r s t")]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    old = df.where("doc_id >= 10")
+    new = df.where("doc_id < 10")
+    rows = minhash_lsh_pairs_incremental(
+        old, new, "doc_id", "text", k=16, bands=8, threshold=0.4, shingle_n=1
+    ).collect()
+    got = {(r["a_id"], r["b_id"]) for r in rows}
+    # a_id is always from the new batch; new-new pair ordered a < b
+    assert (0, 1) in got           # new-new exact dup
+    assert (0, 10) in got and (1, 10) in got   # new-vs-old near dups
+    assert all(a in (0, 1) for a, _ in got)

@@ -451,3 +451,20 @@ def test_reputation_filter_relative_bar(spark):
     )
     kept = reputation_filter(df, "src")   # relative (corpus-average) bar
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
+
+
+def test_exact_percentiles_disc_hand_checked(spark):
+    from kafka_flow_spark.operators.profile import exact_percentiles_disc
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + [("b", 7)]
+    df = spark.createDataFrame(rows, "g STRING, v INT")
+    out = {r["g"]: r for r in
+           exact_percentiles_disc(df, "v", ["g"], qs=(0.5, 0.9)).collect()}
+    # percentile_disc semantics: smallest v with cume >= q*n
+    assert out["a"]["n_rows"] == 10
+    assert out["a"]["p_50"] == 5 and out["a"]["p_90"] == 9
+    assert out["b"]["p_50"] == 7 and out["b"]["p_90"] == 7
+    # duplicates collapse into counts, not rank positions
+    dups = spark.createDataFrame([("c", 1)] * 9 + [("c", 100)], "g STRING, v INT")
+    [r] = exact_percentiles_disc(dups, "v", ["g"], qs=(0.5, 0.9, 1.0)).collect()
+    assert (r["p_50"], r["p_90"], r["p_100"]) == (1, 1, 100)

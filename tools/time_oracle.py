@@ -32,6 +32,8 @@ COMPARABLE = [
     # joined the bench set in r5: zero-shuffle Spark scan vs explode+groupBy
     # oracle — practical to re-time (oracle ~30 s at sf10, sub-second below)
     "q_repetition_stats",
+    # q_dedup_incremental (bench r5 continuation) is NOT here: like
+    # minhash/cosine/knn its oracle is the quadratic brute-force pair truth.
     # q_resample_ffill_hourly is deliberately NOT here: its oracle SQL (per-key
     # hour grid x as-of fill) costs 140+ s per run at sf10, so including it
     # makes this tool impractical to re-run and would break comparability of
