@@ -36,6 +36,23 @@ _P = (1 << 31) - 1
 _K_DEFAULT = 64
 
 
+def _iceil(expr: F.Column) -> F.Column:
+    """Integer ceil of threshold·size products, guarded against IEEE
+    representation error: the double for 0.9*10 is 9.000000000000002, which
+    a bare ``F.ceil`` rounds to 10 — shrinking prefix lengths and
+    over-tightening size bounds, silently dropping exact-boundary pairs from
+    'recall 1.0' joins.  The 1e-9 nudge is safe while genuinely non-integer
+    products sit >= ~1e-4 from an integer (thresholds are short decimals,
+    set sizes bounded far below 2^40)."""
+    return F.ceil(expr - F.lit(1e-9))
+
+
+def _ifloor(expr: F.Column) -> F.Column:
+    """Integer floor with the symmetric guard (7/0.7 = 9.999999999999998
+    would floor to 9 where the exact bound is 10)."""
+    return F.floor(expr + F.lit(1e-9))
+
+
 def _minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = np.random.RandomState(seed)
     return [
@@ -524,8 +541,8 @@ def minhash_lsh_pairs(
     return (
         cand.join(sets.select(F.col("doc_id").alias("a_id"), F.col("_sh").alias("_sh_a")), "a_id")
         .join(sets.select(F.col("doc_id").alias("b_id"), F.col("_sh").alias("_sh_b")), "b_id")
+        .filter(jac >= F.lit(threshold))
         .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
-        .filter(F.col("jac") >= threshold)
     )
 
 
@@ -921,8 +938,8 @@ def jaccard_pairs_prefix(
             Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_tok"))
         ),
     )
-    # prefix length: |d| - ceil(t*|d|) + 1  (integer ceil via -floor(-x))
-    pref_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")).cast(
+    # prefix length: |d| - ceil(t*|d|) + 1  (FP-guarded ceil: see _iceil)
+    pref_len = F.col("_sz") - _iceil(F.lit(threshold) * F.col("_sz")).cast(
         "int"
     ) + F.lit(1)
     # persisted: the estimate collect below materializes the prefix index,
@@ -955,8 +972,8 @@ def jaccard_pairs_prefix(
         )
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            (F.col("_szb") >= F.ceil(F.lit(threshold) * F.col("_sza")))
-            & (F.col("_szb") <= F.floor(F.col("_sza") / F.lit(threshold)))
+            (F.col("_szb") >= _iceil(F.lit(threshold) * F.col("_sza")))
+            & (F.col("_szb") <= _ifloor(F.col("_sza") / F.lit(threshold)))
         )
         .select("a_id", "b_id")
         .distinct()
@@ -1047,7 +1064,7 @@ def containment_pairs_prefix(
         .select("_id", "_tok", "_sz", "_pos")
         .persist()
     )
-    pref_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")).cast(
+    pref_len = F.col("_sz") - _iceil(F.lit(threshold) * F.col("_sz")).cast(
         "int"
     ) + F.lit(1)
     # probe side: prefix postings only.  The index side's per-token posting
@@ -1076,7 +1093,7 @@ def containment_pairs_prefix(
     # verify cost 31 s; with this filter + the ranked persist the whole
     # query is 59 s vs 66 s (setup dominates: the shingle explode + rank
     # window over 26M postings is the floor both variants share).
-    req = F.ceil(F.lit(threshold) * F.col("_sza"))
+    req = _iceil(F.lit(threshold) * F.col("_sza"))
     cand = (
         prefix.select(
             F.col("_id").alias("a_id"),
@@ -1150,11 +1167,21 @@ def minhash_lsh_pairs_incremental(
     Output: (a_id, b_id, jac) with ``a_id`` ALWAYS a new-batch doc; ``b_id``
     is an old doc, or a new doc with a_id < b_id.  Exact-verify is always on
     (the candidate rule is probabilistic; the emitted contract is not).
+    Filter is on the RAW jaccard, output rounded to 4 (house contract —
+    see jaccard_pairs_prefix's verify comment).
+
+    A doc_id present in BOTH batches is taken from ``new_df`` (re-crawl
+    refresh semantics): the old copy is anti-joined away up front —
+    otherwise its band hashes collide with its own new row (self-pairs) and
+    every real pair verifies against two shingle rows (duplicate outputs).
     """
     assert k % bands == 0
     r = k // bands
+    old_only = old_df.join(
+        new_df.select(F.col(id_col)).distinct(), id_col, "left_anti"
+    )
     per_old = _minhash_mins(
-        old_df, id_col, text_col, k, shingle_n, with_shingle_set=True
+        old_only, id_col, text_col, k, shingle_n, with_shingle_set=True
     ).persist()
     per_new = _minhash_mins(
         new_df, id_col, text_col, k, shingle_n, with_shingle_set=True
@@ -1193,6 +1220,6 @@ def minhash_lsh_pairs_incremental(
             "a_id",
         )
         .join(sets.select(F.col("doc_id").alias("b_id"), F.col("_sh").alias("_sh_b")), "b_id")
+        .filter(jac >= F.lit(threshold))
         .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
-        .filter(F.col("jac") >= threshold)
     )

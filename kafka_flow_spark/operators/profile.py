@@ -87,11 +87,18 @@ def equiwidth_histogram(
     if span <= 0:
         bucket = F.lit(0)
     else:
-        bucket = F.least(
-            F.floor(
-                (F.col(value_col) - F.lit(lo)) * F.lit(float(n_buckets)) / F.lit(span)
-            ).cast("int"),
-            F.lit(n_buckets - 1),
+        # clamp BOTH ends: caller-supplied bounds narrower than the data
+        # (stale table stats) fold low outliers into bucket 0 and high ones
+        # into the last bucket, instead of emitting a negative bucket id on
+        # one side while silently folding the other.
+        bucket = F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor(
+                    (F.col(value_col) - F.lit(lo)) * F.lit(float(n_buckets)) / F.lit(span)
+                ).cast("int"),
+                F.lit(n_buckets - 1),
+            ),
         )
     width = span / n_buckets if span > 0 else 0.0
     return (

@@ -546,7 +546,17 @@ def _repetition_stats_arrow(
         for pdf in batches:
             out = {c: [] for c in cols}
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                t = (text or "").strip(" ")
+                if not isinstance(text, str):
+                    # NULL text: the expression engine's tokens(NULL) is a
+                    # null array, so every frac propagates NULL (the
+                    # F.when(_tc == 0, ...) guard never fires on null _tc);
+                    # None -> NaN -> SQL NULL through the Arrow batch.
+                    out[id_col].append(did)
+                    for c in cols:
+                        if c != id_col:
+                            out[c].append(None)
+                    continue
+                t = text.strip(" ")
                 toks = ws.split(t) if t else []
                 tc = sum(len(t) for t in toks)
                 counters = {}
@@ -622,6 +632,11 @@ def reputation_filter(
     whose runtime stats broadcast it when it fits and shuffle-hash it
     otherwise — no hint needed because the reduced side is always the
     aggregate.  The corpus total rides a broadcast single-row aggregate."""
+    # persisted: the input lineage otherwise runs three times (reputation
+    # aggregate, corpus-total aggregate, final join probe) — and the typical
+    # input is with_quality_stats(documents), the full tokenize/bigram gate
+    # (same measured discipline as score_buckets: 17 s -> 7 s at sf10).
+    df = df.persist()
     rep = group_reputation(df, group_col, signal_col)
     if min_keep_frac is None:
         tot = df.agg(
@@ -662,13 +677,17 @@ def pmi_collocations(
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     toks = tokens(normalize_text(text_col))
+    # persisted: base feeds the word explode (-> uni, n1) AND the pair
+    # build (-> big, n2) — un-persisted, the tokenize/normalize scan runs
+    # four times; uni is additionally probed by BOTH join legs (w1, w2).
     base = (
         df.filter(F.length(F.trim(text_col)) > 0)
         .select(toks.alias("_t"))
         .filter(F.size("_t") >= 1)
+        .persist()
     )
     words = base.select(F.explode("_t").alias("_w")).filter(F.col("_w") != "")
-    uni = words.groupBy("_w").agg(F.count("*").alias("_cw"))
+    uni = words.groupBy("_w").agg(F.count("*").alias("_cw")).persist()
     n1 = words.agg(F.count("*").alias("_n1"))
     pairs = (
         base.filter(F.size("_t") >= 2)
