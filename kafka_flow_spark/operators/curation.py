@@ -292,3 +292,89 @@ def chunk_tokens(
             ).alias("chunk_text"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_dup_count: int = 3,
+    min_line_chars: int = 1,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Corpus-level LINE deduplication (the RefinedWeb/MassiveText
+    'line-wise correction' pass): a line whose exact text occurs at least
+    ``min_dup_count`` times across the WHOLE corpus is boilerplate
+    (navigation bars, cookie banners, repeated headers/footers) and is
+    removed from every document; each document is reassembled from its
+    surviving lines in original order.  This is the dedup granularity
+    between exact whole-document dedup and ``duplicate_spans``' n-gram
+    spans — per-document rules cannot see it at all (each line looks fine
+    in isolation; only the corpus-wide count exposes it).
+
+    Lines with fewer than ``min_line_chars`` characters after trimming are
+    EXEMPT — kept verbatim and never counted: empty/whitespace lines encode
+    paragraph structure and would otherwise always cross any corpus-wide
+    bar, collapsing documents.
+
+    Output: (id, text, n_lines, n_removed); ``text`` may be '' when every
+    line was boilerplate (dropping empties is the caller's call — a quality
+    gate usually follows).  Rows with NULL ``text_col`` are dropped.
+
+    Scale shape: one ``posexplode``, one map-combinable line-frequency
+    aggregate, one equi-join of the line relation onto the (distinct,
+    above-bar) duplicate-line set, one per-document reassembly aggregate.
+    The join's hot probe keys are exactly the boilerplate lines being
+    removed — AQE's skew-join splits those reduce partitions — and the
+    build side is the duplicate-line vocabulary (corpus-sublinear), pinned
+    via shuffle_hash so post-shuffle stats can't pick the occurrence side
+    (same measured trap as jaccard_pairs_prefix).  No windows, no driver
+    collects, no global sort.
+    """
+    if min_dup_count < 2:
+        raise ValueError(f"min_dup_count must be >= 2, got {min_dup_count}")
+    if min_line_chars < 0:
+        raise ValueError(f"min_line_chars must be >= 0, got {min_line_chars}")
+    # \Q..\E: split() takes a Java regex but reassembly below uses the
+    # LITERAL delimiter — quote it so the two always agree (a '. ' sentence
+    # delimiter would otherwise split on any-char-plus-space).
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + delimiter + "\\E", -1)
+        ).alias("_pos", "_ln"),
+    )
+    dup = (
+        lines.filter(F.length(F.trim("_ln")) >= min_line_chars)
+        .groupBy("_ln")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_dup_count)
+        .select("_ln", F.lit(True).alias("_dup"))
+    )
+    # left join + per-doc aggregate (not left_anti): the reassembly needs
+    # the ORIGINAL per-doc line count and the removed count, and
+    # collect_list drops the NULL the un-matched F.when leaves for
+    # duplicate lines — one aggregate produces kept text and both counts.
+    flagged = lines.join(dup.hint("shuffle_hash"), "_ln", "left")
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_dup").isNull(), F.struct("_pos", "_ln"))
+                )
+            ).alias("_a"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.array_join(
+                F.transform("_a", lambda s: s["_ln"]), delimiter
+            ).alias(text_col),
+            "n_lines",
+            "n_removed",
+        )
+    )

@@ -161,3 +161,80 @@ def exact_percentiles_disc(
         )
         aggs.append(F.min(hit).alias(f"p_{tag}"))
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    ks: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame:
+    """Token-mass coverage of the top-k frequency vocabulary — the
+    tokenizer-sizing curve: what fraction of all token occurrences in the
+    corpus would a vocabulary of the k most frequent (normalized) words
+    cover?  One row per requested k: (k, n_types, covered_tokens,
+    total_tokens, coverage), with n_types = min(k, |vocab|), ranking by
+    (count DESC, word ASC) so ties are deterministic, and ``coverage`` a
+    single exact-integer IEEE division (engine-reproducible).
+
+    Scale shape: one map-combinable vocabulary aggregate, one TakeOrdered
+    top-max(k) (never a global sort), a cumulative-sum window over AT MOST
+    max(k) rows (bounded by the caller, guarded below — never corpus-sized),
+    a tiny theta-join of that against the k list, and a broadcast single-row
+    total.  The corpus-sized relations are touched exactly twice (vocab
+    aggregate + total count), both map-combinable scans.
+    """
+    from pyspark.sql.window import Window
+
+    from kafka_flow_spark.operators.text import normalize_text, tokens
+
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be non-empty positive ints, got {ks}")
+    max_k = max(ks)
+    if max_k > 1_000_000:
+        raise ValueError(
+            f"max(ks)={max_k} > 1e6: the cumulative window is sized by max(ks); "
+            "a vocabulary curve beyond 1M types needs a partitioned variant"
+        )
+    words = (
+        df.filter(F.length(F.trim(text_col)) > 0)
+        .select(F.explode(tokens(normalize_text(text_col))).alias("_w"))
+        .filter(F.col("_w") != "")
+    )
+    uni = words.groupBy("_w").agg(F.count("*").alias("_cw"))
+    tot = words.agg(F.count("*").alias("_total"))
+    ranked = (
+        uni.orderBy(F.desc("_cw"), F.asc("_w"))
+        .limit(max_k)
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.orderBy(F.desc("_cw"), F.asc("_w"))),
+        )
+        .withColumn(
+            "_cum",
+            F.sum("_cw").over(
+                Window.orderBy("_rk").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    ks_df = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(k)) for k in sorted(set(ks))])).alias("k")
+    )
+    return (
+        ks_df.join(ranked, F.col("_rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.max("_cum").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_types",
+            "covered_tokens",
+            F.col("_total").alias("total_tokens"),
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("coverage"),
+        )
+    )

@@ -504,3 +504,47 @@ def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_ckey", F.concat(F.lit("cl:"), F.col("cluster_id").cast("string"))
     )
     return hash_split(keyed, "_ckey", _SPLITS).select("doc_id", "cluster_id", "split")
+
+
+@register(
+    "q_line_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                 list_aggr(w[(i*5+1):((i+1)*5)], 'string_agg', ' ') AS line
+          FROM t, LATERAL unnest(range((len(w) + 4) // 5)) AS u(i)),
+    d AS (SELECT line FROM c WHERE length(trim(line)) >= 1
+          GROUP BY line HAVING COUNT(*) >= 3)
+    SELECT c.doc_id,
+           COALESCE(string_agg(CASE WHEN d.line IS NULL THEN c.line END,
+                               chr(10) ORDER BY c.pos), '') AS page,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN d.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM c LEFT JOIN d USING (line)
+    GROUP BY c.doc_id
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate-line removal (RefinedWeb/MassiveText
+    line-wise correction — operators/curation.py line_dedup): documents are
+    reshaped into multi-line pages (lines = consecutive 5-token chunks; the
+    corpus ships as single-line texts), then every line whose exact text
+    appears >= 3 times across the corpus is dropped from all pages and the
+    pages are reassembled in order.  The oracle reproduces the line table
+    directly from the same chunking (a chunk never contains the delimiter,
+    so page-split round-trips exactly)."""
+    from kafka_flow_spark.operators.curation import line_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ", -1)
+    n_chunks = F.expr("(size(split(text, ' ', -1)) + 4) div 5")
+    page = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+            lambda i: F.array_join(F.slice(w, i * 5 + 1, 5), " "),
+        ),
+        "\n",
+    )
+    paged = docs.filter(F.size(w) >= 1).select("doc_id", page.alias("page"))
+    return line_dedup(paged, "doc_id", "page", min_dup_count=3)

@@ -607,7 +607,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cum,
              SUM(cnt) OVER (PARTITION BY lang) AS n
       FROM c)
-    SELECT lang, MAX(n) AS n_rows,
+    SELECT lang, CAST(MAX(n) AS BIGINT) AS n_rows,
            MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE)
                     THEN n_chars END) AS p_50,
            MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * CAST(n AS DOUBLE)
@@ -625,3 +625,36 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_percentiles_disc(
         load(spark, sf_dir, "documents"), "n_chars", ["lang"], qs=(0.5, 0.9)
     )
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH t AS (SELECT {_NTOKS} AS toks FROM documents WHERE length(trim(text)) > 0),
+    w AS (SELECT unnest(toks) AS word FROM t),
+    w2 AS (SELECT word FROM w WHERE word <> ''),
+    uni AS (SELECT word, COUNT(*) AS cw FROM w2 GROUP BY word),
+    tot AS (SELECT COUNT(*) AS n FROM w2),
+    r AS (SELECT word, cw, ROW_NUMBER() OVER (ORDER BY cw DESC, word) AS rk
+          FROM uni QUALIFY rk <= 25),
+    c AS (SELECT rk, SUM(cw) OVER (ORDER BY rk) AS cum FROM r),
+    ks AS (SELECT unnest([5, 10, 25]) AS k)
+    SELECT CAST(ks.k AS INT) AS k,
+           COUNT(*) AS n_types,
+           CAST(MAX(c.cum) AS BIGINT) AS covered_tokens,
+           CAST(ANY_VALUE(tot.n) AS BIGINT) AS total_tokens,
+           CAST(MAX(c.cum) AS DOUBLE) / CAST(ANY_VALUE(tot.n) AS DOUBLE)
+             AS coverage
+    FROM ks JOIN c ON c.rk <= ks.k CROSS JOIN tot
+    GROUP BY ks.k
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve (operators/profile.py vocab_coverage): token
+    mass covered by the top-{{5,10,25}} frequency vocabulary, tie-broken
+    (count DESC, word ASC).  The testdata's closed ~31-word vocabulary makes
+    the small ks the informative ones; at corpus scale the same operator
+    runs ks up to the guarded 1M bound."""
+    from kafka_flow_spark.operators.profile import vocab_coverage
+
+    return vocab_coverage(load(spark, sf_dir, "documents"), "text", ks=(5, 10, 25))

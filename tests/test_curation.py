@@ -580,3 +580,97 @@ def test_incremental_minhash_a_side_is_new(spark):
     assert (0, 1) in got           # new-new exact dup
     assert (0, 10) in got and (1, 10) in got   # new-vs-old near dups
     assert all(a in (0, 1) for a, _ in got)
+
+
+# --- line_dedup ---
+
+def _pages(spark):
+    return spark.createDataFrame(
+        [
+            (1, "keep me\nCOOKIE BANNER\n\nunique line"),
+            (2, "COOKIE BANNER\nanother doc"),
+            (3, "COOKIE BANNER\nCOOKIE BANNER"),
+            (4, "totally unique"),
+            (5, None),
+        ],
+        "id long, text string",
+    )
+
+
+def test_line_dedup_removes_corpus_duplicates_preserving_order(spark):
+    from kafka_flow_spark.operators.curation import line_dedup
+
+    out = {
+        r["id"]: r
+        for r in line_dedup(_pages(spark), "id", "text", min_dup_count=3).collect()
+    }
+    # COOKIE BANNER appears 4x (>= 3): removed everywhere; empty line is
+    # exempt (kept); doc 3 empties out but its row survives; NULL text drops.
+    assert out[1]["text"] == "keep me\n\nunique line"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (4, 1)
+    assert out[2]["text"] == "another doc"
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 2
+    assert out[4]["text"] == "totally unique" and out[4]["n_removed"] == 0
+    assert 5 not in out
+
+
+def test_line_dedup_below_bar_lines_kept(spark):
+    from kafka_flow_spark.operators.curation import line_dedup
+
+    # multiplicity 2 < min_dup_count=3: nothing removed
+    out = line_dedup(_pages(spark).filter("id IN (1, 2)"), "id", "text", 3)
+    assert {r["n_removed"] for r in out.collect()} == {0}
+
+
+def test_line_dedup_literal_delimiter_not_regex(spark):
+    from kafka_flow_spark.operators.curation import line_dedup
+
+    # '. ' must split ONLY on the literal dot-space (a regex would split on
+    # any-char-plus-space and shred every text)
+    d = spark.createDataFrame(
+        [(1, "dup sent. unique one"), (2, "dup sent. other"), (3, "dup sent. x")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["text"]
+        for r in line_dedup(d, "id", "text", 3, delimiter=". ").collect()
+    }
+    assert out[1] == "unique one" and out[2] == "other" and out[3] == "x"
+
+
+def test_line_dedup_exemption_and_guards(spark):
+    from kafka_flow_spark.operators.curation import line_dedup
+
+    # min_line_chars=0 counts empty lines too: 3 empties cross the bar
+    d = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "\nc"), (3, "d\n")], "id long, text string"
+    )
+    out = {
+        r["id"]: r
+        for r in line_dedup(d, "id", "text", 3, min_line_chars=0).collect()
+    }
+    assert out[1]["text"] == "a\nb" and out[1]["n_removed"] == 1
+    with pytest.raises(ValueError):
+        line_dedup(d, "id", "text", min_dup_count=1)
+    with pytest.raises(ValueError):
+        line_dedup(d, "id", "text", min_line_chars=-1)
+
+
+def test_vocab_coverage_ties_and_saturation(spark):
+    from kafka_flow_spark.operators.profile import vocab_coverage
+
+    d = spark.createDataFrame([("a a a b b c",), ("a d",)], "text string")
+    rows = {
+        r["k"]: r
+        for r in vocab_coverage(d, "text", ks=(1, 2, 10)).collect()
+    }
+    assert (rows[1]["n_types"], rows[1]["covered_tokens"]) == (1, 4)
+    # b(2) beats c(1)/d(1); ties inside (c, d) break lexicographically
+    assert (rows[2]["n_types"], rows[2]["covered_tokens"]) == (2, 6)
+    # k beyond vocab saturates at |vocab| and coverage 1.0
+    assert (rows[10]["n_types"], rows[10]["covered_tokens"]) == (4, 8)
+    assert rows[10]["coverage"] == 1.0
+    with pytest.raises(ValueError):
+        vocab_coverage(d, "text", ks=())
+    with pytest.raises(ValueError):
+        vocab_coverage(d, "text", ks=(2_000_000,))
