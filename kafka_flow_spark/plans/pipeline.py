@@ -548,3 +548,34 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     paged = docs.filter(F.size(w) >= 1).select("doc_id", page.alias("page"))
     return line_dedup(paged, "doc_id", "page", min_dup_count=3)
+
+
+@register(
+    "q_source_overlap",
+    oracle=f"""
+    WITH t AS (SELECT source, {_DD_3GRAM} AS sh FROM documents),
+    u AS (SELECT source, unnest(sh) AS ng FROM t),
+    g AS (SELECT DISTINCT source, ng FROM u),
+    s AS (SELECT source, COUNT(*) AS n_a FROM g GROUP BY source),
+    p AS (SELECT a.source AS group_a, b.source AS group_b, COUNT(*) AS n_shared
+          FROM g a JOIN g b ON a.ng = b.ng AND a.source <> b.source
+          GROUP BY 1, 2)
+    SELECT p.group_a, p.group_b, p.n_shared, s.n_a,
+           CAST(p.n_shared AS DOUBLE) / CAST(s.n_a AS DOUBLE) AS containment
+    FROM p JOIN s ON p.group_a = s.source
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix (operators/curation.py
+    source_overlap_matrix): distinct word-3-gram containment between every
+    ordered source pair — the mirror/syndication leakage map a data card
+    ships.  The oracle joins gram STRINGS where the operator joins 64-bit
+    xxhash keys (the string never shuffles); at any realistic gram
+    cardinality the hash-collision probability is ~|G|²/2⁶⁴ ≈ 0, and a
+    collision would only surface as a one-count diff the hash gate would
+    catch."""
+    from kafka_flow_spark.operators.curation import source_overlap_matrix
+
+    return source_overlap_matrix(
+        load(spark, sf_dir, "documents"), "source", "text", shingle_n=3
+    )

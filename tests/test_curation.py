@@ -674,3 +674,67 @@ def test_vocab_coverage_ties_and_saturation(spark):
         vocab_coverage(d, "text", ks=())
     with pytest.raises(ValueError):
         vocab_coverage(d, "text", ks=(2_000_000,))
+
+
+def test_line_dedup_random_corpora_match_reference(spark):
+    """Differential: the Spark operator against a transparent pure-Python
+    reference on random multi-line corpora (exemption + threshold + order
+    semantics all exercised by the generator's tiny line alphabet)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_flow_spark.operators.curation import line_dedup
+
+    line = st.sampled_from(["dup line", "other dup", "unique", "x", "", " "])
+    doc = st.lists(line, min_size=1, max_size=6).map("\n".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    def reference(docs, min_count, min_chars):
+        counts = Counter(
+            ln
+            for d in docs
+            for ln in d.split("\n")
+            if len(ln.strip(" ")) >= min_chars
+        )
+        dup = {ln for ln, c in counts.items() if c >= min_count}
+        out = {}
+        for i, d in enumerate(docs):
+            lines = d.split("\n")
+            kept = [ln for ln in lines if ln not in dup]
+            out[i] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus, st.integers(2, 3), st.integers(0, 1))
+    def check(docs, min_count, min_chars):
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "id long, text string"
+        )
+        got = {
+            r["id"]: (r["text"], r["n_lines"], r["n_removed"])
+            for r in line_dedup(df, "id", "text", min_count, min_chars).collect()
+        }
+        assert got == reference(docs, min_count, min_chars)
+
+    check()
+
+
+def test_source_overlap_matrix_hand_checked(spark):
+    from kafka_flow_spark.operators.curation import source_overlap_matrix
+
+    # unigram shingles: A={a,b,c}, B={b,c,d}, C={x}
+    d = spark.createDataFrame(
+        [("A", "a b c"), ("A", "b"), ("B", "b c d"), ("C", "x")],
+        "source string, text string",
+    )
+    out = {
+        (r["group_a"], r["group_b"]): (r["n_shared"], r["n_a"], r["containment"])
+        for r in source_overlap_matrix(d, "source", "text", shingle_n=1).collect()
+    }
+    assert out[("A", "B")] == (2, 3, 2 / 3)
+    assert out[("B", "A")] == (2, 3, 2 / 3)
+    # C shares nothing: absent from the matrix entirely
+    assert all("C" not in k for k in out)
+    assert set(out) == {("A", "B"), ("B", "A")}
