@@ -658,3 +658,34 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flow_spark.operators.profile import vocab_coverage
 
     return vocab_coverage(load(spark, sf_dir, "documents"), "text", ks=(5, 10, 25))
+
+
+# --- BPE tokenizer training + segmentation (iterative merge training is the
+# canonical non-SQL-expressible op — rows-only, differential-tested against
+# hand-worked merge tables and a losslessness property in tests/test_bpe.py) ---
+@register("q_bpe_merges")
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 50-rule BPE merge table on the corpus (operators/bpe.py):
+    one corpus pass for the word histogram, merge training on the
+    vocab-bounded histogram — corpus pair statistics exactly, the shape
+    production tokenizer trainers use."""
+    from kafka_flow_spark.operators.bpe import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"), "text", n_merges=50)
+
+
+@register("q_bpe_segment")
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment every document with the corpus-trained merge table:
+    broadcast merge ranks + Arrow-batched per-word merge loop (memoized per
+    distinct word per batch).  Losslessness (pieces concat == word) is a
+    pytest property; compression ratio n_pieces/n_tokens is the tokenizer
+    quality signal."""
+    from kafka_flow_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    mt = bpe_train(docs, "text", n_merges=50)
+    merges = [(r["left"], r["right"]) for r in mt.orderBy("rank").collect()]
+    return bpe_segment(docs, "doc_id", "text", merges).select(
+        "doc_id", "n_tokens", "n_pieces"
+    )

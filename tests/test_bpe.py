@@ -1,0 +1,78 @@
+"""BPE tokenizer training/segmentation: hand-worked merge tables, the
+losslessness property, guard behavior (iterative training has no SQL
+oracle — these differentials are its correctness gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators.bpe import _train_merges, bpe_segment, bpe_train
+from kafka_flow_spark.tables import load
+from tests.conftest import SF_SMALL
+
+
+def test_train_merges_hand_worked_classic_example():
+    # Sennrich et al.'s canonical corpus: low x5, lower x2, newest x6, widest x3
+    hist = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    got = _train_merges(hist, 4)
+    # e+s: 6(newest)+3(widest)=9; then es+t: 9; l+o: 5+2=7; lo+w: 7
+    assert got == [
+        (0, "e", "s", 9),
+        (1, "es", "t", 9),
+        (2, "l", "o", 7),
+        (3, "lo", "w", 7),
+    ]
+
+
+def test_train_merges_tie_breaks_lexicographically():
+    # 'ab' and 'cd' both count 1: (a, b) < (c, d)
+    assert _train_merges([("ab", 1), ("cd", 1)], 1)[0][:3] == (0, "a", "b")
+
+
+def test_train_merges_stops_when_no_pairs_left():
+    # single-char words have no pairs; 'ab' exhausts after one merge
+    assert len(_train_merges([("a", 5), ("ab", 1)], 10)) == 1
+
+
+def test_bpe_train_guard_and_determinism(spark):
+    docs = load(spark, SF_SMALL, "documents")
+    with pytest.raises(ValueError):
+        bpe_train(docs, "text", n_merges=5, max_word_types=1)
+    with pytest.raises(ValueError):
+        bpe_train(docs, "text", n_merges=0)
+    a = bpe_train(docs, "text", n_merges=10).collect()
+    b = bpe_train(docs, "text", n_merges=10).collect()
+    assert a == b
+
+
+def test_bpe_segment_lossless_and_counts(spark):
+    docs = load(spark, SF_SMALL, "documents")
+    mt = bpe_train(docs, "text", n_merges=20)
+    merges = [(r["left"], r["right"]) for r in mt.orderBy("rank").collect()]
+    seg = bpe_segment(docs, "doc_id", "text", merges)
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")), " "
+        ).alias("_t"),
+    )
+    joined = seg.join(toks, "doc_id").collect()
+    assert joined
+    for r in joined:
+        # piece stream concatenates back to the exact token stream
+        assert "".join(r["pieces"]) == "".join(r["_t"])
+        assert r["n_tokens"] == len(r["_t"])
+        assert r["n_pieces"] >= r["n_tokens"]
+
+
+def test_bpe_segment_null_text_propagates(spark):
+    d = spark.createDataFrame([(1, "aa bb"), (2, None)], "id long, text string")
+    rows = {
+        r["id"]: r
+        for r in bpe_segment(
+            d, "id", "text", [("a", "a"), ("b", "b")]
+        ).collect()
+    }
+    assert rows[1]["pieces"] == ["aa", "bb"]
+    assert rows[2]["pieces"] is None and rows[2]["n_tokens"] is None
