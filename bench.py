@@ -17,6 +17,7 @@ import json
 import os
 import time
 
+from kafka_flow_spark.cache import release_all
 from kafka_flow_spark.plans.registry import all_queries, bench_queries
 from kafka_flow_spark.session import get_spark
 
@@ -103,7 +104,11 @@ def main() -> None:
         # queries AFTER a matmul-heavy one measured up to 3× slower at sf10
         # (q_quality_rules 1.9→5.5 s) purely from session pollution.  Forcing
         # the collect cycle between queries makes each number reflect that
-        # query's plan, not its predecessor's leftovers.
+        # query's plan, not its predecessor's leftovers.  release_all() frees
+        # the operators' scoped persists the same way (cache.py) — without
+        # it, each dedup/prefix-join query leaves its posting-list caches in
+        # executor storage for the rest of the sweep.
+        release_all()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_flow_spark.cache import scoped_persist
+
 from kafka_flow_spark.operators.dedup import word_shingles
 from kafka_flow_spark.operators.sampling import fraction_threshold, hash_bucket
 from kafka_flow_spark.operators.text import token_count, tokens
@@ -424,7 +426,7 @@ def source_overlap_matrix(
         .select("_g", F.xxhash64("_ng").alias("_h"))
         .groupBy("_h")
         .agg(F.collect_set("_g").alias("_gs"))
-        .persist()
+        .transform(scoped_persist)
     )
     sizes = (
         gram_sources.select(F.explode("_gs").alias("group_a"))

@@ -22,6 +22,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_flow_spark.cache import scoped_persist
+
 from kafka_flow_spark.operators.text import (
     fingerprint,
     ngram_level,
@@ -38,12 +40,13 @@ _K_DEFAULT = 64
 
 def _iceil(expr: F.Column) -> F.Column:
     """Integer ceil of threshold·size products, guarded against IEEE
-    representation error: the double for 0.9*10 is 9.000000000000002, which
-    a bare ``F.ceil`` rounds to 10 — shrinking prefix lengths and
-    over-tightening size bounds, silently dropping exact-boundary pairs from
-    'recall 1.0' joins.  The 1e-9 nudge is safe while genuinely non-integer
-    products sit >= ~1e-4 from an integer (thresholds are short decimals,
-    set sizes bounded far below 2^40)."""
+    representation error: the double product 0.07*100 is 7.000000000000001
+    (likewise 0.07*300 = 21.000000000000004), which a bare ``F.ceil`` rounds
+    up one too far — shrinking prefix lengths and over-tightening size
+    bounds, silently dropping exact-boundary pairs from 'recall 1.0' joins.
+    The 1e-9 nudge is safe while genuinely non-integer products sit >=
+    ~1e-4 from an integer (thresholds are short decimals, set sizes
+    bounded far below 2^40)."""
     return F.ceil(expr - F.lit(1e-9))
 
 
@@ -517,7 +520,7 @@ def minhash_lsh_pairs(
         df, id_col, text_col, k, shingle_n, with_shingle_set=verify
     )
     if verify:
-        per_doc = per_doc.persist()
+        per_doc = per_doc.transform(scoped_persist)
     banded = _banded(per_doc, bands, r)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -630,7 +633,7 @@ def simhash_pairs(
     # AND both sides of the self-join — without this it is computed 3×
     keys = sh.select(
         "doc_id", "simhash", F.explode(F.array(*chunks)).alias("_c")
-    ).persist()
+    ).transform(scoped_persist)
     est = (
         keys.groupBy("_c")
         .agg(F.count("*").alias("n"))
@@ -924,7 +927,7 @@ def jaccard_pairs_prefix(
     # same discipline as the MinHash per-doc shingle table
     sets = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
-    ).filter(F.size("_sh") > 0).persist()
+    ).filter(F.size("_sh") > 0).transform(scoped_persist)
     tok = sets.select(
         "_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_tok")
     )
@@ -946,7 +949,7 @@ def jaccard_pairs_prefix(
     # and the candidate self-join then reads it twice from cache instead of
     # re-running the explode+join+rank chain per side
     prefix = (
-        ranked.filter(F.col("_pos") <= pref_len).select("_id", "_tok", "_sz").persist()
+        ranked.filter(F.col("_pos") <= pref_len).select("_id", "_tok", "_sz").transform(scoped_persist)
     )
     est = (
         prefix.groupBy("_tok")
@@ -1042,7 +1045,7 @@ def containment_pairs_prefix(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sets = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
-    ).filter(F.size("_sh") > 0).persist()
+    ).filter(F.size("_sh") > 0).transform(scoped_persist)
     tok = sets.select(
         "_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_tok")
     )
@@ -1062,7 +1065,7 @@ def containment_pairs_prefix(
             ),
         )
         .select("_id", "_tok", "_sz", "_pos")
-        .persist()
+        .transform(scoped_persist)
     )
     pref_len = F.col("_sz") - _iceil(F.lit(threshold) * F.col("_sz")).cast(
         "int"
@@ -1182,10 +1185,10 @@ def minhash_lsh_pairs_incremental(
     )
     per_old = _minhash_mins(
         old_only, id_col, text_col, k, shingle_n, with_shingle_set=True
-    ).persist()
+    ).transform(scoped_persist)
     per_new = _minhash_mins(
         new_df, id_col, text_col, k, shingle_n, with_shingle_set=True
-    ).persist()
+    ).transform(scoped_persist)
     banded_old = _banded(per_old, bands, r)
     banded_new = _banded(per_new, bands, r)
     n = banded_new.alias("n")

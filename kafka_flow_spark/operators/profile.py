@@ -151,12 +151,17 @@ def exact_percentiles_disc(
     aggs = [F.max("_n").alias("n_rows")]
     for q in qs:
         tag = str(int(round(q * 100)))
-        # smallest value whose cumulative count reaches ceil(q*n): integer
-        # ceil via (q_num * n + den - 1) // den is not available for float q,
-        # so use the exact predicate _cum * 1.0 >= q * n on exact ints — one
-        # IEEE multiply each side, same in any engine
+        # smallest value whose cumulative count reaches ceil(q*n).  The
+        # predicate _cum >= q*n runs on an IEEE double product, which can
+        # round ABOVE the exact integer (0.07*100 = 7.000000000000001 —
+        # the 7th order statistic would be skipped for the 8th), so nudge
+        # the threshold down by 1e-9: safe while genuinely non-integer q*n
+        # sits >= ~1e-4 from an integer (q is a short decimal, n < 2^40 —
+        # same guard class as dedup._iceil).  The DuckDB oracle mirrors
+        # the identical nudge so the parity gate tests the same contract.
         hit = F.when(
-            F.col("_cum").cast("double") >= F.lit(q) * F.col("_n").cast("double"),
+            F.col("_cum").cast("double")
+            >= F.lit(q) * F.col("_n").cast("double") - F.lit(1e-9),
             F.col(value_col),
         )
         aggs.append(F.min(hit).alias(f"p_{tag}"))

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_flow_spark.cache import scoped_persist
+
 from kafka_flow_spark.operators.text import STOPWORDS, ngram_level, normalize_text, tokens
 
 # Conservative defaults tuned for short web-ish documents; callers override.
@@ -636,7 +638,10 @@ def reputation_filter(
     # aggregate, corpus-total aggregate, final join probe) — and the typical
     # input is with_quality_stats(documents), the full tokenize/bigram gate
     # (same measured discipline as score_buckets: 17 s -> 7 s at sf10).
-    df = df.persist()
+    # The persist targets an internally-owned identity projection, tracked
+    # by cache.scoped_persist (released at the harness's next release_all)
+    # — never the caller's own handle (r6 ADVICE finding).
+    df = df.select("*").transform(scoped_persist)
     rep = group_reputation(df, group_col, signal_col)
     if min_keep_frac is None:
         tot = df.agg(
@@ -684,10 +689,10 @@ def pmi_collocations(
         df.filter(F.length(F.trim(text_col)) > 0)
         .select(toks.alias("_t"))
         .filter(F.size("_t") >= 1)
-        .persist()
+        .transform(scoped_persist)
     )
     words = base.select(F.explode("_t").alias("_w")).filter(F.col("_w") != "")
-    uni = words.groupBy("_w").agg(F.count("*").alias("_cw")).persist()
+    uni = words.groupBy("_w").agg(F.count("*").alias("_cw")).transform(scoped_persist)
     n1 = words.agg(F.count("*").alias("_n1"))
     pairs = (
         base.filter(F.size("_t") >= 2)
@@ -783,8 +788,9 @@ def score_buckets(
     # persisted: df is consumed by the sample count, the threshold window,
     # and the final assignment — un-persisted, an expensive upstream (e.g.
     # the corpus LM scorer) re-runs three times (measured 17 s -> 7 s at
-    # sf10 for q_perplexity_buckets)
-    df = df.persist()
+    # sf10 for q_perplexity_buckets).  Internally-owned projection + tracked
+    # handle, not the caller's object (r6 ADVICE finding).
+    df = df.select("*").transform(scoped_persist)
     sample = hash_sample(df, key_col, sample_fraction).select(score_col, key_col)
     n = sample.count()
     if n < b:

@@ -156,6 +156,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.3 s → ~2.5 s at sf10 where orders is too big to broadcast.  _bc keeps
     # every hint size-gated so at 100 TB both joins degrade to stats+AQE
     # shuffle joins in this same selective-first order.
+    #
+    # r6 re-audit (interleaved min-of-7 at sf10, DuckDB re-timed in the same
+    # window): THIS plan is the winner at 2.19 s vs oracle 1.22 s (1.79×);
+    # r5's recorded 2.71 s was host-load inflation, not the plan.  Variants
+    # measured and REJECTED: broadcasting the ~1.37M-row reduced-orders side
+    # (2.46 s — the driver collect + 4-col hash build costs more than the
+    # pinned SHJ's shuffle of the same rows), narrow groupBy(l_orderkey) with
+    # first()-carried attributes (2.36 s), and semi-reducing lineitem through
+    # a broadcast key filter before the wide join (3.14 s — pays the 33.6M
+    # probe twice).  The floor is real: groupBy(l_orderkey) over the filtered
+    # lineitem alone, no join at all, is 2.73 s — the query is bound by the
+    # high-cardinality aggregate, and the join adds ~nothing on top.
     o_building = o.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority").join(
         _bc(c.select("c_custkey"), sf_dir, "customer"),
         F.col("o_custkey") == F.col("c_custkey"),
@@ -291,7 +303,18 @@ def q_broadcast_brand_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 MB gate.  Measured at sf10 (2M parts, 137 MB table, ~34 MB build):
     broadcast 1.97 s vs shuffle-hash build-side pin 2.59 s — the build is
     genuinely broadcastable and stays so until part's source bytes pass
-    128 MB (~sf100 here), where the hint degrades exactly as at 100 TB."""
+    128 MB (~sf100 here), where the hint degrades exactly as at 100 TB.
+
+    sum_qty is a PLAIN double sum, not the cents fixed-point path: l_quantity
+    is integral-valued (TPC-H contract, 1..50; every value and every partial
+    sum is an exact double below 2^53), so SUM(double) is bit-identical to the
+    oracle's CAST(SUM(DECIMAL) AS DOUBLE) while skipping the per-row
+    round-half-up ALU chain — measured 1.97 → 1.89 s at sf10 (interleaved
+    min-of-7).  Alternatives measured and REJECTED at sf10: pre-aggregating
+    lineitem by l_partkey below the join (4.41 s — adds a 60M-row shuffle the
+    broadcast plan never pays; partial-agg-below-join only wins when the join
+    itself shuffles), and an int-surrogate group key via xxhash64(p_brand)
+    (2.12 s — string group hashing on 25 groups isn't the bottleneck)."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
@@ -300,7 +323,7 @@ def q_broadcast_brand_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand")
-        .agg(csum(cents("l_quantity"), "sum_qty"), F.count("*").alias("n_items"))
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n_items"))
     )
 
 

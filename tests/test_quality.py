@@ -468,3 +468,18 @@ def test_exact_percentiles_disc_hand_checked(spark):
     dups = spark.createDataFrame([("c", 1)] * 9 + [("c", 100)], "g STRING, v INT")
     [r] = exact_percentiles_disc(dups, "v", ["g"], qs=(0.5, 0.9, 1.0)).collect()
     assert (r["p_50"], r["p_90"], r["p_100"]) == (1, 1, 100)
+
+
+def test_exact_percentiles_disc_fp_boundary(spark):
+    """q*n products whose IEEE double rounds ABOVE the exact integer must
+    still select the ceil(q*n)-th order statistic: 0.07*100 =
+    7.000000000000001 in doubles — without the 1e-9 threshold nudge the 7th
+    value is skipped for the 8th (r6 ADVICE finding)."""
+    from kafka_flow_spark.operators.profile import exact_percentiles_disc
+
+    rows = [("a", v) for v in range(1, 101)]   # n=100, value k at rank k
+    df = spark.createDataFrame(rows, "g STRING, v INT")
+    [r] = exact_percentiles_disc(df, "v", ["g"], qs=(0.07, 0.29, 0.5)).collect()
+    # ceil(.07*100)=7, ceil(.29*100)=29 (0.29*100=28.999999999999996 needs
+    # the plain >= side to hold too), ceil(.5*100)=50
+    assert (r["p_7"], r["p_29"], r["p_50"]) == (7, 29, 50)

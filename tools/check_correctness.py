@@ -13,6 +13,7 @@ from __future__ import annotations
 import sys
 import time
 
+from kafka_flow_spark.cache import release_all
 from kafka_flow_spark.plans.registry import all_oracles, all_queries
 from kafka_flow_spark.session import get_spark
 
@@ -45,6 +46,7 @@ def main() -> None:
         tag = "" if name in oracles else " (rows-only)"
         print(f"{status:4} {name}{tag} [{dt:.2f}s] {'; '.join(problems)[:300]}")
         bad += bool(problems)
+        release_all()  # free operator-internal scoped persists per query
     print(f"TOTAL: {len([q for q in queries if q.startswith(prefix)])} checked, {bad} failing")
     sys.exit(1 if bad else 0)
 
