@@ -36,13 +36,16 @@ def _word_histogram(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _train_merges(
+def _train_merges_ref(
     hist: list[tuple[str, int]], n_merges: int
 ) -> list[tuple[int, str, str, int]]:
-    """Deterministic BPE merge training over a (word, count) histogram:
-    each round merges the pair with the highest corpus-weighted count,
-    ties broken on (left, right) lexicographically.  Pure function — the
-    differential tests pin it against hand-worked examples."""
+    """Reference trainer: recount EVERY pair over the whole histogram each
+    round — O(n_merges × total symbols), obviously correct, kept as the
+    differential oracle for ``_train_merges`` (and fine for the ≤100-merge
+    toy vocabularies the unit tests use).  Semantics: each round merges the
+    pair with the highest corpus-weighted adjacent-position count, ties
+    broken on (left, right) lexicographically; within a word, merge
+    applications scan left-to-right non-overlapping."""
     words = [(tuple(w), n) for w, n in hist]
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -70,6 +73,82 @@ def _train_merges(
                     i += 1
             out.append((tuple(s), n))
         words = out
+    return merges
+
+
+def _train_merges(
+    hist: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Deterministic BPE merge training with INCREMENTAL pair-count
+    maintenance — the standard production-trainer shape (Sennrich et al.'s
+    subword-nmt learn_bpe keeps the same pair→words index): after a merge,
+    only the words actually CONTAINING the merged pair are re-counted, and
+    the best pair comes from a lazy-deletion max-heap instead of a full
+    scan.  Work per merge is O(symbols in touched words + heap churn), not
+    O(total symbols) — at a 190k-type Zipf histogram this trains 30,000
+    merges in 42 s where the recount reference needs 64 s for its FIRST
+    100 (~450× at a real tokenizer's merge count; measured, PERF.md r6).
+
+    Bit-identical to ``_train_merges_ref`` (hypothesis differential in
+    tests/test_bpe.py): the heap orders by (-count, left, right), exactly
+    the reference's tie-break; stale entries are skipped by comparing the
+    popped count against the live count."""
+    import heapq
+
+    words: list[list] = [[list(w), n] for w, n in hist]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (sym, n) in enumerate(words):
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        cnt = 0
+        while heap:
+            negc, left, right = heapq.heappop(heap)
+            if pair_counts.get((left, right), 0) == -negc:
+                cnt = -negc
+                break
+        if cnt <= 0:
+            break
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        touched: set[tuple[str, str]] = set()
+        for wi in list(pair_words.get((left, right), ())):
+            sym, n = words[wi]
+            # retract this word's adjacent-pair contributions entirely…
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_counts[p] -= n
+                pair_words[p].discard(wi)
+                touched.add(p)
+            # …apply the merge left-to-right non-overlapping…
+            s, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    s.append(merged)
+                    i += 2
+                else:
+                    s.append(sym[i])
+                    i += 1
+            words[wi][0] = s
+            # …and re-add the rewritten word's pairs.
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+                pair_words.setdefault(p, set()).add(wi)
+                touched.add(p)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+            else:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
     return merges
 
 

@@ -7,7 +7,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from kafka_flow_spark.operators.bpe import _train_merges, bpe_segment, bpe_train
+from kafka_flow_spark.operators.bpe import (
+    _train_merges,
+    _train_merges_ref,
+    bpe_segment,
+    bpe_train,
+)
 from kafka_flow_spark.tables import load
 from tests.conftest import SF_SMALL
 
@@ -33,6 +38,36 @@ def test_train_merges_tie_breaks_lexicographically():
 def test_train_merges_stops_when_no_pairs_left():
     # single-char words have no pairs; 'ab' exhausts after one merge
     assert len(_train_merges([("a", 5), ("ab", 1)], 10)) == 1
+
+
+def test_train_merges_incremental_matches_reference():
+    """The heap/incremental trainer must be bit-identical to the recount
+    reference — including tie-breaks, overlapping pairs (aaa), words that
+    collapse to one symbol, and repeated pairs within a word (abab)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=8)
+    hist_s = st.lists(
+        st.tuples(word, st.integers(min_value=1, max_value=9)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(hist_s, st.integers(min_value=1, max_value=30))
+    def check(hist, n_merges):
+        assert _train_merges(hist, n_merges) == _train_merges_ref(hist, n_merges)
+
+    check()
+    # targeted shapes the random alphabet under-samples
+    for hist in (
+        [("aaaa", 3)],                     # overlapping pair runs
+        [("abab", 2), ("ab", 7)],          # repeated pair inside one word
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+    ):
+        assert _train_merges(hist, 50) == _train_merges_ref(hist, 50)
 
 
 def test_bpe_train_guard_and_determinism(spark):
