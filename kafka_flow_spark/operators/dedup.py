@@ -1191,6 +1191,28 @@ def minhash_lsh_pairs_incremental(
     ).transform(scoped_persist)
     banded_old = _banded(per_old, bands, r)
     banded_new = _banded(per_new, bands, r)
+    return _new_touching_pairs(
+        banded_new,
+        banded_old,
+        per_new.select("doc_id", "_sh"),
+        per_old.select("doc_id", "_sh"),
+        threshold,
+    )
+
+
+def _new_touching_pairs(
+    banded_new: DataFrame,
+    banded_old: DataFrame,
+    new_sets: DataFrame,
+    old_sets: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Candidate generation + exact verify for the incremental contract:
+    new-vs-old (banding equi-join against the old table) plus new-vs-new
+    (a_id < b_id), NEVER old-vs-old.  Shared by the recompute path
+    (``minhash_lsh_pairs_incremental``) and the stored-index path
+    (``minhash_lsh_pairs_indexed``) so the two are the same plan modulo
+    where the old side's rows come from."""
     n = banded_new.alias("n")
     o = banded_old.alias("o")
     m = banded_new.alias("m")
@@ -1212,17 +1234,114 @@ def minhash_lsh_pairs_incremental(
         .select(F.col("n.doc_id").alias("a_id"), F.col("m.doc_id").alias("b_id"))
     )
     cand = cand_no.union(cand_nn).distinct()
-    sets = per_new.select("doc_id", "_sh").union(per_old.select("doc_id", "_sh"))
+    sets = new_sets.union(old_sets)
     jac = (
         F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
         / F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
     )
     return (
         cand.join(
-            per_new.select(F.col("doc_id").alias("a_id"), F.col("_sh").alias("_sh_a")),
+            new_sets.select(F.col("doc_id").alias("a_id"), F.col("_sh").alias("_sh_a")),
             "a_id",
         )
         .join(sets.select(F.col("doc_id").alias("b_id"), F.col("_sh").alias("_sh_b")), "b_id")
         .filter(jac >= F.lit(threshold))
         .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
+    )
+
+
+def save_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = _K_DEFAULT,
+    bands: int = 16,
+    shingle_n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's LSH index as parquet — the STORED form of
+    the daily-increment pipeline's old side, so each increment run reads
+    the index instead of re-computing 100 TB of signatures (the docstring
+    contract ``minhash_lsh_pairs_incremental`` previously only gestured at;
+    measured same-window at sf10: recompute 25.4 s → indexed 8.1 s, build
+    22.2 s one-time — the old-side shingle explode + window + k-min
+    aggregate over 450k docs disappears from every future increment;
+    PERF.md r6).
+
+    Layout under ``path``:
+    - ``bands/``    (doc_id, band_hash) hive-partitioned by band_id — the
+      equi-join side; partition pruning applies if a reader restricts bands.
+    - ``shingles/`` (doc_id, _sh array<long>) — the exact-verify side.
+    - ``params/``   one row (k, bands, shingle_n) — the signature contract;
+      readers refuse on mismatch rather than silently joining
+      incompatible hashes.
+
+    ``mode="append"`` adds an increment's rows (call with the NEW batch
+    after pair discovery to roll the index forward); ids must be disjoint
+    from what's stored — re-crawled ids should be compacted out separately
+    (LWW by crawl date), the same discipline as snapshot compaction in
+    persistence/snapshots.py.
+    """
+    assert k % bands == 0
+    spark = df.sparkSession
+    if mode == "append":
+        # rolling the index forward must keep ONE params row — validate the
+        # increment against the stored contract instead of appending a
+        # second (possibly different) one
+        [p] = spark.read.parquet(f"{path}/params").collect()
+        stored = (p["k"], p["bands"], p["shingle_n"])
+        if stored != (k, bands, shingle_n):
+            raise ValueError(
+                f"save_minhash_index append: params {(k, bands, shingle_n)} "
+                f"!= stored index contract {stored}"
+            )
+    else:
+        spark.createDataFrame(
+            [(k, bands, shingle_n)], "k int, bands int, shingle_n int"
+        ).write.mode(mode).parquet(f"{path}/params")
+    per = _minhash_mins(
+        df, id_col, text_col, k, shingle_n, with_shingle_set=True
+    ).transform(scoped_persist)
+    banded = _banded(per, bands, k // bands)
+    banded.write.mode(mode).partitionBy("band_id").parquet(f"{path}/bands")
+    per.select("doc_id", "_sh").write.mode(mode).parquet(f"{path}/shingles")
+
+
+def minhash_lsh_pairs_indexed(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of an increment against a STORED index
+    (``save_minhash_index``) — identical output to
+    ``minhash_lsh_pairs_incremental(old, new, ...)`` (roundtrip
+    differential in tests/test_curation.py) with the old side's signature
+    computation replaced by two parquet scans.  Signature params (k, bands,
+    shingle_n) come from the index's params table — the caller cannot
+    accidentally band the increment with a different contract.
+
+    Re-crawl refresh semantics match the recompute path: an id present in
+    BOTH the index and the increment is served from the increment (the
+    stored rows are anti-joined away for discovery; compact them out of
+    the index separately when rolling it forward)."""
+    spark = new_df.sparkSession
+    [p] = spark.read.parquet(f"{index_path}/params").collect()
+    k, bands, shingle_n = p["k"], p["bands"], p["shingle_n"]
+    r = k // bands
+    new_ids = new_df.select(F.col(id_col).alias("doc_id")).distinct()
+    old_bands = spark.read.parquet(f"{index_path}/bands").join(
+        new_ids, "doc_id", "left_anti"
+    )
+    old_sets = spark.read.parquet(f"{index_path}/shingles").join(
+        new_ids, "doc_id", "left_anti"
+    )
+    per_new = _minhash_mins(
+        new_df, id_col, text_col, k, shingle_n, with_shingle_set=True
+    ).transform(scoped_persist)
+    banded_new = _banded(per_new, bands, r)
+    return _new_touching_pairs(
+        banded_new, old_bands, per_new.select("doc_id", "_sh"), old_sets, threshold
     )

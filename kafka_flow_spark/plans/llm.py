@@ -774,3 +774,56 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_incremental(
         old, new, id_col="doc_id", text_col="text", k=64, bands=16, threshold=0.7
     )
+
+
+@register(
+    "q_dedup_indexed_increment",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DD_3GRAM} AS sh FROM documents),
+    p AS (
+      SELECT a.doc_id AS x, b.doc_id AS y,
+             len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+        AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0))
+    SELECT CASE WHEN x % 10 = 0 THEN x ELSE y END AS a_id,
+           CASE WHEN x % 10 = 0 THEN y ELSE x END AS b_id,
+           ROUND(jac, 4) AS jac
+    FROM p
+    """,
+)
+def q_dedup_indexed_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-INDEX form of q_dedup_incremental — same split, same
+    brute-force oracle, but the old side is materialized once as a parquet
+    LSH index (operators/dedup.py save_minhash_index: partitioned band
+    table + shingle-set table + params contract) and the increment query
+    reads it back (minhash_lsh_pairs_indexed) instead of re-computing the
+    corpus signatures.  This is the production daily-increment shape: the
+    index build amortizes across every future increment, and at sf10 the
+    indexed query runs 8.1 s vs 25.4 s recompute, same window (PERF.md
+    r6).  Both forms
+    hash-match the same oracle, which IS the index-read == recompute proof
+    at the driver's gate (plus the explicit roundtrip differential in
+    tests/test_curation.py)."""
+    import os
+
+    import kafka_flow_spark
+    from kafka_flow_spark.operators.dedup import (
+        minhash_lsh_pairs_indexed,
+        save_minhash_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # anchored at the repo root (not the cwd) so the driver can invoke the
+    # registry from anywhere; spark-warehouse/ is the gitignored scratch area
+    root = os.path.dirname(os.path.dirname(os.path.abspath(kafka_flow_spark.__file__)))
+    path = os.path.join(root, "spark-warehouse", f"minhash_index_{tag}")
+    save_minhash_index(old, "doc_id", "text", path, k=64, bands=16, shingle_n=3)
+    return minhash_lsh_pairs_indexed(
+        new, "doc_id", "text", path, threshold=0.7
+    )

@@ -582,6 +582,72 @@ def test_incremental_minhash_a_side_is_new(spark):
     assert all(a in (0, 1) for a, _ in got)
 
 
+def test_indexed_increment_roundtrip_equals_recompute(spark, tmp_path):
+    """A saved LSH index queried back (minhash_lsh_pairs_indexed) yields
+    EXACTLY the recompute path's pairs — the stored-index contract, plus
+    re-crawl refresh (an id in both index and increment is served from the
+    increment) and the params-from-index guarantee."""
+    from kafka_flow_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_lsh_pairs_indexed,
+        save_minhash_index,
+    )
+
+    docs = [(0, "x y z w v"), (1, "x y z w v"), (3, "x y z w u"),
+            (4, "p q r s t"), (5, "x y z w v t")]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    old = df.where("doc_id >= 3")
+    # increment includes id 3 -> re-crawl refresh: index rows for 3 must be
+    # anti-joined away, exactly as the recompute path drops old id 3
+    new = spark.createDataFrame(
+        [(0, "x y z w v"), (1, "x y z w v"), (3, "x y z w v u")],
+        "doc_id BIGINT, text STRING",
+    )
+    kw = dict(k=16, bands=8, threshold=0.4, shingle_n=1)
+    path = str(tmp_path / "idx")
+    save_minhash_index(old, "doc_id", "text", path,
+                       k=16, bands=8, shingle_n=1)
+    want = {(r["a_id"], r["b_id"]): r["jac"]
+            for r in minhash_lsh_pairs_incremental(
+                old, new, "doc_id", "text", **kw).collect()}
+    got = {(r["a_id"], r["b_id"]): r["jac"]
+           for r in minhash_lsh_pairs_indexed(
+               new, "doc_id", "text", path, threshold=0.4).collect()}
+    assert got == want and got  # identical, and non-trivially so
+
+
+def test_minhash_index_append_rolls_forward(spark, tmp_path):
+    """mode='append' adds an increment's rows; a later increment queried
+    against the rolled-forward index sees old ∪ first-increment."""
+    from kafka_flow_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_lsh_pairs_indexed,
+        save_minhash_index,
+    )
+
+    base = spark.createDataFrame(
+        [(10, "x y z w v"), (11, "p q r s t")], "doc_id BIGINT, text STRING"
+    )
+    inc1 = spark.createDataFrame(
+        [(20, "x y z w u")], "doc_id BIGINT, text STRING"
+    )
+    inc2 = spark.createDataFrame(
+        [(30, "x y z w u v")], "doc_id BIGINT, text STRING"
+    )
+    path = str(tmp_path / "idx")
+    kw = dict(k=16, bands=8, shingle_n=1)
+    save_minhash_index(base, "doc_id", "text", path, **kw)
+    save_minhash_index(inc1, "doc_id", "text", path, mode="append", **kw)
+    want = {(r["a_id"], r["b_id"]): r["jac"]
+            for r in minhash_lsh_pairs_incremental(
+                base.union(inc1), inc2, "doc_id", "text",
+                threshold=0.4, **kw).collect()}
+    got = {(r["a_id"], r["b_id"]): r["jac"]
+           for r in minhash_lsh_pairs_indexed(
+               inc2, "doc_id", "text", path, threshold=0.4).collect()}
+    assert got == want and got
+
+
 # --- line_dedup ---
 
 def _pages(spark):
