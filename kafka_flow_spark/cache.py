@@ -39,13 +39,18 @@ def scoped_persist(
     return out
 
 
-def release_all() -> int:
-    """Unpersist every tracked cache (blocking=False); returns how many."""
+def release_all(blocking: bool = True) -> int:
+    """Unpersist every tracked cache; returns how many were tracked.
+
+    Blocking by default: the async form leaves blocks for the
+    ContextCleaner, so a bench/sweep's next query still pays eviction
+    pressure for the previous one's caches — the exact cross-query
+    pollution this module exists to stop."""
     n = len(_TRACKED)
     while _TRACKED:
         df = _TRACKED.pop()
         try:
-            df.unpersist()
+            df.unpersist(blocking=blocking)
         except Exception:
             pass  # session already stopped — nothing to free
     return n
