@@ -26,3 +26,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return registry.all_oracles()
+
+
+def rows_only() -> list[str]:
+    """Queries WITHOUT an oracle entry, each rows-only BY DESIGN (ANN
+    retrieval, k-means semantic dedup, HLL estimates, iterative BPE — see
+    registry.rows_only_queries for the per-query rationale).  Their driver
+    rows read `no_oracle`; that is the expected result, not a failure —
+    each has a pytest recall/differential/property gate instead."""
+    return registry.rows_only_queries()

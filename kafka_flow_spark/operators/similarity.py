@@ -837,9 +837,29 @@ def pq_index(
     Cn = _train_centroids(vectors, id_col, vec_col, n_cells, train_size, sample=X)
     res = X - Cn[np.argmax(X @ Cn.T, axis=1)]
     books = _train_pq_codebooks(res, m_subspaces, n_codes)
+    return pq_encode(vectors, id_col, vec_col, Cn, books), Cn, books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    Cn: "np.ndarray",
+    books: "np.ndarray",
+) -> DataFrame:
+    """Encode a corpus against EXPLICIT coarse centroids + PQ codebooks —
+    the (re)encode half of ``pq_index`` split out so trained codebooks can
+    be reused on new data (the daily-increment move: train once, encode
+    every increment) and so the encode ARITHMETIC is testable against the
+    oracle-gated expression form (``pq_encode_grid_expr`` + the
+    numpy-vs-Catalyst differential in tests/test_similarity.py).
+
+    One mapInPandas pass, zero shuffle: normalize → coarse-assign (argmax
+    cosine) → residual → per-subspace argmin over the codebook (matmul
+    form; row term constant per row, first-index tie-break = np.argmin)."""
     sc = vectors.sparkSession.sparkContext
     bc_C, bc_B = sc.broadcast(Cn), sc.broadcast(books)
-    m = m_subspaces
+    m = int(books.shape[0])
 
     def encode(batches):
         C, B = bc_C.value, bc_B.value
@@ -863,10 +883,78 @@ def pq_index(
             yield out
 
     id_t = vectors.schema[id_col].dataType.simpleString()
-    index = vectors.select(id_col, vec_col).mapInPandas(
+    return vectors.select(id_col, vec_col).mapInPandas(
         encode, schema=f"{id_col} {id_t}, cell INT, codes ARRAY<INT>"
     )
-    return index, Cn, books
+
+
+def pq_encode_grid_expr(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    levels: tuple[float, ...] = (-0.3, -0.1, 0.1, 0.3),
+    m_subspaces: int = 8,
+) -> DataFrame:
+    """PQ encode against CONSTANT-GRID codebooks (codebook entry j of every
+    subspace = level_j repeated across the sub-dims), entirely in Catalyst
+    expressions — the ORACLE GATE for the PQ encode arithmetic.
+
+    k-means codebooks make PQ un-oracle-able (iterative training has no SQL
+    form), but the encode math — normalize, subspace slicing, per-code
+    squared distance, argmin with first-index tie-break, reconstruction
+    error — is codebook-agnostic.  Fixing the codebooks to a deterministic
+    grid lets DuckDB reproduce every step, and the numpy-vs-expression
+    differential (tests/test_similarity.py) carries the proof over to the
+    production ``pq_encode`` path, which runs the identical contract on
+    trained codebooks.  This is the ``quantize_int8``/``knn_quantized``
+    pattern applied to PQ.
+
+    Per-code scores are rounded to 6 decimals BEFORE the argmin (both
+    engines) so a sub-1e-6 cross-engine FP wiggle cannot flip a code;
+    genuinely distinct grid scores differ by far more.
+
+    Output: (id, codes array<int>, recon_err double·4dp) — recon_err is
+    the summed min-scores, i.e. the total squared quantization error of
+    the normalized vector.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    vn = F.transform(v, lambda x: x / F.greatest(norm, F.lit(1e-12)))
+    n_levels = len(levels)
+    # sub-length from the runtime array size (dim % m == 0 by contract, as
+    # in _train_pq_codebooks) — no hardcoded dimensionality
+    sub_len = F.size(vn) / F.lit(m_subspaces)
+    code_cols = []
+    err_cols = []
+    for mi in range(m_subspaces):
+        start = (F.lit(mi) * sub_len + 1).cast("int")
+        s = F.slice(vn, start, sub_len.cast("int"))
+        def _sqerr_fold(g: float):
+            # closure factory, NOT a default arg: pyspark reads the lambda's
+            # arity to bind HOF variables, and `lambda acc, x, g=g` counts 3
+            return lambda acc, x: acc + (x - F.lit(g)) * (x - F.lit(g))
+
+        scores = [
+            F.round(F.aggregate(s, F.lit(0.0), _sqerr_fold(g)), 6)
+            for g in levels
+        ]
+        best = F.least(*scores)
+        # first index whose score equals the min — np.argmin tie semantics
+        code = F.lit(n_levels - 1)
+        for j in range(n_levels - 2, -1, -1):
+            code = F.when(scores[j] == best, F.lit(j)).otherwise(code)
+        code_cols.append(code)
+        err_cols.append(best)
+    total_err = err_cols[0]
+    for e in err_cols[1:]:
+        total_err = total_err + e
+    return df.select(
+        F.col(id_col),
+        F.array(*code_cols).cast("array<int>").alias("codes"),
+        F.round(total_err, 4).alias("recon_err"),
+    )
 
 
 def knn_ivfpq(

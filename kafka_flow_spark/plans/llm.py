@@ -581,6 +581,62 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
 
 
+# --- PQ encode arithmetic, oracle-gated against constant-grid codebooks.
+# k-means training keeps q_knn_ivfpq rows-only, but the encode math
+# (normalize / subspace slice / per-code squared distance / argmin
+# first-index tie-break / reconstruction error) is codebook-agnostic —
+# this query pins it value-exact vs DuckDB, and the numpy-vs-expression
+# differential in tests/test_similarity.py carries the proof to the
+# trained-codebook pq_encode path (VERDICT r5 next-round #5) ---
+_PQ_LEVELS = (-0.3, -0.1, 0.1, 0.3)
+_PQ_M = 8
+
+
+def _pq_grid_oracle() -> str:
+    norm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    vn = (
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+        f"greatest({norm}, 1e-12))"
+    )
+    sub = f"(len(vn) // {_PQ_M})"
+    score_cols, code_cases, err_terms = [], [], []
+    for mi in range(_PQ_M):
+        sl = f"list_slice(vn, {mi} * {sub} + 1, ({mi} + 1) * {sub})"
+        for j, g in enumerate(_PQ_LEVELS):
+            score_cols.append(
+                f"ROUND(list_sum(list_transform({sl}, "
+                f"x -> (x - ({g})) * (x - ({g})))), 6) AS s{mi}_{j}"
+            )
+        least = f"least({', '.join(f's{mi}_{j}' for j in range(len(_PQ_LEVELS)))})"
+        case = "CASE " + " ".join(
+            f"WHEN s{mi}_{j} = {least} THEN {j}"
+            for j in range(len(_PQ_LEVELS))
+        ) + " END"
+        code_cases.append(case)
+        err_terms.append(least)
+    return f"""
+    WITH v AS (SELECT vec_id, {vn} AS vn FROM embeddings),
+    s AS (SELECT vec_id, {', '.join(score_cols)} FROM v)
+    SELECT vec_id,
+           [{', '.join(code_cases)}] AS codes,
+           ROUND({' + '.join(err_terms)}, 4) AS recon_err
+    FROM s
+    """
+
+
+@register("q_pq_codes", oracle=_pq_grid_oracle())
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-codebook PQ encode over the embeddings corpus — the
+    oracle-gated proof of the PQ encode arithmetic (see
+    operators/similarity.py pq_encode_grid_expr)."""
+    from kafka_flow_spark.operators.similarity import pq_encode_grid_expr
+
+    e = load(spark, sf_dir, "embeddings")
+    return pq_encode_grid_expr(
+        e, "vec_id", "embedding", levels=_PQ_LEVELS, m_subspaces=_PQ_M
+    )
+
+
 # --- SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup.
 # Rows-only: the spherical-k-means quantizer is not SQL-expressible; the
 # pair subset/recall contract vs the EXACT operator is pinned in

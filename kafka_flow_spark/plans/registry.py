@@ -73,3 +73,17 @@ def all_oracles() -> dict[str, str]:
 def bench_queries() -> list[str]:
     load_all_plans()
     return list(BENCH)
+
+
+def rows_only_queries() -> list[str]:
+    """Queries registered WITHOUT an oracle — rows-only BY DESIGN, not by
+    omission: ANN retrieval (q_knn_ivf/lsh/ivfpq — approximate by contract,
+    recall-tested in pytest), semantic dedup (q_semantic_dedup[_pairs] —
+    k-means cluster assignments have no SQL form; subset/recall/keep-first
+    properties tested), HLL estimates (q_approx_distinct_users — sketch
+    internals are engine-specific), and iterative BPE training
+    (q_bpe_merges/segment — differential-tested against a reference
+    trainer).  A driver correctness sampler should expect `no_oracle` for
+    exactly this list and treat it as by-design, not failure."""
+    load_all_plans()
+    return sorted(set(QUERIES) - set(ORACLES))
