@@ -19,7 +19,7 @@ from kafka_flow_spark.cache import scoped_persist
 
 from kafka_flow_spark.operators.dedup import word_shingles
 from kafka_flow_spark.operators.sampling import fraction_threshold, hash_bucket
-from kafka_flow_spark.operators.text import token_count, tokens
+from kafka_flow_spark.operators.text import normalize_text, token_count, tokens
 
 
 def split_thresholds(splits: dict[str, float]) -> list[tuple[str, str]]:
@@ -448,4 +448,95 @@ def source_overlap_matrix(
         (F.col("n_shared").cast("double") / F.col("n_a").cast("double")).alias(
             "containment"
         ),
+    )
+
+
+def mixture_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between the unigram token
+    distributions of corpus groups — the data-mixture diagnostic that says
+    how far two sources' language actually is apart before a mixing plan
+    weights them (0 = identical distributions, 1 = disjoint vocabularies).
+    The distributional sibling of ``source_overlap_matrix``: that measures
+    shared long-n-gram CONTENT (mirroring/leakage), this measures
+    statistical STYLE over single tokens, which catches "same topic,
+    different register" drift that containment misses.
+
+    Output: one row per unordered pair (group_a < group_b):
+    (group_a, group_b, shared_types, n_tokens_a, n_tokens_b, jsd), jsd
+    rounded to 4 (log2 is transcendental — cross-engine agreement is at
+    the 4-decimal contract like the cosine queries, not bit-exact).
+
+    JSD(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M), M = ½(P+Q).  Words present in only
+    one group contribute exactly half their probability mass (the
+    p·log2(2p/p) = p limit), so the sum decomposes into a SHARED-WORD term
+    plus (1 − shared mass) per side — no outer join against the union
+    vocabulary needed.
+
+    Scale shape: the corpus is touched ONCE — explode to (group, word),
+    one map-combinable count.  The per-word group expansion and the final
+    pair aggregate run over the vocab-bounded count relation (|vocab| ×
+    |groups| rows, millions not billions at 100 TB), and group totals ride
+    a broadcast.  Same single-pass discipline as source_overlap_matrix.
+    """
+    words = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens(normalize_text(text_col))).alias("_w"),
+    ).filter(F.col("_w") != "")
+    # persisted: consumed by the pair expansion AND the totals aggregate
+    cnt = (
+        words.groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .transform(scoped_persist)
+    )
+    totals = cnt.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    per_word = cnt.groupBy("_w").agg(
+        F.collect_list(F.struct("_g", "_c")).alias("_gs")
+    )
+    pairs = (
+        per_word.select(F.explode("_gs").alias("_a"), "_gs")
+        .select("_a", F.explode("_gs").alias("_b"))
+        .filter(F.col("_a._g") < F.col("_b._g"))
+        .select(
+            F.col("_a._g").alias("group_a"),
+            F.col("_a._c").alias("_ca"),
+            F.col("_b._g").alias("group_b"),
+            F.col("_b._c").alias("_cb"),
+        )
+    )
+    ta = F.broadcast(totals.select(F.col("_g").alias("group_a"), F.col("_n").alias("_na")))
+    tb = F.broadcast(totals.select(F.col("_g").alias("group_b"), F.col("_n").alias("_nb")))
+    pa = F.col("_ca").cast("double") / F.col("_na").cast("double")
+    pb = F.col("_cb").cast("double") / F.col("_nb").cast("double")
+    term = pa * F.log2(F.lit(2.0) * pa / (pa + pb)) + pb * F.log2(
+        F.lit(2.0) * pb / (pa + pb)
+    )
+    agg = (
+        pairs.join(ta, "group_a")
+        .join(tb, "group_b")
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.sum(term).alias("_t"),
+            F.sum("_ca").alias("_sca"),
+            F.sum("_cb").alias("_scb"),
+            F.count(F.lit(1)).alias("shared_types"),
+            F.max("_na").alias("n_tokens_a"),
+            F.max("_nb").alias("n_tokens_b"),
+        )
+    )
+    jsd = F.lit(0.5) * (
+        F.col("_t")
+        + (F.lit(1.0) - F.col("_sca").cast("double") / F.col("n_tokens_a").cast("double"))
+        + (F.lit(1.0) - F.col("_scb").cast("double") / F.col("n_tokens_b").cast("double"))
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        "shared_types",
+        "n_tokens_a",
+        "n_tokens_b",
+        F.round(jsd, 4).alias("jsd"),
     )

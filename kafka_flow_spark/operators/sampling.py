@@ -185,3 +185,42 @@ def stratified_sample(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n_max: int,
+) -> DataFrame:
+    """Deterministic per-group document cap — the domain-capping move every
+    web-corpus recipe applies (keep at most ``n_max`` docs per domain/
+    source so no single host dominates the mixture).  Survivors are chosen
+    by CONTENT-ADDRESSED rank (md5 bucket of ``key_col``, ties on the key),
+    so the capped subset is a reproducible uniform sample of the group:
+    stable across runs, engines, partitionings and cluster sizes — never
+    "whatever order the scan produced".
+
+    Output: the input columns + ``cap_rank`` (1-based rank within the
+    group), rows with cap_rank <= n_max only.
+
+    Scale shape: ONE shuffle on ``group_col`` + a per-group sort — the
+    standard ranked-window form.  A pathologically large group sorts its
+    full membership before the filter; if one domain holds billions of
+    rows, pre-thin with ``hash_sample`` at fraction ~2·n_max/|group| first
+    (the hash orderings are identical, so pre-thinning at a safe margin
+    never changes the surviving set) — that two-stage form is the same
+    TakeOrdered-per-group discipline as exact_percentiles' cardinality
+    bound.
+    """
+    from pyspark.sql import Window
+
+    if n_max < 1:
+        raise ValueError(f"n_max must be >= 1, got {n_max}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col), F.col(key_col)
+    )
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= n_max)
+    )

@@ -28,6 +28,7 @@ from kafka_flow_spark.operators.curation import (
 from kafka_flow_spark.operators.dedup import minhash_lsh_pairs
 from kafka_flow_spark.operators.graph import dedup_clusters
 from kafka_flow_spark.operators.sampling import (
+    cap_per_group,
     fraction_threshold,
     hash_sample,
     rebalance_classes,
@@ -578,4 +579,72 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return source_overlap_matrix(
         load(spark, sf_dir, "documents"), "source", "text", shingle_n=3
+    )
+
+
+@register(
+    "q_mixture_divergence",
+    oracle="""
+    WITH w0 AS (
+      SELECT source AS g,
+             unnest(CASE WHEN trim(text) = '' THEN []
+                    ELSE string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+                    END) AS w
+      FROM documents),
+    w2 AS (SELECT g, w FROM w0 WHERE w <> ''),
+    c AS (SELECT g, w, COUNT(*) AS c FROM w2 GROUP BY 1, 2),
+    t AS (SELECT g, SUM(c) AS n FROM c GROUP BY 1),
+    p AS (SELECT a.g AS ga, a.c AS ca, b.g AS gb, b.c AS cb
+          FROM c a JOIN c b ON a.w = b.w AND a.g < b.g),
+    s AS (SELECT ga, gb,
+                 SUM((CAST(ca AS DOUBLE) / ta.n) * log2(2.0 * (CAST(ca AS DOUBLE) / ta.n)
+                     / ((CAST(ca AS DOUBLE) / ta.n) + (CAST(cb AS DOUBLE) / tb.n)))
+                   + (CAST(cb AS DOUBLE) / tb.n) * log2(2.0 * (CAST(cb AS DOUBLE) / tb.n)
+                     / ((CAST(ca AS DOUBLE) / ta.n) + (CAST(cb AS DOUBLE) / tb.n)))) AS term,
+                 SUM(ca) AS sca, SUM(cb) AS scb, COUNT(*) AS shared_types,
+                 MAX(ta.n) AS n_tokens_a, MAX(tb.n) AS n_tokens_b
+          FROM p JOIN t ta ON ta.g = p.ga JOIN t tb ON tb.g = p.gb
+          GROUP BY 1, 2)
+    SELECT ga AS group_a, gb AS group_b, shared_types,
+           CAST(n_tokens_a AS BIGINT) AS n_tokens_a,
+           CAST(n_tokens_b AS BIGINT) AS n_tokens_b,
+           ROUND(0.5 * (term + (1.0 - CAST(sca AS DOUBLE) / n_tokens_a)
+                             + (1.0 - CAST(scb AS DOUBLE) / n_tokens_b)), 4) AS jsd
+    FROM s
+    """,
+)
+def q_mixture_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (operators/curation.py mixture_divergence) — the
+    data-mixture drift diagnostic next to q_source_overlap's containment
+    matrix.  4-decimal contract (log2 is transcendental; everything before
+    the logs is exact integer-count arithmetic mirrored in the oracle)."""
+    from kafka_flow_spark.operators.curation import mixture_divergence
+
+    return mixture_divergence(load(spark, sf_dir, "documents"), "source", "text")
+
+
+@register(
+    "q_cap_per_source",
+    oracle="""
+    SELECT doc_id, source, cap_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 6),
+                        CAST(doc_id AS VARCHAR)) AS cap_rank
+      FROM documents)
+    WHERE cap_rank <= 120
+    """,
+)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping (operators/sampling.py cap_per_group): at most 120
+    docs per source, chosen by content-addressed md5 rank — the
+    no-single-host-dominates move of every web-corpus recipe, reproducible
+    across engines (the oracle reproduces the exact surviving set)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    return cap_per_group(docs, "source", "_key", n_max=120).select(
+        "doc_id", "source", "cap_rank"
     )

@@ -804,3 +804,56 @@ def test_source_overlap_matrix_hand_checked(spark):
     # C shares nothing: absent from the matrix entirely
     assert all("C" not in k for k in out)
     assert set(out) == {("A", "B"), ("B", "A")}
+
+
+# --- mixture_divergence ---
+
+def test_mixture_divergence_hand_checked(spark):
+    """Identical distributions -> jsd 0; disjoint vocabularies -> jsd 1;
+    a hand-worked middle case."""
+    import math
+
+    from kafka_flow_spark.operators.curation import mixture_divergence
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x x y"), ("a", "y"),          # a: x:2 y:2
+            ("b", "x y x y"),                     # b: x:2 y:2  (= a)
+            ("c", "z z w"),                       # c: disjoint from a and b
+            ("d", "x x x y"),                     # d: x:3 y:1
+        ],
+        "src STRING, text STRING",
+    )
+    out = {(r["group_a"], r["group_b"]): r for r in
+           mixture_divergence(df, "src", "text").collect()}
+    assert out[("a", "b")]["jsd"] == 0.0
+    # disjoint pairs: only the (1 - 0) + (1 - 0) halves -> 1.0; no shared
+    # words means no row is emitted (shared-pair relation is empty), so
+    # disjoint pairs are absent by contract
+    assert ("a", "c") not in out
+    # hand-worked a-vs-d: p=(.5,.5), q=(.75,.25)
+    px, qx = 0.5, 0.75
+    py, qy = 0.5, 0.25
+    want = 0.5 * (
+        px * math.log2(2 * px / (px + qx)) + qx * math.log2(2 * qx / (px + qx))
+        + py * math.log2(2 * py / (py + qy)) + qy * math.log2(2 * qy / (py + qy))
+    )
+    assert abs(out[("a", "d")]["jsd"] - round(want, 4)) <= 1e-4
+    assert out[("a", "d")]["shared_types"] == 2
+    assert out[("a", "d")]["n_tokens_a"] == 4 and out[("a", "d")]["n_tokens_b"] == 4
+
+
+def test_mixture_divergence_symmetric_in_value(spark):
+    """JSD is symmetric; the operator emits each unordered pair once with
+    group_a < group_b, and swapping the group LABELS leaves jsd unchanged."""
+    from kafka_flow_spark.operators.curation import mixture_divergence
+
+    rows = [("a", "p q r p"), ("b", "q r s s s")]
+    df1 = spark.createDataFrame(rows, "src STRING, text STRING")
+    df2 = spark.createDataFrame(
+        [("b" if g == "a" else "a", t) for g, t in rows], "src STRING, text STRING"
+    )
+    [r1] = mixture_divergence(df1, "src", "text").collect()
+    [r2] = mixture_divergence(df2, "src", "text").collect()
+    assert r1["jsd"] == r2["jsd"]
+    assert (r1["group_a"], r1["group_b"]) == (r2["group_a"], r2["group_b"]) == ("a", "b")

@@ -262,3 +262,39 @@ def test_rebalance_rejects_bad_target(spark):
 
     with _pytest.raises(ValueError):
         rebalance_classes(df, ["grp"], "_key", target_n=0)
+
+
+# --- cap_per_group ---
+
+def test_cap_per_group_properties(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(str(i), "big" if i < 80 else "small") for i in range(100)],
+        "k STRING, g STRING",
+    )
+    out = cap_per_group(df, "g", "k", n_max=10)
+    per = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per["big"] == 10          # capped
+    assert per["small"] == 10        # group of 20 -> capped at 10 too
+    small_all = cap_per_group(df.where("g = 'small'"), "g", "k", n_max=50)
+    assert small_all.count() == 20   # n_max above group size keeps everything
+    # deterministic and partition-invariant: same surviving keys
+    a = {r["k"] for r in out.collect()}
+    b = {r["k"] for r in cap_per_group(df.repartition(7), "g", "k", n_max=10).collect()}
+    assert a == b
+    # rank is 1..n_max dense per group
+    ranks = sorted(r["cap_rank"] for r in out.where("g = 'big'").collect())
+    assert ranks == list(range(1, 11))
+
+
+def test_cap_per_group_rejects_bad_n(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame([("1", "a")], "k STRING, g STRING")
+    with _pytest.raises(ValueError):
+        cap_per_group(df, "g", "k", n_max=0)
