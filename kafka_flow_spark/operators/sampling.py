@@ -204,23 +204,34 @@ def cap_per_group(
     Output: the input columns + ``cap_rank`` (1-based rank within the
     group), rows with cap_rank <= n_max only.
 
-    Scale shape: ONE shuffle on ``group_col`` + a per-group sort — the
-    standard ranked-window form.  A pathologically large group sorts its
-    full membership before the filter; if one domain holds billions of
-    rows, pre-thin with ``hash_sample`` at fraction ~2·n_max/|group| first
-    (the hash orderings are identical, so pre-thinning at a safe margin
-    never changes the surviving set) — that two-stage form is the same
-    TakeOrdered-per-group discipline as exact_percentiles' cardinality
-    bound.
+    Scale shape — two-stage TakeOrdered-per-group, NOT a naive
+    window-per-group: a single ``Window.partitionBy(group)`` funnels the
+    whole corpus into |groups| reducers, which dies when the group column
+    is low-cardinality (a 10-source 100 TB corpus would sort on 10 cores).
+    Stage 1 ranks within (group, input-partition) — a BALANCED shuffle
+    into |groups|×|partitions| buckets — and keeps each bucket's local
+    top-n_max: lossless, because a row in the global per-group top-n_max
+    is in its own bucket's top-n_max under the same total order, for ANY
+    partition assignment.  Stage 2 ranks exactly over the bounded
+    survivor set (≤ |groups|·|partitions|·n_max rows).  Same result as
+    the naive form (pinned by the oracle + partition-invariance test),
+    one balanced corpus shuffle + one tiny shuffle.
     """
     from pyspark.sql import Window
 
     if n_max < 1:
         raise ValueError(f"n_max must be >= 1, got {n_max}")
-    w = Window.partitionBy(group_col).orderBy(
-        hash_bucket(key_col), F.col(key_col)
+    pre = df.withColumn("_cb", hash_bucket(key_col)).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    w1 = Window.partitionBy(group_col, "_pid").orderBy("_cb", F.col(key_col))
+    survivors = (
+        pre.withColumn("_lr", F.row_number().over(w1))
+        .filter(F.col("_lr") <= n_max)
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_cb", F.col(key_col))
     return (
-        df.withColumn("cap_rank", F.row_number().over(w))
+        survivors.withColumn("cap_rank", F.row_number().over(w2))
         .filter(F.col("cap_rank") <= n_max)
+        .drop("_cb", "_pid", "_lr")
     )
