@@ -1,0 +1,183 @@
+"""Importance-resampling data selection (DSIR-style).
+
+Selects training documents whose hashed n-gram profile looks like a TARGET
+domain, by importance weight under two smoothed bag-of-hashed-bigrams models
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling" — the hashed-ngram variant, which is the one that scales).
+
+Reference parity note: the reference engine (evolution-gaming/kafka-flow) has
+no data-selection surface; this belongs to the training-data-pipeline family
+the brief adds on top (SURVEY.md §2 LLM-pipeline block, alongside
+dedup/curation/quality).
+
+Determinism contract (oracle-gated): every count is an integer; the per-bucket
+log-ratio is ONE double division of two bigints followed by ONE ln, rounded to
+a scaled BIGINT (micro-nats).  Per-document weights are then exact bigint sums
+of those bucket integers — order-independent, so Spark and DuckDB agree
+bit-for-bit as long as ln() agrees on the finite set of actual bucket ratios
+(pinned by tests/test_selection.py::test_logratio_cross_engine on real data).
+
+Scale shape (100 TB read):
+- pass 1 (model fit): explode bigrams -> md5 bucket -> map-combinable
+  groupBy(bucket) count.  The model is <= n_buckets rows (default 4096) —
+  broadcast material by construction, independent of corpus size.
+- pass 2 (scoring): re-explode bigrams -> broadcast-join the bucket model ->
+  map-combinable groupBy(doc) sum.  No shuffle carries text; the only
+  wide exchanges are the two integer aggregations.
+- The (doc_id, bucket) projection between passes is scoped_persist-ed
+  (ints only, released by cache.release_all) purely to skip re-tokenizing;
+  dropping the persist changes nothing but CPU.
+- top-k select is TakeOrderedAndProject (bounded k at the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.cache import scoped_persist
+
+DEFAULT_BUCKETS = 4096
+LOG_SCALE = 1_000_000  # micro-nats: lr_scaled = round(ln(ratio) * 1e6)
+
+
+def _norm_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens — the shared cross-engine tokenizer
+    (mirrors the oracle's string_split_regex(trim(lower(...))))."""
+    t = F.trim(F.lower(F.regexp_replace(text, r"\s+", " ")))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+
+
+def _bigram_bucket(toks: Column, n_buckets: int) -> Column:
+    """Hashed adjacent-word bigrams: md5 first 6 hex digits mod n_buckets.
+    Same fold the sampling module uses (sampling.hash_bucket), so the DuckDB
+    mirror is the established Horner-fold idiom."""
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 6), 16, 10)
+        .cast("long")
+        % n_buckets,
+    )
+
+
+def doc_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(id, bucket, is_target) — one row per bigram OCCURRENCE (weights count
+    multiplicity, per the paper's bag-of-ngrams)."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            is_target.alias("_is_t"),
+            _norm_tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select("_id", "_is_t", F.explode(_bigram_bucket(F.col("_toks"), n_buckets)).alias("bucket"))
+    )
+
+
+def bucket_logratios(buckets: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Per-bucket scaled log importance ratio.
+
+    lr_scaled(b) = round(ln( ((t_b+1) * (R+B)) / ((r_b+1) * (T+B)) ) * 1e6)
+
+    with t_b/r_b the target/raw occurrence counts of bucket b, T/R the global
+    totals, B the bucket count (add-one smoothing on every bucket).  Both
+    products fit comfortably in bigint (counts are << 2^31 even at 100 TB per
+    bucket after hashing spreads mass).  Output <= B rows.
+    """
+    counts = buckets.groupBy("bucket").agg(
+        F.sum(F.col("_is_t").cast("long")).alias("t_cnt"),
+        F.sum((~F.col("_is_t")).cast("long")).alias("r_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    b = F.lit(n_buckets).cast("long")
+    num = (F.col("t_cnt") + 1) * (F.col("r_tot") + b)
+    den = (F.col("r_cnt") + 1) * (F.col("t_tot") + b)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "t_cnt",
+            "r_cnt",
+            F.round(F.log(num.cast("double") / den.cast("double")) * LOG_SCALE)
+            .cast("long")
+            .alias("lr_scaled"),
+        )
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-document importance weight: exact bigint sum of bucket log-ratios
+    over the document's bigram occurrences.  Documents with no bigrams (< 2
+    tokens) are absent from the output — they carry no evidence either way.
+
+    Columns: id_col, n_grams (bigram occurrences), weight_scaled (micro-nats).
+    """
+    raw = doc_buckets(df, text_col, id_col, is_target, n_buckets)
+    buckets = scoped_persist(raw)
+    lr = bucket_logratios(buckets, n_buckets)
+    return (
+        buckets.join(F.broadcast(lr.select("bucket", "lr_scaled")), "bucket")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr_scaled").alias("weight_scaled"),
+        )
+    )
+
+
+def select_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    k: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Top-k RAW documents by importance weight (target docs are the model,
+    not candidates), deterministic tie-break on id.  The rank is a global
+    TakeOrderedAndProject over per-doc integer weights — bounded-k driver
+    material, no full sort at scale."""
+    from pyspark.sql.window import Window
+
+    w = importance_weights(df, text_col, id_col, is_target, n_buckets)
+    cand = w.join(
+        df.where(~is_target).select(F.col(id_col)).distinct(), id_col
+    )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — distributed
+    # partial top-k per partition, k rows merged at the driver.  The explicit
+    # rank window then runs over <= k rows only.
+    topk = cand.orderBy(F.col("weight_scaled").desc(), F.col(id_col)).limit(k)
+    ranked = topk.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("weight_scaled").desc(), F.col(id_col))
+        ),
+    )
+    return ranked.select(
+        id_col, "n_grams", "weight_scaled", F.col("rank").cast("int").alias("rank")
+    )

@@ -648,3 +648,62 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "source", "_key", n_max=120).select(
         "doc_id", "source", "cap_rank"
     )
+
+
+# --- DSIR importance resampling -------------------------------------------
+
+# DuckDB mirror of operators/selection.py: hashed-bigram buckets, add-one
+# smoothed target/raw models, micro-nat bigint log-ratios, exact integer
+# per-doc weights.  Shared md5 Horner fold (the _U_EXPR idiom) keeps the
+# bucket assignment bit-identical across engines.
+_DSIR_B = 4096
+_DSIR_K = 200
+_DSIR_TOKS = """
+    CASE WHEN trim(text) = '' THEN []
+         ELSE string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') END
+"""
+
+
+@register(
+    "q_dsir_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source = 'src0' AS is_t, {_DSIR_TOKS} AS toks
+      FROM documents),
+    pr0 AS (SELECT doc_id, is_t, toks, UNNEST(range(len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2),
+    g AS (SELECT doc_id, is_t, toks[i + 1] || ' ' || toks[i + 2] AS gram FROM pr0),
+    b AS (SELECT doc_id, is_t,
+            list_reduce(list_transform(range(1, 7), d ->
+              CAST(strpos('0123456789abcdef', substr(md5(gram), d, 1)) - 1 AS BIGINT)),
+              (a, b) -> a * 16 + b) % {_DSIR_B} AS bucket
+          FROM g),
+    c AS (SELECT bucket,
+                 SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt,
+                 SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS r_cnt
+          FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(t_cnt) AS t_tot, SUM(r_cnt) AS r_tot FROM c),
+    lr AS (SELECT bucket,
+             CAST(ROUND(LN(CAST((t_cnt + 1) * (r_tot + {_DSIR_B}) AS DOUBLE)
+                           / CAST((r_cnt + 1) * (t_tot + {_DSIR_B}) AS DOUBLE))
+                        * 1000000) AS BIGINT) AS lr_scaled
+           FROM c CROSS JOIN tot),
+    w AS (SELECT b.doc_id, COUNT(*) AS n_grams, SUM(lr.lr_scaled) AS weight_scaled
+          FROM b JOIN lr USING (bucket) GROUP BY b.doc_id)
+    SELECT w.doc_id, w.n_grams, w.weight_scaled,
+           CAST(ROW_NUMBER() OVER (ORDER BY w.weight_scaled DESC, w.doc_id) AS INT) AS rank
+    FROM w JOIN documents d ON w.doc_id = d.doc_id
+    WHERE NOT (d.source = 'src0')
+    QUALIFY rank <= {_DSIR_K}
+    """,
+)
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: top-200 raw documents whose hashed-bigram profile
+    is most target-like (target domain = source 'src0'), by exact micro-nat
+    importance weight — operators/selection.py."""
+    from kafka_flow_spark.operators.selection import select_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return select_topk(
+        docs, "text", "doc_id", F.col("source") == "src0", k=_DSIR_K, n_buckets=_DSIR_B
+    )

@@ -1,0 +1,158 @@
+"""DSIR importance resampling (operators/selection.py).
+
+The oracle gate (tests/test_oracle_parity.py picks up q_dsir_sample
+automatically) proves end-to-end equality; the tests here pin the pieces the
+oracle can't isolate: the ln-boundary determinism contract on real data, an
+independent numpy re-derivation of the weights, and the selection semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators.selection import (
+    DEFAULT_BUCKETS,
+    LOG_SCALE,
+    bucket_logratios,
+    doc_buckets,
+    importance_weights,
+    select_topk,
+)
+from tests.conftest import SF_MED
+
+
+def _py_bucket(gram: str, n_buckets: int) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:6], 16) % n_buckets
+
+
+def _py_weights(docs, n_buckets):
+    """Independent reference: pure-python DSIR weights for [(id, text, is_t)]."""
+    from collections import Counter, defaultdict
+
+    per_doc = {}
+    t_cnt, r_cnt = Counter(), Counter()
+    for doc_id, text, is_t in docs:
+        toks = " ".join(text.lower().split()).split(" ") if text.strip() else []
+        buckets = [
+            _py_bucket(f"{a} {b}", n_buckets) for a, b in zip(toks, toks[1:])
+        ]
+        per_doc[doc_id] = (buckets, is_t)
+        (t_cnt if is_t else r_cnt).update(buckets)
+    t_tot, r_tot = sum(t_cnt.values()), sum(r_cnt.values())
+    lr = {}
+    for b in set(t_cnt) | set(r_cnt):
+        num = (t_cnt[b] + 1) * (r_tot + n_buckets)
+        den = (r_cnt[b] + 1) * (t_tot + n_buckets)
+        lr[b] = round(math.log(num / den) * LOG_SCALE)
+    return {
+        doc_id: (len(buckets), sum(lr[b] for b in buckets))
+        for doc_id, (buckets, is_t) in per_doc.items()
+        if buckets
+    }
+
+
+CORPUS = [
+    # target domain: spark-ish jargon
+    (0, "spark shuffle partition spark shuffle partition join", True),
+    (1, "broadcast join shuffle partition codegen stage", True),
+    (2, "spark shuffle partition broadcast join", True),
+    # raw: one target-like, one neutral, one anti-target, one tiny
+    (10, "spark shuffle partition broadcast join codegen", False),
+    (11, "the cat sat on the mat and purred loudly", False),
+    (12, "recipe flour sugar butter oven bake cake frosting", False),
+    (13, "one", False),  # no bigrams -> absent from weights
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, is_t=b) for i, t, b in CORPUS]
+    )
+
+
+def test_weights_match_python_reference(spark, corpus_df):
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight_scaled"])
+        for r in importance_weights(
+            corpus_df, "text", "doc_id", F.col("is_t"), n_buckets=256
+        ).collect()
+    }
+    assert got == _py_weights(CORPUS, 256)
+
+
+def test_topk_selects_target_like_raw_docs(spark, corpus_df):
+    rows = select_topk(
+        corpus_df, "text", "doc_id", F.col("is_t"), k=3, n_buckets=256
+    ).collect()
+    ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    # only raw docs are candidates; the target-jargon doc must rank first
+    # with a positive weight, the two off-domain docs below it with negative
+    # weights (weight magnitude scales with doc gram count — faithful DSIR)
+    assert set(ids) <= {10, 11, 12}
+    assert ids[0] == 10
+    by_id = {r["doc_id"]: r["weight_scaled"] for r in rows}
+    assert by_id[10] > 0 > by_id[11]
+    assert by_id[12] < 0
+    # weights ordering is strict and ranks are 1..n
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, len(rows) + 1)
+    )
+
+
+def test_no_bigram_docs_absent(spark, corpus_df):
+    w = importance_weights(corpus_df, "text", "doc_id", F.col("is_t"), n_buckets=256)
+    assert 13 not in {r["doc_id"] for r in w.collect()}
+
+
+def test_logratio_cross_engine(spark):
+    """ln determinism pin: Spark's per-bucket lr_scaled must equal DuckDB's on
+    the REAL sf0.01 bucket table — the finite input set the oracle gate will
+    exercise.  A failure here means an ln() ulp landed on a round() boundary
+    (switch LOG_SCALE or nudge, see ADVICE r5 percentile precedent)."""
+    import duckdb
+
+    from kafka_flow_spark.tables import load
+
+    docs = load(spark, SF_MED, "documents")
+    b = doc_buckets(docs, "text", "doc_id", F.col("source") == "src0")
+    got = {
+        r["bucket"]: r["lr_scaled"]
+        for r in bucket_logratios(b, DEFAULT_BUCKETS).collect()
+    }
+    B = DEFAULT_BUCKETS
+    want = {
+        bucket: lr
+        for bucket, lr in duckdb.sql(f"""
+        WITH t AS (
+          SELECT doc_id, source = 'src0' AS is_t,
+            CASE WHEN trim(text) = '' THEN []
+                 ELSE string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+            END AS toks
+          FROM '{SF_MED}/documents.parquet'),
+        pr0 AS (SELECT doc_id, is_t, toks, UNNEST(range(len(toks) - 1)) AS i
+                FROM t WHERE len(toks) >= 2),
+        g AS (SELECT is_t, toks[i + 1] || ' ' || toks[i + 2] AS gram FROM pr0),
+        b AS (SELECT is_t,
+                list_reduce(list_transform(range(1, 7), d ->
+                  CAST(strpos('0123456789abcdef', substr(md5(gram), d, 1)) - 1 AS BIGINT)),
+                  (a, b) -> a * 16 + b) % {B} AS bucket
+              FROM g),
+        c AS (SELECT bucket,
+                     SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt,
+                     SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS r_cnt
+              FROM b GROUP BY bucket),
+        tot AS (SELECT SUM(t_cnt) AS t_tot, SUM(r_cnt) AS r_tot FROM c)
+        SELECT bucket,
+               CAST(ROUND(LN(CAST((t_cnt + 1) * (r_tot + {B}) AS DOUBLE)
+                             / CAST((r_cnt + 1) * (t_tot + {B}) AS DOUBLE))
+                          * 1000000) AS BIGINT)
+        FROM c CROSS JOIN tot
+        """).fetchall()
+    }
+    assert got == want
