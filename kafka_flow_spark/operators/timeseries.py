@@ -235,3 +235,60 @@ def cohort_retention(
             .alias("retention"),
         )
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    frac_digits: int = 2,
+) -> DataFrame:
+    """Trailing time-RANGE rolling count/sum/avg of ``value_col`` per key:
+    for every event, aggregates over the key's events in
+    ``[ts - window_seconds, ts]`` (inclusive both ends — SQL RANGE frame
+    semantics).
+
+    The moving SUM runs on unscaled integer cents, which makes it exact and
+    ORDER-INDEPENDENT — load-bearing for oracle parity, because engines
+    disagree on moving-aggregate evaluation order (DuckDB uses a segment
+    tree, Spark re-scans bounded frames); double sums would drift in the
+    last ulp.  One decimal rescale surfaces the double, one division + 4dp
+    round the average (both single deterministic ops).
+
+    Scale shape: ONE shuffle on the key, one ordered window pass per
+    partition; the RANGE frame is O(frame span) per row with no state beyond
+    the frame.  Key cardinality (users) provides the parallelism — no
+    global window, no driver state.
+    """
+    from kafka_flow_spark.functions import cents, unscaled
+
+    # NTZ -> LTZ is an exact identity on the stored micros (session timezone
+    # is pinned UTC in session.py); unix_micros rejects TIMESTAMP_NTZ input.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    sum_cents = F.sum(cents(value_col, frac_digits)).over(w)
+    n = F.count(F.lit(1)).over(w)
+    roll_sum = unscaled(sum_cents, frac_digits)
+    # 4dp average WITHOUT F.round: Spark rounds the shortest-decimal string
+    # (BigDecimal.valueOf) while DuckDB rounds the binary value, so ROUND(x,4)
+    # disagrees exactly on the .00005-boundary quotients a cents/count
+    # division constantly produces.  Instead: round-half-away-from-zero in
+    # explicit arithmetic — floor((2|s|+n)/(2n)) on doubles — which both
+    # engines evaluate bit-identically (exact below 2^53 numerators).
+    s4 = (sum_cents * F.lit(100)).cast("double")  # 1e-4 units
+    nd = n.cast("double")
+    avg_scaled = (
+        F.signum(s4) * F.floor((F.abs(s4) * 2 + nd) / (nd * 2))
+    ).cast("long")
+    return df.select(
+        "*",
+        n.alias("roll_n"),
+        roll_sum.alias("roll_sum"),
+        unscaled(avg_scaled, 4).alias("roll_avg"),
+    )

@@ -548,3 +548,38 @@ def funnel_via_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id BIGINT, t1 TIMESTAMP_NTZ, t2 TIMESTAMP_NTZ, t3 TIMESTAMP_NTZ, depth INT",
         finish,
     )
+
+
+_ROLL_7D_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "q_rolling_user_value_7d",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+             CAST(value AS DECIMAL(18,2)) AS dv
+      FROM events)
+    , win AS (
+      SELECT event_id, user_id,
+             COUNT(*) OVER w AS roll_n,
+             CAST(SUM(dv) OVER w AS DOUBLE) AS roll_sum,
+             CAST(CAST(SUM(dv) OVER w * 100 AS BIGINT) * 100 AS DOUBLE) AS s4
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, roll_n, roll_sum,
+           (SIGN(s4) * FLOOR((ABS(s4) * 2 + roll_n) / (roll_n * 2))) / 10000.0 AS roll_avg
+    FROM win
+    """,
+)
+def q_rolling_user_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-day rolling count/sum/avg of event value at every
+    event — the time-RANGE window frame (operators/timeseries.rolling_stats;
+    integer-cents moving sum for cross-engine exactness)."""
+    from kafka_flow_spark.operators.timeseries import rolling_stats
+
+    events = load(spark, sf_dir, "events")
+    return rolling_stats(events, "user_id", "ts", "value", 7 * 86400).select(
+        "event_id", "user_id", "roll_n", "roll_sum", "roll_avg"
+    )

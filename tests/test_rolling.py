@@ -1,0 +1,62 @@
+"""rolling_stats (operators/timeseries.py) — trailing time-RANGE frame.
+
+Oracle gate: q_rolling_user_value_7d in tests/test_oracle_parity.py.
+Here: hand-built frame-boundary semantics (inclusive both ends, µs
+granularity) and the exact-average contract.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from kafka_flow_spark.operators.timeseries import rolling_stats
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(eid, us_offset, value, user=1):
+    return Row(
+        event_id=eid,
+        user_id=user,
+        ts=T0 + dt.timedelta(microseconds=us_offset),
+        value=value,
+    )
+
+
+def test_frame_is_inclusive_both_ends_at_us_granularity(spark):
+    window_s = 10
+    rows = [
+        _ev(0, 0, 1.0),
+        _ev(1, 10 * 1_000_000, 2.0),  # exactly window_s after e0 -> includes e0
+        _ev(2, 20 * 1_000_000, 4.0),  # frame [10s, 20s] -> includes e1, not e0
+        _ev(3, 30 * 1_000_000 + 1, 8.0),  # frame [20.000001, 30.000001]:
+        # e2 at 20.000000s is 1µs below the lower bound -> excluded
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["event_id"]: (r["roll_n"], r["roll_sum"], r["roll_avg"])
+        for r in rolling_stats(df, "user_id", "ts", "value", window_s).collect()
+    }
+    assert got[0] == (1, 1.0, 1.0)
+    assert got[1] == (2, 3.0, 1.5)  # boundary event included (inclusive frame)
+    assert got[2] == (2, 6.0, 3.0)  # e0 aged out, e1 on the boundary stays
+    assert got[3] == (1, 8.0, 8.0)  # µs-exact exclusion just past the bound
+
+
+def test_keys_are_independent_and_negative_values_average_exactly(spark):
+    rows = [
+        _ev(0, 0, -1.11, user=1),
+        _ev(1, 1, -2.22, user=1),
+        _ev(2, 0, 5.0, user=2),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["event_id"]: (r["roll_n"], r["roll_sum"], r["roll_avg"])
+        for r in rolling_stats(df, "user_id", "ts", "value", 60).collect()
+    }
+    assert got[0] == (1, -1.11, -1.11)
+    # -3.33 / 2 = -1.665 -> half-away-from-zero at 4dp = -1.665
+    assert got[1] == (2, -3.33, -1.665)
+    assert got[2] == (1, 5.0, 5.0)
