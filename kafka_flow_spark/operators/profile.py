@@ -243,3 +243,44 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier flagging: rows where
+    |value - median| > k * MAD (median absolute deviation).
+
+    ``value_col`` must be integer-typed (convert money/doubles with
+    functions.cents first): both order statistics then come from
+    ``exact_percentiles_disc`` — counting-sort over value cardinality, exact
+    and engine-reproducible — and the comparison |v - med| > k*mad is pure
+    bigint arithmetic.  Robust-z via MAD is the standard outlier rule where
+    mean/stddev are themselves distorted by the outliers being hunted.
+
+    Scale shape: two counting-sort percentile passes (each map-combinable
+    groupBy + a window over DISTINCT values) and two broadcast joins of the
+    per-group stats (one row per group — group cardinality must be broadcast
+    material, the same contract every per-group-stats join here carries).
+    Rows flow through ONE filter; no row-volume window, no driver state.
+
+    Output: the input rows (minus internals) + med, abs_dev, mad, filtered
+    to outliers only.  Groups with MAD = 0 (majority-constant values) flag
+    every row off the median — the textbook MAD degenerate case; pre-filter
+    or raise k if that is unwanted.
+    """
+    med = exact_percentiles_disc(df, value_col, group_cols, (0.5,)).select(
+        *group_cols, F.col("p_50").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "abs_dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = exact_percentiles_disc(dev, "abs_dev", group_cols, (0.5,)).select(
+        *group_cols, F.col("p_50").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), group_cols).where(
+        F.col("abs_dev") > F.lit(int(k)) * F.col("mad")
+    )

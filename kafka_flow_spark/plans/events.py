@@ -583,3 +583,60 @@ def q_rolling_user_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_stats(events, "user_id", "ts", "value", 7 * 86400).select(
         "event_id", "user_id", "roll_n", "roll_sum", "roll_avg"
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM events),
+    c1 AS (SELECT event_type, vc, COUNT(*) AS cnt FROM e GROUP BY event_type, vc),
+    w1 AS (SELECT event_type, vc, cnt,
+                  SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  SUM(cnt) OVER (PARTITION BY event_type) AS n
+           FROM c1),
+    med AS (SELECT event_type,
+                   MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE) - 1e-9
+                            THEN vc END) AS med
+            FROM w1 GROUP BY event_type),
+    dev AS (SELECT e.event_id, e.event_type, e.vc, m.med,
+                   ABS(e.vc - m.med) AS abs_dev
+            FROM e JOIN med m USING (event_type)),
+    c2 AS (SELECT event_type, abs_dev, COUNT(*) AS cnt FROM dev GROUP BY event_type, abs_dev),
+    w2 AS (SELECT event_type, abs_dev, cnt,
+                  SUM(cnt) OVER (PARTITION BY event_type ORDER BY abs_dev
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  SUM(cnt) OVER (PARTITION BY event_type) AS n
+           FROM c2),
+    mad AS (SELECT event_type,
+                   MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE) - 1e-9
+                            THEN abs_dev END) AS mad
+            FROM w2 GROUP BY event_type)
+    SELECT dev.event_id, dev.event_type, dev.vc AS value_cents,
+           dev.med AS med_cents, dev.abs_dev AS dev_cents, mad.mad AS mad_cents
+    FROM dev JOIN mad USING (event_type)
+    WHERE dev.abs_dev > 3 * mad.mad
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers per event type: |value - median| > 3 * MAD, all in
+    exact integer cents (operators/profile.mad_outliers — two counting-sort
+    percentile passes + broadcast stat joins)."""
+    from kafka_flow_spark.functions import cents
+    from kafka_flow_spark.operators.profile import mad_outliers
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("value_cents")
+    )
+    out = mad_outliers(e, "value_cents", ["event_type"], k=3)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value_cents",
+        F.col("med").alias("med_cents"),
+        F.col("abs_dev").alias("dev_cents"),
+        F.col("mad").alias("mad_cents"),
+    )

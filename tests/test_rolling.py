@@ -60,3 +60,22 @@ def test_keys_are_independent_and_negative_values_average_exactly(spark):
     # -3.33 / 2 = -1.665 -> half-away-from-zero at 4dp = -1.665
     assert got[1] == (2, -3.33, -1.665)
     assert got[2] == (1, 5.0, 5.0)
+
+
+# --- mad_outliers (operators/profile.py) ----------------------------------
+
+
+def test_mad_outliers_hand_worked(spark):
+    from pyspark.sql import Row
+
+    from kafka_flow_spark.operators.profile import mad_outliers
+
+    # group a: values 1..7 plus a wild 100 -> n=8, sorted [1..7,100]
+    # med (disc, ceil(0.5*8)=4th) = 4; devs [3,2,1,0,1,2,3,96] sorted
+    # [0,1,1,2,2,3,3,96] -> mad = 4th = 2; outliers: dev > 6 -> only 100
+    rows = [Row(id=i, g="a", v=v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 100])]
+    # group b: constant -> mad 0, every off-median row flags (documented)
+    rows += [Row(id=10, g="b", v=5), Row(id=11, g="b", v=5), Row(id=12, g="b", v=9)]
+    out = mad_outliers(spark.createDataFrame(rows), "v", ["g"], k=3).collect()
+    got = {(r["id"]): (r["med"], r["abs_dev"], r["mad"]) for r in out}
+    assert got == {7: (4, 96, 2), 12: (5, 4, 0)}
