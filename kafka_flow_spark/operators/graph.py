@@ -127,3 +127,71 @@ def dedup_clusters(
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping: tuple[int, int] = (85, 100),
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic.
+
+    Ranks are unscaled integers (``scale`` = 1.0 of total mass / N at init);
+    every step is bigint ``div`` division:
+
+        base        = (d_den - d_num) * scale // (d_den * N)
+        r_{i+1}(v)  = base + d_num * SUM_{u->v}( r_i(u) // outdeg(u) ) // d_den
+
+    Floor division loses a few units of mass per step (bounded by N * iters
+    ulps of the scaled domain — at scale 1e12 that is a 1e-12-relative bias),
+    in exchange for bit-reproducibility on ANY engine with 64-bit integer
+    division — no float summation order, no ln/round divergence.  Dangling
+    nodes are absent by construction when the caller passes a symmetrized
+    (undirected) edge set; with directed edges their mass is dropped (the
+    standard simplification — document per use).
+
+    Scale shape: outdeg is ONE map-combinable aggregate; each iteration is
+    one equi-join of ranks onto edges (both hash-partitioned on src — AQE
+    co-partitions, skewed hubs split by skew-join) + one map-combinable
+    groupBy(dst) SUM + one left join onto the node set.  Lineage is
+    truncated per round (localCheckpoint — swap for checkpoint() on a
+    cluster), so plan depth stays constant.  N is one bounded scalar
+    aggregate.  Output: (node, rank_scaled), one row per node.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    d_num, d_den = damping
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ewd = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()  # one scalar — bounded driver value, like CC's checksum
+    base = (d_den - d_num) * scale // (d_den * n)
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            ewd.join(ranks, ewd.src == ranks.node)
+            .select("dst", F.expr("r div outdeg").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({d_num} * coalesce(_s, 0L)) div {d_den}")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

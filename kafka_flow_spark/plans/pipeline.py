@@ -707,3 +707,69 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_topk(
         docs, "text", "doc_id", F.col("source") == "src0", k=_DSIR_K, n_buckets=_DSIR_B
     )
+
+
+# --- PageRank (iterative, exact integer arithmetic) ------------------------
+
+_PR_ITERS = 5
+_PR_SCALE = 10**12
+_PR_DN, _PR_DD = 85, 100
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled DuckDB mirror of operators/graph.pagerank on the undirected
+    customer–supplier co-transaction graph: one CTE per iteration, all
+    integer // division — bit-identical to Spark's div loop."""
+    ctes = [
+        """pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)""",
+        """edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+             UNION ALL SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs)""",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, {_PR_SCALE} // n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT nodes.node,
+                 ({_PR_DD - _PR_DN} * {_PR_SCALE}::BIGINT) // ({_PR_DD} * nn.n)
+                 + ({_PR_DN} * COALESCE(SUM(r{i - 1}.r // deg.outdeg), 0)) // {_PR_DD} AS r
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN (edges JOIN r{i - 1} ON edges.src = r{i - 1}.node
+                     JOIN deg ON deg.src = edges.src)
+            ON edges.dst = nodes.node
+          GROUP BY nodes.node, nn.n)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{_PR_ITERS}"
+    )
+
+
+@register("q_pagerank_suppliers", oracle=_pagerank_oracle())
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration integer PageRank over the undirected customer–supplier
+    co-transaction graph (operators/graph.pagerank): node 2k = customer k,
+    node 2k+1 = supplier k; ranks in 1e-12 units of total mass."""
+    from kafka_flow_spark.operators.graph import pagerank
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        scale=_PR_SCALE,
+        damping=(_PR_DN, _PR_DD),
+    )

@@ -5,6 +5,7 @@ brute-force union-find truth at sf0.001."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 from kafka_flow_spark.operators.dedup import minhash_lsh_pairs
 from kafka_flow_spark.operators.graph import connected_components, dedup_clusters
@@ -126,3 +127,58 @@ def test_random_graph_matches_union_find(spark):
     non_loop_nodes = {x for a, b in edges if a != b for x in (a, b)}
     want = {n: uf.find(n) for n in non_loop_nodes}
     assert got == want
+
+
+# --- pagerank (integer arithmetic) ----------------------------------------
+
+
+def _py_pagerank(edge_list, iterations=5, scale=10**12, dn=85, dd=100):
+    """Independent reference: pure-python mirror of graph.pagerank."""
+    from collections import defaultdict
+
+    outdeg = defaultdict(int)
+    in_edges = defaultdict(list)
+    nodes = set()
+    for s, d in edge_list:
+        outdeg[s] += 1
+        in_edges[d].append(s)
+        nodes.update((s, d))
+    n = len(nodes)
+    base = (dd - dn) * scale // (dd * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        r = {
+            v: base + dn * sum(r[u] // outdeg[u] for u in in_edges[v]) // dd
+            for v in nodes
+        }
+    return r
+
+
+@pytest.mark.parametrize(
+    "edge_list",
+    [
+        [(1, 2), (2, 3), (3, 1)],  # directed 3-cycle: uniform fixed point
+        # undirected star: hub 0 <-> spokes 1,2,3 (hub concentrates rank)
+        [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0)],
+        # two components of different sizes
+        [(1, 2), (2, 1), (3, 4), (4, 5), (5, 3)],
+    ],
+)
+def test_pagerank_matches_python_mirror(spark, edge_list):
+    from kafka_flow_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edge_list, "src BIGINT, dst BIGINT")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(df).collect()}
+    assert got == _py_pagerank(edge_list)
+
+
+def test_pagerank_mass_nearly_conserved(spark):
+    """Floor division only ever LOSES mass, and at most ~(N * iters) units."""
+    from kafka_flow_spark.operators.graph import pagerank
+
+    edge_list = [(i, (i * 7 + 3) % 11) for i in range(11)]
+    df = spark.createDataFrame(edge_list, "src BIGINT, dst BIGINT")
+    total = sum(r["rank_scaled"] for r in pagerank(df, iterations=5).collect())
+    scale = 10**12
+    assert total <= scale
+    assert total >= scale - 11 * 6 * 100  # N*(iters+1) floor ulps, generous
