@@ -1086,3 +1086,80 @@ def knn_ivfpq(
     return exact.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
+
+
+def bitext_margin_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_bp_min: int = 10200,
+    queries_a: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER criterion): score each forward-kNN pair (x∈A, y∈B) by
+
+        margin(x, y) = cos(x, y) / ( (Σ_{z∈NNk(x)} cos(x,z)
+                                      + Σ_{z∈NNk(y)} cos(y,z)) / 2k )
+
+    which normalizes raw cosine by both points' neighborhood density — the
+    standard fix for hubness when mining aligned pairs across two embedding
+    spaces (languages, modalities, snapshot generations).
+
+    Determinism contract: cosines come from the ordered JVM fold (bit-equal
+    to the oracle's list_sum), are scaled to 1e-9 units with FLOOR (floor of
+    a shared binary double is engine-exact — no ROUND string-vs-binary
+    divergence), neighborhood sums are then exact bigint adds, and the
+    margin is ONE double division floored into basis points.  Output:
+    (a_id, b_id, sim_e9, margin_bp) for margin_bp >= margin_bp_min.
+
+    Scale read: side_a queries are broadcast by knn_bruteforce (bounded
+    probe contract); the backward pass only scores the O(|A|·k) candidate
+    y's, never all of B.  At corpus×corpus scale swap both kNN calls for
+    knn_ivf and keep the margin algebra unchanged.
+    """
+    # probes may be a subset of A (bounded broadcast contract), but BOTH
+    # backward neighborhoods run against the FULL sides — margins must be
+    # normalized by the true neighborhood density, not the probe sample's
+    fwd = knn_bruteforce(
+        side_b, queries_a if queries_a is not None else side_a,
+        id_col=id_col, vec_col=vec_col, k=k,
+    )
+    f9 = fwd.select(
+        "q_id",
+        "neighbor_id",
+        F.floor(F.col("sim") * F.lit(1e9)).cast("long").alias("sim_e9"),
+    )
+    sx = f9.groupBy("q_id").agg(F.sum("sim_e9").alias("_sx"))
+    cand_b = side_b.join(
+        f9.select(F.col("neighbor_id").alias(id_col)).distinct(), id_col
+    )
+    bwd = knn_bruteforce(side_a, cand_b, id_col=id_col, vec_col=vec_col, k=k)
+    sy = (
+        bwd.select(
+            F.col("q_id").alias("neighbor_id"),
+            F.floor(F.col("sim") * F.lit(1e9)).cast("long").alias("_s9"),
+        )
+        .groupBy("neighbor_id")
+        .agg(F.sum("_s9").alias("_sy"))
+    )
+    den = F.col("_sx") + F.col("_sy")
+    return (
+        f9.join(sx, "q_id")
+        .join(sy, "neighbor_id")
+        .where(den > 0)
+        .withColumn(
+            "margin_bp",
+            F.floor(
+                (F.lit(float(2 * k * 10000)) * F.col("sim_e9")) / den.cast("double")
+            ).cast("long"),
+        )
+        .where(F.col("margin_bp") >= margin_bp_min)
+        .select(
+            F.col("q_id").alias("a_id"),
+            F.col("neighbor_id").alias("b_id"),
+            "sim_e9",
+            "margin_bp",
+        )
+    )

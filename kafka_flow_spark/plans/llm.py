@@ -883,3 +883,68 @@ def q_dedup_indexed_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_indexed(
         new, "doc_id", "text", path, threshold=0.7
     )
+
+
+# --- bitext margin mining (Artetxe & Schwenk margin criterion) -------------
+
+def _bm_cos(left: str, right: str) -> str:
+    return (
+        f"(list_sum(list_transform(list_zip({left}, {right}), p -> p[1] * p[2]))"
+        f" / (sqrt(list_sum(list_transform({left}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({right}, x -> x * x)))))"
+    )
+
+
+_BM_K = 4
+_BM_MIN = 10200
+
+
+@register(
+    "q_bitext_margin",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    a AS (SELECT * FROM v WHERE label % 2 = 0),
+    b AS (SELECT * FROM v WHERE label % 2 = 1),
+    qa AS (SELECT * FROM a WHERE vec_id < 200),
+    fs AS (SELECT qa.vec_id AS x, b.vec_id AS y, {_bm_cos("qa.e", "b.e")} AS sim
+           FROM qa CROSS JOIN b WHERE b.vec_id != qa.vec_id),
+    fr AS (SELECT x, y, sim, ROW_NUMBER() OVER (PARTITION BY x ORDER BY sim DESC, y) AS rk
+           FROM fs),
+    f9 AS (SELECT x, y, CAST(FLOOR(sim * 1000000000.0) AS BIGINT) AS sim_e9
+           FROM fr WHERE rk <= {_BM_K}),
+    sx AS (SELECT x, SUM(sim_e9) AS sx FROM f9 GROUP BY x),
+    cb AS (SELECT DISTINCT y FROM f9),
+    bq AS (SELECT b.* FROM b JOIN cb ON b.vec_id = cb.y),
+    bs AS (SELECT bq.vec_id AS yq, a.vec_id AS z, {_bm_cos("bq.e", "a.e")} AS sim
+           FROM bq CROSS JOIN a WHERE a.vec_id != bq.vec_id),
+    br AS (SELECT yq, sim, ROW_NUMBER() OVER (PARTITION BY yq ORDER BY sim DESC, z) AS rk
+           FROM bs),
+    sy AS (SELECT yq, SUM(CAST(FLOOR(sim * 1000000000.0) AS BIGINT)) AS sy
+           FROM br WHERE rk <= {_BM_K} GROUP BY yq)
+    SELECT f9.x AS a_id, f9.y AS b_id, f9.sim_e9,
+           CAST(FLOOR(({2 * _BM_K * 10000}.0 * f9.sim_e9) / (sx.sx + sy.sy)) AS BIGINT)
+             AS margin_bp
+    FROM f9 JOIN sx ON f9.x = sx.x JOIN sy ON f9.y = sy.yq
+    WHERE (sx.sx + sy.sy) > 0
+      AND CAST(FLOOR(({2 * _BM_K * 10000}.0 * f9.sim_e9) / (sx.sx + sy.sy)) AS BIGINT)
+          >= {_BM_MIN}
+    """,
+)
+def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion pair mining between the even-label and odd-label
+    embedding populations (stand-ins for two languages): forward-kNN pairs
+    of probes vec_id < 200 scored by neighborhood-normalized cosine
+    (operators/similarity.bitext_margin_pairs), kept at margin >= 1.02."""
+    from kafka_flow_spark.operators.similarity import bitext_margin_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    side_a = e.where(F.col("label") % 2 == 0)
+    side_b = e.where(F.col("label") % 2 == 1)
+    return bitext_margin_pairs(
+        side_a,
+        side_b,
+        k=_BM_K,
+        margin_bp_min=_BM_MIN,
+        queries_a=side_a.where(F.col("vec_id") < 200),
+    )

@@ -323,3 +323,71 @@ def test_pq_encode_numpy_matches_expression_form(spark):
     for vid, (cell, codes) in got_np.items():
         assert cell == 0
         assert codes == got_expr[vid], f"vec {vid}: {codes} != {got_expr[vid]}"
+
+
+# --- bitext_margin_pairs ---------------------------------------------------
+
+
+def _py_margin(a_vecs, b_vecs, k, queries=None):
+    """Pure-python mirror: a_vecs/b_vecs are {id: list[float]}."""
+    import math
+
+    def cos(u, v):
+        dot = 0.0
+        for x, y in zip(u, v):
+            dot += x * y
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return dot / (nu * nv)
+
+    def knn(corpus, q):
+        sims = sorted(
+            ((cos(q[1], v), -i) for i, v in corpus.items() if i != q[0]),
+            reverse=True,
+        )[:k]
+        return [(-i, s) for s, i in sims]
+
+    f9 = {}
+    for qid in (queries or a_vecs):
+        for nid, s in knn(b_vecs, (qid, a_vecs[qid])):
+            f9[(qid, nid)] = math.floor(s * 1e9)
+    sx = {}
+    for (x, _), s9 in f9.items():
+        sx[x] = sx.get(x, 0) + s9
+    sy = {}
+    for y in {y for _, y in f9}:
+        sy[y] = sum(
+            math.floor(s * 1e9) for _, s in knn(a_vecs, (y, b_vecs[y]))
+        )
+    out = {}
+    for (x, y), s9 in f9.items():
+        den = sx[x] + sy[y]
+        if den > 0:
+            out[(x, y)] = math.floor((2 * k * 10000.0 * s9) / den)
+    return out
+
+
+def test_bitext_margin_matches_python_mirror(spark):
+    import random
+
+    from kafka_flow_spark.operators.similarity import bitext_margin_pairs
+
+    rng = random.Random(7)
+    a = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(0, 20, 2)}
+    b = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(1, 21, 2)}
+    # plant one near-identical cross-side pair -> must mine with high margin
+    b[21] = [x * 1.01 for x in a[4]]
+    rows = [(i, v) for i, v in a.items()] + [(i, v) for i, v in b.items()]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    from pyspark.sql import functions as F
+
+    side_a = df.where(F.col("vec_id") % 2 == 0)
+    side_b = df.where(F.col("vec_id") % 2 == 1)
+    got = {
+        (r["a_id"], r["b_id"]): r["margin_bp"]
+        for r in bitext_margin_pairs(side_a, side_b, k=3, margin_bp_min=0).collect()
+    }
+    want = _py_margin(a, b, k=3)
+    assert got == want
+    # the planted pair is the top margin
+    assert max(got, key=got.get) == (4, 21)
