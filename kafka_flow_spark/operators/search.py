@@ -263,3 +263,81 @@ def queries_from_terms(spark, query_terms: dict[str, list[str]]) -> DataFrame:
         for t in terms
     ]
     return spark.createDataFrame(rows, "query_id string, term string").distinct()
+
+
+def search_tf(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs per query by PLAIN term-frequency (sum of query-term
+    occurrences) — the naive lexical baseline BM25 corrects: no idf, no
+    length normalization.  Useful on its own for phrase-stuffing diagnostics
+    and as a second system for rank fusion (``rrf_fuse``).
+
+    ``(query_id, doc_id, rank, tf_total)``; exact integer scores, ties on
+    doc_id.  Plan: ONE tokenize pass — postings filtered to the broadcast
+    query vocabulary before aggregation, then a per-query top-k window.
+    """
+    from pyspark.sql import Window
+
+    post = postings(docs, text_col, id_col)
+    matched = post.join(F.broadcast(queries), "term")
+    scored = matched.groupBy("query_id", id_col).agg(
+        F.sum("tf").alias("tf_total")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("tf_total"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "tf_total")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09):
+
+        rrf(d) = Σ_systems 1 / (k0 + rank_s(d))
+
+    over each system's ``(query_id, doc_id, rank)`` top-k table, in EXACT
+    1e-6 units via integer division (10^6 // (k0 + rank) — bit-reproducible
+    on any engine; the float form differs in summation order).  RRF is the
+    standard way to combine lexical + dense retrieval without score
+    calibration, since it only consumes ranks.
+
+    Output: (query_id, doc_id, rrf_micro, n_systems, rank) — top-k fused per
+    query, ties on doc_id.  Scale shape: a union of already-top-k tables
+    (|queries| × k × systems rows), one map-combinable sum, one per-query
+    window over ≤ systems·k candidates.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from pyspark.sql import Window
+
+    contribs = [
+        r.select(
+            "query_id",
+            id_col,
+            F.expr(f"1000000 div ({k0} + rank)").cast("long").alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.union(c)
+    fused = u.groupBy("query_id", id_col).agg(
+        F.sum("_c").alias("rrf_micro"), F.count(F.lit(1)).alias("n_systems")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", id_col, "rrf_micro", "n_systems", "rank")
+    )

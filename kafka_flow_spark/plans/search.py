@@ -131,3 +131,68 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     vocab = S.vocab_top_k(docs, k=10)
     return S.oov_stats(docs, vocab, group_col="lang")
+
+
+# --- hybrid retrieval: reciprocal rank fusion ------------------------------
+
+_RRF_ORACLE = f"""
+WITH queries(query_id, term) AS (VALUES {_QUERY_VALUES}),
+toks AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+post AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks2 GROUP BY term, doc_id),
+dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dls),
+qpost AS (SELECT p.* FROM post p JOIN (SELECT DISTINCT term FROM queries) USING (term)),
+dfreq AS (SELECT term, COUNT(*) AS df FROM qpost GROUP BY term),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(floor(
+           (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+            * ((CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + (0.3 + (0.9 * CAST(dl AS DOUBLE))
+                           / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+           * 1000000.0 + 0.5) AS BIGINT) AS s
+  FROM qpost p
+  JOIN queries q USING (term)
+  JOIN dfreq USING (term)
+  JOIN dls USING (doc_id)
+  CROSS JOIN corpus),
+bm_agg AS (SELECT query_id, doc_id, SUM(s) AS score_micro
+           FROM scored GROUP BY query_id, doc_id),
+bm AS (SELECT query_id, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score_micro DESC, doc_id) AS rank
+       FROM bm_agg QUALIFY rank <= 10),
+tf_agg AS (SELECT q.query_id, p.doc_id, SUM(p.tf) AS tf_total
+           FROM qpost p JOIN queries q USING (term)
+           GROUP BY q.query_id, p.doc_id),
+tfr AS (SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY tf_total DESC, doc_id) AS rank
+        FROM tf_agg QUALIFY rank <= 10),
+u AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM bm
+      UNION ALL
+      SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM tfr),
+fused AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro,
+                 CAST(COUNT(*) AS BIGINT) AS n_systems
+          FROM u GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, rrf_micro, n_systems,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY rrf_micro DESC, doc_id) AS rank
+FROM fused QUALIFY rank <= 10
+"""
+
+
+@register("q_search_rrf", oracle=_RRF_ORACLE)
+def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-10 and raw-TF top-10 fused with reciprocal
+    rank fusion in exact 1e-6 units (operators/search.rrf_fuse) — the
+    calibration-free way to combine heterogeneous rankers."""
+    docs = load(spark, sf_dir, "documents")
+    queries = S.queries_from_terms(spark, QUERY_TERMS)
+    bm = S.search_bm25(docs, queries, k=10)
+    tf = S.search_tf(docs, queries, k=10)
+    return S.rrf_fuse([bm, tf], k0=60, topk=10)

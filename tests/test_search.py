@@ -119,3 +119,46 @@ def test_search_plan_has_no_python_udf(spark, corpus):
     queries = S.queries_from_terms(spark, {"q": ["spark"]})
     plan = S.search_bm25(corpus, queries, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- rrf_fuse / search_tf --------------------------------------------------
+
+
+def test_rrf_fuse_hand_worked(spark):
+    from kafka_flow_spark.operators.search import rrf_fuse
+
+    # system 1 ranks: d1=1, d2=2 ; system 2 ranks: d2=1, d3=2
+    r1 = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 2)], "query_id STRING, doc_id STRING, rank INT"
+    )
+    r2 = spark.createDataFrame(
+        [("q", "d2", 1), ("q", "d3", 2)], "query_id STRING, doc_id STRING, rank INT"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_micro"], r["n_systems"], r["rank"])
+        for r in rrf_fuse([r1, r2], k0=60, topk=10).collect()
+    }
+    # 10^6 // 61 = 16393, 10^6 // 62 = 16129
+    assert got == {
+        "d2": (16129 + 16393, 2, 1),  # in both systems -> fused top
+        "d1": (16393, 1, 2),
+        "d3": (16129, 1, 3),
+    }
+
+
+def test_search_tf_counts_occurrences_exactly(spark):
+    from kafka_flow_spark.operators.search import search_tf
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark shuffle"), (2, "spark join"), (3, "nothing here")],
+        "doc_id BIGINT, text STRING",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "join")], "query_id STRING, term STRING"
+    )
+    got = {
+        r["doc_id"]: (r["tf_total"], r["rank"])
+        for r in search_tf(docs, queries, k=10).collect()
+    }
+    # doc 3 matches no query term -> absent; tie at tf=2 breaks on doc_id
+    assert got == {1: (2, 1), 2: (2, 2)}
