@@ -284,3 +284,75 @@ def mad_outliers(
     return dev.join(F.broadcast(mad), group_cols).where(
         F.col("abs_dev") > F.lit(int(k)) * F.col("mad")
     )
+
+
+def histogram_emd(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    bin_width: int,
+) -> DataFrame:
+    """Per-group 1-Wasserstein (earth-mover) distance between two samples'
+    value distributions, computed on a shared equi-width integer binning —
+    the standard drift metric between data snapshots (train-vs-serve,
+    week-over-week) with an actual unit: "average cents each probability
+    mass unit must move".
+
+    EMD over binned data = Σ_boundaries |CDF_a - CDF_b| · bin_width.  Every
+    intermediate here is EXACT bigint: counts, cumulative sums, the
+    common-denominator |cum_a·n_b - cum_b·n_a|, and the gap-span multiplier
+    (sparse histograms contribute |ΔCDF| · gap for empty bin runs).  The
+    final rescale to a float is three deterministic IEEE ops.
+
+    ``value_col`` must be integer (cents-convert first).  Scale shape: two
+    map-combinable histogram aggregates collapse row volume to BIN
+    cardinality; the window + final agg run over distinct bins only.
+
+    Output: group_cols + (n_a, n_b, emd_num, emd) where
+    emd = bin_width · emd_num / (n_a · n_b).
+    """
+    from pyspark.sql import Window
+
+    def hist(df: DataFrame, cname: str) -> DataFrame:
+        return (
+            df.withColumn("_bin", F.expr(f"{value_col} div {bin_width}"))
+            .groupBy(*group_cols, "_bin")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    h = (
+        hist(df_a, "_ca")
+        .join(hist(df_b, "_cb"), [*group_cols, "_bin"], "full")
+        .fillna(0, subset=["_ca", "_cb"])
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_bin")
+    wp = Window.partitionBy(*group_cols)
+    cum = h.select(
+        *group_cols,
+        "_bin",
+        F.sum("_ca").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cuma"),
+        F.sum("_cb").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cumb"),
+        F.sum("_ca").over(wp).alias("_na"),
+        F.sum("_cb").over(wp).alias("_nb"),
+        (F.coalesce(F.lead("_bin").over(w), F.col("_bin")) - F.col("_bin")).alias(
+            "_span"
+        ),
+    )
+    out = cum.groupBy(*group_cols).agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.sum(
+            F.abs(F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na"))
+            * F.col("_span")
+        ).alias("emd_num"),
+    )
+    # a group entirely absent from one sample has no defined drift -> NULL
+    # (ANSI mode: plain / throws on the zero denominator)
+    return out.withColumn(
+        "emd",
+        F.try_divide(
+            F.lit(float(bin_width)) * F.col("emd_num").cast("double"),
+            (F.col("n_a") * F.col("n_b")).cast("double"),
+        ),
+    )

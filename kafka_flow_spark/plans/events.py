@@ -640,3 +640,60 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("abs_dev").alias("dev_cents"),
         F.col("mad").alias("mad_cents"),
     )
+
+
+_DRIFT_SPLIT = "2024-03-01"
+_DRIFT_BIN = 100  # one-dollar bins over integer cents
+
+
+@register(
+    "q_distribution_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM events),
+    ha AS (SELECT event_type, vc // {_DRIFT_BIN} AS bin, COUNT(*) AS ca
+           FROM e WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}'
+           GROUP BY event_type, bin),
+    hb AS (SELECT event_type, vc // {_DRIFT_BIN} AS bin, COUNT(*) AS cb
+           FROM e WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}'
+           GROUP BY event_type, bin),
+    h AS (SELECT COALESCE(ha.event_type, hb.event_type) AS event_type,
+                 COALESCE(ha.bin, hb.bin) AS bin,
+                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM ha FULL JOIN hb ON ha.event_type = hb.event_type AND ha.bin = hb.bin),
+    cum AS (SELECT event_type, bin,
+                   SUM(ca) OVER (PARTITION BY event_type ORDER BY bin
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+                   SUM(cb) OVER (PARTITION BY event_type ORDER BY bin
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+                   SUM(ca) OVER (PARTITION BY event_type) AS na,
+                   SUM(cb) OVER (PARTITION BY event_type) AS nb,
+                   COALESCE(LEAD(bin) OVER (PARTITION BY event_type ORDER BY bin), bin)
+                     - bin AS span
+            FROM h),
+    agg AS (SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+                   SUM(ABS(cuma * nb - cumb * na) * span) AS emd_num
+            FROM cum GROUP BY event_type)
+    SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(emd_num AS BIGINT) AS emd_num,
+           CASE WHEN n_a * n_b = 0 THEN NULL
+                ELSE ({_DRIFT_BIN}.0 * CAST(emd_num AS DOUBLE)) / CAST(n_a * n_b AS DOUBLE)
+           END AS emd
+    FROM agg
+    """,
+)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type earth-mover drift of the value distribution between the
+    early and late halves of the stream (split at {split}), over one-dollar
+    bins of exact integer cents — operators/profile.histogram_emd."""
+    from kafka_flow_spark.functions import cents
+    from kafka_flow_spark.operators.profile import histogram_emd
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "ts", cents("value").alias("vc")
+    )
+    early = e.where(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp_ntz"))
+    late = e.where(F.col("ts") >= F.lit(_DRIFT_SPLIT).cast("timestamp_ntz"))
+    return histogram_emd(early, late, "vc", ["event_type"], _DRIFT_BIN)

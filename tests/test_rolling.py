@@ -79,3 +79,50 @@ def test_mad_outliers_hand_worked(spark):
     out = mad_outliers(spark.createDataFrame(rows), "v", ["g"], k=3).collect()
     got = {(r["id"]): (r["med"], r["abs_dev"], r["mad"]) for r in out}
     assert got == {7: (4, 96, 2), 12: (5, 4, 0)}
+
+
+# --- histogram_emd (operators/profile.py) ---------------------------------
+
+
+def test_histogram_emd_hand_worked(spark):
+    from pyspark.sql import Row
+
+    from kafka_flow_spark.operators.profile import histogram_emd
+
+    # group g: A = {0, 10, 10}, B = {20, 20, 30} at bin_width 10
+    # bins: A -> {0:1, 1:2}, B -> {2:2, 3:1}; na = nb = 3
+    # |cuma*nb - cumb*na| per bin: bin0 |1*3-0|=3, bin1 |3*3-0|=9,
+    # bin2 |9-6|=3, bin3 |9-9|=0; spans 1,1,1,0 -> emd_num = 15
+    # cross-check by optimal transport: 0->2 (2 bins) + 1->2 (1) + 1->3 (2)
+    # = 5 bin-moves / 3 mass * 10 width = 10 * 15 / 9
+    a = [Row(g="g", v=0), Row(g="g", v=10), Row(g="g", v=10)]
+    b = [Row(g="g", v=20), Row(g="g", v=20), Row(g="g", v=30)]
+    out = histogram_emd(
+        spark.createDataFrame(a), spark.createDataFrame(b), "v", ["g"], 10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"], r["emd_num"]) == (3, 3, 15)
+    assert r["emd"] == (10.0 * 15.0) / 9.0
+
+
+def test_histogram_emd_identical_distributions_zero(spark):
+    from pyspark.sql import Row
+
+    from kafka_flow_spark.operators.profile import histogram_emd
+
+    rows = [Row(g="x", v=int(i)) for i in [5, 17, 17, 92, 300]]
+    df = spark.createDataFrame(rows)
+    r = histogram_emd(df, df, "v", ["g"], 7).collect()[0]
+    assert r["emd_num"] == 0 and r["emd"] == 0.0
+
+
+def test_histogram_emd_empty_side_is_null(spark):
+    from pyspark.sql import Row
+
+    from kafka_flow_spark.operators.profile import histogram_emd
+
+    a = spark.createDataFrame([Row(g="only_a", v=1)])
+    b = spark.createDataFrame([Row(g="only_b", v=2)])
+    got = {r["g"]: r["emd"] for r in histogram_emd(a, b, "v", ["g"], 10).collect()}
+    assert got == {"only_a": None, "only_b": None}
