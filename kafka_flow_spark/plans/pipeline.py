@@ -666,6 +666,7 @@ _DSIR_TOKS = """
 
 @register(
     "q_dsir_sample",
+    bench=True,
     oracle=f"""
     WITH t AS (
       SELECT doc_id, source = 'src0' AS is_t, {_DSIR_TOKS} AS toks
