@@ -83,3 +83,75 @@ def agg_result(state: DataFrame, frac_digits: int = 2) -> DataFrame:
         F.col("_min").alias("min_v"),
         F.col("_max").alias("max_v"),
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed snapshot diff — the CDC primitive between two versions of a
+    table: one row per key present in either side, classified
+    ``added`` / ``deleted`` / ``changed`` / ``unchanged``, with the sorted
+    list of columns whose values differ (NULL-aware: NULL vs value is a
+    change, NULL vs NULL is not — the <=> semantics).
+
+    Scale shape: ONE full-outer equi-join on the key (both sides hash on it;
+    AQE handles skewed keys), all comparisons are map-side projections.
+    Feed ``status != 'unchanged'`` to a writer for incremental downstream
+    refresh, or aggregate by status for a drift report.
+
+    Output: key_cols + (status, changed_cols).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols]
+    missing = [c for c in compare_cols if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"compare columns absent from a side: {missing}")
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    changed = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                    )
+                    for c in compare_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("deleted"))
+        .when(F.size(changed) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        status.alias("status"),
+        F.when(
+            F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull(), changed
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+    )

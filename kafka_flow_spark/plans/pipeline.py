@@ -774,3 +774,69 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_PR_SCALE,
         damping=(_PR_DN, _PR_DD),
     )
+
+
+# --- keyed snapshot diff (CDC primitive) -----------------------------------
+
+_TD_T1 = fraction_threshold(0.05)  # keys only in NEW  -> added
+_TD_T2 = fraction_threshold(0.10)  # keys only in OLD  -> deleted
+_TD_T3 = fraction_threshold(0.20)  # keys with a perturbed price -> changed
+
+
+@register(
+    "q_table_diff",
+    oracle=f"""
+    WITH h AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                      substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) AS hx
+               FROM orders),
+    old AS (SELECT * FROM h WHERE hx >= '{_TD_T1}'),
+    new AS (SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN hx >= '{_TD_T2}' AND hx < '{_TD_T3}'
+                        THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+            FROM h WHERE hx < '{_TD_T1}' OR hx >= '{_TD_T2}'),
+    j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 o.o_orderkey IS NULL AS only_new,
+                 n.o_orderkey IS NULL AS only_old,
+                 o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS c_status,
+                 o.o_totalprice IS DISTINCT FROM n.o_totalprice AS c_price
+          FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN only_new THEN 'added'
+                WHEN only_old THEN 'deleted'
+                ELSE 'changed' END AS status,
+           CASE WHEN only_new OR only_old THEN []
+                ELSE list_sort(list_filter(
+                       [CASE WHEN c_status THEN 'o_orderstatus' END,
+                        CASE WHEN c_price THEN 'o_totalprice' END],
+                       x -> x IS NOT NULL)) END AS changed_cols
+    FROM j
+    WHERE only_new OR only_old OR c_status OR c_price
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two deterministic snapshots of orders (5% of keys
+    added, 5% deleted, 10% price-perturbed, content-addressed by md5 band):
+    operators/incremental.table_diff — one full-outer key join, map-side
+    NULL-aware column compare; non-'unchanged' rows only."""
+    from kafka_flow_spark.operators.incremental import table_diff
+    from kafka_flow_spark.operators.sampling import hash_bucket
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        hash_bucket(F.col("o_orderkey").cast("string")).alias("_hx"),
+    )
+    old = base.where(F.col("_hx") >= _TD_T1).drop("_hx")
+    new = base.where((F.col("_hx") < _TD_T1) | (F.col("_hx") >= _TD_T2)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            (F.col("_hx") >= _TD_T2) & (F.col("_hx") < _TD_T3),
+            F.col("o_totalprice") + F.lit(1.0),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    d = table_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+    return d.where(F.col("status") != "unchanged")

@@ -58,3 +58,54 @@ def test_underscore_grouping_key_survives(spark):
     st = agg_state(df, ["_region"], "amount")
     out = {r["_region"]: r["n_rows"] for r in agg_result(agg_merge(st, st)).collect()}
     assert out == {"a": 4, "b": 2}
+
+
+# --- table_diff ------------------------------------------------------------
+
+
+def test_table_diff_classifies_all_cases(spark):
+    from pyspark.sql import Row
+
+    from kafka_flow_spark.operators.incremental import table_diff
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.0),   # unchanged
+            Row(k=2, a="x", b=1.0),   # b changes
+            Row(k=3, a="x", b=None),  # a AND b change (NULL -> value)
+            Row(k=4, a="x", b=1.0),   # deleted
+        ],
+        "k BIGINT, a STRING, b DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.0),
+            Row(k=2, a="x", b=2.0),
+            Row(k=3, a="y", b=3.0),
+            Row(k=5, a="z", b=9.0),   # added
+        ],
+        "k BIGINT, a STRING, b DOUBLE",
+    )
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        1: ("unchanged", []),
+        2: ("changed", ["b"]),
+        3: ("changed", ["a", "b"]),
+        4: ("deleted", []),
+        5: ("added", []),
+    }
+
+
+def test_table_diff_rejects_missing_compare_col(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from kafka_flow_spark.operators.incremental import table_diff
+
+    old = spark.createDataFrame([Row(k=1, a="x")])
+    new = spark.createDataFrame([Row(k=1, b="y")])
+    with _pytest.raises(ValueError, match="absent"):
+        table_diff(old, new, ["k"], ["a", "b"])
