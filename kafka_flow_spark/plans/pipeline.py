@@ -689,7 +689,7 @@ _DSIR_TOKS = """
                            / CAST((r_cnt + 1) * (t_tot + {_DSIR_B}) AS DOUBLE))
                         * 1000000) AS BIGINT) AS lr_scaled
            FROM c CROSS JOIN tot),
-    w AS (SELECT b.doc_id, COUNT(*) AS n_grams, SUM(lr.lr_scaled) AS weight_scaled
+    w AS (SELECT b.doc_id, COUNT(*) AS n_grams, CAST(SUM(lr.lr_scaled) AS BIGINT) AS weight_scaled
           FROM b JOIN lr USING (bucket) GROUP BY b.doc_id)
     SELECT w.doc_id, w.n_grams, w.weight_scaled,
            CAST(ROW_NUMBER() OVER (ORDER BY w.weight_scaled DESC, w.doc_id) AS INT) AS rank
