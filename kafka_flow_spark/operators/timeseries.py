@@ -292,3 +292,58 @@ def rolling_stats(
         roll_sum.alias("roll_sum"),
         unscaled(avg_scaled, 4).alias("roll_avg"),
     )
+
+
+def session_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    label_col: str,
+    id_col: str,
+    gap_seconds: int,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k label→label transitions within gap-based sessions — the path
+    analysis behind "what do users do after X": sessionize per key (a new
+    session starts after ``gap_seconds`` of silence), take ADJACENT label
+    pairs in (ts, id) order inside each session, count globally.
+
+    All counting is integer; the (ts, id) order key is total, so the
+    transition multiset — and the (count DESC, labels ASC) top-k — is
+    deterministic under any partitioning.
+
+    Scale shape: ONE shuffle on the key feeds both the session-boundary
+    window and the lead() window (same partition key, Catalyst plans one
+    exchange); the transition count is map-combinable on a tiny
+    (label, label) domain.  Output: (from_label, to_label, n, rank).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    wk = Window.partitionBy(key_col).orderBy(us, F.col(id_col))
+    new_sess = (
+        us - F.lag(us).over(wk) > gap_seconds * 1_000_000
+    ).cast("long")
+    with_sess = df.select(
+        key_col,
+        id_col,
+        F.col(label_col).alias("_lab"),
+        us.alias("_us"),
+        F.sum(F.coalesce(new_sess, F.lit(0))).over(
+            wk.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_sess"),
+    )
+    ws = Window.partitionBy(key_col, "_sess").orderBy("_us", id_col)
+    pairs = with_sess.select(
+        F.col("_lab").alias("from_label"),
+        F.lead("_lab").over(ws).alias("to_label"),
+    ).where(F.col("to_label").isNotNull())
+    counts = pairs.groupBy("from_label", "to_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.orderBy(F.desc("n"), F.asc("from_label"), F.asc("to_label"))
+    return (
+        counts.orderBy(F.desc("n"), "from_label", "to_label")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+    )

@@ -697,3 +697,48 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     early = e.where(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp_ntz"))
     late = e.where(F.col("ts") >= F.lit(_DRIFT_SPLIT).cast("timestamp_ntz"))
     return histogram_emd(early, late, "vc", ["event_type"], _DRIFT_BIN)
+
+
+@register(
+    "q_session_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    g AS (SELECT user_id, event_id, event_type, us,
+                 CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                              ORDER BY us, event_id)
+                           > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+    s AS (SELECT user_id, event_id, event_type, us,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sess
+          FROM g),
+    p AS (SELECT event_type AS from_label,
+                 LEAD(event_type) OVER (PARTITION BY user_id, sess
+                                        ORDER BY us, event_id) AS to_label
+          FROM s),
+    c AS (SELECT from_label, to_label, COUNT(*) AS n
+          FROM p WHERE to_label IS NOT NULL GROUP BY from_label, to_label)
+    SELECT from_label, to_label, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, from_label, to_label) AS INT)
+             AS rank
+    FROM c QUALIFY rank <= 20
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event-type transitions inside 30-minute-gap sessions
+    (operators/timeseries.session_transitions) — user path analysis with a
+    total (ts, event_id) order so counts are partitioning-invariant."""
+    from kafka_flow_spark.operators.timeseries import session_transitions
+
+    return session_transitions(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        gap_seconds=1800,
+        k=20,
+    )

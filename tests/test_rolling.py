@@ -126,3 +126,37 @@ def test_histogram_emd_empty_side_is_null(spark):
     b = spark.createDataFrame([Row(g="only_b", v=2)])
     got = {r["g"]: r["emd"] for r in histogram_emd(a, b, "v", ["g"], 10).collect()}
     assert got == {"only_a": None, "only_b": None}
+
+
+# --- session_transitions (operators/timeseries.py) ------------------------
+
+
+def test_session_transitions_hand_worked(spark):
+    from kafka_flow_spark.operators.timeseries import session_transitions
+
+    m = 60 * 1_000_000  # one minute in µs
+    rows = [
+        # user 1, session 1: A -> B -> A
+        _ev(0, 0 * m, 0.0), _ev(1, 1 * m, 0.0), _ev(2, 2 * m, 0.0),
+        # 45-min gap -> session 2: B -> B
+        _ev(3, 47 * m, 0.0), _ev(4, 48 * m, 0.0),
+        # user 2: single session A -> B
+        _ev(5, 0, 0.0, user=2), _ev(6, 1 * m, 0.0, user=2),
+    ]
+    from pyspark.sql import functions as F
+
+    labels = {0: "A", 1: "B", 2: "A", 3: "B", 4: "B", 5: "A", 6: "B"}
+    lab = F.create_map(*[F.lit(x) for kv in labels.items() for x in kv])
+    df = spark.createDataFrame(rows).withColumn("event_type", lab[F.col("event_id")])
+    got = {
+        (r["from_label"], r["to_label"]): (r["n"], r["rank"])
+        for r in session_transitions(
+            df, "user_id", "ts", "event_type", "event_id", gap_seconds=1800
+        ).collect()
+    }
+    # transitions: u1s1 A->B, B->A ; u1s2 B->B ; u2 A->B  (no cross-gap pair)
+    assert got == {
+        ("A", "B"): (2, 1),
+        ("B", "A"): (1, 2),
+        ("B", "B"): (1, 3),
+    }
