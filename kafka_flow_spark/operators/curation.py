@@ -527,12 +527,33 @@ def mixture_divergence(
             F.max("_nb").alias("n_tokens_b"),
         )
     )
+    # Pair UNIVERSE from the group totals (|groups|² — broadcast material):
+    # pairs with zero shared words never appear in the per-word expansion,
+    # yet they are the most divergent pairs the diagnostic exists to flag
+    # (review r6) — left-join the shared-word aggregate onto the universe
+    # and let the zero fills produce the exact jsd = 1 endpoint.
+    ga = totals.select(F.col("_g").alias("group_a"), F.col("_n").alias("_una"))
+    gb = totals.select(F.col("_g").alias("group_b"), F.col("_n").alias("_unb"))
+    universe = ga.crossJoin(F.broadcast(gb)).filter(
+        F.col("group_a") < F.col("group_b")
+    )
+    full = (
+        universe.join(agg, ["group_a", "group_b"], "left")
+        .withColumn("_t", F.coalesce(F.col("_t"), F.lit(0.0)))
+        .withColumn("_sca", F.coalesce(F.col("_sca"), F.lit(0)))
+        .withColumn("_scb", F.coalesce(F.col("_scb"), F.lit(0)))
+        .withColumn(
+            "shared_types", F.coalesce(F.col("shared_types"), F.lit(0))
+        )
+        .withColumn("n_tokens_a", F.col("_una"))
+        .withColumn("n_tokens_b", F.col("_unb"))
+    )
     jsd = F.lit(0.5) * (
         F.col("_t")
         + (F.lit(1.0) - F.col("_sca").cast("double") / F.col("n_tokens_a").cast("double"))
         + (F.lit(1.0) - F.col("_scb").cast("double") / F.col("n_tokens_b").cast("double"))
     )
-    return agg.select(
+    return full.select(
         "group_a",
         "group_b",
         "shared_types",

@@ -174,6 +174,10 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()  # one scalar — bounded driver value, like CC's checksum
+    if n == 0:
+        raise ValueError(
+            "pagerank: empty edge set (an upstream filter matched nothing?)"
+        )
     base = (d_den - d_num) * scale // (d_den * n)
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
     for _ in range(iterations):

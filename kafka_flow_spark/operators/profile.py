@@ -151,17 +151,20 @@ def exact_percentiles_disc(
     aggs = [F.max("_n").alias("n_rows")]
     for q in qs:
         tag = str(int(round(q * 100)))
-        # smallest value whose cumulative count reaches ceil(q*n).  The
-        # predicate _cum >= q*n runs on an IEEE double product, which can
-        # round ABOVE the exact integer (0.07*100 = 7.000000000000001 —
-        # the 7th order statistic would be skipped for the 8th), so nudge
-        # the threshold down by 1e-9: safe while genuinely non-integer q*n
-        # sits >= ~1e-4 from an integer (q is a short decimal, n < 2^40 —
-        # same guard class as dedup._iceil).  The DuckDB oracle mirrors
-        # the identical nudge so the parity gate tests the same contract.
+        # smallest value whose cumulative count reaches ceil(q*n), decided in
+        # EXACT integer arithmetic: q is taken at its decimal face value
+        # (Fraction("0.07") = 7/100), and  _cum >= q*n  <=>  _cum*den >= num*n
+        # on bigints.  This replaces the former double-product 1e-9 nudge,
+        # whose absolute epsilon stopped covering ulp(q*n) once q*n exceeded
+        # ~8.4e6 rows per group (review r6) — the skipped-order-statistic bug
+        # would have returned at exactly the scale this operator targets.
+        # The DuckDB oracles mirror the same integer predicate.
+        from fractions import Fraction
+
+        frac = Fraction(str(q))
+        num, den = frac.numerator, frac.denominator
         hit = F.when(
-            F.col("_cum").cast("double")
-            >= F.lit(q) * F.col("_n").cast("double") - F.lit(1e-9),
+            F.col("_cum") * F.lit(den) >= F.lit(num) * F.col("_n"),
             F.col(value_col),
         )
         aggs.append(F.min(hit).alias(f"p_{tag}"))
@@ -315,8 +318,16 @@ def histogram_emd(
     from pyspark.sql import Window
 
     def hist(df: DataFrame, cname: str) -> DataFrame:
+        # FLOOR division, not `div` (which truncates toward zero and would
+        # give bin 0 double width across negative values — review r6): the
+        # pmod form (v - ((v % w + w) % w)) div w is exact bigint floor-div
+        # and DuckDB mirrors it verbatim.
+        fd = F.expr(
+            f"({value_col} - (({value_col} % {bin_width} + {bin_width})"
+            f" % {bin_width})) div {bin_width}"
+        )
         return (
-            df.withColumn("_bin", F.expr(f"{value_col} div {bin_width}"))
+            df.withColumn("_bin", fd)
             .groupBy(*group_cols, "_bin")
             .agg(F.count(F.lit(1)).alias(cname))
         )

@@ -201,6 +201,11 @@ def cap_per_group(
     stable across runs, engines, partitionings and cluster sizes — never
     "whatever order the scan produced".
 
+    CONTRACT: ``key_col`` must be unique within each group (it is the
+    entire order key).  Duplicate keys make the (bucket, key) order non-
+    total, so WHICH duplicate survives would again be partition-dependent
+    — pass a unique id, or pre-dedup on the key first.
+
     Output: the input columns + ``cap_rank`` (1-based rank within the
     group), rows with cap_rank <= n_max only.
 

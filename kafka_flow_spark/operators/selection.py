@@ -42,12 +42,13 @@ LOG_SCALE = 1_000_000  # micro-nats: lr_scaled = round(ln(ratio) * 1e6)
 
 
 def _norm_tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens — the shared cross-engine tokenizer
-    (mirrors the oracle's string_split_regex(trim(lower(...))))."""
-    t = F.trim(F.lower(F.regexp_replace(text, r"\s+", " ")))
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, " ")
-    )
+    """Lowercased whitespace tokens — the ONE shared cross-engine tokenizer
+    (operators/text.py), not a re-implementation: a future change to the
+    shared definition must reach this path too (review r6).  Mirrors the
+    oracle's string_split_regex(trim(lower(regexp_replace(., '\\s+', ' '))))."""
+    from kafka_flow_spark.operators.text import normalize_text, tokens
+
+    return tokens(normalize_text(text))
 
 
 def _bigram_bucket(toks: Column, n_buckets: int) -> Column:
@@ -84,7 +85,11 @@ def doc_buckets(
     return (
         df.select(
             F.col(id_col).alias("_id"),
-            is_target.alias("_is_t"),
+            # NULL-safe: a NULL predicate (e.g. NULL source column) counts as
+            # RAW, matching the oracle's CASE...ELSE branch — without this,
+            # Spark's SUM skips the NULL rows from BOTH models while DuckDB
+            # counts them as raw, a latent parity break (review r6).
+            F.coalesce(is_target.cast("boolean"), F.lit(False)).alias("_is_t"),
             _norm_tokens(F.col(text_col)).alias("_toks"),
         )
         .select("_id", "_is_t", F.explode(_bigram_bucket(F.col("_toks"), n_buckets)).alias("bucket"))

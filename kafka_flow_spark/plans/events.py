@@ -567,7 +567,7 @@ _ROLL_7D_US = 7 * 86400 * 1_000_000
              CAST(CAST(SUM(dv) OVER w * 100 AS BIGINT) * 100 AS DOUBLE) AS s4
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY us
-                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+                   RANGE BETWEEN {_ROLL_7D_US} PRECEDING AND CURRENT ROW))
     SELECT event_id, user_id, roll_n, roll_sum,
            (SIGN(s4) * FLOOR((ABS(s4) * 2 + roll_n) / (roll_n * 2))) / 10000.0 AS roll_avg
     FROM win
@@ -580,7 +580,9 @@ def q_rolling_user_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flow_spark.operators.timeseries import rolling_stats
 
     events = load(spark, sf_dir, "events")
-    return rolling_stats(events, "user_id", "ts", "value", 7 * 86400).select(
+    return rolling_stats(
+        events, "user_id", "ts", "value", _ROLL_7D_US // 1_000_000
+    ).select(
         "event_id", "user_id", "roll_n", "roll_sum", "roll_avg"
     )
 
@@ -599,7 +601,7 @@ def q_rolling_user_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
                   SUM(cnt) OVER (PARTITION BY event_type) AS n
            FROM c1),
     med AS (SELECT event_type,
-                   MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE) - 1e-9
+                   MIN(CASE WHEN cum * 2 >= n
                             THEN vc END) AS med
             FROM w1 GROUP BY event_type),
     dev AS (SELECT e.event_id, e.event_type, e.vc, m.med,
@@ -612,7 +614,7 @@ def q_rolling_user_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
                   SUM(cnt) OVER (PARTITION BY event_type) AS n
            FROM c2),
     mad AS (SELECT event_type,
-                   MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE) - 1e-9
+                   MIN(CASE WHEN cum * 2 >= n
                             THEN abs_dev END) AS mad
             FROM w2 GROUP BY event_type)
     SELECT dev.event_id, dev.event_type, dev.vc AS value_cents,
@@ -653,10 +655,10 @@ _DRIFT_BIN = 100  # one-dollar bins over integer cents
       SELECT event_type, ts,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
       FROM events),
-    ha AS (SELECT event_type, vc // {_DRIFT_BIN} AS bin, COUNT(*) AS ca
+    ha AS (SELECT event_type, (vc - ((vc % {_DRIFT_BIN} + {_DRIFT_BIN}) % {_DRIFT_BIN})) // {_DRIFT_BIN} AS bin, COUNT(*) AS ca
            FROM e WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}'
            GROUP BY event_type, bin),
-    hb AS (SELECT event_type, vc // {_DRIFT_BIN} AS bin, COUNT(*) AS cb
+    hb AS (SELECT event_type, (vc - ((vc % {_DRIFT_BIN} + {_DRIFT_BIN}) % {_DRIFT_BIN})) // {_DRIFT_BIN} AS bin, COUNT(*) AS cb
            FROM e WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}'
            GROUP BY event_type, bin),
     h AS (SELECT COALESCE(ha.event_type, hb.event_type) AS event_type,

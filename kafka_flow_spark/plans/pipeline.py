@@ -604,13 +604,21 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(ca) AS sca, SUM(cb) AS scb, COUNT(*) AS shared_types,
                  MAX(ta.n) AS n_tokens_a, MAX(tb.n) AS n_tokens_b
           FROM p JOIN t ta ON ta.g = p.ga JOIN t tb ON tb.g = p.gb
-          GROUP BY 1, 2)
-    SELECT ga AS group_a, gb AS group_b, shared_types,
+          GROUP BY 1, 2),
+    u AS (SELECT a.g AS ga, a.n AS una, b.g AS gb, b.n AS unb
+          FROM t a JOIN t b ON a.g < b.g),
+    f AS (SELECT u.ga, u.gb,
+                 COALESCE(s.term, 0.0) AS term,
+                 COALESCE(s.sca, 0) AS sca, COALESCE(s.scb, 0) AS scb,
+                 COALESCE(s.shared_types, 0) AS shared_types,
+                 u.una AS n_tokens_a, u.unb AS n_tokens_b
+          FROM u LEFT JOIN s ON s.ga = u.ga AND s.gb = u.gb)
+    SELECT ga AS group_a, gb AS group_b, CAST(shared_types AS BIGINT) AS shared_types,
            CAST(n_tokens_a AS BIGINT) AS n_tokens_a,
            CAST(n_tokens_b AS BIGINT) AS n_tokens_b,
            ROUND(0.5 * (term + (1.0 - CAST(sca AS DOUBLE) / n_tokens_a)
                              + (1.0 - CAST(scb AS DOUBLE) / n_tokens_b)), 4) AS jsd
-    FROM s
+    FROM f
     """,
 )
 def q_mixture_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:

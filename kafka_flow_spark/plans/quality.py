@@ -608,9 +608,9 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(cnt) OVER (PARTITION BY lang) AS n
       FROM c)
     SELECT lang, CAST(MAX(n) AS BIGINT) AS n_rows,
-           MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE) - 1e-9
+           MIN(CASE WHEN cum * 2 >= n
                     THEN n_chars END) AS p_50,
-           MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * CAST(n AS DOUBLE) - 1e-9
+           MIN(CASE WHEN cum * 10 >= 9 * n
                     THEN n_chars END) AS p_90
     FROM w GROUP BY lang
     """,

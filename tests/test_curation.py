@@ -827,10 +827,13 @@ def test_mixture_divergence_hand_checked(spark):
     out = {(r["group_a"], r["group_b"]): r for r in
            mixture_divergence(df, "src", "text").collect()}
     assert out[("a", "b")]["jsd"] == 0.0
-    # disjoint pairs: only the (1 - 0) + (1 - 0) halves -> 1.0; no shared
-    # words means no row is emitted (shared-pair relation is empty), so
-    # disjoint pairs are absent by contract
-    assert ("a", "c") not in out
+    # every unordered pair gets a row — INCLUDING fully disjoint ones, which
+    # hit the jsd = 1 endpoint with shared_types 0 (r6 review fix: these are
+    # the most divergent pairs the diagnostic exists to flag)
+    assert len(out) == 6  # C(4,2)
+    for pair in [("a", "c"), ("b", "c"), ("c", "d")]:
+        assert out[pair]["jsd"] == 1.0
+        assert out[pair]["shared_types"] == 0
     # hand-worked a-vs-d: p=(.5,.5), q=(.75,.25)
     px, qx = 0.5, 0.75
     py, qy = 0.5, 0.25

@@ -160,3 +160,16 @@ def test_session_transitions_hand_worked(spark):
         ("B", "A"): (1, 2),
         ("B", "B"): (1, 3),
     }
+
+
+def test_histogram_emd_negative_values_floor_binned(spark):
+    from pyspark.sql import Row
+
+    from kafka_flow_spark.operators.profile import histogram_emd
+
+    # -60 -> bin -1, +60 -> bin 0 (floor division; truncation would merge
+    # both into a double-width bin 0 and report zero drift)
+    a = spark.createDataFrame([Row(g="g", v=-60)])
+    b = spark.createDataFrame([Row(g="g", v=60)])
+    r = histogram_emd(a, b, "v", ["g"], 100).collect()[0]
+    assert r["emd_num"] == 1 and r["emd"] == 100.0
