@@ -367,3 +367,38 @@ def histogram_emd(
             (F.col("n_a") * F.col("n_b")).cast("double"),
         ),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` into its group's
+    [p_lo, p_hi] discrete-percentile band — the standard robust
+    preprocessing step before means/regressions that MAD flagging
+    (``mad_outliers``) diagnoses.
+
+    Both cut points are exact order statistics (``exact_percentiles_disc``:
+    integer-predicate counting sort — engine-reproducible, no
+    interpolation), broadcast-joined back per group; the clamp is one
+    map-side ``least/greatest``.  ``value_col`` must be integer-typed
+    (cents-convert first), and group cardinality must be broadcast material
+    (the same per-group-stats contract as mad_outliers).
+
+    Output: input columns + (p_lo, p_hi, value_w) with value_w clamped.
+    """
+    if not 0.0 < lo < hi <= 1.0:
+        raise ValueError(f"need 0 < lo < hi <= 1, got {lo}, {hi}")
+    cuts = exact_percentiles_disc(df, value_col, group_cols, (lo, hi))
+    lo_tag = f"p_{int(round(lo * 100))}"
+    hi_tag = f"p_{int(round(hi * 100))}"
+    cut2 = cuts.select(
+        *group_cols, F.col(lo_tag).alias("p_lo"), F.col(hi_tag).alias("p_hi")
+    )
+    return df.join(F.broadcast(cut2), group_cols).withColumn(
+        "value_w",
+        F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col(value_col))),
+    )

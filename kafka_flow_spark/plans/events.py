@@ -744,3 +744,43 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_seconds=1800,
         k=20,
     )
+
+
+@register(
+    "q_winsorized_values",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM events),
+    c AS (SELECT event_type, vc, COUNT(*) AS cnt FROM e GROUP BY event_type, vc),
+    w AS (SELECT event_type, vc, cnt,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(cnt) OVER (PARTITION BY event_type) AS n
+          FROM c),
+    cuts AS (SELECT event_type,
+                    MIN(CASE WHEN cum * 100 >= 5 * n THEN vc END) AS p_lo,
+                    MIN(CASE WHEN cum * 100 >= 95 * n THEN vc END) AS p_hi
+             FROM w GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.vc AS value_cents,
+           cuts.p_lo, cuts.p_hi,
+           GREATEST(cuts.p_lo, LEAST(cuts.p_hi, e.vc)) AS value_w
+    FROM e JOIN cuts USING (event_type)
+    """,
+)
+def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of value cents into the [p5, p95]
+    discrete-percentile band (operators/profile.winsorize — exact
+    integer-predicate order statistics, broadcast cut points, map-side
+    clamp)."""
+    from kafka_flow_spark.functions import cents
+    from kafka_flow_spark.operators.profile import winsorize
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("value_cents")
+    )
+    out = winsorize(e, "value_cents", ["event_type"], lo=0.05, hi=0.95)
+    return out.select(
+        "event_id", "event_type", "value_cents", "p_lo", "p_hi", "value_w"
+    )

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import Row
 
 from kafka_flow_spark.operators.timeseries import rolling_stats
@@ -173,3 +175,33 @@ def test_histogram_emd_negative_values_floor_binned(spark):
     b = spark.createDataFrame([Row(g="g", v=60)])
     r = histogram_emd(a, b, "v", ["g"], 100).collect()[0]
     assert r["emd_num"] == 1 and r["emd"] == 100.0
+
+
+# --- winsorize (operators/profile.py) -------------------------------------
+
+
+def test_winsorize_clamps_to_exact_band(spark):
+    from pyspark.sql import Row
+
+    from kafka_flow_spark.operators.profile import winsorize
+
+    # 1..20: p_10 = 2 (cum 2 >= 0.1*20), p_90 = 18
+    rows = [Row(g="x", id=i, v=i) for i in range(1, 21)]
+    out = winsorize(
+        spark.createDataFrame(rows), "v", ["g"], lo=0.10, hi=0.90
+    ).collect()
+    got = {r["id"]: r["value_w"] for r in out}
+    assert all(r["p_lo"] == 2 and r["p_hi"] == 18 for r in out)
+    assert got[1] == 2 and got[2] == 2
+    assert got[10] == 10
+    assert got[19] == 18 and got[20] == 18
+
+
+def test_winsorize_rejects_bad_band(spark):
+    from pyspark.sql import Row
+
+    from kafka_flow_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame([Row(g="x", v=1)])
+    with pytest.raises(ValueError, match="lo < hi"):
+        winsorize(df, "v", ["g"], lo=0.9, hi=0.5)
