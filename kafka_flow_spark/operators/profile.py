@@ -337,6 +337,20 @@ def histogram_emd(
         .join(hist(df_b, "_cb"), [*group_cols, "_bin"], "full")
         .fillna(0, subset=["_ca", "_cb"])
     )
+    return emd_from_counts(h, group_cols, bin_width)
+
+
+def emd_from_counts(
+    h: DataFrame, group_cols: list[str], bin_width: int
+) -> DataFrame:
+    """EMD core over a pre-joined per-group bin-count relation
+    (group_cols + _bin + _ca + _cb) — shared by ``histogram_emd`` (two
+    DataFrames, one full join) and ``windowed_drift`` (streaming windowed
+    histogram vs a reference).  Extra zero-count bins are harmless: they
+    leave both CDFs flat, and subdividing a gap span changes nothing.
+    """
+    from pyspark.sql import Window
+
     w = Window.partitionBy(*group_cols).orderBy("_bin")
     wp = Window.partitionBy(*group_cols)
     cum = h.select(
@@ -402,3 +416,77 @@ def winsorize(
         "value_w",
         F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col(value_col))),
     )
+
+
+def floor_bin_expr(value_col: str, bin_width: int):
+    """Exact bigint floor-division bin id (pmod form — see histogram_emd)."""
+    return F.expr(
+        f"({value_col} - (({value_col} % {bin_width} + {bin_width})"
+        f" % {bin_width})) div {bin_width}"
+    )
+
+
+def windowed_histogram(
+    records: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bin_width: int,
+    duration: str = "1 hour",
+    group_cols: list[str] | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Per-event-time-window equi-width histogram — the mergeable state
+    behind streaming drift monitoring (bin counts are counters, so this
+    drops straight into a watermarked windowed aggregate, exactly like
+    ``sketches.windowed_cms``).  Works identically on batch and streaming
+    inputs; streaming state is one row per (window, group, bin).
+
+    Output: (window_start, window_end, *group_cols, _bin, n).
+    """
+    group_cols = group_cols or []
+    cells = records.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        *group_cols,
+        floor_bin_expr(value_col, bin_width).alias("_bin"),
+    )
+    agged = cells.groupBy(
+        F.window(ts_col, duration).alias("w"), *group_cols, "_bin"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return agged.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *group_cols,
+        "_bin",
+        "n",
+    )
+
+
+def windowed_drift(
+    window_hist: DataFrame,
+    reference_hist: DataFrame,
+    bin_width: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-window EMD of each emitted window's histogram against a REFERENCE
+    histogram — the serve-time drift monitor: windows whose value
+    distribution has moved off the (training-time) reference surface
+    ordered by a number with a unit.
+
+    ``window_hist`` is ``windowed_histogram`` output (batch, or the emitted
+    rows of its streaming query); ``reference_hist`` is (group_cols?, _bin,
+    n).  The reference is expanded across the window universe (broadcast —
+    a reference histogram is bin-bounded by construction) and the exact
+    bigint EMD core (``emd_from_counts``) runs per (window, group).
+    """
+    group_cols = group_cols or []
+    keys = ["window_start", "window_end", *group_cols]
+    wins = window_hist.select(*keys).distinct()
+    ref = reference_hist.select(*group_cols, "_bin", F.col("n").alias("_cb"))
+    refk = (
+        wins.join(F.broadcast(ref), group_cols)
+        if group_cols
+        else wins.crossJoin(F.broadcast(ref))
+    )
+    wh = window_hist.select(*keys, "_bin", F.col("n").alias("_ca"))
+    h = wh.join(refk, [*keys, "_bin"], "full").fillna(0, subset=["_ca", "_cb"])
+    return emd_from_counts(h, keys, bin_width)

@@ -784,3 +784,63 @@ def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", "value_cents", "p_lo", "p_hi", "value_w"
     )
+
+
+@register(
+    "q_windowed_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS w,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM events),
+    b AS (SELECT w, (vc - ((vc % {_DRIFT_BIN} + {_DRIFT_BIN}) % {_DRIFT_BIN}))
+                    // {_DRIFT_BIN} AS bin
+          FROM e),
+    wh AS (SELECT w, bin, COUNT(*) AS ca FROM b GROUP BY w, bin),
+    ref AS (SELECT bin, COUNT(*) AS cb FROM b GROUP BY bin),
+    wins AS (SELECT DISTINCT w FROM wh),
+    refk AS (SELECT wins.w, ref.bin, ref.cb FROM wins CROSS JOIN ref),
+    h AS (SELECT COALESCE(wh.w, refk.w) AS w, COALESCE(wh.bin, refk.bin) AS bin,
+                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM wh FULL JOIN refk ON wh.w = refk.w AND wh.bin = refk.bin),
+    cum AS (SELECT w, bin,
+                   SUM(ca) OVER (PARTITION BY w ORDER BY bin
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+                   SUM(cb) OVER (PARTITION BY w ORDER BY bin
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+                   SUM(ca) OVER (PARTITION BY w) AS na,
+                   SUM(cb) OVER (PARTITION BY w) AS nb,
+                   COALESCE(LEAD(bin) OVER (PARTITION BY w ORDER BY bin), bin) - bin
+                     AS span
+            FROM h),
+    agg AS (SELECT w, MAX(na) AS n_a, MAX(nb) AS n_b,
+                   SUM(ABS(cuma * nb - cumb * na) * span) AS emd_num
+            FROM cum GROUP BY w)
+    SELECT w AS window_start, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(emd_num AS BIGINT) AS emd_num,
+           CASE WHEN n_a * n_b = 0 THEN NULL
+                ELSE ({_DRIFT_BIN}.0 * CAST(emd_num AS DOUBLE)) / CAST(n_a * n_b AS DOUBLE)
+           END AS emd
+    FROM agg
+    """,
+)
+def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-window drift monitor: EMD of each hour's value distribution
+    against the full-period reference histogram
+    (operators/profile.windowed_histogram + windowed_drift — the streaming
+    form runs the identical plan on a stream; batch-vs-stream differential
+    in tests/test_rolling.py)."""
+    from kafka_flow_spark.functions import cents
+    from kafka_flow_spark.operators.profile import (
+        floor_bin_expr,
+        windowed_drift,
+        windowed_histogram,
+    )
+
+    e = load(spark, sf_dir, "events").select("ts", cents("value").alias("vc"))
+    wh = windowed_histogram(e, "ts", "vc", _DRIFT_BIN, "1 hour")
+    ref = e.select(floor_bin_expr("vc", _DRIFT_BIN).alias("_bin")).groupBy(
+        "_bin"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = windowed_drift(wh, ref, _DRIFT_BIN)
+    return out.select("window_start", "n_a", "n_b", "emd_num", "emd")

@@ -205,3 +205,62 @@ def test_winsorize_rejects_bad_band(spark):
     df = spark.createDataFrame([Row(g="x", v=1)])
     with pytest.raises(ValueError, match="lo < hi"):
         winsorize(df, "v", ["g"], lo=0.9, hi=0.5)
+
+
+# --- windowed_histogram / windowed_drift ----------------------------------
+
+
+def test_windowed_drift_stream_matches_batch(spark, tmp_path):
+    from datetime import datetime
+
+    from kafka_flow_spark.operators.profile import (
+        floor_bin_expr,
+        windowed_drift,
+        windowed_histogram,
+    )
+    from pyspark.sql import functions as F
+
+    schema = "ts TIMESTAMP, vc BIGINT"
+    rows = [
+        (datetime(2026, 1, 1, 12, 0, 10), 100),
+        (datetime(2026, 1, 1, 12, 0, 20), 250),
+        (datetime(2026, 1, 1, 12, 1, 0), 250),
+        (datetime(2026, 1, 1, 13, 7, 0), 900),   # second hour, shifted dist
+        (datetime(2026, 1, 1, 15, 0, 0), 100),   # advances watermark
+    ]
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(input_dir)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        windowed_histogram(stream, "ts", "vc", 100, "1 hour", watermark="1 minute")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out_dir)
+    batch_df = spark.createDataFrame(rows, schema)
+    ref = (
+        batch_df.select(floor_bin_expr("vc", 100).alias("_bin"))
+        .groupBy("_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # stream-emitted windows scored against the reference == batch pipeline
+    # restricted to the same (watermark-closed) windows
+    got = {
+        r["window_start"].hour: (r["n_a"], r["n_b"], r["emd_num"], r["emd"])
+        for r in windowed_drift(emitted, ref, 100).collect()
+    }
+    batch_wh = windowed_histogram(batch_df, "ts", "vc", 100, "1 hour")
+    want = {
+        r["window_start"].hour: (r["n_a"], r["n_b"], r["emd_num"], r["emd"])
+        for r in windowed_drift(batch_wh, ref, 100).collect()
+        if r["window_start"].hour in got
+    }
+    assert got == want and len(got) >= 2
+    # the shifted 13:00 window must show MORE drift than the 12:00 one
+    assert got[13][3] > got[12][3]
