@@ -264,3 +264,76 @@ def test_windowed_drift_stream_matches_batch(spark, tmp_path):
     assert got == want and len(got) >= 2
     # the shifted 13:00 window must show MORE drift than the 12:00 one
     assert got[13][3] > got[12][3]
+
+
+# --- cross-operator properties --------------------------------------------
+
+
+def test_table_diff_self_is_all_unchanged(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.operators.incremental import table_diff
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    orders = load(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = table_diff(orders, orders, ["o_orderkey"])
+    assert d.where(F.col("status") != "unchanged").count() == 0
+
+
+def test_histogram_emd_is_symmetric(spark):
+    import random
+
+    from pyspark.sql import Row
+
+    from kafka_flow_spark.operators.profile import histogram_emd
+
+    rng = random.Random(11)
+    a = spark.createDataFrame(
+        [Row(g="g", v=rng.randrange(-500, 500)) for _ in range(300)]
+    )
+    b = spark.createDataFrame(
+        [Row(g="g", v=rng.randrange(-200, 900)) for _ in range(200)]
+    )
+    ab = histogram_emd(a, b, "v", ["g"], 50).collect()[0]
+    ba = histogram_emd(b, a, "v", ["g"], 50).collect()[0]
+    assert ab["emd_num"] == ba["emd_num"]
+    assert ab["emd"] == ba["emd"]
+    assert (ab["n_a"], ab["n_b"]) == (ba["n_b"], ba["n_a"])
+
+
+def test_rolling_stats_matches_pandas(spark):
+    """Differential vs pandas' time-indexed rolling on random data."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    for user in range(3):
+        t = 0
+        for _ in range(40):
+            t += rng.randrange(1, 4 * 3600 * 1_000_000)  # 1µs .. 4h gaps
+            rows.append(_ev(eid, t, round(rng.uniform(-50, 50), 2), user=user))
+            eid += 1
+    got = {
+        r["event_id"]: (r["roll_n"], r["roll_sum"])
+        for r in rolling_stats(
+            spark.createDataFrame(rows), "user_id", "ts", "value", 6 * 3600
+        ).collect()
+    }
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    for user, grp in pdf.groupby("user_id"):
+        g = grp.set_index("ts").sort_index()
+        # pandas rolling on cents to mirror the exact integer contract
+        cents = (g["value"] * 100).round().astype("int64")
+        n = cents.rolling("6h").count()
+        s = cents.rolling("6h").sum()
+        for eid_, want_n, want_s in zip(g["event_id"], n, s):
+            assert got[eid_][0] == int(want_n)
+            # ours is the correctly-rounded double of the exact cents
+            # rational; pandas' float division may differ in the last ulp
+            assert abs(got[eid_][1] - want_s / 100.0) < 1e-9
