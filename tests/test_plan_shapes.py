@@ -134,3 +134,50 @@ def test_resample_window_input_is_bucket_reduced(spark):
     plan = plan_of(spark, "q_resample_ffill_hourly")
     assert "max_by" in plan or "maxby" in plan.lower()
     assert plan.count("Window") == 1
+
+
+# --- round-6 operators -----------------------------------------------------
+
+
+def test_rolling_stats_is_one_exchange_one_window(spark):
+    """The RANGE-frame rolling plan must stay: scan -> ONE exchange on the
+    key -> ONE window operator (no join, no second shuffle)."""
+    plan = plan_of(spark, "q_rolling_user_value_7d")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    """The <=4096-row bucket model must broadcast onto the gram stream —
+    a shuffle join here would shuffle the whole exploded-gram volume."""
+    plan = plan_of(spark, "q_dsir_sample")
+    assert "BroadcastHashJoin" in plan
+    # top-k select is TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mad_outlier_stat_joins_broadcast(spark):
+    """Per-group median/MAD tables (|groups| rows) broadcast back onto the
+    row stream; both percentile windows run over distinct values only."""
+    plan = plan_of(spark, "q_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_table_diff_is_single_full_outer_join(spark):
+    plan = plan_of(spark, "q_table_diff")
+    assert plan.count("FullOuter") == 1
+    assert plan.count("Join") == 1
+
+
+def test_session_paths_windows_share_one_exchange(spark):
+    """Boundary window + cumulative-session window + lead window all
+    partition by the same key — ONE corpus exchange (the pair-count agg's
+    exchange is over the tiny label-pair domain)."""
+    plan = plan_of(spark, "q_session_paths")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_windowed_drift_reference_is_broadcast(spark):
+    plan = plan_of(spark, "q_windowed_drift")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -32,6 +32,9 @@ COMPARABLE = [
     # joined the bench set in r5: zero-shuffle Spark scan vs explode+groupBy
     # oracle — practical to re-time (oracle ~30 s at sf10, sub-second below)
     "q_repetition_stats",
+    # joined the bench set in r6: DSIR importance resampling — its oracle is
+    # a full SQL mirror (two hashed-bigram passes), practical at sf10
+    "q_dsir_sample",
     # q_dedup_incremental (bench r5 continuation) is NOT here: like
     # minhash/cosine/knn its oracle is the quadratic brute-force pair truth.
     # q_resample_ffill_hourly is deliberately NOT here: its oracle SQL (per-key
