@@ -199,3 +199,46 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def canonical_per_cluster(
+    assign: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Survivor selection — the step that turns a cluster assignment into an
+    actually-deduplicated corpus: per cluster, keep the highest-``score_col``
+    member (ties broken by LOWEST id, deterministic).
+
+    ``dedup_clusters``'s min-id canonical is the arbitrary-but-stable choice;
+    real pipelines keep the BEST member (longest text, highest quality score
+    — e.g. the near-dedup recipes in RefinedWeb/SlimPajama keep one
+    representative per cluster by a quality criterion, not by id).
+
+    Scale shape (100 TB read): one equi-join of the assignment with the
+    per-doc score relation (both keyed by id — co-partitioned after the CC
+    shuffle), then ONE map-combinable ``max_by`` aggregate per cluster
+    (struct-ordered: score desc, id asc via negated id), broadcast back onto
+    the assignment when the cluster-count relation is small or shuffle-joined
+    otherwise (size decided by AQE — both sides are post-aggregation).
+
+    Output: (id_col, cluster_col, score_col, canonical_id, keep) for EVERY
+    clustered doc; ``keep`` marks the survivor.
+    """
+    joined = assign.select(
+        F.col(id_col), F.col(cluster_col)
+    ).join(scores.select(F.col(id_col), F.col(score_col)), id_col)
+    best = joined.groupBy(cluster_col).agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), (-F.col(id_col)).alias("_nid"))
+        ).alias("canonical_id")
+    )
+    return joined.join(best, cluster_col).select(
+        id_col,
+        cluster_col,
+        score_col,
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("keep"),
+    )

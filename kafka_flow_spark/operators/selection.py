@@ -186,3 +186,86 @@ def select_topk(
     return ranked.select(
         id_col, "n_grams", "weight_scaled", F.col("rank").cast("int").alias("rank")
     )
+
+
+# --- Hashed-linear text classifier (fasttext-style inference) ---------------
+
+
+def hash_model(spark, tag: str, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """A deterministic 'pretrained' linear model: one integer micro-weight in
+    [-1000, 1000] per hash bucket, derived from md5(tag || ':' || bucket).
+
+    Stands in for weights loaded from a model store — the classifier below
+    takes ANY (bucket, w_micro) relation; this generator exists so the
+    inference path is exercised end-to-end with a value the DuckDB oracle
+    can reproduce (no model file formats in the sandbox).  The table is
+    <= n_buckets rows regardless of corpus size — broadcast material."""
+    return spark.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag + ":"), F.col("id").cast("string")).cast("binary")),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        ).alias("w_micro"),
+    )
+
+
+def _unigram_bucket(toks: Column, n_buckets: int) -> Column:
+    """Hashed unigram features: same md5 6-hex Horner fold as the bigram
+    buckets, applied per token."""
+    return F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 6), 16, 10)
+        .cast("long")
+        % n_buckets,
+    )
+
+
+def classifier_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Linear classifier inference over hashed bag-of-unigrams — the
+    model-based quality-filter step of CCNet/GPT-3-style pipelines (a linear
+    model over hashed n-gram features IS fasttext's architecture; Joulin et
+    al. 2016), next to the rule-based gates in operators/quality.py.
+
+    score_micro(doc) = sum over token OCCURRENCES of w_micro(bucket(token));
+    label = score_micro >= threshold_micro.  All-integer arithmetic: the sum
+    is order-independent, so Spark and DuckDB agree bit-for-bit.
+
+    Scale shape (100 TB read): explode tokens -> map-side bucket projection
+    -> broadcast join the <= n_buckets-row weight table -> ONE map-combinable
+    groupBy(doc) integer aggregation.  No shuffle carries text; the model is
+    broadcast by construction.  Documents with zero tokens carry no features
+    and are absent (same contract as importance_weights).
+
+    Columns: id_col, n_tokens, score_micro, label.
+    """
+    feats = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_unigram_bucket(_norm_tokens(F.col(text_col)), n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    return (
+        feats.join(F.broadcast(weights.select("bucket", "w_micro")), "bucket")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_micro").alias("score_micro"),
+        )
+        .withColumn("label", F.col("score_micro") >= F.lit(int(threshold_micro)))
+    )

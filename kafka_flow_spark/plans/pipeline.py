@@ -718,6 +718,96 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Hashed-linear quality classifier (model-based filtering) ---------------
+
+# Shared md5 6-hex Horner fold (the DSIR bucket idiom) as a SQL fragment
+# generator — bit-identical to Spark's conv(substring(md5(x), 1, 6), 16, 10).
+def _fold6(expr: str) -> str:
+    return (
+        "list_reduce(list_transform(range(1, 7), d -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), d, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+_CLF_B = 4096
+_CLF_TAG = "quality-v1"
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DSIR_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM t WHERE len(toks) >= 1),
+    b AS (SELECT doc_id, {_fold6('tok')} % {_CLF_B} AS bucket FROM tok),
+    w AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM({_fold6(f"'{_CLF_TAG}:' || CAST(bucket AS VARCHAR)")} % 2001 - 1000)
+                      AS BIGINT) AS score_micro
+          FROM b GROUP BY doc_id)
+    SELECT doc_id, n_tokens, score_micro, score_micro >= 0 AS label FROM w
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/selection.py
+    classifier_scores): linear classifier over hashed bag-of-unigrams — the
+    fasttext-architecture inference step of CCNet/GPT-3-style pipelines,
+    next to the rule-based gates (q_quality_rules).  The weight table is a
+    deterministic md5-derived stand-in for a loaded model; the plan
+    (broadcast model join + one integer aggregation) is the production
+    shape regardless of where the weights come from."""
+    from kafka_flow_spark.operators.selection import classifier_scores, hash_model
+
+    docs = load(spark, sf_dir, "documents")
+    model = hash_model(spark, _CLF_TAG, n_buckets=_CLF_B)
+    return classifier_scores(
+        docs, "text", "doc_id", weights=model, n_buckets=_CLF_B
+    )
+
+
+# --- Canonical survivor per near-dup cluster --------------------------------
+
+
+@register(
+    "q_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTE},
+    reach(node, r) AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(r)) AS comp FROM reach GROUP BY node),
+    assign AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    s AS (SELECT a.doc_id, a.cluster_id, d.n_chars AS score
+          FROM assign a JOIN documents d USING (doc_id)),
+    best AS (SELECT cluster_id, canonical_id FROM (
+               SELECT cluster_id, doc_id AS canonical_id,
+                      ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                         ORDER BY score DESC, doc_id ASC) AS rn
+               FROM s) WHERE rn = 1)
+    SELECT s.doc_id, s.cluster_id, s.score, b.canonical_id,
+           s.doc_id = b.canonical_id AS keep
+    FROM s JOIN best b USING (cluster_id)
+    """,
+)
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection per near-dup cluster (operators/graph.py
+    canonical_per_cluster): keep the LONGEST member of each minhash-CC
+    cluster (ties to lowest id) — the keep-best-representative step
+    RefinedWeb/SlimPajama-style recipes run after clustering, completing
+    the dedup lifecycle: pairs → clusters → survivors."""
+    from kafka_flow_spark.operators.graph import canonical_per_cluster
+
+    assign = q_dedup_clusters(spark, sf_dir)
+    scores = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("score")
+    )
+    return canonical_per_cluster(assign, scores, "doc_id", "cluster_id", "score")
+
+
 # --- PageRank (iterative, exact integer arithmetic) ------------------------
 
 _PR_ITERS = 5

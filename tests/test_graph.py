@@ -182,3 +182,51 @@ def test_pagerank_mass_nearly_conserved(spark):
     scale = 10**12
     assert total <= scale
     assert total >= scale - 11 * 6 * 100  # N*(iters+1) floor ulps, generous
+
+
+# --- canonical survivor selection -------------------------------------------
+
+
+def test_canonical_per_cluster_hand_worked(spark):
+    from kafka_flow_spark.operators.graph import canonical_per_cluster
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        ["doc_id", "cluster_id"],
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: doc 2 wins on score; cluster 5: tie -> lowest id (5)
+        [(1, 10), (2, 30), (3, 20), (4, 7), (5, 9), (6, 9)],
+        ["doc_id", "score"],
+    )
+    rows = {
+        r["doc_id"]: (r["canonical_id"], r["keep"])
+        for r in canonical_per_cluster(assign, scores).collect()
+    }
+    assert rows == {
+        1: (2, False),
+        2: (2, True),
+        3: (2, False),
+        4: (4, True),
+        5: (5, True),
+        6: (5, False),
+    }
+
+
+def test_canonical_exactly_one_survivor_per_cluster(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.plans.registry import all_queries
+
+    out = all_queries()["q_cluster_canonical"](spark, SF_SMALL)
+    per = (
+        out.groupBy("cluster_id")
+        .agg(
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert per and all(r["n_keep"] == 1 for r in per)
+    # every doc assigned, survivor is a member of its own cluster
+    assert out.where(F.col("canonical_id") == F.col("doc_id")).count() == len(per)

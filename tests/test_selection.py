@@ -156,3 +156,60 @@ def test_logratio_cross_engine(spark):
         """).fetchall()
     }
     assert got == want
+
+
+# --- hashed-linear classifier ------------------------------------------------
+
+
+def _py_weight(tag: str, bucket: int) -> int:
+    return int(hashlib.md5(f"{tag}:{bucket}".encode()).hexdigest()[:6], 16) % 2001 - 1000
+
+
+def test_classifier_matches_python_mirror(spark):
+    from kafka_flow_spark.operators.selection import classifier_scores, hash_model
+
+    docs = [
+        (1, "The quick brown fox  jumps"),
+        (2, "lazy dog"),
+        (3, "   "),  # zero tokens -> absent
+        (4, "fox fox fox"),  # multiplicity counts
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    model = hash_model(spark, "quality-v1", n_buckets=64)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_micro"], r["label"])
+        for r in classifier_scores(
+            df, "text", "doc_id", weights=model, n_buckets=64
+        ).collect()
+    }
+    assert 3 not in got
+    for doc_id, text in [(1, docs[0][1]), (2, docs[1][1]), (4, docs[3][1])]:
+        toks = " ".join(text.lower().split()).split(" ")
+        score = sum(_py_weight("quality-v1", _py_bucket(t, 64)) for t in toks)
+        assert got[doc_id] == (len(toks), score, score >= 0)
+
+
+def test_classifier_threshold_shifts_labels(spark):
+    from kafka_flow_spark.operators.selection import classifier_scores, hash_model
+
+    df = spark.createDataFrame([(1, "alpha beta gamma")], ["doc_id", "text"])
+    model = hash_model(spark, "quality-v1", n_buckets=64)
+    lo = classifier_scores(df, "text", "doc_id", model, 64, threshold_micro=-(10**9))
+    hi = classifier_scores(df, "text", "doc_id", model, 64, threshold_micro=10**9)
+    assert lo.collect()[0]["label"] is True
+    assert hi.collect()[0]["label"] is False
+
+
+def test_classifier_model_join_is_broadcast(spark):
+    from kafka_flow_spark.operators.selection import classifier_scores, hash_model
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    model = hash_model(spark, "quality-v1")
+    plan = classifier_scores(docs, "text", "doc_id", model)._sc_jvm_plan if False else (
+        classifier_scores(docs, "text", "doc_id", model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
