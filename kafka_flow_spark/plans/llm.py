@@ -505,6 +505,50 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
 
 
+# --- binary sign codes + Hamming kNN (the 1-bit ANN scale path) -------------
+
+# md5-free bit idiom: sign-bit packing + xor/popcount are native integer ops
+# in BOTH engines, so the oracle mirrors the arithmetic directly.
+def _bq_word(w: int) -> str:
+    """One 32-bit sign word: MSB-first acc*2+bit fold — the exact fold
+    binary_quantize runs, so words are engine-identical."""
+    return (
+        f"""list_reduce(list_transform(range(32),
+        i -> CASE WHEN embedding[{w} * 32 + i + 1] > 0 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END), (a, b) -> a * 2 + b)"""
+    )
+
+
+_BQ_SIG = f"[{_bq_word(0)}, {_bq_word(1)}]"
+
+
+@register(
+    "q_knn_hamming",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, {_BQ_SIG} AS sig FROM embeddings),
+    q AS (SELECT vec_id AS q_id, sig AS q_sig FROM s WHERE vec_id < 10),
+    d AS (SELECT q.q_id, s.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(list_zip(q.q_sig, s.sig),
+                      p -> bit_count(xor(p[1], p[2])))) AS INT) AS dist
+          FROM q JOIN s ON s.vec_id <> q.q_id)
+    SELECT q_id, neighbor_id, dist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY q_id ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank
+      FROM d) WHERE rank <= 5
+    """,
+)
+def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors by Hamming distance over sign-bit binary codes
+    (operators/similarity.py knn_hamming) — the 1-bit quantized ANN path
+    next to int8 (q_knn_quantized): 32× less corpus I/O, xor+popcount
+    distance.  Same probe set as q_knn_bruteforce; the oracle mirrors the
+    bit arithmetic exactly (no rounding anywhere)."""
+    from kafka_flow_spark.operators.similarity import knn_hamming
+
+    e = load(spark, sf_dir, "embeddings")
+    return knn_hamming(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
 # --- embedding-cosine near-dup pairs (lossless band blocking; oracle = all-pairs) ---
 @register(
     "q_dedup_embedding_cosine",

@@ -181,3 +181,33 @@ def test_session_paths_windows_share_one_exchange(spark):
 def test_windowed_drift_reference_is_broadcast(spark):
     plan = plan_of(spark, "q_windowed_drift")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_classifier_is_broadcast_model_plus_one_agg(spark):
+    """The hashed-linear classifier must broadcast its <=4096-row weight
+    table onto the exploded-token stream (a shuffle join would carry the
+    whole token volume) and aggregate once."""
+    plan = plan_of(spark, "q_quality_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_canonical_has_no_cartesian(spark):
+    """Survivor selection = score join + ONE max_by aggregate + join-back;
+    nothing quadratic may appear regardless of cluster shape."""
+    plan = plan_of(spark, "q_cluster_canonical")
+    assert "CartesianProduct" not in plan
+    assert "max_by" in plan.lower() or "HashAggregate" in plan
+
+
+def test_knn_hamming_is_topk_pushdown_over_broadcast_codes(spark):
+    """The Hamming plan's scale properties: queries broadcast (no shuffle of
+    the corpus for the join), quantization below the join (the join reads
+    sig projections, embeddings never cross it), and the per-query top-k
+    runs as WindowGroupLimit partial+final — the exchange carries at most
+    k rows per (query, partition), never the 2M-candidate relation."""
+    plan = plan_of(spark, "q_knn_hamming")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -391,3 +391,85 @@ def test_bitext_margin_matches_python_mirror(spark):
     assert got == want
     # the planted pair is the top margin
     assert max(got, key=got.get) == (4, 21)
+
+
+# --- binary quantization + Hamming kNN ---------------------------------------
+
+
+def test_binary_quantize_matches_python_mirror(spark):
+    import numpy as np
+
+    from kafka_flow_spark.operators.similarity import binary_quantize
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(20)]
+    # plant exact zeros and negative zeros: strictly-positive rule
+    rows.append((100, [0.0] * 64))
+    rows.append((101, [-0.0] * 32 + [1.0] * 32))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in binary_quantize(df, "vec_id", "embedding", dim=64).collect()
+    }
+
+    def py_sig(vec):
+        words = []
+        for w in range(2):
+            acc = 0
+            for i in range(32):
+                acc = acc * 2 + (1 if vec[w * 32 + i] > 0 else 0)
+            words.append(acc)
+        return words
+
+    for vid, vec in rows:
+        assert got[vid] == py_sig(vec), vid
+    assert got[100] == [0, 0]
+    assert got[101] == [0, (1 << 32) - 1]
+
+
+def test_knn_hamming_matches_python_mirror(spark):
+    import numpy as np
+
+    from kafka_flow_spark.operators.similarity import knn_hamming
+
+    rng = np.random.RandomState(5)
+    vecs = {i: rng.randn(64) for i in range(30)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    got = [
+        (r["q_id"], r["neighbor_id"], r["dist"], r["rank"])
+        for r in knn_hamming(df, df.where("vec_id < 3"), dim=64, k=4)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+
+    def sig(v):
+        return [(v[s * 32 : s * 32 + 32] > 0) for s in range(2)]
+
+    want = []
+    for q in range(3):
+        dists = []
+        for n, v in vecs.items():
+            if n == q:
+                continue
+            d = sum(
+                int((a != b).sum()) for a, b in zip(sig(vecs[q]), sig(v))
+            )
+            dists.append((d, n))
+        dists.sort()
+        want += [(q, n, d, r + 1) for r, (d, n) in enumerate(dists[:4])]
+    assert got == want
+
+
+def test_knn_hamming_self_distance_zero_excluded(spark):
+    from kafka_flow_spark.operators.similarity import binary_quantize, knn_hamming
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0] * 32), (2, [1.0, -1.0] * 32), (3, [-1.0, 1.0] * 32)],
+        ["vec_id", "embedding"],
+    )
+    out = knn_hamming(df, df.where("vec_id = 1"), dim=64, k=2).collect()
+    by_rank = {r["rank"]: (r["neighbor_id"], r["dist"]) for r in out}
+    # identical vector at distance 0, antipodal at 64; self excluded
+    assert by_rank == {1: (2, 0), 2: (3, 64)}
