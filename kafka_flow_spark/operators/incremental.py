@@ -155,3 +155,84 @@ def table_diff(
         .otherwise(F.array().cast("array<string>"))
         .alias("changed_cols"),
     )
+
+
+def changeset(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Value-bearing CDC delta — ``table_diff`` names WHAT changed; this
+    carries the payload a downstream MERGE needs: one row per
+    added/changed/deleted key with the NEW values (NULL for deletes).
+
+    Same plan shape as ``table_diff`` (ONE full-outer key join, map-side
+    NULL-aware compares); the two share change semantics by construction
+    (<=> on every compare column).
+
+    Output: key_cols + compare_cols (new values) + status.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols]
+    missing = [c for c in compare_cols if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"compare columns absent from a side: {missing}")
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    any_change = None
+    for c in compare_cols:
+        ne = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        any_change = ne if any_change is None else (any_change | ne)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("deleted"))
+        .when(any_change, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            *[
+                F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+                for k in key_cols
+            ],
+            *[F.col(f"_n_{c}").alias(c) for c in compare_cols],
+            status.alias("status"),
+        )
+        .where(F.col("status") != "unchanged")
+    )
+
+
+def apply_changeset(
+    old: DataFrame, changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """MERGE a changeset into a snapshot: delete/overwrite every key present
+    in the changeset, insert its added/changed rows — the engine-agnostic
+    core of MERGE INTO (WHEN MATCHED UPDATE/DELETE, WHEN NOT MATCHED
+    INSERT).  Round-trip law, property-tested:
+    ``apply_changeset(old, changeset(old, new), keys) == new`` exactly.
+
+    Scale shape: ONE left-anti key join (untouched rows pass through;
+    broadcastable when the daily changeset is small — the common case) plus
+    a union with the changeset's upsert rows.  Cost scales with
+    |old| + |changes|, never with history.
+    """
+    value_cols = [c for c in changes.columns if c != "status"]
+    keep = old.select(*value_cols).join(
+        changes.select(*key_cols), key_cols, "left_anti"
+    )
+    upserts = changes.where(F.col("status") != "deleted").select(*value_cols)
+    return keep.unionByName(upserts)

@@ -347,3 +347,57 @@ def session_transitions(
         .limit(k)
         .withColumn("rank", F.row_number().over(wr).cast("int"))
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change-event stream:
+    one row per (key, consecutive run of equal values), carrying
+    ``valid_from`` (first event of the run), ``valid_to`` (start of the next
+    run, NULL for the open interval), ``is_current`` and ``n_events``.
+    Consecutive events with the SAME value extend the run — no-op changes
+    never open a new interval (the Kimball SCD2 contract).
+
+    Determinism: events are totally ordered by (ts, tiebreak) per key, so
+    run boundaries — and therefore every interval — are partitioning-
+    invariant (same pattern as session_transitions).  NULL values are a
+    legal state: run comparison is NULL-safe (<=>).
+
+    Scale shape: ONE hashpartitioning exchange on the key feeds all three
+    windows (lag for boundary detection, running sum for run ids, lead for
+    valid_to — Spark reuses the exchange via the subset-clustering rule),
+    plus one map-combinable aggregate per run.  Nothing scales beyond
+    events-per-key sort cost; at 100 TB keys spread across executors and
+    AQE splits skewed ones.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    is_start = ~F.col(value_col).eqNullSafe(
+        F.lag(F.col(value_col)).over(w)
+    ) | F.row_number().over(w).eqNullSafe(F.lit(1))
+    runs = df.select(
+        F.col(key_col), F.col(ts_col), F.col(tiebreak_col), F.col(value_col)
+    ).withColumn(
+        "_run",
+        F.sum(F.when(is_start, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    intervals = runs.groupBy(key_col, "_run").agg(
+        # runs have constant value by construction; min is the deterministic pick
+        F.min(value_col).alias(value_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wk = Window.partitionBy(key_col).orderBy("_run")
+    return (
+        intervals.withColumn("valid_to", F.lead("valid_from").over(wk))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            key_col, value_col, "valid_from", "valid_to", "is_current", "n_events"
+        )
+    )

@@ -747,6 +747,61 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scd2_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    m AS (SELECT user_id, event_id, event_type, us,
+                 CASE WHEN event_type IS DISTINCT FROM
+                           LAG(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY us, event_id)
+                      THEN 1 ELSE 0 END AS new_run
+          FROM e),
+    r AS (SELECT user_id, event_type, us,
+                 SUM(new_run) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS run
+          FROM m),
+    i AS (SELECT user_id, run, MIN(event_type) AS event_type,
+                 MIN(us) AS valid_from_us, COUNT(*) AS n_events
+          FROM r GROUP BY user_id, run)
+    SELECT user_id, event_type, valid_from_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run)
+             AS valid_to_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run) IS NULL
+             AS is_current,
+           n_events
+    FROM i
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each user's event_type state
+    (operators/timeseries.scd2_history): one interval per consecutive run of
+    equal values, [valid_from_us, valid_to_us) with an open current row —
+    the Kimball dimension-history build, partitioning-invariant via the
+    total (ts, event_id) order.  Timestamps surface as epoch micros (BIGINT)
+    so the comparison is integer-exact across engines."""
+    from kafka_flow_spark.operators.timeseries import scd2_history
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        # session tz is pinned UTC; unix_micros rejects TIMESTAMP_NTZ input
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    out = scd2_history(e, "user_id", "_us", "event_type", "event_id")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+        "n_events",
+    )
+
+
+@register(
     "q_winsorized_values",
     oracle="""
     WITH e AS (

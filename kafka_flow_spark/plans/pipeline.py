@@ -881,6 +881,57 @@ _TD_T2 = fraction_threshold(0.10)  # keys only in OLD  -> deleted
 _TD_T3 = fraction_threshold(0.20)  # keys with a perturbed price -> changed
 
 
+def _td_snapshots(spark: SparkSession, sf_dir: str):
+    """The content-addressed synthetic snapshot pair shared by q_table_diff
+    and q_apply_changes (5% added, 5% deleted, 10% price-perturbed)."""
+    from kafka_flow_spark.operators.sampling import hash_bucket
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        hash_bucket(F.col("o_orderkey").cast("string")).alias("_hx"),
+    )
+    old = base.where(F.col("_hx") >= _TD_T1).drop("_hx")
+    new = base.where((F.col("_hx") < _TD_T1) | (F.col("_hx") >= _TD_T2)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            (F.col("_hx") >= _TD_T2) & (F.col("_hx") < _TD_T3),
+            F.col("o_totalprice") + F.lit(1.0),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return old, new
+
+
+@register(
+    "q_apply_changes",
+    oracle=f"""
+    WITH h AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                      substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) AS hx
+               FROM orders)
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN hx >= '{_TD_T2}' AND hx < '{_TD_T3}'
+                THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+    FROM h WHERE hx < '{_TD_T1}' OR hx >= '{_TD_T2}'
+    """,
+)
+def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round trip (operators/incremental.py changeset + apply_changeset):
+    diff the two synthetic snapshots into a value-bearing changeset, then
+    MERGE it back onto the old snapshot.  The oracle is the NEW snapshot
+    computed directly — the query is value-exact only if
+    apply(old, changeset(old, new)) reconstructs new bit-for-bit, gating
+    both halves of the MERGE-INTO pattern end-to-end."""
+    from kafka_flow_spark.operators.incremental import apply_changeset, changeset
+
+    old, new = _td_snapshots(spark, sf_dir)
+    ch = changeset(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+    return apply_changeset(old, ch, ["o_orderkey"])
+
+
 @register(
     "q_table_diff",
     oracle=f"""

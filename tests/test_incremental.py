@@ -109,3 +109,63 @@ def test_table_diff_rejects_missing_compare_col(spark):
     new = spark.createDataFrame([Row(k=1, b="y")])
     with _pytest.raises(ValueError, match="absent"):
         table_diff(old, new, ["k"], ["a", "b"])
+
+
+# --- changeset / apply_changeset (MERGE round trip) --------------------------
+
+
+def test_apply_changeset_roundtrip_identity(spark):
+    """apply(old, changeset(old, new)) == new, exactly — on snapshots with
+    adds, deletes, value changes, NULL transitions both ways, and NULL keys
+    absent (keys are non-null by construction)."""
+    from kafka_flow_spark.operators.incremental import apply_changeset, changeset
+
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", None), (3, "C", 30.0), (4, "D", 40.0)],
+        "k INT, s STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(2, "B", 20.0), (3, None, 30.0), (4, "D", 40.0), (5, "E", 50.0)],
+        "k INT, s STRING, v DOUBLE",
+    )
+    ch = changeset(old, new, ["k"], ["s", "v"])
+    got = {tuple(r) for r in apply_changeset(old, ch, ["k"]).collect()}
+    want = {tuple(r) for r in new.collect()}
+    assert got == want
+    # the changeset itself: 1 deleted, 2+3 changed, 5 added, 4 absent
+    st = {r["k"]: r["status"] for r in ch.collect()}
+    assert st == {1: "deleted", 2: "changed", 3: "changed", 5: "added"}
+
+
+def test_apply_changeset_roundtrip_random(spark):
+    """Randomized differential: arbitrary overlapping snapshots round-trip."""
+    import random
+
+    from kafka_flow_spark.operators.incremental import apply_changeset, changeset
+
+    rng = random.Random(42)
+    for trial in range(3):
+        old_rows = [
+            (k, rng.choice(["x", "y", None]), rng.choice([1.0, 2.0, None]))
+            for k in rng.sample(range(50), 30)
+        ]
+        new_rows = [
+            (k, rng.choice(["x", "y", None]), rng.choice([1.0, 2.0, None]))
+            for k in rng.sample(range(50), 30)
+        ]
+        old = spark.createDataFrame(old_rows, "k INT, s STRING, v DOUBLE")
+        new = spark.createDataFrame(new_rows, "k INT, s STRING, v DOUBLE")
+        ch = changeset(old, new, ["k"], ["s", "v"])
+        got = {tuple(r) for r in apply_changeset(old, ch, ["k"]).collect()}
+        assert got == {tuple(r) for r in new.collect()}, f"trial {trial}"
+
+
+def test_changeset_empty_when_identical(spark):
+    from kafka_flow_spark.operators.incremental import changeset
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    orders = load(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    assert changeset(orders, orders, ["o_orderkey"]).count() == 0

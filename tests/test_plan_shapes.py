@@ -211,3 +211,21 @@ def test_knn_hamming_is_topk_pushdown_over_broadcast_codes(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_shares_one_key_exchange(spark):
+    """All three SCD2 windows (boundary lag, run-id running sum, valid_to
+    lead) plus the per-run aggregate must reuse ONE hashpartitioning
+    exchange on the key — the subset-clustering rule; a second exchange
+    would reshuffle event volume."""
+    plan = plan_of(spark, "q_scd2_history")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_apply_changes_is_anti_join_plus_union(spark):
+    """MERGE = one full-outer diff join + one anti join + union; no
+    cartesian, no extra exchanges beyond the key hashes."""
+    plan = plan_of(spark, "q_apply_changes")
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan

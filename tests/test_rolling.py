@@ -337,3 +337,73 @@ def test_rolling_stats_matches_pandas(spark):
             # ours is the correctly-rounded double of the exact cents
             # rational; pandas' float division may differ in the last ulp
             assert abs(got[eid_][1] - want_s / 100.0) < 1e-9
+
+
+# --- SCD2 interval history ---------------------------------------------------
+
+
+def test_scd2_hand_worked(spark):
+    from kafka_flow_spark.operators.timeseries import scd2_history
+
+    rows = [
+        # user 1: A A B A  -> three intervals (A x2, B, A)
+        (1, 10, "A", 100),
+        (1, 20, "A", 101),
+        (1, 30, "B", 102),
+        (1, 40, "A", 103),
+        # user 2: one event -> single open interval
+        (2, 15, "X", 200),
+    ]
+    df = spark.createDataFrame(rows, "user INT, us BIGINT, v STRING, eid INT")
+    got = [
+        (r["user"], r["v"], r["valid_from"], r["valid_to"], r["is_current"], r["n_events"])
+        for r in scd2_history(df, "user", "us", "v", "eid")
+        .orderBy("user", "valid_from")
+        .collect()
+    ]
+    assert got == [
+        (1, "A", 10, 30, False, 2),
+        (1, "B", 30, 40, False, 1),
+        (1, "A", 40, None, True, 1),
+        (2, "X", 15, None, True, 1),
+    ]
+
+
+def test_scd2_intervals_tile_and_one_current(spark):
+    """Property on real data: per key, intervals tile [first_ts, inf) with no
+    gaps/overlaps (valid_to == next valid_from), exactly one open row, and
+    n_events sums to the key's event count."""
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.plans.registry import all_queries
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    out = all_queries()["q_scd2_history"](spark, SF_SMALL)
+    assert out.where(F.col("is_current")).groupBy("user_id").count().where(
+        "count != 1"
+    ).count() == 0
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from_us")
+    gaps = out.withColumn("nxt", F.lead("valid_from_us").over(w)).where(
+        F.col("valid_to_us").isNotNull() & (F.col("valid_to_us") != F.col("nxt"))
+    )
+    assert gaps.count() == 0
+    ev = load(spark, SF_SMALL, "events").groupBy("user_id").count()
+    tot = out.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    assert ev.join(tot, "user_id").where("count != n").count() == 0
+
+
+def test_scd2_null_values_form_runs(spark):
+    from kafka_flow_spark.operators.timeseries import scd2_history
+
+    rows = [(1, 10, None, 1), (1, 20, None, 2), (1, 30, "A", 3)]
+    df = spark.createDataFrame(rows, "user INT, us BIGINT, v STRING, eid INT")
+    got = [
+        (r["v"], r["valid_from"], r["n_events"])
+        for r in scd2_history(df, "user", "us", "v", "eid")
+        .orderBy("valid_from")
+        .collect()
+    ]
+    assert got == [(None, 10, 2), ("A", 30, 1)]
