@@ -1256,3 +1256,60 @@ def knn_hamming(
     return cand.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= k
     )
+
+
+# --- Random projection (Johnson-Lindenstrauss dimensionality reduction) -----
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 8,
+    tag: str = "rp-v1",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """JL dimensionality reduction with the Achlioptas sparse sign matrix
+    (Achlioptas 2003: entries +1/-1 with prob 1/6 each, 0 with prob 2/3 —
+    distance-preserving like Gaussian projections at a third of the work).
+    The matrix is deterministic: entry (j, i) is md5('{tag}:{j}:{i}')'s
+    6-hex Horner fold mod 6 mapped {0: +1, 1: -1, else: 0}, so any engine
+    regenerates it — the same loaded-model stand-in as hash_model.
+
+    Each output component is a LEFT FOLD of signed float-to-double terms in
+    ascending input order — bit-identical across engines — surfaced as
+    FLOOR(sum * scale) bigints (floor of a shared binary double is always
+    engine-exact; ROUND-on-double is not).
+
+    Scale shape: zero shuffles — one map-side projection per row; the
+    matrix is folded into the expression as literals (out_dim × in_dim
+    CASE terms), never a join.  For large out_dim swap in the Arrow matmul
+    pattern of knn_bruteforce_arrow; at out_dim 8-32 the expression form
+    keeps the whole plan in one codegen stage.
+
+    Output: (id_col, p0 .. p{out_dim-1} bigint).
+    """
+    import hashlib
+
+    def entry(j: int, i: int) -> int:
+        h = int(hashlib.md5(f"{tag}:{j}:{i}".encode()).hexdigest()[:6], 16) % 6
+        return 1 if h == 0 else (-1 if h == 1 else 0)
+
+    vec = F.col(vec_col)
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        signs = [entry(j, i) for i in range(in_dim)]
+        total = None
+        for i, s in enumerate(signs):
+            if s == 0:
+                continue
+            term = F.get(vec, i).cast("double")
+            term = term if s > 0 else -term
+            total = term if total is None else (total + term)
+        if total is None:
+            total = F.lit(0.0)
+        cols.append(
+            F.floor(total * F.lit(float(scale))).cast("long").alias(f"p{j}")
+        )
+    return df.select(*cols)

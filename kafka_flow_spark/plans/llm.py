@@ -549,6 +549,46 @@ def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_hamming(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+# --- JL random projection (Achlioptas sparse signs, FLOOR-e6 exact) ---------
+
+
+def _rp_oracle(in_dim: int = 64, out_dim: int = 8, tag: str = "rp-v1") -> str:
+    """Generated mirror of operators/similarity.random_projection: the SAME
+    hashlib-derived sign matrix is unrolled into literal signed-term chains,
+    so both engines evaluate the identical left-assoc double fold."""
+    import hashlib
+
+    sel = ["vec_id"]
+    for j in range(out_dim):
+        terms = []
+        for i in range(in_dim):
+            h = int(hashlib.md5(f"{tag}:{j}:{i}".encode()).hexdigest()[:6], 16) % 6
+            if h == 0:
+                terms.append(("+", i))
+            elif h == 1:
+                terms.append(("-", i))
+        if not terms:
+            expr = "0.0"
+        else:
+            s0, i0 = terms[0]
+            expr = ("-" if s0 == "-" else "") + f"CAST(embedding[{i0 + 1}] AS DOUBLE)"
+            for s, i in terms[1:]:
+                expr += f" {s} CAST(embedding[{i + 1}] AS DOUBLE)"
+        sel.append(f"CAST(FLOOR(({expr}) * 1000000.0) AS BIGINT) AS p{j}")
+    return "SELECT " + ", ".join(sel) + " FROM embeddings"
+
+
+@register("q_random_projection", oracle=_rp_oracle())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64 -> 8 dim JL reduction (operators/similarity.random_projection) —
+    the ANN-preprocessing step between raw embeddings and the quantized/
+    binary index paths.  Zero shuffles; FLOOR-e6 bigint output keeps the
+    cross-engine compare exact."""
+    from kafka_flow_spark.operators.similarity import random_projection
+
+    return random_projection(load(spark, sf_dir, "embeddings"))
+
+
 # --- embedding-cosine near-dup pairs (lossless band blocking; oracle = all-pairs) ---
 @register(
     "q_dedup_embedding_cosine",

@@ -229,3 +229,11 @@ def test_apply_changes_is_anti_join_plus_union(spark):
     plan = plan_of(spark, "q_apply_changes")
     assert "CartesianProduct" not in plan
     assert "Union" in plan
+
+
+def test_random_projection_is_narrow(spark):
+    """JL projection is one map-side codegen projection — no shuffle, no
+    join, no Python worker."""
+    plan = plan_of(spark, "q_random_projection")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

@@ -473,3 +473,62 @@ def test_knn_hamming_self_distance_zero_excluded(spark):
     by_rank = {r["rank"]: (r["neighbor_id"], r["dist"]) for r in out}
     # identical vector at distance 0, antipodal at 64; self excluded
     assert by_rank == {1: (2, 0), 2: (3, 64)}
+
+
+def test_random_projection_matches_numpy_mirror(spark):
+    """Independent reference: rebuild the Achlioptas matrix in numpy and
+    check FLOOR-e6 values (fold order matched via math.fsum-free left adds)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from kafka_flow_spark.operators.similarity import random_projection
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(64).astype(np.float32)]) for i in range(25)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: [r[f"p{j}"] for j in range(8)] for r in random_projection(df).collect()}
+
+    def entry(j, i):
+        h = int(hashlib.md5(f"rp-v1:{j}:{i}".encode()).hexdigest()[:6], 16) % 6
+        return 1 if h == 0 else (-1 if h == 1 else 0)
+
+    for vid, vec in rows:
+        for j in range(8):
+            total = None
+            for i in range(64):
+                s = entry(j, i)
+                if s == 0:
+                    continue
+                t = float(vec[i]) if s > 0 else -float(vec[i])
+                total = t if total is None else total + t
+            want = math.floor((total or 0.0) * 1_000_000.0)
+            assert got[vid][j] == want, (vid, j)
+
+
+def test_random_projection_preserves_distances_approximately(spark):
+    """JL property smoke: relative squared-distance distortion across random
+    pairs stays bounded (loose bound — 8 dims from 64 is a coarse sketch)."""
+    import numpy as np
+
+    from kafka_flow_spark.operators.similarity import random_projection
+
+    rng = np.random.RandomState(9)
+    V = rng.randn(40, 64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    P = {r["vec_id"]: np.array([r[f"p{j}"] for j in range(8)], dtype=np.float64) / 1e6
+         for r in random_projection(df).collect()}
+    # E[||Px - Py||^2] = (in-dim sparsity factor) * ||x-y||^2 / 3... normalize
+    # empirically: the MEDIAN distortion ratio should be within 3x either way
+    ratios = []
+    for a in range(0, 20):
+        b = a + 20
+        d_hi = np.sum((V[a] - V[b]) ** 2)
+        # E[||Px - Py||^2] = out_dim * Var(entry) * ||x - y||^2 = 8/3 * d_hi
+        d_lo = np.sum((P[a] - P[b]) ** 2) * 3.0 / 8.0
+        ratios.append(d_lo / d_hi)
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 1 / 3 < med < 3, med
