@@ -748,6 +748,7 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scd2_history",
+    bench=True,
     oracle="""
     WITH e AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

@@ -736,6 +736,7 @@ _CLF_TAG = "quality-v1"
 
 @register(
     "q_quality_classifier",
+    bench=True,
     oracle=f"""
     WITH t AS (SELECT doc_id, {_DSIR_TOKS} AS toks FROM documents),
     tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM t WHERE len(toks) >= 1),

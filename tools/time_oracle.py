@@ -35,6 +35,10 @@ COMPARABLE = [
     # joined the bench set in r6: DSIR importance resampling — its oracle is
     # a full SQL mirror (two hashed-bigram passes), practical at sf10
     "q_dsir_sample",
+    # joined in r6 close-out: model-based quality filtering + SCD2 history —
+    # both full SQL mirrors, practical at every scale
+    "q_quality_classifier",
+    "q_scd2_history",
     # q_dedup_incremental (bench r5 continuation) is NOT here: like
     # minhash/cosine/knn its oracle is the quadratic brute-force pair truth.
     # q_resample_ffill_hourly is deliberately NOT here: its oracle SQL (per-key
