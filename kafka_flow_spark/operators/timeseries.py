@@ -401,3 +401,67 @@ def scd2_history(
             key_col, value_col, "valid_from", "valid_to", "is_current", "n_events"
         )
     )
+
+
+def group_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Per-key OLS trend over integer (x, y) points — slope and mean as
+    scaled bigints, bit-exact across engines.
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    computed entirely in bigint: x is CENTERED per key on min(x) first (the
+    slope is shift-invariant in value, but centering bounds the intermediate
+    products — with raw epoch-day x the n·Σxy term alone would overflow the
+    scaled numerator).  The final division is sign-adjusted TRUNCATION
+    ``sign(num) · (|num|·scale div den)`` — on non-negative operands Spark's
+    ``div`` and DuckDB's ``//`` agree, whereas on negative numerators they
+    diverge (trunc-toward-zero vs floor), the pmod/floor-div trap.
+
+    Scale shape: one map-combinable min(x) aggregate per key, broadcast back
+    (|keys| rows), then ONE map-combinable moment aggregate — two scans, no
+    window, no sort.  Overflow posture is the repo's ANSI contract: loud
+    throw, never silent wrap; bound inputs so n·Σ|x'y|·scale < 2^63 (x'
+    centered — e.g. day offsets × daily cents are ~1e17 at 10M events).
+
+    Output: (key, n_points, slope_scaled, avg_y_scaled) — slope in y-units
+    per x-unit × scale; keys with a degenerate x spread (den = 0) surface
+    slope_scaled NULL.
+    """
+    mins = df.groupBy(key_col).agg(F.min(x_col).alias("_x0"))
+    pts = df.join(F.broadcast(mins), key_col).select(
+        F.col(key_col),
+        (F.col(x_col) - F.col("_x0")).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    m = pts.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    m = (
+        m.withColumn("num_c", F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .withColumn("den_c", F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    )
+    slope = F.when(
+        F.col("den_c") > 0,
+        F.when(
+            F.col("num_c") >= 0, F.expr(f"(num_c * {int(scale)}) div den_c")
+        ).otherwise(-F.expr(f"((-num_c) * {int(scale)}) div den_c")),
+    )
+    avg = F.when(
+        F.col("_sy") >= 0, F.expr(f"(_sy * {int(scale)}) div _n")
+    ).otherwise(-F.expr(f"((-_sy) * {int(scale)}) div _n"))
+    return m.select(
+        F.col(key_col),
+        F.col("_n").alias("n_points"),
+        slope.alias("slope_scaled"),
+        avg.alias("avg_y_scaled"),
+    )

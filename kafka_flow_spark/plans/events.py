@@ -554,6 +554,55 @@ _ROLL_7D_US = 7 * 86400 * 1_000_000
 
 
 @register(
+    "q_user_spend_trend",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY 1, 2),
+    x0 AS (SELECT user_id, MIN(day) AS xmin FROM d GROUP BY 1),
+    p AS (SELECT d.user_id, d.day - x0.xmin AS x, d.yc AS y
+          FROM d JOIN x0 USING (user_id)),
+    m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM p GROUP BY 1),
+    f AS (SELECT user_id, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den, sy
+          FROM m)
+    SELECT user_id, n AS n_points,
+           CASE WHEN den > 0 THEN
+             CASE WHEN num >= 0 THEN (num * 10000) // den
+                  ELSE -(((-num) * 10000) // den) END
+           END AS slope_scaled,
+           CASE WHEN sy >= 0 THEN (sy * 10000) // n
+                ELSE -(((-sy) * 10000) // n) END AS avg_y_scaled
+    FROM f
+    """,
+)
+def q_user_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS spend trend over daily integer-cents rollups
+    (operators/timeseries.group_trend): slope in cents/day x 1e4 and mean
+    daily cents x 1e4, all-bigint moments with sign-adjusted truncating
+    division — the trend-detection analytics primitive, engine-exact
+    (Spark div == DuckDB // on the non-negative branch only; the sign
+    adjustment exists because they diverge on negative numerators)."""
+    from kafka_flow_spark.functions import cents
+    from kafka_flow_spark.operators.timeseries import group_trend
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("_day"),
+        )
+        .agg(F.sum(cents("value")).alias("_yc"))
+    )
+    return group_trend(daily, "user_id", "_day", "_yc")
+
+
+@register(
     "q_rolling_user_value_7d",
     oracle=f"""
     WITH e AS (

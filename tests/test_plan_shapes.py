@@ -237,3 +237,12 @@ def test_random_projection_is_narrow(spark):
     plan = plan_of(spark, "q_random_projection")
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_group_trend_is_two_aggregates_no_window(spark):
+    """Trend = daily rollup agg + broadcast min-x + one moment aggregate —
+    no window, no sort, nothing quadratic."""
+    plan = plan_of(spark, "q_user_spend_trend")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -407,3 +407,56 @@ def test_scd2_null_values_form_runs(spark):
         .collect()
     ]
     assert got == [(None, 10, 2), ("A", 30, 1)]
+
+
+# --- per-group OLS trend ------------------------------------------------------
+
+
+def test_group_trend_hand_worked(spark):
+    from kafka_flow_spark.operators.timeseries import group_trend
+
+    rows = [
+        # key 1: y = 100 + 50x  -> slope 50, scaled 500000
+        (1, 10, 100), (1, 11, 150), (1, 12, 200),
+        # key 2: perfectly flat -> slope 0
+        (2, 5, 70), (2, 6, 70),
+        # key 3: single point -> den 0 -> NULL slope
+        (3, 9, 40),
+        # key 4: downward trend, negative numerator branch
+        (4, 0, 100), (4, 1, 0),
+    ]
+    df = spark.createDataFrame(rows, "k INT, x INT, y INT")
+    got = {
+        r["k"]: (r["n_points"], r["slope_scaled"], r["avg_y_scaled"])
+        for r in group_trend(df, "k", "x", "y").collect()
+    }
+    assert got[1] == (3, 50 * 10000, 150 * 10000)
+    assert got[2] == (2, 0, 70 * 10000)
+    assert got[3] == (1, None, 40 * 10000)
+    assert got[4] == (2, -100 * 10000, 50 * 10000)
+
+
+def test_group_trend_matches_numpy(spark):
+    import numpy as np
+
+    from kafka_flow_spark.operators.timeseries import group_trend
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for k in range(5):
+        xs = sorted(rng.choice(1000, size=30, replace=False))
+        for x in xs:
+            rows.append((k, int(x), int(rng.randint(-500, 500))))
+    df = spark.createDataFrame(rows, "k INT, x INT, y INT")
+    got = {r["k"]: r["slope_scaled"] for r in group_trend(df, "k", "x", "y").collect()}
+    for k in range(5):
+        pts = [(x, y) for kk, x, y in rows if kk == k]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        want = (num * 10000) // den if num >= 0 else -((-num * 10000) // den)
+        assert got[k] == want, k
+        # and the truncated value brackets the float OLS slope
+        float_slope = np.polyfit([x for x, _ in pts], [y for _, y in pts], 1)[0]
+        assert abs(got[k] / 10000.0 - float_slope) < 1e-3
