@@ -175,6 +175,11 @@ def changeset(
     """
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in key_cols]
+    if not compare_cols:
+        raise ValueError(
+            "changeset needs at least one compare column — a key-only delta "
+            "has no values to carry (use table_diff for presence-only diffs)"
+        )
     missing = [c for c in compare_cols if c not in old.columns or c not in new.columns]
     if missing:
         raise ValueError(f"compare columns absent from a side: {missing}")

@@ -1208,7 +1208,12 @@ def binary_quantize(
             .cast("long"),
         ),
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+    # a NULL vector must yield a NULL sig (the fold runs over literal index
+    # sequences, so it would otherwise silently produce the all-zero code and
+    # match every all-negative vector at distance 0)
+    return df.select(
+        F.col(id_col), F.when(vec.isNotNull(), sig).alias("sig")
+    )
 
 
 def knn_hamming(
@@ -1235,9 +1240,16 @@ def knn_hamming(
 
     Output: (q_id, neighbor_id, dist int, rank int).
     """
-    sigs = binary_quantize(vectors, id_col, vec_col, dim)
-    qsigs = binary_quantize(queries, id_col, vec_col, dim).select(
-        F.col(id_col).alias("q_id"), F.col("sig").alias("q_sig")
+    # NULL vectors quantize to NULL sigs -> NULL distances, which Spark's
+    # ASC window ranks FIRST but DuckDB ranks LAST — drop them on both sides
+    # so a null row can never silently claim a top-k slot (review r6).
+    sigs = binary_quantize(vectors, id_col, vec_col, dim).filter(
+        F.col("sig").isNotNull()
+    )
+    qsigs = (
+        binary_quantize(queries, id_col, vec_col, dim)
+        .filter(F.col("sig").isNotNull())
+        .select(F.col(id_col).alias("q_id"), F.col("sig").alias("q_sig"))
     )
     dist = F.aggregate(
         F.zip_with(

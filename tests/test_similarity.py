@@ -532,3 +532,14 @@ def test_random_projection_preserves_distances_approximately(spark):
         ratios.append(d_lo / d_hi)
     med = sorted(ratios)[len(ratios) // 2]
     assert 1 / 3 < med < 3, med
+
+
+def test_knn_hamming_null_vectors_never_rank(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64), (3, None)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    from kafka_flow_spark.operators.similarity import knn_hamming
+
+    out = knn_hamming(df, df.where("vec_id = 1"), dim=64, k=5).collect()
+    assert [r["neighbor_id"] for r in out] == [2]
