@@ -225,14 +225,25 @@ def canonical_per_cluster(
     otherwise (size decided by AQE — both sides are post-aggregation).
 
     Output: (id_col, cluster_col, score_col, canonical_id, keep) for EVERY
-    clustered doc; ``keep`` marks the survivor.
+    clustered doc; ``keep`` marks the survivor.  Docs absent from ``scores``
+    carry a NULL score and can never win while a scored member exists.
     """
     joined = assign.select(
         F.col(id_col), F.col(cluster_col)
-    ).join(scores.select(F.col(id_col), F.col(score_col)), id_col)
+    ).join(scores.select(F.col(id_col), F.col(score_col)), id_col, "left")
+    # LEFT join + NULL-loses ordering: a doc missing from the score relation
+    # stays in the output (keep=False unless its whole cluster is unscored,
+    # where the min-id member wins) instead of silently vanishing — the
+    # 'EVERY clustered doc' contract (review r6).  Ordering struct:
+    # (scored?, score, -id) — scored beats unscored, then score, then low id.
     best = joined.groupBy(cluster_col).agg(
         F.max_by(
-            F.col(id_col), F.struct(F.col(score_col), (-F.col(id_col)).alias("_nid"))
+            F.col(id_col),
+            F.struct(
+                F.col(score_col).isNotNull().alias("_scored"),
+                F.col(score_col),
+                (-F.col(id_col)).alias("_nid"),
+            ),
         ).alias("canonical_id")
     )
     return joined.join(best, cluster_col).select(

@@ -235,7 +235,23 @@ def apply_changeset(
     a union with the changeset's upsert rows.  Cost scales with
     |old| + |changes|, never with history.
     """
+    if "status" not in changes.columns:
+        raise ValueError(
+            "apply_changeset expects a changeset (needs a 'status' column) — "
+            "got a relation without one; build it with changeset()"
+        )
+    missing_keys = [k for k in key_cols if k not in changes.columns]
+    if missing_keys:
+        raise ValueError(f"changeset is missing key columns: {missing_keys}")
     value_cols = [c for c in changes.columns if c != "status"]
+    uncovered = [c for c in old.columns if c not in value_cols]
+    if uncovered:
+        raise ValueError(
+            "changeset does not carry every old-snapshot column "
+            f"({uncovered} missing) — applying it would silently drop them. "
+            "Build the changeset with compare_cols covering all non-key "
+            "columns of the snapshot being patched."
+        )
     keep = old.select(*value_cols).join(
         changes.select(*key_cols), key_cols, "left_anti"
     )

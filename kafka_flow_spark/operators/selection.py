@@ -260,12 +260,19 @@ def classifier_scores(
             "bucket"
         ),
     )
+    # LEFT join + missing-as-zero: a sparse weight table (zero-weight buckets
+    # omitted — the normal trimmed-model export) must not drop tokens from
+    # n_tokens or documents from the output (review r6).
     return (
-        feats.join(F.broadcast(weights.select("bucket", "w_micro")), "bucket")
+        feats.join(
+            F.broadcast(weights.select("bucket", "w_micro")), "bucket", "left"
+        )
         .groupBy(F.col("_id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("w_micro").alias("score_micro"),
+            F.sum(F.coalesce(F.col("w_micro"), F.lit(0).cast("long"))).alias(
+                "score_micro"
+            ),
         )
         .withColumn("label", F.col("score_micro") >= F.lit(int(threshold_micro)))
     )

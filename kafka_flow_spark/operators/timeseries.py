@@ -423,9 +423,9 @@ def group_trend(
     ``div`` and DuckDB's ``//`` agree, whereas on negative numerators they
     diverge (trunc-toward-zero vs floor), the pmod/floor-div trap.
 
-    Scale shape: one map-combinable min(x) aggregate per key, broadcast back
-    (|keys| rows), then ONE map-combinable moment aggregate — two scans, no
-    window, no sort.  Overflow posture is the repo's ANSI contract: loud
+    Scale shape: one map-combinable min(x) aggregate per key joined back
+    (|keys| rows, AQE-sized — broadcast when small), then ONE map-combinable
+    moment aggregate — two scans, no window, no sort.  Overflow posture is the repo's ANSI contract: loud
     throw, never silent wrap; bound inputs so n·Σ|x'y|·scale < 2^63 (x'
     centered — e.g. day offsets × daily cents are ~1e17 at 10M events).
 
@@ -434,7 +434,11 @@ def group_trend(
     slope_scaled NULL.
     """
     mins = df.groupBy(key_col).agg(F.min(x_col).alias("_x0"))
-    pts = df.join(F.broadcast(mins), key_col).select(
+    # no broadcast hint: mins is one row per KEY (unbounded at 100 TB —
+    # billions of users would force a multi-GB build onto every executor);
+    # both join sides are post-aggregation, so AQE's size stats pick
+    # broadcast exactly when mins is actually small (review r6).
+    pts = df.join(mins, key_col).select(
         F.col(key_col),
         (F.col(x_col) - F.col("_x0")).cast("long").alias("_x"),
         F.col(y_col).cast("long").alias("_y"),

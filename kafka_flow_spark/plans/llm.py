@@ -525,7 +525,8 @@ _BQ_SIG = f"[{_bq_word(0)}, {_bq_word(1)}]"
 @register(
     "q_knn_hamming",
     oracle=f"""
-    WITH s AS (SELECT vec_id, {_BQ_SIG} AS sig FROM embeddings),
+    WITH s AS (SELECT vec_id, {_BQ_SIG} AS sig FROM embeddings
+              WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id AS q_id, sig AS q_sig FROM s WHERE vec_id < 10),
     d AS (SELECT q.q_id, s.vec_id AS neighbor_id,
                  CAST(list_sum(list_transform(list_zip(q.q_sig, s.sig),

@@ -969,24 +969,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/incremental.table_diff — one full-outer key join, map-side
     NULL-aware column compare; non-'unchanged' rows only."""
     from kafka_flow_spark.operators.incremental import table_diff
-    from kafka_flow_spark.operators.sampling import hash_bucket
 
-    base = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        hash_bucket(F.col("o_orderkey").cast("string")).alias("_hx"),
-    )
-    old = base.where(F.col("_hx") >= _TD_T1).drop("_hx")
-    new = base.where((F.col("_hx") < _TD_T1) | (F.col("_hx") >= _TD_T2)).select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.when(
-            (F.col("_hx") >= _TD_T2) & (F.col("_hx") < _TD_T3),
-            F.col("o_totalprice") + F.lit(1.0),
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-    )
+    old, new = _td_snapshots(spark, sf_dir)
     d = table_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
     return d.where(F.col("status") != "unchanged")

@@ -230,3 +230,21 @@ def test_canonical_exactly_one_survivor_per_cluster(spark):
     assert per and all(r["n_keep"] == 1 for r in per)
     # every doc assigned, survivor is a member of its own cluster
     assert out.where(F.col("canonical_id") == F.col("doc_id")).count() == len(per)
+
+
+def test_canonical_unscored_docs_survive_and_lose(spark):
+    from kafka_flow_spark.operators.graph import canonical_per_cluster
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], ["doc_id", "cluster_id"]
+    )
+    # doc 2 unscored (must stay, can't win); cluster 3 fully unscored -> min id
+    scores = spark.createDataFrame([(1, 5)], ["doc_id", "score"])
+    rows = {
+        r["doc_id"]: (r["canonical_id"], r["keep"], r["score"])
+        for r in canonical_per_cluster(assign, scores).collect()
+    }
+    assert rows[1] == (1, True, 5)
+    assert rows[2] == (1, False, None)
+    assert rows[3] == (3, True, None)
+    assert rows[4] == (3, False, None)

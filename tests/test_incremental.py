@@ -169,3 +169,17 @@ def test_changeset_empty_when_identical(spark):
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     assert changeset(orders, orders, ["o_orderkey"]).count() == 0
+
+
+def test_apply_changeset_refuses_partial_changesets(spark):
+    import pytest
+
+    from kafka_flow_spark.operators.incremental import apply_changeset, changeset
+
+    old = spark.createDataFrame([(1, "A", 1.0)], "k INT, s STRING, v DOUBLE")
+    new = spark.createDataFrame([(1, "B", 1.0)], "k INT, s STRING, v DOUBLE")
+    partial = changeset(old, new, ["k"], ["s"])  # v not carried
+    with pytest.raises(ValueError, match="does not carry every"):
+        apply_changeset(old, partial, ["k"])
+    with pytest.raises(ValueError, match="status"):
+        apply_changeset(old, new, ["k"])  # not a changeset at all

@@ -213,3 +213,17 @@ def test_classifier_model_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_classifier_sparse_model_scores_missing_as_zero(spark):
+    from kafka_flow_spark.operators.selection import classifier_scores
+
+    df = spark.createDataFrame([(1, "alpha beta"), (2, "zzz")], ["doc_id", "text"])
+    # a weight table covering NO buckets: every doc must still appear,
+    # n_tokens full, score 0, label by threshold sign
+    empty = spark.createDataFrame([], "bucket LONG, w_micro LONG")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_micro"], r["label"])
+        for r in classifier_scores(df, "text", "doc_id", empty, 64).collect()
+    }
+    assert got == {1: (2, 0, True), 2: (1, 0, True)}
