@@ -240,3 +240,51 @@ def cap_per_group(
         .filter(F.col("cap_rank") <= n_max)
         .drop("_cb", "_pid", "_lr")
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    2006, the exponential-race form): each row draws a content-addressed
+    uniform u(salt||key) in (0, 1] and races with score -ln(u)/w; the k
+    smallest scores win — P[selected] is proportional-to-weight without
+    replacement, and the whole draw is a pure function of the data (stable
+    across runs, engines, cluster sizes; vary ``salt`` for fresh draws).
+
+    Complements ``weighted_sample`` (bernoulli, fraction-sized output):
+    this one returns EXACTLY k rows (or all rows with positive weight, if
+    fewer).  Rows with weight <= 0 or NULL can never win and are filtered.
+
+    Determinism: u = (md5-fold + 1) / 2^24 (the +1 keeps u away from
+    ln(0); division by a power of two is IEEE-exact); -ln(u)/w is one ln
+    and one division of identical doubles — the same cross-engine ln
+    contract DSIR's micro-nat weights rely on (pinned on real data in
+    tests/test_selection.py).
+
+    Scale shape: map-side score projection + TakeOrderedAndProject (bounded
+    k at the driver) + a rank window over <= k rows.  No full sort.
+
+    Output: the df columns + sel_rank (1..k by ascending score).
+    """
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(hash_bucket(F.concat(F.lit(salt), F.col(key_col))), 16, 10).cast("long")
+        + F.lit(1)
+    ) / F.lit(float(16**_HEX_DIGITS))
+    score = -F.log(u) / w.cast("double")
+    scored = df.filter(w.cast("double") > 0).withColumn("_score", score)
+    topk = scored.orderBy(F.col("_score").asc(), F.col(key_col).asc()).limit(k)
+    wr = Window.orderBy(F.col("_score").asc(), F.col(key_col).asc())
+    return (
+        topk.withColumn("sel_rank", F.row_number().over(wr).cast("int"))
+        .drop("_score")
+    )

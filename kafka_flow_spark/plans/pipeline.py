@@ -142,6 +142,38 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_weighted_reservoir",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             -LN((list_reduce(list_transform(range(1, 7), d ->
+                    CAST(strpos('0123456789abcdef',
+                         substr(md5('wr0' || CAST(doc_id AS VARCHAR)), d, 1)) - 1
+                         AS BIGINT)),
+                  (a, b) -> a * 16 + b) + 1) / 16777216.0)
+             / CAST(n_chars AS DOUBLE) AS score
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang, n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY score, doc_id) AS INT) AS sel_rank
+    FROM s QUALIFY sel_rank <= 100
+    """,
+)
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 length-weighted document sample without replacement
+    (operators/sampling.weighted_reservoir, Efraimidis–Spirakis exponential
+    race on content-addressed uniforms) — the fixed-budget counterpart of
+    q_weighted_sample's bernoulli draw."""
+    from kafka_flow_spark.operators.sampling import weighted_reservoir
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    return weighted_reservoir(docs, "_key", F.col("n_chars"), k=100, salt="wr0").select(
+        "doc_id", "lang", "n_chars", "sel_rank"
+    )
+
+
 # Horner fold of the first 6 md5 hex digits — the DuckDB mirror of
 # sampling.key_uniform's conv(bucket,16,10)/16^6 (division by 2^24 is
 # IEEE-exact, so u is bit-identical in both engines).

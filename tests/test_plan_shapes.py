@@ -246,3 +246,11 @@ def test_group_trend_is_two_aggregates_no_window(spark):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_reservoir_is_takeordered(spark):
+    """The k-smallest-score select must be TakeOrderedAndProject (bounded-k
+    partial top-k per partition), never a global sort."""
+    plan = plan_of(spark, "q_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

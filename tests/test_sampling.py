@@ -298,3 +298,60 @@ def test_cap_per_group_rejects_bad_n(spark):
     df = spark.createDataFrame([("1", "a")], "k STRING, g STRING")
     with _pytest.raises(ValueError):
         cap_per_group(df, "g", "k", n_max=0)
+
+
+# --- exactly-k weighted reservoir (Efraimidis–Spirakis) -----------------------
+
+
+def test_weighted_reservoir_exact_k_and_deterministic(spark):
+    from kafka_flow_spark.operators.sampling import weighted_reservoir
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    a = weighted_reservoir(docs, "_key", F.col("n_chars"), k=50)
+    b = weighted_reservoir(docs, "_key", F.col("n_chars"), k=50)
+    ra = [(r["doc_id"], r["sel_rank"]) for r in a.orderBy("sel_rank").collect()]
+    rb = [(r["doc_id"], r["sel_rank"]) for r in b.orderBy("sel_rank").collect()]
+    assert len(ra) == 50 and ra == rb
+    # different salt -> different draw
+    c = weighted_reservoir(docs, "_key", F.col("n_chars"), k=50, salt="other")
+    rc = {r["doc_id"] for r in c.collect()}
+    assert rc != {d for d, _ in ra}
+
+
+def test_weighted_reservoir_dominant_weight_always_selected(spark):
+    from kafka_flow_spark.operators.sampling import weighted_reservoir
+
+    rows = [(str(i), 1) for i in range(200)] + [("heavy", 10**9)]
+    df = spark.createDataFrame(rows, "k STRING, w INT")
+    # -ln(u)/1e9 is ~always the smallest score: heavy must win rank 1
+    out = weighted_reservoir(df, "k", F.col("w"), k=5)
+    assert out.orderBy("sel_rank").first()["k"] == "heavy"
+
+
+def test_weighted_reservoir_nonpositive_weights_never_selected(spark):
+    from kafka_flow_spark.operators.sampling import weighted_reservoir
+
+    rows = [("a", 5), ("b", 0), ("c", -3), ("d", None), ("e", 2)]
+    df = spark.createDataFrame(rows, "k STRING, w INT")
+    got = {r["k"] for r in weighted_reservoir(df, "k", F.col("w"), k=10).collect()}
+    assert got == {"a", "e"}
+
+
+def test_weighted_reservoir_is_proportional_ish(spark):
+    """Statistical smoke over 30 salts: an item with 10x the weight of each
+    of 100 light items is selected (k=10) far more often than a light one."""
+    from kafka_flow_spark.operators.sampling import weighted_reservoir
+
+    rows = [(f"L{i}", 10) for i in range(100)] + [("H", 100)]
+    df = spark.createDataFrame(rows, "k STRING, w INT").cache()
+    heavy_hits = 0
+    for s in range(30):
+        sel = {r["k"] for r in weighted_reservoir(df, "k", F.col("w"), 10, salt=f"s{s}").collect()}
+        heavy_hits += "H" in sel
+    df.unpersist()
+    # P[H in top-10] ~ 1 - prod(...) ≈ 0.65; light ~0.09.  30 draws: expect ~20
+    assert heavy_hits >= 10
