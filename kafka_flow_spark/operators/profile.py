@@ -490,3 +490,85 @@ def windowed_drift(
     wh = window_hist.select(*keys, "_bin", F.col("n").alias("_ca"))
     h = wh.join(refk, [*keys, "_bin"], "full").fillna(0, subset=["_ca", "_cb"])
     return emd_from_counts(h, keys, bin_width)
+
+
+def histogram_psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    bin_width: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group Population Stability Index between two samples over the
+    shared equi-width integer binning — the model-monitoring drift metric
+    next to ``histogram_emd``'s transport distance:
+
+        PSI = Σ_bins (p'_b − q'_b) · ln(p'_b / q'_b)
+
+    with add-one-smoothed proportions p' = (c_a+1)/(n_a+B), q' =
+    (c_b+1)/(n_b+B) over the group's B observed bins (smoothing makes
+    empty-on-one-side bins finite — the standard industry convention; PSI
+    > 0.2 is the usual "investigate" bar).
+
+    Determinism contract (the DSIR pattern): every count is bigint; each
+    bin's term is (exact-bigint numerator / exact-bigint denominator) ·
+    ln(exact ratio of bigints), rounded to a scaled bigint micro-unit —
+    per-bin integers sum order-independently, so Spark and DuckDB agree
+    bit-for-bit given the shared ln contract (tests/test_selection.py pins
+    ln on real data).
+
+    Scale shape: identical to histogram_emd — two map-combinable histogram
+    aggregates collapse row volume to bin cardinality; the smoothing
+    window + final agg run over distinct bins only.
+
+    Output: group_cols + (n_a, n_b, n_bins, psi_micro) — PSI × 1e6 as
+    bigint; groups empty on either side surface NULL.
+    """
+    from pyspark.sql import Window
+
+    def hist(df: DataFrame, cname: str) -> DataFrame:
+        fd = F.expr(
+            f"({value_col} - (({value_col} % {bin_width} + {bin_width})"
+            f" % {bin_width})) div {bin_width}"
+        )
+        return (
+            df.withColumn("_bin", fd)
+            .groupBy(*group_cols, "_bin")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    h = (
+        hist(df_a, "_ca")
+        .join(hist(df_b, "_cb"), [*group_cols, "_bin"], "full")
+        .fillna(0, subset=["_ca", "_cb"])
+    )
+    wp = Window.partitionBy(*group_cols)
+    t = h.select(
+        *group_cols,
+        "_ca",
+        "_cb",
+        F.sum("_ca").over(wp).alias("_na"),
+        F.sum("_cb").over(wp).alias("_nb"),
+        F.count(F.lit(1)).over(wp).alias("_nbins"),
+    )
+    pa = (F.col("_ca") + 1) * (F.col("_nb") + F.col("_nbins"))
+    qb = (F.col("_cb") + 1) * (F.col("_na") + F.col("_nbins"))
+    den = (F.col("_na") + F.col("_nbins")) * (F.col("_nb") + F.col("_nbins"))
+    term = (
+        F.round(
+            ((pa - qb).cast("double") / den.cast("double"))
+            * F.log(pa.cast("double") / qb.cast("double"))
+            * F.lit(int(scale))
+        ).cast("long")
+    )
+    out = t.groupBy(*group_cols).agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max("_nbins").alias("n_bins"),
+        F.sum(term).alias("_psi"),
+    )
+    return out.withColumn(
+        "psi_micro",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("_psi")),
+    ).drop("_psi")

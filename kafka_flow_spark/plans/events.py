@@ -751,6 +751,59 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_psi_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM events),
+    ha AS (SELECT event_type, (vc - ((vc % {_DRIFT_BIN} + {_DRIFT_BIN}) % {_DRIFT_BIN})) // {_DRIFT_BIN} AS bin, COUNT(*) AS ca
+           FROM e WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}'
+           GROUP BY event_type, bin),
+    hb AS (SELECT event_type, (vc - ((vc % {_DRIFT_BIN} + {_DRIFT_BIN}) % {_DRIFT_BIN})) // {_DRIFT_BIN} AS bin, COUNT(*) AS cb
+           FROM e WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}'
+           GROUP BY event_type, bin),
+    h AS (SELECT COALESCE(ha.event_type, hb.event_type) AS event_type,
+                 COALESCE(ha.bin, hb.bin) AS bin,
+                 CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
+                 CAST(COALESCE(cb, 0) AS BIGINT) AS cb
+          FROM ha FULL JOIN hb ON ha.event_type = hb.event_type AND ha.bin = hb.bin),
+    t AS (SELECT event_type, ca, cb,
+                 CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+                 CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nbins
+          FROM h),
+    terms AS (SELECT event_type, na, nb, nbins,
+                     CAST(ROUND(
+                       (CAST((ca + 1) * (nb + nbins) - (cb + 1) * (na + nbins) AS DOUBLE)
+                        / CAST((na + nbins) * (nb + nbins) AS DOUBLE))
+                       * LN(CAST((ca + 1) * (nb + nbins) AS DOUBLE)
+                            / CAST((cb + 1) * (na + nbins) AS DOUBLE))
+                       * 1000000) AS BIGINT) AS term
+              FROM t)
+    SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b, MAX(nbins) AS n_bins,
+           CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+                THEN CAST(SUM(term) AS BIGINT) END AS psi_micro
+    FROM terms GROUP BY event_type
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Population Stability Index between the early and late
+    halves of the stream (same split/bins as q_distribution_drift) —
+    operators/profile.histogram_psi, the model-monitoring drift metric in
+    micro-units, add-one smoothed, exact per-bin integer terms."""
+    from kafka_flow_spark.functions import cents
+    from kafka_flow_spark.operators.profile import histogram_psi
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "ts", cents("value").alias("vc")
+    )
+    early = e.where(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp_ntz"))
+    late = e.where(F.col("ts") >= F.lit(_DRIFT_SPLIT).cast("timestamp_ntz"))
+    return histogram_psi(early, late, "vc", ["event_type"], _DRIFT_BIN)
+
+
+@register(
     "q_session_paths",
     oracle="""
     WITH e AS (

@@ -460,3 +460,42 @@ def test_group_trend_matches_numpy(spark):
         # and the truncated value brackets the float OLS slope
         float_slope = np.polyfit([x for x, _ in pts], [y for _, y in pts], 1)[0]
         assert abs(got[k] / 10000.0 - float_slope) < 1e-3
+
+
+# --- PSI drift ----------------------------------------------------------------
+
+
+def test_psi_hand_worked(spark):
+    """Two-bin toy: identical distributions -> PSI 0; checked against a
+    literal python computation of the smoothed formula."""
+    import math
+
+    from kafka_flow_spark.operators.profile import histogram_psi
+
+    a = spark.createDataFrame([("g", v) for v in [0, 0, 10, 10]], "g STRING, v INT")
+    same = histogram_psi(a, a, "v", ["g"], 10).collect()[0]
+    assert same["psi_micro"] == 0 and same["n_bins"] == 2
+
+    b = spark.createDataFrame([("g", v) for v in [0, 10, 10, 10]], "g STRING, v INT")
+    got = histogram_psi(a, b, "v", ["g"], 10).collect()[0]
+    # bins: a = {0: 2, 1: 2}, b = {0: 1, 1: 3}; B=2, na=nb=4
+    want = 0
+    for ca, cb in [(2, 1), (2, 3)]:
+        p, q = (ca + 1) / 6, (cb + 1) / 6
+        want += round((p - q) * math.log(p / q) * 1_000_000)
+    assert got["psi_micro"] == want
+
+
+def test_psi_symmetry_and_empty_side(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.operators.profile import histogram_psi
+
+    a = spark.createDataFrame([("g", v) for v in [0, 0, 10]], "g STRING, v INT")
+    b = spark.createDataFrame([("g", v) for v in [0, 10, 10]], "g STRING, v INT")
+    ab = histogram_psi(a, b, "v", ["g"], 10).collect()[0]["psi_micro"]
+    ba = histogram_psi(b, a, "v", ["g"], 10).collect()[0]["psi_micro"]
+    assert ab == ba and ab > 0  # PSI is symmetric in (p-q)ln(p/q)
+    empty = a.where(F.lit(False))
+    r = histogram_psi(a, empty, "v", ["g"], 10).collect()[0]
+    assert r["psi_micro"] is None and r["n_b"] == 0
