@@ -419,9 +419,11 @@ def group_trend(
     slope is shift-invariant in value, but centering bounds the intermediate
     products — with raw epoch-day x the n·Σxy term alone would overflow the
     scaled numerator).  The final division is sign-adjusted TRUNCATION
-    ``sign(num) · (|num|·scale div den)`` — on non-negative operands Spark's
-    ``div`` and DuckDB's ``//`` agree, whereas on negative numerators they
-    diverge (trunc-toward-zero vs floor), the pmod/floor-div trap.
+    ``sign(num) · (|num|·scale div den)`` — both Spark's ``div`` and
+    DuckDB's ``//`` truncate toward zero (verified: -7 // 2 = -3 in BOTH),
+    so plain div would also match; the explicit form pins the
+    trunc-toward-zero semantics in the contract rather than leaving it to
+    each engine's operator definition.
 
     Scale shape: one map-combinable min(x) aggregate per key joined back
     (|keys| rows, AQE-sized — broadcast when small), then ONE map-combinable

@@ -584,8 +584,8 @@ def q_user_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/timeseries.group_trend): slope in cents/day x 1e4 and mean
     daily cents x 1e4, all-bigint moments with sign-adjusted truncating
     division — the trend-detection analytics primitive, engine-exact
-    (Spark div == DuckDB // on the non-negative branch only; the sign
-    adjustment exists because they diverge on negative numerators)."""
+    (both engines' integer division truncates toward zero; the explicit
+    sign-adjusted form pins that semantics in the contract)."""
     from kafka_flow_spark.functions import cents
     from kafka_flow_spark.operators.timeseries import group_trend
 
