@@ -1325,3 +1325,48 @@ def random_projection(
             F.floor(total * F.lit(float(scale))).cast("long").alias(f"p{j}")
         )
     return df.select(*cols)
+
+
+def knn_hamming_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    m: int | None = None,
+) -> DataFrame:
+    """Two-stage binary-index search — the production pattern for 1-bit
+    codes: Hamming top-``m`` candidates over sign codes (cheap xor+popcount
+    scan, 32× less I/O), then EXACT cosine re-rank of only |queries|·m rows
+    to the final top-``k``.  Recall is the Hamming stage's (sign-code
+    Hamming approximates angle); the re-rank removes its ordering noise —
+    the same shape as faiss binary-index + refine.
+
+    Scale shape: the expensive stage scans signatures only; the re-rank
+    joins the tiny candidate relation back to the float vectors by id
+    (AQE-sized; |Q|·m rows vs the corpus) and windows over m rows per
+    query.  Deterministic end-to-end: both stages break ties on
+    (metric, neighbor_id).
+
+    Output: (q_id, neighbor_id, sim, rank) like knn_bruteforce.
+    """
+    m = m if m is not None else 4 * k
+    if m < k:
+        raise ValueError(f"m={m} must be >= k={k}")
+    cand = knn_hamming(vectors, queries, id_col, vec_col, dim, k=m).select(
+        "q_id", "neighbor_id"
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    sims = (
+        cand.join(v, "neighbor_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -550,6 +550,48 @@ def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_hamming(e, e.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+@register(
+    "q_knn_hamming_rerank",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, {_BQ_SIG} AS sig, embedding FROM embeddings
+               WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS q_id, sig AS q_sig, embedding AS q_emb FROM s WHERE vec_id < 10),
+    d AS (SELECT q.q_id, s.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(list_zip(q.q_sig, s.sig),
+                      p -> bit_count(xor(p[1], p[2])))) AS INT) AS dist
+          FROM q JOIN s ON s.vec_id <> q.q_id),
+    cand AS (SELECT q_id, neighbor_id FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, neighbor_id) AS hr
+      FROM d) WHERE hr <= 20),
+    r AS (SELECT c.q_id, c.neighbor_id,
+                 list_sum(list_transform(list_zip(
+                     list_transform(q.q_emb, x -> CAST(x AS DOUBLE)),
+                     list_transform(s.embedding, x -> CAST(x AS DOUBLE))),
+                   p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 AS sim
+          FROM cand c JOIN q ON c.q_id = q.q_id
+                      JOIN s ON c.neighbor_id = s.vec_id)
+    SELECT q_id, neighbor_id, ROUND(sim, 4) AS sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      FROM r) WHERE rank <= 5
+    """,
+)
+def q_knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-index search with exact refine (operators/similarity.py
+    knn_hamming_rerank): Hamming top-20 sign-code candidates, exact cosine
+    re-rank to top-5 — the faiss binary+refine pattern, fully
+    oracle-mirrored (bit arithmetic + the established round-4 cosine)."""
+    from kafka_flow_spark.operators.similarity import knn_hamming_rerank
+
+    e = load(spark, sf_dir, "embeddings")
+    out = knn_hamming_rerank(e, e.filter(F.col("vec_id") < 10), dim=64, k=5, m=20)
+    return out.select(
+        "q_id", "neighbor_id", F.round("sim", 4).alias("sim"), F.col("rank").cast("int").alias("rank")
+    )
+
+
 # --- JL random projection (Achlioptas sparse signs, FLOOR-e6 exact) ---------
 
 

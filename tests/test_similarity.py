@@ -543,3 +543,35 @@ def test_knn_hamming_null_vectors_never_rank(spark):
 
     out = knn_hamming(df, df.where("vec_id = 1"), dim=64, k=5).collect()
     assert [r["neighbor_id"] for r in out] == [2]
+
+
+def test_hamming_rerank_recall_and_exact_sims(spark):
+    """The refine stage must output EXACT cosines (equal to bruteforce for
+    shared pairs) and recover most of the exact top-k through the binary
+    prefilter."""
+    emb = load(spark, SF_SMALL, "embeddings")
+    queries = emb.limit(10)
+    from kafka_flow_spark.operators.similarity import knn_hamming_rerank
+
+    exact = {
+        (r["q_id"], r["neighbor_id"]): r["sim"]
+        for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["q_id"], r["neighbor_id"]): r["sim"]
+        for r in knn_hamming_rerank(emb, queries, k=5, m=40).collect()
+    }
+    recall = len(set(exact) & set(got)) / len(exact)
+    assert recall >= 0.5, f"binary prefilter recall {recall:.2f}"
+    for key in set(exact) & set(got):
+        assert abs(exact[key] - got[key]) < 1e-9
+
+
+def test_hamming_rerank_m_guard(spark):
+    import pytest
+
+    from kafka_flow_spark.operators.similarity import knn_hamming_rerank
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="must be >= k"):
+        knn_hamming_rerank(emb, emb.limit(1), k=5, m=3)
