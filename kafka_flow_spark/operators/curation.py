@@ -561,3 +561,60 @@ def mixture_divergence(
         "n_tokens_b",
         F.round(jsd, 4).alias("jsd"),
     )
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document novelty against a reference corpus: of a document's
+    distinct word ``n``-grams, how many appear NOWHERE in the reference —
+    the inverse of ``ngram_contamination`` (leakage counts shared grams;
+    novelty counts unshared).  The memorization/redundancy signal of data-
+    curation recipes: low novelty = the document re-states reference
+    content; pair with a floor to drop near-verbatim rehashes, or sort by
+    novelty for curriculum ordering.
+
+    Shape: same as contamination — distinct grams both sides, LEFT join on
+    the 64-bit gram hash against the reference's distinct gram set (the
+    string never shuffles), count misses per doc.  Zero-gram documents
+    (fewer than n tokens) surface n_grams = 0 with novelty NULL.
+
+    Output: (id_col, n_grams, n_novel, novelty_ppm) — parts-per-million as
+    exact bigint (n_novel·1e6 div n_grams), engine-exact.
+    """
+    def grams(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, n=n)).alias("_ng"),
+        ).select(id_col, F.xxhash64("_ng").alias("_ngh"))
+
+    ref = reference.select(
+        F.explode(word_shingles(text_col, n=n)).alias("_ng")
+    ).select(F.xxhash64("_ng").alias("_ngh")).distinct()
+    per_doc = (
+        grams(corpus)
+        .distinct()
+        .join(ref.withColumn("_hit", F.lit(1)), "_ngh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.expr("(n_novel * 1000000) div n_grams"),
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -461,6 +461,42 @@ def _bloom_pos_sql(expr: str, m_bits: int) -> str:
 
 
 @register(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH g AS ({_gram8('documents')}),
+    ref AS (SELECT DISTINCT ng FROM g
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) < '{_T_EVAL}'),
+    cor AS (SELECT DISTINCT doc_id, ng FROM g
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) >= '{_T_EVAL}'),
+    per AS (SELECT cor.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN ref.ng IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_novel
+            FROM cor LEFT JOIN ref ON cor.ng = ref.ng GROUP BY cor.doc_id)
+    SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_novel, 0) AS n_novel,
+           CASE WHEN COALESCE(p.n_grams, 0) > 0
+                THEN (p.n_novel * 1000000) // p.n_grams END AS novelty_ppm
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) >= '{_T_EVAL}'
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty against the same hash-held-out 5% slice
+    the contamination queries use (operators/curation.ngram_novelty) — the
+    memorization/redundancy signal: novelty_ppm = unshared-gram fraction in
+    exact parts-per-million."""
+    from kafka_flow_spark.operators.curation import ngram_novelty
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    ref = hash_sample(docs, "_key", 0.05)
+    corpus = docs.join(ref.select("doc_id"), "doc_id", "left_anti")
+    return ngram_novelty(corpus, ref, "doc_id", "text", n=8)
+
+
+@register(
     "q_bloom_contamination",
     oracle=f"""
     WITH g AS ({_gram8("documents")}),

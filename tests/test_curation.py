@@ -860,3 +860,51 @@ def test_mixture_divergence_symmetric_in_value(spark):
     [r2] = mixture_divergence(df2, "src", "text").collect()
     assert r1["jsd"] == r2["jsd"]
     assert (r1["group_a"], r1["group_b"]) == (r2["group_a"], r2["group_b"]) == ("a", "b")
+
+
+# --- n-gram novelty -----------------------------------------------------------
+
+
+def test_novelty_complements_contamination(spark):
+    """For every doc: n_novel + n_shared_with_ref == n_grams (novelty is the
+    exact inverse of the contamination count on the same gram sets)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.operators.curation import ngram_contamination, ngram_novelty
+    from kafka_flow_spark.operators.sampling import hash_sample
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    ref = hash_sample(docs, "_key", 0.05)
+    corpus = docs.join(ref.select("doc_id"), "doc_id", "left_anti")
+    nov = ngram_novelty(corpus, ref, "doc_id", "text", n=8)
+    con = ngram_contamination(corpus, ref, "doc_id", "text", n=8)
+    j = nov.join(con, "doc_id")
+    bad = j.where(F.col("n_novel") + F.col("n_shared") != F.col("n_grams"))
+    assert bad.count() == 0
+
+
+def test_novelty_verbatim_copy_is_zero(spark):
+    from kafka_flow_spark.operators.curation import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d e f g h i j k l")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),        # verbatim -> novelty 0
+            (2, "z y x w v u t s r q p o"),        # disjoint -> novelty 1e6
+            (3, "too short"),                      # < 8 tokens -> 0 grams, NULL
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_ppm"])
+        for r in ngram_novelty(corpus, ref, "doc_id", "text", n=8).collect()
+    }
+    assert got[1] == (5, 0, 0)
+    assert got[2] == (5, 5, 1_000_000)
+    assert got[3] == (0, 0, None)

@@ -254,3 +254,13 @@ def test_weighted_reservoir_is_takeordered(spark):
     plan = plan_of(spark, "q_weighted_reservoir")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_novelty_reference_set_is_broadcast(spark):
+    """The reference gram-hash set (post-distinct, tiny vs the corpus gram
+    stream) must broadcast — shuffling 100M corpus gram rows for it is the
+    failure mode."""
+    plan = plan_of(spark, "q_ngram_novelty")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
