@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from kafka_flow_spark.cache import scoped_persist
 
 from kafka_flow_spark.operators.dedup import word_shingles
-from kafka_flow_spark.operators.sampling import fraction_threshold, hash_bucket
+from kafka_flow_spark.operators.sampling import _HEX_DIGITS, fraction_threshold, hash_bucket
 from kafka_flow_spark.operators.text import normalize_text, token_count, tokens
 
 
@@ -617,4 +617,54 @@ def ngram_novelty(
                 F.expr("(n_novel * 1000000) div n_grams"),
             ).alias("novelty_ppm"),
         )
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    text_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Budget-targeted mixing: sample each group down to ~``budgets[group]``
+    TOKENS (not rows) — the epochs-per-source recipe stated as an absolute
+    token budget.  P[keep] = min(1, budget / group_token_total), decided
+    content-addressedly per document, so E[kept tokens] = budget for
+    over-budget groups and the whole group survives under-budget ones.
+    Groups absent from ``budgets`` are DROPPED (allowlist — the
+    ``weighted_mix`` posture).
+
+    Determinism: keep iff u(key) · group_total < budget — u is the exact
+    md5-fold uniform, the product is one IEEE double multiply of
+    engine-identical factors, no division anywhere.
+
+    Scale shape: one map-combinable token-count aggregate per group
+    (|groups| rows, AQE-sized join back — broadcast when small), then a
+    scan-side keep predicate.  The corpus is read twice (count pass +
+    filter pass) unless the caller persists it.
+
+    Output: the df rows that survive, plus n_tokens and group_tokens.
+    """
+    from kafka_flow_spark.operators.text import token_count
+
+    for g, b in budgets.items():
+        if b <= 0:
+            raise ValueError(f"budget for {g!r} must be positive, got {b}")
+    tok = df.withColumn("n_tokens", token_count(text_col).cast("long"))
+    totals = tok.groupBy(group_col).agg(F.sum("n_tokens").alias("group_tokens"))
+    budget: Column = F.lit(None).cast("long")
+    for g, b in budgets.items():
+        budget = F.when(F.col(group_col) == F.lit(g), F.lit(int(b))).otherwise(budget)
+    u = F.conv(hash_bucket(key_col), 16, 10).cast("long") / F.lit(
+        float(16**_HEX_DIGITS)
+    )
+    return (
+        tok.join(totals, group_col)
+        .withColumn("_budget", budget)
+        .where(
+            F.col("_budget").isNotNull()
+            & (u * F.col("group_tokens").cast("double") < F.col("_budget").cast("double"))
+        )
+        .drop("_budget")
     )

@@ -288,3 +288,44 @@ def weighted_reservoir(
         topk.withColumn("sel_rank", F.row_number().over(wr).cast("int"))
         .drop("_score")
     )
+
+
+def weighted_reservoir_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: Column | str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group exactly-k weighted sampling without replacement — the
+    stratified form of ``weighted_reservoir`` (same Efraimidis–Spirakis
+    race, the top-k taken WITHIN each group): k docs per language, k
+    examples per class, weight-proportional within the stratum.
+
+    Scale shape: map-side score projection + one rank window per group key
+    (WindowGroupLimit pushes the k-bound into the shuffle: at most k rows
+    per (group, input-partition) cross the exchange).
+
+    Output: the df columns + sel_rank (1..k within the group).
+    """
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(hash_bucket(F.concat(F.lit(salt), F.col(key_col))), 16, 10).cast("long")
+        + F.lit(1)
+    ) / F.lit(float(16**_HEX_DIGITS))
+    score = -F.log(u) / w.cast("double")
+    wr = Window.partitionBy(*group_cols).orderBy(
+        F.col("_score").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(w.cast("double") > 0)
+        .withColumn("_score", score)
+        .withColumn("sel_rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("sel_rank") <= k)
+        .drop("_score")
+    )

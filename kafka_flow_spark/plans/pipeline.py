@@ -174,6 +174,40 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_reservoir_per_lang",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             -LN((list_reduce(list_transform(range(1, 7), d ->
+                    CAST(strpos('0123456789abcdef',
+                         substr(md5('wr1' || CAST(doc_id AS VARCHAR)), d, 1)) - 1
+                         AS BIGINT)),
+                  (a, b) -> a * 16 + b) + 1) / 16777216.0)
+             / CAST(n_chars AS DOUBLE) AS score
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang, n_chars, sel_rank FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY score, doc_id) AS INT) AS sel_rank
+      FROM s) WHERE sel_rank <= 30
+    """,
+)
+def q_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-30-per-language length-weighted sample
+    (operators/sampling.weighted_reservoir_per_group) — the stratified form
+    of q_weighted_reservoir; WindowGroupLimit bounds the shuffle to k rows
+    per (group, partition)."""
+    from kafka_flow_spark.operators.sampling import weighted_reservoir_per_group
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    return weighted_reservoir_per_group(
+        docs, ["lang"], "_key", F.col("n_chars"), k=30, salt="wr1"
+    ).select("doc_id", "lang", "n_chars", "sel_rank")
+
+
 # Horner fold of the first 6 md5 hex digits — the DuckDB mirror of
 # sampling.key_uniform's conv(bucket,16,10)/16^6 (division by 2^24 is
 # IEEE-exact, so u is bit-identical in both engines).
@@ -494,6 +528,56 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = hash_sample(docs, "_key", 0.05)
     corpus = docs.join(ref.select("doc_id"), "doc_id", "left_anti")
     return ngram_novelty(corpus, ref, "doc_id", "text", n=8)
+
+
+_TBM_BUDGETS = {f"src{i}": (700 if i % 2 == 0 else 300) for i in range(20)}
+
+
+def _tbm_budget_sql() -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN source = '{g}' THEN {b}" for g, b in sorted(_TBM_BUDGETS.items())
+        )
+        + " END"
+    )
+
+
+@register(
+    "q_token_budget_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE trim(text) <> ''),
+    z AS (SELECT doc_id, source, 0 AS n_tokens FROM documents WHERE trim(text) = ''),
+    a AS (SELECT * FROM t UNION ALL SELECT * FROM z),
+    g AS (SELECT a.*, CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+                        AS group_tokens FROM a)
+    SELECT doc_id, source, n_tokens, group_tokens
+    FROM g
+    WHERE ({_tbm_budget_sql()}) IS NOT NULL
+      AND (list_reduce(list_transform(range(1, 7), d ->
+             CAST(strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), d, 1)) - 1 AS BIGINT)),
+           (a, b) -> a * 16 + b) / 16777216.0)
+          * CAST(group_tokens AS DOUBLE) < CAST(({_tbm_budget_sql()}) AS DOUBLE)
+    """,
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-targeted source mixing (operators/curation.token_budget_mix):
+    even-numbered sources sampled toward 700 tokens, odd toward 300 —
+    epochs-per-source stated as absolute token budgets, content-addressed
+    keep decisions, no division in the predicate."""
+    from kafka_flow_spark.operators.curation import token_budget_mix
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    return token_budget_mix(docs, "source", "_key", "text", _TBM_BUDGETS).select(
+        "doc_id", "source", "n_tokens", "group_tokens"
+    )
 
 
 @register(

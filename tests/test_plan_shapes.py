@@ -264,3 +264,15 @@ def test_novelty_reference_set_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_per_group_reservoir_is_windowgrouplimit(spark):
+    plan = plan_of(spark, "q_reservoir_per_lang")
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "Join" not in plan
+
+
+def test_token_budget_mix_totals_join_no_cartesian(spark):
+    plan = plan_of(spark, "q_token_budget_mix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan

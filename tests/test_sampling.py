@@ -355,3 +355,20 @@ def test_weighted_reservoir_is_proportional_ish(spark):
     df.unpersist()
     # P[H in top-10] ~ 1 - prod(...) ≈ 0.65; light ~0.09.  30 draws: expect ~20
     assert heavy_hits >= 10
+
+
+def test_reservoir_per_group_exact_k_each(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.operators.sampling import weighted_reservoir_per_group
+    from kafka_flow_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    out = weighted_reservoir_per_group(docs, ["lang"], "_key", F.col("n_chars"), k=10)
+    per = out.groupBy("lang").count().collect()
+    sizes = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for r in per:
+        assert r["count"] == min(10, sizes[r["lang"]])
