@@ -118,6 +118,52 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_rate_by_source",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTE},
+    reach(node, r) AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT reach.node, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(r)) AS comp FROM reach GROUP BY node),
+    assign AS (
+      SELECT d.doc_id, d.source, COALESCE(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(((COUNT(*) - COUNT(DISTINCT cluster_id)) * 1000000) // COUNT(*)
+                AS BIGINT) AS dup_ppm
+    FROM assign GROUP BY source
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card dedup report: per source, document count, near-dup cluster
+    count and removable fraction (ppm, exact bigint div) — the per-domain
+    duplication summary every corpus audit publishes.  Reuses the memoized
+    cluster assignment; one map-combinable aggregate on top.
+
+    NOTE on cross-source clusters: a cluster spanning sources is counted in
+    each source it touches (COUNT(DISTINCT cluster_id) within the source
+    group) — identical semantics in the oracle by construction."""
+    assign = q_dedup_clusters(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        assign.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("((n_docs - n_clusters) * 1000000) div n_docs")
+        )
+    )
+
+
 _SAMPLE_FRACTION = 0.1
 _SAMPLE_T = fraction_threshold(_SAMPLE_FRACTION)
 
