@@ -750,6 +750,72 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_emd(early, late, "vc", ["event_type"], _DRIFT_BIN)
 
 
+_OVL_W_US = 1800 * 1_000_000  # 30-minute windows and bins
+
+
+@register(
+    "q_interval_overlap_attribution",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT event_id AS view_id, user_id, us AS v_lo, us + {_OVL_W_US} AS v_hi
+          FROM e WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, us AS p_lo, us + {_OVL_W_US} AS p_hi
+          FROM e WHERE event_type = 'purchase')
+    SELECT v.view_id, p.purchase_id, v.user_id,
+           CAST(LEAST(v.v_hi, p.p_hi) - GREATEST(v.v_lo, p.p_lo) AS BIGINT)
+             AS overlap_us
+    FROM v JOIN p ON v.user_id = p.user_id
+                 AND v.v_lo < p.p_hi AND p.p_lo < v.v_hi
+    """,
+)
+def q_interval_overlap_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/rangejoin.py
+    interval_overlap_join): per user, every (view, purchase) pair whose
+    30-minute attention windows intersect, with the exact overlap span —
+    the attribution-window primitive.  Binned equi-join on (user, 30-min
+    bin), each pair emitted once in its overlap-start bin; the oracle is
+    the direct quadratic-within-user join."""
+    from kafka_flow_spark.operators.rangejoin import interval_overlap_join
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("_us").alias("v_lo"),
+        (F.col("_us") + F.lit(_OVL_W_US)).alias("v_hi"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("_ruid"),
+        F.col("_us").alias("p_lo"),
+        (F.col("_us") + F.lit(_OVL_W_US)).alias("p_hi"),
+    )
+    j = interval_overlap_join(
+        v.withColumnRenamed("user_id", "uid"),
+        p.withColumnRenamed("_ruid", "uid"),
+        "v_lo",
+        "v_hi",
+        "p_lo",
+        "p_hi",
+        bin_width=_OVL_W_US,
+        key_cols=["uid"],
+    )
+    return j.select(
+        "view_id",
+        "purchase_id",
+        F.col("uid").alias("user_id"),
+        (
+            F.least(F.col("v_hi"), F.col("p_hi"))
+            - F.greatest(F.col("v_lo"), F.col("p_lo"))
+        ).alias("overlap_us"),
+    )
+
+
 @register(
     "q_psi_drift",
     oracle=f"""

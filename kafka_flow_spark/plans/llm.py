@@ -427,6 +427,55 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", T.lang_id("text").alias("predicted_lang"))
 
 
+@register(
+    "q_langid_confusion",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+             length(text) - length(regexp_replace(text, '[^\\u4e00-\\u9fff]', '', 'g')) AS cjk
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang, cjk,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is'], lower(x)))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], lower(x)))) AS BIGINT) AS s_es,
+        CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','des'], lower(x)))) AS BIGINT) AS s_fr,
+        CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], lower(x)))) AS BIGINT) AS s_de
+      FROM t),
+    p AS (
+      SELECT lang,
+             CASE WHEN cjk > 0 THEN 'zh'
+                  WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                  WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+                  WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
+                  ELSE 'de' END AS predicted_lang
+      FROM s)
+    SELECT lang, predicted_lang, COUNT(*) AS n,
+           CAST((COUNT(*) * 1000000)
+                // SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT) AS row_ppm
+    FROM p GROUP BY lang, predicted_lang
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang vs heuristic prediction,
+    with per-true-lang row fractions in exact ppm — the model-eval summary
+    on top of q_lang_id's per-doc predictions (same proven oracle
+    fragment).  One map-combinable aggregate + a window over the tiny
+    (lang, predicted) domain."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    p = d.select("lang", T.lang_id("text").alias("predicted_lang"))
+    counts = p.groupBy("lang", "predicted_lang").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.withColumn("_total", F.sum("n").over(Window.partitionBy("lang")))
+        .withColumn("row_ppm", F.expr("(n * 1000000) div _total"))
+        .drop("_total")
+    )
+
+
 # --- document fingerprinting ---
 @register(
     "q_doc_fingerprint",

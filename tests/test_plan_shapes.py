@@ -276,3 +276,13 @@ def test_token_budget_mix_totals_join_no_cartesian(spark):
     plan = plan_of(spark, "q_token_budget_mix")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_interval_overlap_is_hash_join_not_bnlj(spark):
+    """The overlap join must plan as a (user, bin)-keyed hash join — a
+    BroadcastNestedLoopJoin here is the quadratic trap the operator exists
+    to avoid."""
+    plan = plan_of(spark, "q_interval_overlap_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

@@ -50,3 +50,66 @@ def test_shuffle_path_equals_broadcast_path(spark):
     a = _pairs(bin_range_join(left, "v", right, "lo", "hi", 4.0, broadcast_right=True))
     b = _pairs(bin_range_join(left, "v", right, "lo", "hi", 4.0, broadcast_right=False))
     assert a == b and len(a) > 0
+
+
+# --- interval x interval overlap join -----------------------------------------
+
+
+def test_interval_overlap_hand_worked(spark):
+    from kafka_flow_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 200, 300), (3, 150, 160)], "lid INT, lo BIGINT, hi BIGINT"
+    )
+    right = spark.createDataFrame(
+        [(10, 50, 150), (11, 100, 200), (12, 250, 260), (13, 500, 600)],
+        "rid INT, lo2 BIGINT, hi2 BIGINT",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "lo", "hi", "lo2", "hi2", bin_width=64
+        ).collect()
+    }
+    # half-open overlap: (1,10) yes; (1,11) touch at 100 -> NO; (2,12) yes;
+    # (3,11) 150..160 vs 100..200 yes; (2,11) touch at 200 -> NO
+    assert got == {(1, 10), (2, 12), (3, 11)}
+
+
+def test_interval_overlap_no_duplicates_wide_spans(spark):
+    """A pair overlapping across MANY bins must still be emitted once."""
+    from kafka_flow_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 0, 1000)], "lid INT, lo BIGINT, hi BIGINT")
+    right = spark.createDataFrame([(2, 1, 999)], "rid INT, lo2 BIGINT, hi2 BIGINT")
+    rows = interval_overlap_join(
+        left, right, "lo", "hi", "lo2", "hi2", bin_width=10
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_interval_overlap_matches_bruteforce_random(spark):
+    import random
+
+    from kafka_flow_spark.operators.rangejoin import interval_overlap_join
+
+    rng = random.Random(99)
+    L = [(i, rng.randrange(0, 5000), 0) for i in range(80)]
+    L = [(i, lo, lo + rng.randrange(1, 400)) for i, lo, _ in L]
+    R = [(i, rng.randrange(0, 5000), 0) for i in range(80)]
+    R = [(i, lo, lo + rng.randrange(1, 400)) for i, lo, _ in R]
+    lf = spark.createDataFrame(L, "lid INT, lo BIGINT, hi BIGINT")
+    rf = spark.createDataFrame(R, "rid INT, lo2 BIGINT, hi2 BIGINT")
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            lf, rf, "lo", "hi", "lo2", "hi2", bin_width=128
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, llo, lhi in L
+        for ri, rlo, rhi in R
+        if llo < rhi and rlo < lhi
+    }
+    assert got == want
