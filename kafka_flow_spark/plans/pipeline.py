@@ -319,6 +319,77 @@ _T_VAL = fraction_threshold(0.9)
 
 
 @register(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS nc,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, nc, np,
+             CAST(len(toks) AS INT) AS n_words,
+             COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS chars,
+             CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','and','of','to','is'], lower(x)))) AS INT) AS n_stopwords,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END AS g2
+      FROM t),
+    u AS (
+      SELECT doc_id, n_words, n_stopwords,
+             CASE WHEN n_words = 0 THEN 0.0 ELSE chars * 1.0 / n_words END AS mean_word_len,
+             CASE WHEN len(g2) = 0 THEN 0.0
+                  ELSE (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2) END AS dup_2gram_frac,
+             CASE WHEN nc = 0 THEN 0.0 ELSE np * 1.0 / nc END AS symbol_frac
+      FROM s),
+    passing AS (
+      SELECT doc_id FROM u
+      WHERE n_words >= 10 AND n_words <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND n_stopwords >= 1 AND dup_2gram_frac <= 0.9 AND symbol_frac <= 0.1),
+    k AS (SELECT d.* FROM documents d JOIN passing USING (doc_id)),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM k GROUP BY md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))))
+    SELECT k.doc_id, k.source, k.lang, k.n_chars,
+           CASE WHEN substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 6) < '{_T_TRAIN}'
+                  THEN 'train'
+                WHEN substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 6) < '{_T_VAL}'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM k JOIN survivors USING (doc_id)
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation DAG as ONE declarative plan: Gopher/C4 rule
+    gate -> exact-dedup canonical survivors -> 80/10/10 hash split.  Every
+    stage is an operator with its own oracle-gated query; this composition
+    proves they CHAIN — Catalyst fuses the gate into the scan, the dedup is
+    one content-hash aggregate, the split is a map-side projection, so the
+    whole pipeline is scan -> one shuffle -> done.  The oracle is the full
+    three-stage SQL mirror."""
+    from kafka_flow_spark.operators.dedup import exact_duplicates
+    from kafka_flow_spark.operators.quality import quality_flags
+
+    docs = load(spark, sf_dir, "documents")
+    passing = quality_flags(docs, "doc_id", "text").where(F.col("keep")).select("doc_id")
+    kept = docs.join(passing, "doc_id")
+    survivors = exact_duplicates(kept, "text", "doc_id").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    out = kept.join(survivors, "doc_id").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    return hash_split(out, "_key", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "source", "lang", "n_chars", "split"
+    )
+
+
+
+
+@register(
     "q_hash_split",
     oracle=f"""
     SELECT doc_id,

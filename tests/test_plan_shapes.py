@@ -286,3 +286,12 @@ def test_interval_overlap_is_hash_join_not_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_curation_pipeline_is_one_shuffle(spark):
+    """Gate -> exact-dedup survivors -> split, fused: the quality gate is a
+    scan projection, the split a map-side hash — the content-hash dedup
+    aggregate's ONE exchange must be the whole pipeline's only shuffle."""
+    plan = plan_of(spark, "q_curation_pipeline")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
