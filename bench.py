@@ -107,6 +107,7 @@ def main() -> None:
         "q_semantic_dedup_pairs",
         "q_knn_bruteforce_arrow",
         "q_dedup_incremental",
+        "q_dedup_indexed_increment",
         "q_repetition_stats",
         "q_quality_rules",
     }

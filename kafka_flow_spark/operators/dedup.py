@@ -1308,6 +1308,39 @@ def save_minhash_index(
     per.select("doc_id", "_sh").write.mode(mode).parquet(f"{path}/shingles")
 
 
+def ensure_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = _K_DEFAULT,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Build the stored LSH index iff it is absent or does not match the
+    corpus — the idempotent entry point a daily increment job calls before
+    querying.  "Matches" = the params contract (k, bands, shingle_n) AND the
+    stored doc count equal the corpus's; both checks are footer-cheap
+    relative to recomputing 100 TB of signatures.  A same-count same-params
+    corpus with *different contents* is NOT detected (a content checksum
+    would cost the full scan the index exists to avoid) — production rolls
+    the index forward explicitly via ``save_minhash_index(mode="append")``
+    rather than relying on this check.
+    """
+    spark = df.sparkSession
+    try:
+        [p] = spark.read.parquet(f"{path}/params").collect()
+        if (p["k"], p["bands"], p["shingle_n"]) == (k, bands, shingle_n):
+            stored_n = spark.read.parquet(f"{path}/shingles").count()
+            if stored_n == df.count():
+                return
+    except Exception:
+        pass
+    save_minhash_index(
+        df, id_col, text_col, path, k=k, bands=bands, shingle_n=shingle_n
+    )
+
+
 def minhash_lsh_pairs_indexed(
     new_df: DataFrame,
     id_col: str,

@@ -319,7 +319,7 @@ _T_VAL = fraction_threshold(0.9)
 
 
 @register(
-    "q_curation_pipeline",
+    "q_curation_rule_pipeline",
     oracle=f"""
     WITH t AS (
       SELECT doc_id, length(text) AS nc,
@@ -362,14 +362,17 @@ _T_VAL = fraction_threshold(0.9)
     FROM k JOIN survivors USING (doc_id)
     """,
 )
-def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end curation DAG as ONE declarative plan: Gopher/C4 rule
+def q_curation_rule_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rule-based curation DAG as ONE declarative plan: Gopher/C4 rule
     gate -> exact-dedup canonical survivors -> 80/10/10 hash split.  Every
     stage is an operator with its own oracle-gated query; this composition
     proves they CHAIN — Catalyst fuses the gate into the scan, the dedup is
     one content-hash aggregate, the split is a map-side projection, so the
     whole pipeline is scan -> one shuffle -> done.  The oracle is the full
-    three-stage SQL mirror."""
+    three-stage SQL mirror.  (Renamed from q_curation_pipeline in r7: this
+    and the LSH-cluster composition below were BOTH registered under that
+    name, and the dict write made this one silently unreachable — now both
+    compositions are registered and sweep-checked.)"""
     from kafka_flow_spark.operators.dedup import exact_duplicates
     from kafka_flow_spark.operators.quality import quality_flags
 
@@ -1223,11 +1226,12 @@ def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN only_new THEN 'added'
                 WHEN only_old THEN 'deleted'
                 ELSE 'changed' END AS status,
-           CASE WHEN only_new OR only_old THEN []
-                ELSE list_sort(list_filter(
-                       [CASE WHEN c_status THEN 'o_orderstatus' END,
-                        CASE WHEN c_price THEN 'o_totalprice' END],
-                       x -> x IS NOT NULL)) END AS changed_cols
+           COALESCE(array_to_string(
+             CASE WHEN only_new OR only_old THEN []
+                  ELSE list_sort(list_filter(
+                         [CASE WHEN c_status THEN 'o_orderstatus' END,
+                          CASE WHEN c_price THEN 'o_totalprice' END],
+                         x -> x IS NOT NULL)) END, ','), '') AS changed_cols
     FROM j
     WHERE only_new OR only_old OR c_status OR c_price
     """,
@@ -1241,4 +1245,9 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old, new = _td_snapshots(spark, sf_dir)
     d = table_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
-    return d.where(F.col("status") != "unchanged")
+    return d.where(F.col("status") != "unchanged").select(
+        "o_orderkey",
+        "status",
+        # scalar-output contract (test_plan_audit.py): flatten the array
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )

@@ -135,17 +135,25 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
              embedding
       FROM embeddings)
     SELECT vec_id, scale,
-           CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding,
-                                    x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))
-           END AS codes
+           array_to_string(
+             CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                                      x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))
+             END, '-') AS codes
     FROM s
     """,
 )
 def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 codes per embedding — the persisted form of a 100 TB ANN
-    index (4× smaller scans; exact codes are engine-independent by design)."""
-    return quantize_int8(load(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    index (4× smaller scans; exact codes are engine-independent by design).
+    Codes flattened to a '-'-joined string: oracle-gated outputs must be
+    scalar (driver canonicalizer contract, test_plan_audit.py)."""
+    out = quantize_int8(load(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("codes").cast("array<string>"), "-").alias("codes"),
+    )
 
 
 @register(

@@ -184,6 +184,58 @@ def test_pagerank_mass_nearly_conserved(spark):
     assert total >= scale - 11 * 6 * 100  # N*(iters+1) floor ulps, generous
 
 
+def test_pagerank_converged_tol0_equals_fixed_iterations(spark):
+    """With tol=0 the early-exit variant stops AT the integer fixpoint, so it
+    must be bit-identical to the fixed-iteration form run for >= that many
+    iterations (extra fixed iterations are no-ops once the residual is 0)."""
+    from kafka_flow_spark.operators.graph import pagerank, pagerank_converged
+
+    # directed 3-cycle reaches the exact uniform fixpoint in one step
+    edge_list = [(1, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edge_list, "src BIGINT, dst BIGINT")
+    ranks, its, residual = pagerank_converged(df, max_iterations=10, tol_scaled=0)
+    assert residual == 0
+    assert its < 10  # actually early-exited
+    got = {r["node"]: r["rank_scaled"] for r in ranks.collect()}
+    fixed = {
+        r["node"]: r["rank_scaled"] for r in pagerank(df, iterations=8).collect()
+    }
+    assert got == fixed
+
+
+def test_pagerank_converged_matches_fixed_at_same_iteration_count(spark):
+    """On a graph that has NOT converged by max_iterations, the variant must
+    equal pagerank(iterations=iterations_run) exactly — the residual check
+    never perturbs the ranks."""
+    from kafka_flow_spark.operators.graph import pagerank, pagerank_converged
+
+    edge_list = [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0)]
+    df = spark.createDataFrame(edge_list, "src BIGINT, dst BIGINT")
+    ranks, its, residual = pagerank_converged(df, max_iterations=3, tol_scaled=0)
+    assert its == 3
+    got = {r["node"]: r["rank_scaled"] for r in ranks.collect()}
+    fixed = {
+        r["node"]: r["rank_scaled"] for r in pagerank(df, iterations=3).collect()
+    }
+    assert got == fixed
+    # python-mirror residual agreement: |r_3 - r_2| summed
+    r3, r2 = _py_pagerank(edge_list, 3), _py_pagerank(edge_list, 2)
+    assert residual == sum(abs(r3[v] - r2[v]) for v in r3)
+
+
+def test_pagerank_converged_loose_tol_stops_early(spark):
+    from kafka_flow_spark.operators.graph import pagerank_converged
+
+    edge_list = [(i, (i * 7 + 3) % 11) for i in range(11)]
+    df = spark.createDataFrame(edge_list, "src BIGINT, dst BIGINT")
+    _, its_tight, _ = pagerank_converged(df, max_iterations=15, tol_scaled=0)
+    _, its_loose, res = pagerank_converged(
+        df, max_iterations=15, tol_scaled=10**9
+    )
+    assert its_loose <= its_tight
+    assert res <= 10**9
+
+
 # --- canonical survivor selection -------------------------------------------
 
 

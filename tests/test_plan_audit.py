@@ -16,10 +16,11 @@ from __future__ import annotations
 
 import pytest
 
-from kafka_flow_spark.plans.registry import all_queries
+from kafka_flow_spark.plans.registry import all_oracles, all_queries
 from tests.conftest import SF_SMALL
 
 QUERIES = all_queries()
+ORACLES = all_oracles()
 
 
 def _plan(df) -> str:
@@ -35,4 +36,29 @@ def test_no_scale_antipatterns(spark, name):
     assert "CartesianProduct" not in plan, (
         f"{name}: un-broadcast cartesian product — broadcast the bounded side "
         f"or add an equi-join key"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_outputs_are_scalar(spark, name):
+    """Every oracle-gated query must emit SCALAR top-level columns only.
+
+    The driver's correctness harness canonicalizes results by sorting and
+    hashing through pandas, which dies with ``unhashable type: 'list'`` on
+    array/map cells and has no stable ordering for structs — q_pq_codes
+    shipped an ``array<int>`` column in r6 and its (value-exact) driver row
+    read as an ERROR.  Flatten containers to strings (array_join) or explode
+    to rows before returning.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = QUERIES[name](spark, SF_SMALL).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: oracle-gated output has non-scalar column(s) {bad} — the "
+        f"driver canonicalizer can only hash scalars; array_join or explode"
     )
