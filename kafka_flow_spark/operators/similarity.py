@@ -696,6 +696,23 @@ def semantic_dedup_pairs(
         gen, schema=f"{id_col} {id_t}, {vec_col} {vec_t}, cell INT"
     )
 
+    pairs = _cell_pairs_blas(assigned, id_col, vec_col, threshold, id_t)
+    return (
+        pairs.groupBy("a_id", "b_id")  # n_probe > 1 can match a pair in 2+ cells
+        .agg(F.round(F.max("_sim"), 4).alias("cos_sim"))
+    )
+
+
+def _cell_pairs_blas(
+    assigned: DataFrame, id_col: str, vec_col: str, threshold: float, id_t: str
+) -> DataFrame:
+    """Within-cell pair scan as one blocked BLAS matmul per cell
+    (applyInPandas over the ``cell`` key) — shared by the trained
+    (``semantic_dedup_pairs``) and deterministic-cell
+    (``semantic_dedup_lsh``) variants.  Emits (a_id, b_id, _sim) with
+    a_id < b_id for every in-cell pair at or above ``threshold``."""
+    import pandas as pd
+
     def cell_pairs(pdf):
         n = len(pdf)
         if n < 2:
@@ -727,12 +744,8 @@ def semantic_dedup_pairs(
             return pd.DataFrame({"a_id": [], "b_id": [], "_sim": []})
         return pd.concat(outs, ignore_index=True)
 
-    pairs = assigned.groupBy("cell").applyInPandas(
+    return assigned.groupBy("cell").applyInPandas(
         cell_pairs, schema=f"a_id {id_t}, b_id {id_t}, _sim DOUBLE"
-    )
-    return (
-        pairs.groupBy("a_id", "b_id")  # n_probe > 1 can match a pair in 2+ cells
-        .agg(F.round(F.max("_sim"), 4).alias("cos_sim"))
     )
 
 
@@ -888,6 +901,62 @@ def pq_encode(
     )
 
 
+def _grid_scores_staged(
+    df: DataFrame,
+    keep_cols: list[str],
+    vec_col: str,
+    levels: tuple[float, ...],
+    m_subspaces: int,
+) -> DataFrame:
+    """Stage the grid-gate arithmetic as REAL columns: normalized vector,
+    then per-(subspace, level) squared distances ``_s_{mi}_{j}``, each
+    ROUNDED to 6 decimals (both engines round before any comparison/sum, so
+    a sub-1e-6 FP wiggle can never flip a code or an ADC rank).
+
+    Staging matters as much as the math: higher-order functions are
+    interpreted per element, and Catalyst does no common-subexpression
+    elimination on them — an inline normalized-vector expression referenced
+    by 32 slice-folds re-evaluates its length-64 norm fold PER REFERENCE
+    (the repetition_stats lesson, PERF.md r5).  Un-staged, the sf10 encode
+    of 200k vectors ran >10 min; staged it is seconds.  Sub-length comes
+    from the runtime array size (dim % m == 0 by contract, as in
+    ``_train_pq_codebooks``) — no hardcoded dimensionality.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d = df.select(*keep_cols, v.alias("_v"))
+    d = d.select(
+        *keep_cols,
+        "_v",
+        F.sqrt(
+            F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("_nrm"),
+    )
+    d = d.select(
+        *keep_cols,
+        F.transform(
+            F.col("_v"), lambda x: x / F.greatest(F.col("_nrm"), F.lit(1e-12))
+        ).alias("_vn"),
+    )
+    sub_len = F.size(F.col("_vn")) / F.lit(m_subspaces)
+    score_cols = []
+    for mi in range(m_subspaces):
+        start = (F.lit(mi) * sub_len + 1).cast("int")
+        s = F.slice(F.col("_vn"), start, sub_len.cast("int"))
+
+        def _sqerr_fold(g: float):
+            # closure factory, NOT a default arg: pyspark reads the lambda's
+            # arity to bind HOF variables, and `lambda acc, x, g=g` counts 3
+            return lambda acc, x: acc + (x - F.lit(g)) * (x - F.lit(g))
+
+        for j, g in enumerate(levels):
+            score_cols.append(
+                F.round(F.aggregate(s, F.lit(0.0), _sqerr_fold(g)), 6).alias(
+                    f"_s_{mi}_{j}"
+                )
+            )
+    return d.select(*keep_cols, *score_cols)
+
+
 def pq_encode_grid_expr(
     df: DataFrame,
     id_col: str,
@@ -917,29 +986,12 @@ def pq_encode_grid_expr(
     the summed min-scores, i.e. the total squared quantization error of
     the normalized vector.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    vn = F.transform(v, lambda x: x / F.greatest(norm, F.lit(1e-12)))
+    staged = _grid_scores_staged(df, [id_col], vec_col, levels, m_subspaces)
     n_levels = len(levels)
-    # sub-length from the runtime array size (dim % m == 0 by contract, as
-    # in _train_pq_codebooks) — no hardcoded dimensionality
-    sub_len = F.size(vn) / F.lit(m_subspaces)
     code_cols = []
     err_cols = []
     for mi in range(m_subspaces):
-        start = (F.lit(mi) * sub_len + 1).cast("int")
-        s = F.slice(vn, start, sub_len.cast("int"))
-        def _sqerr_fold(g: float):
-            # closure factory, NOT a default arg: pyspark reads the lambda's
-            # arity to bind HOF variables, and `lambda acc, x, g=g` counts 3
-            return lambda acc, x: acc + (x - F.lit(g)) * (x - F.lit(g))
-
-        scores = [
-            F.round(F.aggregate(s, F.lit(0.0), _sqerr_fold(g)), 6)
-            for g in levels
-        ]
+        scores = [F.col(f"_s_{mi}_{j}") for j in range(n_levels)]
         best = F.least(*scores)
         # first index whose score equals the min — np.argmin tie semantics
         code = F.lit(n_levels - 1)
@@ -950,11 +1002,178 @@ def pq_encode_grid_expr(
     total_err = err_cols[0]
     for e in err_cols[1:]:
         total_err = total_err + e
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.array(*code_cols).cast("array<int>").alias("codes"),
         F.round(total_err, 4).alias("recon_err"),
     )
+
+
+def adc_shortlist_grid(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: tuple[float, ...] = (-0.3, -0.1, 0.1, 0.3),
+    m_subspaces: int = 8,
+    shortlist: int = 20,
+) -> DataFrame:
+    """ADC (asymmetric-distance) candidate shortlist against CONSTANT-GRID
+    codebooks, entirely in Catalyst expressions — the oracle gate for the
+    IVF-PQ shortlist arithmetic (the ``pq_encode_grid_expr`` pattern applied
+    to the SEARCH half of ``knn_ivfpq``).
+
+    The arithmetic is codebook-agnostic: corpus vectors are PQ-encoded
+    (normalize → subspace argmin, identical to the proven encode gate), each
+    QUERY precomputes its per-(subspace, level) squared-distance table —
+    exactly the LUT ``knn_ivfpq``'s Arrow path builds per query, here as 6dp-
+    rounded expression columns — and a candidate's ADC distance is the sum
+    of m table lookups selected by its codes.  Because every term is rounded
+    to 6 decimals on both engines and the m-term sum is a left-assoc double
+    chain, the ADC value is BIT-IDENTICAL cross-engine; the output carries
+    it FLOOR-scaled to bigint (floor of a shared binary double is always
+    engine-exact) and ranks by (adc_e6, neighbor_id) — fully deterministic.
+    The numpy differential in tests/test_similarity.py runs the same grid
+    codebooks through the trained path's LUT arithmetic and matches these
+    shortlists exactly, carrying the proof to ``knn_ivfpq``.
+
+    Scale shape: the corpus side is a map-side encode projection (no
+    shuffle); queries broadcast (bounded probe set by contract, like every
+    knn_* query here); the only exchange is the top-k WindowGroupLimit on
+    (q_id) — m integer lookups per candidate instead of a dim-length dot.
+    """
+    L = len(levels)
+    # Pin the encode's parallelism: the corpus parquet is often a handful of
+    # row groups (one task), and the 32-fold interpreted encode is CPU-bound
+    # — at 200k vectors the unpinned plan ran single-task >10 min at sf10,
+    # the pinned one seconds.  Same rationale/knob as the minhash pipeline
+    # (dedup.py): a user repartition count is AQE-coalesce-exempt.
+    sess = vectors.sparkSession
+    n_part = max(
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+        sess.sparkContext.defaultParallelism,
+    )
+    codes = pq_encode_grid_expr(
+        vectors.repartition(n_part, F.col(id_col)),
+        id_col,
+        vec_col,
+        levels=levels,
+        m_subspaces=m_subspaces,
+    ).select(F.col(id_col).alias("neighbor_id"), "codes")
+    q = _grid_scores_staged(queries, [id_col], vec_col, levels, m_subspaces)
+    q = q.select(
+        F.col(id_col).alias("q_id"),
+        F.array(
+            *[
+                F.col(f"_s_{mi}_{j}")
+                for mi in range(m_subspaces)
+                for j in range(L)
+            ]
+        ).alias("_qs"),
+    )
+    joined = codes.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("q_id")
+    )
+    adc = None
+    for mi in range(m_subspaces):
+        term = F.element_at(
+            F.col("_qs"),
+            (F.lit(mi * L) + F.element_at(F.col("codes"), mi + 1) + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    scored = joined.select(
+        "q_id",
+        "neighbor_id",
+        F.floor(adc * F.lit(1000000.0)).cast("long").alias("adc_e6"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_e6"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= shortlist
+    )
+
+
+def semantic_dedup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 4,
+    seed: int = 7,
+    engine: str = "auto",
+    max_expr_pairs: int = 20_000_000,
+) -> DataFrame:
+    """SemDeDup keep-first prune on DETERMINISTIC sign-bucket cells — the
+    oracle-gated sibling of ``semantic_dedup``.
+
+    The trained path's spherical k-means quantizer has no SQL form, but the
+    PRUNE CONTRACT (compare only within a cell; drop every vector with an
+    in-cell cosine ≥ threshold to a smaller id; keep the rest) is quantizer-
+    agnostic.  Swapping the cells for seeded hyperplane sign buckets
+    (``_hyperplanes`` — the same deterministic matrix family the oracle-
+    gated ``q_knn_lsh`` uses) makes every stage exactly SQL-expressible, so
+    the driver can value-check the whole dedup decision.  The n_planes=0
+    differential in tests/test_similarity.py collapses both variants to ONE
+    cell, where each must equal the exact all-pairs keep-first prune —
+    carrying the contract proof to the trained/BLAS path.
+
+    Two in-cell scan engines with identical semantics (equality pinned in
+    tests/test_similarity.py):
+
+    - ``expr``: equi-join on the int cell key + per-pair Catalyst cosine —
+      exactly SQL-mirrored, the oracle-gate form.  Interpreted per-pair HOF
+      cost makes it viable only up to ~10^7 in-cell pairs.
+    - ``blas``: the shared blocked-matmul pair scan (``_cell_pairs_blas``,
+      same kernel as ``semantic_dedup_pairs``) — the 100 TB form.
+    - ``auto`` (default): one bounded cell-histogram aggregate (≤ 2^n_planes
+      rows) estimates Σ c·(c−1)/2 and picks ``expr`` iff it fits under
+      ``max_expr_pairs`` — the same estimate-then-refuse discipline as the
+      edit-distance band histogram, except here there is a fast path to
+      switch to instead of refusing.
+    """
+    cell = (
+        lsh_bucket(F.col(vec_col), _hyperplanes(dim, n_planes, seed=seed))
+        if n_planes > 0
+        else F.lit(0)
+    )
+    # pin parallelism: the corpus parquet may be one row group, and both the
+    # sign folds and the pair scan are CPU-bound (see adc_shortlist_grid)
+    sess = df.sparkSession
+    n_part = max(
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+        sess.sparkContext.defaultParallelism,
+    )
+    df = df.repartition(n_part, F.col(id_col))
+    if engine == "auto":
+        hist = df.select(cell.alias("_cell")).groupBy("_cell").count().collect()
+        est = sum(r["count"] * (r["count"] - 1) // 2 for r in hist)
+        engine = "expr" if est <= max_expr_pairs else "blas"
+    if engine == "expr":
+        a = df.select(
+            F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), cell.alias("_cell")
+        )
+        b = df.select(
+            F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), cell.alias("_cell")
+        )
+        sim = cosine(_as_double(F.col("_va")), _as_double(F.col("_vb")))
+        dropped = (
+            a.join(b, "_cell")
+            .where(F.col("a_id") < F.col("b_id"))
+            .where(sim >= F.lit(threshold))
+            .select(F.col("b_id").alias(id_col))
+            .distinct()
+        )
+    elif engine == "blas":
+        id_t = df.schema[id_col].dataType.simpleString()
+        assigned = df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+        dropped = (
+            _cell_pairs_blas(assigned, id_col, vec_col, threshold, id_t)
+            .select(F.col("b_id").alias(id_col))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"semantic_dedup_lsh: unknown engine {engine!r}")
+    return df.join(dropped, id_col, "left_anti")
 
 
 def knn_ivfpq(

@@ -768,7 +768,10 @@ _PQ_LEVELS = (-0.3, -0.1, 0.1, 0.3)
 _PQ_M = 8
 
 
-def _pq_grid_oracle() -> str:
+def _pq_grid_fragments():
+    """Shared SQL fragments of the grid-codebook gates (encode + ADC):
+    normalized vector, per-(subspace, level) 6dp-rounded squared-distance
+    columns, argmin code CASEs, per-subspace min terms."""
     norm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     vn = (
         "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
@@ -790,6 +793,11 @@ def _pq_grid_oracle() -> str:
         ) + " END"
         code_cases.append(case)
         err_terms.append(least)
+    return vn, score_cols, code_cases, err_terms
+
+
+def _pq_grid_oracle() -> str:
+    vn, score_cols, code_cases, err_terms = _pq_grid_fragments()
     return f"""
     WITH v AS (SELECT vec_id, {vn} AS vn FROM embeddings),
     s AS (SELECT vec_id, {', '.join(score_cols)} FROM v)
@@ -824,16 +832,101 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup.
-# Rows-only: the spherical-k-means quantizer is not SQL-expressible; the
-# pair subset/recall contract vs the EXACT operator is pinned in
-# tests/test_similarity.py (recall 1.0 at n_cells=8/n_probe=4 on sf0.001) ---
-@register("q_semantic_dedup")
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_flow_spark.operators.similarity import semantic_dedup
+def _adc_grid_oracle(shortlist: int = 20) -> str:
+    """Generated mirror of operators/similarity.adc_shortlist_grid: corpus
+    codes from the proven encode fragments, per-query LUT = the same 6dp
+    score columns, ADC = left-assoc sum of code-selected terms, FLOOR-e6."""
+    vn, score_cols, code_cases, _ = _pq_grid_fragments()
+    code_sel = [f"({case}) AS c{mi}" for mi, case in enumerate(code_cases)]
+    terms = []
+    for mi in range(_PQ_M):
+        sel = "CASE c.c" + str(mi) + " " + " ".join(
+            f"WHEN {j} THEN q.s{mi}_{j}" for j in range(len(_PQ_LEVELS))
+        ) + " END"
+        terms.append(f"({sel})")
+    return f"""
+    WITH v AS (SELECT vec_id, {vn} AS vn FROM embeddings),
+    s AS (SELECT vec_id, {', '.join(score_cols)} FROM v),
+    c AS (SELECT vec_id, {', '.join(code_sel)} FROM s),
+    q AS (SELECT * FROM s WHERE vec_id < 10),
+    a AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 CAST(FLOOR(({' + '.join(terms)}) * 1000000.0) AS BIGINT) AS adc_e6
+          FROM q JOIN c ON c.vec_id != q.vec_id)
+    SELECT q_id, neighbor_id, adc_e6, rank FROM (
+      SELECT q_id, neighbor_id, adc_e6,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY adc_e6, neighbor_id) AS INT) AS rank
+      FROM a)
+    WHERE rank <= {shortlist}
+    """
+
+
+@register("q_ivfpq_adc_shortlist", oracle=_adc_grid_oracle())
+def q_ivfpq_adc_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-codebook ADC shortlist over the embeddings corpus — the oracle-
+    gated proof of the IVF-PQ SEARCH arithmetic (see
+    operators/similarity.py adc_shortlist_grid; encode half proven by
+    q_pq_codes, LUT+lookup+rank half proven here)."""
+    from kafka_flow_spark.operators.similarity import adc_shortlist_grid
 
     e = load(spark, sf_dir, "embeddings")
-    kept = semantic_dedup(e, threshold=0.40, n_cells=8, n_probe=4)
+    return adc_shortlist_grid(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        levels=_PQ_LEVELS,
+        m_subspaces=_PQ_M,
+        shortlist=20,
+    )
+
+
+# --- SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup.
+# r7: the REGISTERED query runs the prune contract on deterministic
+# sign-bucket cells (operators/similarity.semantic_dedup_lsh) so the
+# driver can value-check the dedup decision end-to-end; the trained
+# spherical-k-means + BLAS path (semantic_dedup / q_semantic_dedup_pairs)
+# stays the 100 TB throughput form, rows-only, with the n_planes=0 ==
+# n_cells=1 differential in tests/test_similarity.py tying the two. ---
+
+
+def _semantic_dedup_lsh_oracle(
+    dim: int = 64, n_planes: int = 4, seed: int = 7, threshold: float = 0.40
+) -> str:
+    from kafka_flow_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed=seed)
+    dot_cols = []
+    for i in range(n_planes):
+        chain = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({planes[i][d]!r})"
+            for d in range(dim)
+        )
+        dot_cols.append(f"({chain}) AS d_{i}")
+    bucket = " + ".join(
+        f"(CASE WHEN d_{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(n_planes)
+    )
+    return f"""
+    WITH dots AS (SELECT vec_id, label, embedding, {', '.join(dot_cols)} FROM embeddings),
+    v AS (SELECT vec_id, label, ({bucket}) AS cell,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM dots),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+            / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= {threshold})
+    SELECT label, COUNT(*) AS n_kept, MIN(vec_id) AS min_vec_id
+    FROM v WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    GROUP BY label
+    """
+
+
+@register("q_semantic_dedup", oracle=_semantic_dedup_lsh_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flow_spark.operators.similarity import semantic_dedup_lsh
+
+    e = load(spark, sf_dir, "embeddings")
+    kept = semantic_dedup_lsh(e, threshold=0.40, dim=64, n_planes=4)
     return kept.groupBy("label").agg(
         F.count("*").alias("n_kept"),
         F.min("vec_id").alias("min_vec_id"),

@@ -77,13 +77,18 @@ def bench_queries() -> list[str]:
 
 def rows_only_queries() -> list[str]:
     """Queries registered WITHOUT an oracle — rows-only BY DESIGN, not by
-    omission: ANN retrieval (q_knn_ivf/lsh/ivfpq — approximate by contract,
-    recall-tested in pytest), semantic dedup (q_semantic_dedup[_pairs] —
-    k-means cluster assignments have no SQL form; subset/recall/keep-first
-    properties tested), HLL estimates (q_approx_distinct_users — sketch
-    internals are engine-specific), and iterative BPE training
-    (q_bpe_merges/segment — differential-tested against a reference
-    trainer).  A driver correctness sampler should expect `no_oracle` for
-    exactly this list and treat it as by-design, not failure."""
+    omission: trained-quantizer ANN retrieval (q_knn_ivf/ivfpq — k-means
+    training has no SQL form; recall-tested in pytest, with the encode/ADC
+    arithmetic oracle-gated on grid codebooks via q_pq_codes /
+    q_ivfpq_adc_shortlist), trained semantic dedup pairs
+    (q_semantic_dedup_pairs — same k-means constraint; the prune contract
+    is oracle-gated on sign-bucket cells via q_semantic_dedup), HLL
+    estimates (q_approx_distinct_users — sketch internals are
+    engine-specific), and iterative BPE training (q_bpe_merges/segment —
+    differential-tested against a reference trainer).  q_knn_lsh and
+    q_semantic_dedup left this list in r7: seeded hyperplanes are
+    deterministic, so both are fully oracle-gated.  A driver correctness
+    sampler should expect `no_oracle` for exactly this list and treat it
+    as by-design, not failure."""
     load_all_plans()
     return sorted(set(QUERIES) - set(ORACLES))

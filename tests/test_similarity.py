@@ -325,6 +325,130 @@ def test_pq_encode_numpy_matches_expression_form(spark):
         assert codes == got_expr[vid], f"vec {vid}: {codes} != {got_expr[vid]}"
 
 
+def test_adc_shortlist_numpy_lut_matches_expression_form(spark):
+    """The Catalyst grid-ADC shortlist (adc_shortlist_grid, the oracle gate
+    q_ivfpq_adc_shortlist) and a numpy mirror of knn_ivfpq's LUT arithmetic
+    (per-query LUT = squared distances to codebook entries; candidate score
+    = sum of code-selected LUT cells) produce IDENTICAL shortlists on the
+    same grid codebooks — carrying the DuckDB-exact proof of the search
+    half over to the trained-codebook ADC path."""
+    import numpy as np
+
+    from kafka_flow_spark.operators.similarity import (
+        adc_shortlist_grid,
+        pq_encode,
+    )
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    m, levels = 8, (-0.3, -0.1, 0.1, 0.3)
+    L = len(levels)
+    sub = dim // m
+    books = np.array([[[g] * sub for g in levels] for _ in range(m)])
+    Cn = np.zeros((1, dim))
+    codes = {
+        r["vec_id"]: np.array(r["codes"])
+        for r in pq_encode(emb, "vec_id", "embedding", Cn, books).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    expected = {}
+    for qid in sorted(v for v in vecs if v < 10):
+        qv = vecs[qid]
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        # knn_ivfpq's LUT shape, with squared distance instead of dot (the
+        # grid gate's metric): LUT[mi][j] = ||q_sub - book[mi][j]||^2, 6dp
+        lut = np.round(
+            np.stack(
+                [
+                    ((qn[mi * sub : (mi + 1) * sub] - books[mi]) ** 2).sum(axis=1)
+                    for mi in range(m)
+                ]
+            ),
+            6,
+        )
+        scored = []
+        for nid, cd in codes.items():
+            if nid == qid:
+                continue
+            adc = 0.0
+            for mi in range(m):
+                adc = adc + lut[mi][cd[mi]]
+            scored.append((int(np.floor(adc * 1e6)), nid))
+        scored.sort()
+        expected[qid] = scored[:20]
+    got = {}
+    for r in adc_shortlist_grid(
+        emb, emb.filter("vec_id < 10"), levels=levels, m_subspaces=m, shortlist=20
+    ).collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["adc_e6"], r["neighbor_id"]))
+    assert set(got) == set(expected)
+    for qid, exp in expected.items():
+        g = sorted(got[qid])
+        assert [(e[0], e[1]) for e in exp] == [(adc, nid) for _, adc, nid in g], qid
+
+
+def test_semantic_dedup_lsh_one_cell_equals_trained_one_cell(spark):
+    """n_planes=0 collapses the LSH variant to ONE cell; n_cells=1 does the
+    same for the trained/BLAS variant.  In one cell both are the exact
+    all-pairs keep-first prune, so the kept sets must be IDENTICAL — the
+    differential that carries q_semantic_dedup's oracle proof of the prune
+    contract to the spherical-k-means path."""
+    from kafka_flow_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_lsh,
+    )
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    a = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_lsh(emb, threshold=0.40, n_planes=0).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(emb, threshold=0.40, n_cells=1).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_semantic_dedup_lsh_keep_first_and_pairwise_contract(spark):
+    """Every dropped vector has an in-cell near-dup with a smaller id, and
+    every kept pair within a cell is below threshold (keep-first semantics
+    verified against a brute-force python scan of the sign buckets)."""
+    import numpy as np
+
+    from kafka_flow_spark.operators.similarity import (
+        _hyperplanes,
+        semantic_dedup_lsh,
+    )
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    planes = np.array(_hyperplanes(64, 4, seed=7))
+    cells = {
+        vid: int(sum((1 << i) for i in range(4) if planes[i] @ v >= 0))
+        for vid, v in vecs.items()
+    }
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_lsh(emb, threshold=0.40, n_planes=4).collect()
+    )
+    # python mirror of the keep-first prune
+    def cos(u, v):
+        return (u @ v) / max(np.linalg.norm(u) * np.linalg.norm(v), 1e-12)
+
+    dropped = set()
+    for b_id in sorted(vecs):
+        for a_id in sorted(vecs):
+            if a_id >= b_id or cells[a_id] != cells[b_id]:
+                continue
+            if cos(vecs[a_id], vecs[b_id]) >= 0.40:
+                dropped.add(b_id)
+                break
+    assert kept == sorted(set(vecs) - dropped)
+
+
 # --- bitext_margin_pairs ---------------------------------------------------
 
 
