@@ -221,6 +221,79 @@ def changeset(
     )
 
 
+def maintain_join_view(
+    view_old: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    a_pk: list[str],
+    fk: str,
+    b_pk: str,
+) -> DataFrame:
+    """Incrementally maintain a materialized INNER fact⋈dim join view
+    ``V = A ⋈_{A.fk = B.pk} B`` from CDC changesets — the delta-join half of
+    materialized-view maintenance, completing the incremental family
+    (agg_state/agg_merge maintain aggregates; this maintains joins).
+
+    Inputs: the OLD view, both OLD snapshots, and the two ``changeset()``
+    deltas (which carry full new rows for adds/changes, NULLs for deletes).
+    Exact for any mix of adds/changes/deletes on either side — the
+    maintained result provably equals the full recompute
+    ``A_new ⋈ B_new`` (randomized differential in
+    tests/test_incremental.py; q_incremental_join's oracle IS the
+    recompute).
+
+    Construction (inner-join algebra on keyed snapshots):
+    - ``untouched``: V_old rows whose A-key is NOT in Δ A and whose fk is
+      NOT in Δ B — pass through unjoined.
+    - ``part1``: Δ A's upsert rows joined to B_new (= apply(B_old, Δ B)) —
+      every view row whose A side changed, including rows that now match a
+      B row that changed in the same batch.
+    - ``part2``: A_old rows untouched by Δ A whose fk IS in Δ B, joined to
+      Δ B's upserts — view rows whose B side changed under an unchanged A
+      row.  Deleted B keys contribute nothing (inner semantics: their A
+      rows vanish, as they already did from ``untouched``).
+
+    Scale shape (100 TB read): NO full A⋈B shuffle join ever re-runs.  The
+    view and fact pass through one scan each with anti/semi joins against
+    DELTA-SIZED key sets (broadcastable in the daily case); the only true
+    joins are delta-sized on one side.  Cost ~ |V| + |A| + |B| scans +
+    O(|Δ|) join work, vs the recompute's full two-sided shuffle.  The B_new
+    construction reuses ``apply_changeset`` (|B| + |Δ B|).
+
+    Column contract: view/emitted columns = all of A's + B's non-key
+    columns; both changesets must carry every column of their snapshot
+    (``changeset`` defaults to exactly that).
+    """
+    if fk not in a_old.columns:
+        raise ValueError(f"fact side has no fk column {fk!r}")
+    if b_pk not in b_old.columns:
+        raise ValueError(f"dim side has no pk column {b_pk!r}")
+    # NO broadcast hints on the delta key sets: a daily delta is usually
+    # broadcast material and AQE will pick that join itself from the
+    # post-distinct stats, but a backfill delta can be arbitrarily large and
+    # a forced broadcast would OOM the driver (the r6-review force-broadcast
+    # lesson) — degrading to a shuffled anti/semi join is the correct
+    # behavior there.
+    a_keys = delta_a.select(*a_pk).distinct()
+    b_keys = delta_b.select(b_pk).distinct()
+    untouched = view_old.join(a_keys, a_pk, "left_anti").join(
+        b_keys.withColumnRenamed(b_pk, fk), [fk], "left_anti"
+    )
+    b_new = apply_changeset(b_old, delta_b, [b_pk])
+    a_upserts = delta_a.where(F.col("status") != "deleted").drop("status")
+    part1 = a_upserts.join(b_new, a_upserts[fk] == b_new[b_pk]).drop(b_pk)
+    a_unchanged_hit = a_old.join(a_keys, a_pk, "left_anti").join(
+        b_keys.withColumnRenamed(b_pk, fk), [fk], "left_semi"
+    )
+    b_upserts = delta_b.where(F.col("status") != "deleted").drop("status")
+    part2 = a_unchanged_hit.join(
+        b_upserts, a_unchanged_hit[fk] == b_upserts[b_pk]
+    ).drop(b_pk)
+    return untouched.unionByName(part1).unionByName(part2)
+
+
 def apply_changeset(
     old: DataFrame, changes: DataFrame, key_cols: list[str]
 ) -> DataFrame:

@@ -1,0 +1,182 @@
+"""Count-based n-gram language-model scoring — KenLM-style perplexity
+filtering (CCNet, Wenzek et al. 2020: keep/bucket documents by their
+perplexity under an LM trained on a trusted reference corpus).
+
+A full KenLM (modified Kneser–Ney, backoff) is a C++ artifact; what the
+100 TB pipeline needs from Spark is the distributed half: fit count
+relations over a reference slice in one pass, score every candidate
+document with exact, engine-independent arithmetic.  This module implements
+the add-one-smoothed bigram model — the same family, with every decision
+value-provable against DuckDB:
+
+    P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V)
+
+with c(w1) the count of w1 as a bigram LEFT (so the smoothed conditional
+sums to 1 over the vocabulary) and V the reference vocabulary size.
+Unseen bigrams — including unseen w1 — degrade smoothly to 1 / (c(w1)+V).
+
+Determinism contract (the DSIR pattern, operators/selection.py): every
+count is an integer; each distinct scored bigram contributes ONE double
+division of two bigints followed by ONE ln, rounded to scaled BIGINT
+micro-nats; per-document log-probabilities are exact bigint sums of those
+integers — order-independent, hash-identical across engines.  The per-doc
+average uses integer division (both engines truncate toward zero).
+
+Scale shape (100 TB read):
+- model fit: bigram explode over the REFERENCE slice only → ONE map-side-
+  combinable groupBy(w1, w2) count; c(w1) derives from c12 by a second
+  (tiny) aggregate; V is one distinct-count scalar relation (broadcast).
+- scoring: candidate bigrams collapse to DISTINCT (doc, w1, w2, n) before
+  any join (repetitive text joins once per distinct gram, not per
+  occurrence), then two hash joins keyed on (w1, w2) and (w1) — both
+  map-side-combined aggregates upstream, no text wider than two words in
+  any exchange — and one final map-combinable groupBy(doc) sum.
+- The count relations are corpus-vocabulary-sized, not corpus-sized; for
+  web-scale references prune with ``min_count`` (standard KenLM practice)
+  to bound the model relation.
+
+Reference parity: the reference engine has no LM surface; this belongs to
+the training-data-pipeline family (SURVEY.md §2 LLM block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators.selection import LOG_SCALE
+from kafka_flow_spark.operators.text import normalize_text, tokens
+
+
+def _norm_tokens(text: Column) -> Column:
+    """The ONE shared cross-engine tokenizer (operators/text.py) — mirrors
+    the oracle's string_split_regex(trim(lower(regexp_replace(., '\\s+', ' '))))."""
+    return tokens(normalize_text(text))
+
+
+def _bigram_rows(base: DataFrame) -> DataFrame:
+    """Explode staged token arrays to (…, w1, w2) bigram occurrence rows."""
+    n = F.size(F.col("_toks"))
+    pairs = F.transform(
+        F.sequence(F.lit(0), n - F.lit(2)),
+        lambda i: F.struct(
+            F.element_at(F.col("_toks"), i + 1).alias("w1"),
+            F.element_at(F.col("_toks"), i + 2).alias("w2"),
+        ),
+    )
+    return (
+        base.where(n >= 2)
+        .select("_id", "_ref", F.explode(pairs).alias("_g"))
+        .select("_id", "_ref", F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2"))
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_ref: Column,
+    min_count: int = 1,
+) -> DataFrame:
+    """Score every NON-reference document under the add-one bigram LM fit on
+    the reference slice.
+
+    Output (one row per non-ref doc with >= 2 tokens; shorter docs carry no
+    bigram evidence, the DSIR absence contract):
+    - ``n_bigrams``     bigram occurrences scored
+    - ``logprob_scaled``  exact bigint sum of per-occurrence micro-nat
+      log-probabilities (more negative = less reference-like)
+    - ``avg_logprob_scaled``  logprob_scaled div n_bigrams (truncating
+      integer division, both engines identical) — the length-normalized
+      filter signal (micro-nats/bigram ≈ -ln(perplexity) scaled)
+
+    ``min_count > 1`` prunes model bigrams with c12 < min_count (they score
+    as unseen) — bounds the model relation on web-scale references.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(is_ref.cast("boolean"), F.lit(False)).alias("_ref"),
+        _norm_tokens(F.col(text_col)).alias("_toks"),
+    )
+    grams = _bigram_rows(base)
+    c12 = (
+        grams.where(F.col("_ref"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    if min_count > 1:
+        c12 = c12.where(F.col("_c12") >= min_count)
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    vocab = (
+        base.where(F.col("_ref"))
+        .select(F.explode(F.col("_toks")).alias("_tok"))
+        .agg(F.count_distinct(F.col("_tok")).alias("_v"))
+    )
+    dg = (
+        grams.where(~F.col("_ref"))
+        .groupBy("_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    scored = (
+        dg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_id",
+            "_n",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_c12"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v")).cast(
+                        "double"
+                    )
+                )
+                * LOG_SCALE
+            )
+            .cast("long")
+            .alias("_term"),
+        )
+    )
+    return scored.groupBy(F.col("_id").alias(id_col)).agg(
+        F.sum("_n").cast("long").alias("n_bigrams"),
+        F.sum(F.col("_n") * F.col("_term")).cast("long").alias("logprob_scaled"),
+        F.expr("CAST(sum(_n * _term) div sum(_n) AS BIGINT)").alias(
+            "avg_logprob_scaled"
+        ),
+    )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail split: within each group (CCNet: language),
+    rank documents by LM score DESC (most reference-like first, ties to
+    lowest id) and label equal-size ntiles.
+
+    NTILE is the exact rank-based cut — no percentile-value interpolation,
+    so integer micro-nat scores make the assignment engine-identical (both
+    engines give earlier tiles the remainder rows, per the SQL standard).
+
+    Scale shape: one hash exchange on the group key + one in-partition sort
+    — the same single-window class as every ranking query here; the scored
+    relation is doc-cardinality with three scalar columns, not text.
+
+    Output: input columns + ``bucket``.
+    """
+    from pyspark.sql.window import Window
+
+    n = len(labels)
+    if n < 2:
+        raise ValueError("perplexity_buckets needs >= 2 labels")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    nt = F.ntile(n).over(w)
+    bucket = F.when(nt == 1, F.lit(labels[0]))
+    for i in range(1, n):
+        bucket = bucket.when(nt == i + 1, F.lit(labels[i]))
+    return scores.withColumn("bucket", bucket)

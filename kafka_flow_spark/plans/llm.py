@@ -1245,6 +1245,104 @@ def q_dedup_indexed_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bigram-LM perplexity filtering (CCNet/KenLM-style) ---------------------
+
+_LM_TOKS = """
+    CASE WHEN trim(text) = '' THEN []
+         ELSE string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') END
+"""
+
+
+@register(
+    "q_lm_perplexity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source = 'src0' AS is_ref, {_LM_TOKS} AS toks
+      FROM documents),
+    pr AS (SELECT doc_id, is_ref, toks, UNNEST(range(len(toks) - 1)) AS i
+           FROM t WHERE len(toks) >= 2),
+    g AS (SELECT doc_id, is_ref, toks[i + 1] AS w1, toks[i + 2] AS w2 FROM pr),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM g WHERE is_ref GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    vv AS (SELECT COUNT(DISTINCT tok) AS v
+           FROM (SELECT UNNEST(toks) AS tok FROM t WHERE is_ref)),
+    dg AS (SELECT doc_id, w1, w2, COUNT(*) AS n
+           FROM g WHERE NOT is_ref GROUP BY doc_id, w1, w2),
+    sc AS (SELECT dg.doc_id, dg.n,
+                  CAST(ROUND(LN(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+                                / CAST(COALESCE(c1.c1, 0) + vv.v AS DOUBLE))
+                             * 1000000) AS BIGINT) AS term
+           FROM dg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+           CROSS JOIN vv)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n * term) AS BIGINT) AS logprob_scaled,
+           CAST(SUM(n * term) // SUM(n) AS BIGINT) AS avg_logprob_scaled
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter signal (operators/lm.py
+    bigram_lm_scores): every non-src0 document scored under the add-one
+    bigram LM fit on the src0 slice — exact micro-nat bigint sums, so the
+    length-normalized avg_logprob_scaled column is the engine-independent
+    keep/bucket signal a curation pipeline thresholds on."""
+    from kafka_flow_spark.operators.lm import bigram_lm_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_lm_scores(
+        docs, "doc_id", "text", F.col("source") == "src0"
+    )
+
+
+@register(
+    "q_ccnet_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source = 'src0' AS is_ref, {_LM_TOKS} AS toks
+      FROM documents),
+    pr AS (SELECT doc_id, is_ref, toks, UNNEST(range(len(toks) - 1)) AS i
+           FROM t WHERE len(toks) >= 2),
+    g AS (SELECT doc_id, is_ref, toks[i + 1] AS w1, toks[i + 2] AS w2 FROM pr),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM g WHERE is_ref GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    vv AS (SELECT COUNT(DISTINCT tok) AS v
+           FROM (SELECT UNNEST(toks) AS tok FROM t WHERE is_ref)),
+    dg AS (SELECT doc_id, w1, w2, COUNT(*) AS n
+           FROM g WHERE NOT is_ref GROUP BY doc_id, w1, w2),
+    sc AS (SELECT dg.doc_id, dg.n,
+                  CAST(ROUND(LN(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+                                / CAST(COALESCE(c1.c1, 0) + vv.v AS DOUBLE))
+                             * 1000000) AS BIGINT) AS term
+           FROM dg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+           CROSS JOIN vv),
+    w AS (SELECT doc_id, CAST(SUM(n * term) // SUM(n) AS BIGINT) AS avg_logprob_scaled
+          FROM sc GROUP BY doc_id),
+    lbl AS (SELECT w.doc_id, t.lang, w.avg_logprob_scaled,
+                   NTILE(3) OVER (PARTITION BY t.lang
+                                  ORDER BY w.avg_logprob_scaled DESC, w.doc_id) AS nt
+            FROM w JOIN t ON w.doc_id = t.doc_id)
+    SELECT doc_id, lang, avg_logprob_scaled,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM lbl
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): per-
+    LANGUAGE terciles of the bigram-LM score (operators/lm.py
+    perplexity_buckets over bigram_lm_scores) — head = most reference-like
+    third of each language, the slice CCNet keeps by default.  Exact
+    rank-based NTILE on integer micro-nat scores, fully oracle-mirrored."""
+    from kafka_flow_spark.operators.lm import bigram_lm_scores, perplexity_buckets
+
+    docs = load(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(docs, "doc_id", "text", F.col("source") == "src0")
+    scored = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "avg_logprob_scaled"
+    )
+    return perplexity_buckets(scored, "lang", "avg_logprob_scaled", "doc_id")
+
+
 # --- bitext margin mining (Artetxe & Schwenk margin criterion) -------------
 
 def _bm_cos(left: str, right: str) -> str:

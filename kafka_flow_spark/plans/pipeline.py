@@ -1205,6 +1205,87 @@ def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changeset(old, ch, ["o_orderkey"])
 
 
+# --- incremental join-view maintenance (delta join) -------------------------
+
+_IJ_CDEL = fraction_threshold(0.03)  # customers deleted
+_IJ_CP0 = fraction_threshold(0.10)  # acctbal-perturbed band start
+_IJ_CP1 = fraction_threshold(0.20)  # acctbal-perturbed band end
+
+
+@register(
+    "q_incremental_join",
+    oracle=f"""
+    WITH ho AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                       substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) AS hx
+                FROM orders),
+    an AS (SELECT o_orderkey, o_custkey,
+                  CASE WHEN hx >= '{_TD_T2}' AND hx < '{_TD_T3}'
+                       THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+           FROM ho WHERE hx < '{_TD_T1}' OR hx >= '{_TD_T2}'),
+    hc AS (SELECT c_custkey, c_acctbal,
+                  substring(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS hx
+           FROM customer),
+    bn AS (SELECT c_custkey,
+                  CASE WHEN hx >= '{_IJ_CP0}' AND hx < '{_IJ_CP1}'
+                       THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal
+           FROM hc WHERE hx >= '{_IJ_CDEL}')
+    SELECT an.o_orderkey, an.o_custkey, an.o_totalprice, bn.c_acctbal
+    FROM an JOIN bn ON an.o_custkey = bn.c_custkey
+    """,
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-join-view maintenance (operators/incremental.py
+    maintain_join_view): the orders⋈customer view rolled forward from CDC
+    changesets on BOTH sides (orders: 5% added / 5% deleted / 10% price-
+    perturbed; customer: 3% deleted / 10% acctbal-perturbed) — the oracle
+    is the full recompute over the new snapshots, so a green row proves
+    maintained == recomputed bit-for-bit while the plan never re-runs the
+    full fact⋈dim shuffle join."""
+    from kafka_flow_spark.operators.incremental import changeset, maintain_join_view
+    from kafka_flow_spark.operators.sampling import hash_bucket
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        hash_bucket(F.col("o_orderkey").cast("string")).alias("_hx"),
+    )
+    a_old = base.where(F.col("_hx") >= _TD_T1).drop("_hx")
+    a_new = base.where((F.col("_hx") < _TD_T1) | (F.col("_hx") >= _TD_T2)).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            (F.col("_hx") >= _TD_T2) & (F.col("_hx") < _TD_T3),
+            F.col("o_totalprice") + F.lit(1.0),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        hash_bucket(F.col("c_custkey").cast("string")).alias("_hx"),
+    )
+    b_old = cust.drop("_hx")
+    b_new = cust.where(F.col("_hx") >= _IJ_CDEL).select(
+        "c_custkey",
+        F.when(
+            (F.col("_hx") >= _IJ_CP0) & (F.col("_hx") < _IJ_CP1),
+            F.col("c_acctbal") + F.lit(1.0),
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    da = changeset(a_old, a_new, ["o_orderkey"])
+    db = changeset(b_old, b_new, ["c_custkey"])
+    view_old = a_old.join(b_old, a_old.o_custkey == b_old.c_custkey).drop(
+        "c_custkey"
+    )
+    return maintain_join_view(
+        view_old, a_old, da, b_old, db, ["o_orderkey"], "o_custkey", "c_custkey"
+    )
+
+
 @register(
     "q_table_diff",
     oracle=f"""

@@ -160,6 +160,75 @@ def test_apply_changeset_roundtrip_random(spark):
         assert got == {tuple(r) for r in new.collect()}, f"trial {trial}"
 
 
+def test_maintain_join_view_equals_recompute_random(spark):
+    """Randomized differential: the maintained view equals the full
+    recompute A_new ⋈ B_new for arbitrary add/change/delete mixes on both
+    sides (including a fact row whose fk MOVES to a different dim key, and
+    simultaneous fact+dim changes hitting the same key)."""
+    import random
+
+    from kafka_flow_spark.operators.incremental import (
+        changeset,
+        maintain_join_view,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        # dim: keys 0..9; fact: pk 0..39 with fk into 0..14 (some dangling)
+        def dim_rows():
+            return [
+                (k, rng.choice([10.0, 20.0, 30.0]))
+                for k in rng.sample(range(10), rng.randint(5, 10))
+            ]
+
+        def fact_rows():
+            return [
+                (k, rng.randrange(15), rng.choice([1.0, 2.0, 3.0]))
+                for k in rng.sample(range(40), rng.randint(20, 40))
+            ]
+
+        a_old = spark.createDataFrame(fact_rows(), "fpk INT, fk INT, fv DOUBLE")
+        a_new = spark.createDataFrame(fact_rows(), "fpk INT, fk INT, fv DOUBLE")
+        b_old = spark.createDataFrame(dim_rows(), "dpk INT, dv DOUBLE")
+        b_new = spark.createDataFrame(dim_rows(), "dpk INT, dv DOUBLE")
+        da = changeset(a_old, a_new, ["fpk"])
+        db = changeset(b_old, b_new, ["dpk"])
+        view_old = a_old.join(b_old, a_old.fk == b_old.dpk).drop("dpk")
+        maintained = maintain_join_view(
+            view_old, a_old, da, b_old, db, ["fpk"], "fk", "dpk"
+        ).select("fpk", "fk", "fv", "dv")
+        got = {tuple(r) for r in maintained.collect()}
+        expected = {
+            tuple(r)
+            for r in a_new.join(b_new, a_new.fk == b_new.dpk)
+            .select("fpk", "fk", "fv", "dv")
+            .collect()
+        }
+        assert got == expected, f"trial {trial}"
+
+
+def test_maintain_join_view_noop_deltas_is_identity(spark):
+    from kafka_flow_spark.operators.incremental import (
+        changeset,
+        maintain_join_view,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 100, 5.0), (2, 100, 6.0), (3, 200, 7.0)], "fpk INT, fk INT, fv DOUBLE"
+    )
+    b = spark.createDataFrame([(100, 1.5), (200, 2.5)], "dpk INT, dv DOUBLE")
+    da = changeset(a, a, ["fpk"])
+    db = changeset(b, b, ["dpk"])
+    view = a.join(b, a.fk == b.dpk).drop("dpk")
+    got = {
+        tuple(r)
+        for r in maintain_join_view(view, a, da, b, db, ["fpk"], "fk", "dpk")
+        .select("fpk", "fk", "fv", "dv")
+        .collect()
+    }
+    assert got == {tuple(r) for r in view.select("fpk", "fk", "fv", "dv").collect()}
+
+
 def test_changeset_empty_when_identical(spark):
     from kafka_flow_spark.operators.incremental import changeset
     from kafka_flow_spark.tables import load

@@ -1,0 +1,141 @@
+"""bigram_lm_scores (operators/lm.py) — KenLM-style perplexity filter."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+from kafka_flow_spark.operators.lm import bigram_lm_scores
+from kafka_flow_spark.tables import load
+from tests.conftest import SF_SMALL
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, grp STRING")
+
+
+def test_reference_like_text_scores_higher(spark):
+    ref = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, ref, "ref") for i in range(5)] + [
+        (100, "the cat sat on the mat", "raw"),  # verbatim reference phrase
+        (101, "zq xv qqj kpl zzt wvx", "raw"),  # gibberish, all-unseen
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(
+            _mk(spark, rows), "doc_id", "text", F.col("grp") == "ref"
+        ).collect()
+    }
+    assert set(out) == {100, 101}
+    assert out[100]["avg_logprob_scaled"] > out[101]["avg_logprob_scaled"]
+    # scores are negative log-probs (p < 1 always under add-one smoothing)
+    assert out[100]["logprob_scaled"] < 0 and out[101]["logprob_scaled"] < 0
+
+
+def test_short_docs_absent_and_null_ref_counts_as_raw(spark):
+    rows = [
+        (1, "a b a b a c", "ref"),
+        (2, "single", "raw"),  # 1 token -> no bigram evidence -> absent
+        (3, "", "raw"),  # empty -> absent
+        (4, "a b c", None),  # NULL predicate -> raw (scored)
+    ]
+    out = bigram_lm_scores(
+        _mk(spark, rows), "doc_id", "text", F.col("grp") == "ref"
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [4]
+
+
+def test_min_count_prunes_model_bigrams(spark):
+    # 'a b' appears twice in ref, 'b c' once; min_count=2 drops 'b c' from
+    # the model, so a raw doc of 'b c' must score as unseen (lower than one
+    # scoring the retained 'a b')
+    rows = [
+        (1, "a b a b c", "ref"),
+        (10, "a b", "raw"),
+        (11, "b c", "raw"),
+    ]
+    df = _mk(spark, rows)
+    pruned = {
+        r["doc_id"]: r["avg_logprob_scaled"]
+        for r in bigram_lm_scores(
+            df, "doc_id", "text", F.col("grp") == "ref", min_count=2
+        ).collect()
+    }
+    unpruned = {
+        r["doc_id"]: r["avg_logprob_scaled"]
+        for r in bigram_lm_scores(
+            df, "doc_id", "text", F.col("grp") == "ref"
+        ).collect()
+    }
+    assert pruned[10] > pruned[11]
+    # pruning can only lower a doc's score (a dropped bigram scores unseen)
+    assert pruned[11] <= unpruned[11]
+    assert pruned[10] == unpruned[10]
+
+
+def test_perplexity_buckets_are_balanced_terciles(spark):
+    from kafka_flow_spark.operators.lm import perplexity_buckets
+
+    rows = [(i, "en" if i % 2 else "de", -i * 1000) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, s BIGINT")
+    out = perplexity_buckets(df, "lang", "s", "doc_id").collect()
+    per = {}
+    for r in out:
+        per.setdefault((r["lang"], r["bucket"]), []).append(r["s"])
+    # 10 docs per lang -> ntile(3) gives 4/3/3 (earlier tiles take remainder)
+    for lang in ("en", "de"):
+        assert len(per[(lang, "head")]) == 4
+        assert len(per[(lang, "middle")]) == 3
+        assert len(per[(lang, "tail")]) == 3
+        # head holds the HIGHEST scores (desc order)
+        assert min(per[(lang, "head")]) > max(per[(lang, "middle")])
+        assert min(per[(lang, "middle")]) > max(per[(lang, "tail")])
+
+
+def test_lm_scores_match_python_mirror_on_real_corpus(spark):
+    """Exact python mirror (Counter + math.log, same add-one arithmetic) on
+    the sf0.001 documents table — pins the whole chain: tokenization, c12 /
+    c1 / V, unseen fallbacks, micro-nat rounding, integer division."""
+    docs = load(spark, SF_SMALL, "documents")
+    rows = docs.select("doc_id", "text", "source").collect()
+
+    def toks(t):
+        return t.strip().lower().split() if t and t.strip() else []
+
+    c12: Counter = Counter()
+    vocab = set()
+    for r in rows:
+        if r["source"] != "src0":
+            continue
+        tk = toks(r["text"])
+        vocab.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    for (a, _), c in c12.items():
+        c1[a] += c
+    V = len(vocab)
+    expected = {}
+    for r in rows:
+        if r["source"] == "src0":
+            continue
+        tk = toks(r["text"])
+        if len(tk) < 2:
+            continue
+        total = n = 0
+        for a, b in zip(tk, tk[1:]):
+            p = (c12[(a, b)] + 1) / (c1[a] + V)
+            total += int(round(math.log(p) * 1e6))
+            n += 1
+        q, rem = divmod(total, n)
+        trunc = q + (1 if q < 0 and rem else 0)  # toward-zero division
+        expected[r["doc_id"]] = (n, total, trunc)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob_scaled"], r["avg_logprob_scaled"])
+        for r in bigram_lm_scores(
+            docs, "doc_id", "text", F.col("source") == "src0"
+        ).collect()
+    }
+    assert got == expected
