@@ -572,3 +572,165 @@ def histogram_psi(
         "psi_micro",
         F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("_psi")),
     ).drop("_psi")
+
+
+def group_corr(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Pearson correlation over INTEGER series, exact-moment form.
+
+    ``F.corr``/DuckDB ``corr`` stream doubles in engine-specific orders —
+    un-oracle-able.  Here the five moments (n, Σx, Σy, Σxy, Σx², Σy²) are
+    EXACT: per-row products stay inside bigint (caller contract: |x·y| <
+    2^63 — cents × quantity at any group size qualifies), per-group sums
+    ride DECIMAL(38,0) so no scale of group can overflow (the registry's
+    decimal-sum discipline).  The final
+
+        corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+
+    is evaluated in doubles from the decimal moments: both engines convert
+    the identical exact decimal to the identical nearest double, and the
+    expression tree is mirrored verbatim, so ROUND(corr, 6) is engine-exact
+    (generic transcendental class — cross-engine determinism notes).
+
+    Degenerate groups (either variance 0, or n < 2) surface corr NULL.
+
+    Scale shape: ONE map-side-combinable aggregate — no window, no second
+    scan, group-cardinality output.  Output: (key, n_points, corr).
+    """
+    d38 = "decimal(38,0)"
+    pts = df.select(
+        F.col(key_col),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    m = pts.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast(d38).alias("_n"),
+        F.sum(F.col("_x").cast(d38)).alias("_sx"),
+        F.sum(F.col("_y").cast(d38)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(d38)).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d38)).alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(d38)).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    corr = F.when(
+        (F.col("_n") >= 2) & (varx > 0) & (vary > 0),
+        (n * sxy - sx * sy) / F.sqrt(varx * vary),
+    )
+    return m.select(
+        F.col(key_col),
+        F.col("_n").cast("long").alias("n_points"),
+        F.round(corr, 6).alias("corr"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Per-key CUSUM changepoint over a pre-aggregated count series — where
+    did the level of a metric shift?  (Page's cumulative-sum statistic; the
+    drift family's TEMPORAL member next to PSI/EMD's distributional ones.)
+
+    For the series c_1..c_D (ordered by ``time_col``) the centered CUSUM is
+    S_k = Σ_{i≤k} (c_i − mean).  Scaling by D keeps it integer-exact:
+
+        S'_k = D · cum_k − k · T      (T = Σ c_i, all bigint)
+
+    The changepoint is the time with max |S'_k| (ties → earliest time): the
+    split point that best separates the series into two level regimes.
+    ``time_col`` must be an integer bucket (epoch day/hour — what a count
+    series is keyed by anyway); the tie-break negates it inside max_by.
+
+    Scale shape: input is already count-cardinality (one row per key ×
+    bucket); one exchange on the key feeds the totals aggregate + the
+    running-sum window (subset-clustering reuse), then one max_by.  Output:
+    (key, n_buckets, total, cp_time, cusum_scaled).
+    """
+    from pyspark.sql.window import Window
+
+    tot = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_d"), F.sum(count_col).cast("long").alias("_t")
+    )
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    ranked = df.join(tot, key_col).select(
+        F.col(key_col),
+        F.col(time_col),
+        F.col("_d"),
+        F.col("_t"),
+        F.row_number().over(w).alias("_k"),
+        F.sum(F.col(count_col).cast("long")).over(w).alias("_cum"),
+    )
+    scored = ranked.select(
+        F.col(key_col),
+        F.col(time_col),
+        "_d",
+        "_t",
+        (F.col("_d") * F.col("_cum") - F.col("_k") * F.col("_t")).alias("_s"),
+    )
+    return scored.groupBy(key_col).agg(
+        F.max("_d").cast("long").alias("n_buckets"),
+        F.max("_t").alias("total"),
+        F.max_by(
+            F.col(time_col),
+            F.struct(
+                F.abs(F.col("_s")).alias("_a"),
+                (-F.col(time_col).cast("long")).alias("_nt"),
+            ),
+        ).alias("cp_time"),
+        F.max(F.abs(F.col("_s"))).alias("cusum_scaled"),
+    )
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Shuffle-skew diagnosis for a prospective join/agg key: per-key row
+    counts reduced to the numbers an engineer needs before shipping a job —
+    the hottest ``top_k`` keys plus global shape stats on every row.
+
+        skew_ppm = max_key_count · n_keys · 1e6 div n_rows
+
+    (1e6 = perfectly uniform; a key holding 10% of a 1M-key table reads
+    ~1e11).  All-integer arithmetic, oracle-exact.
+
+    Scale shape: one map-combinable groupBy(key) count, one scalar
+    aggregate, and an ``orderBy().limit(top_k)`` that compiles to
+    TakeOrderedAndProject (bounded-k at the driver — no global sort, no
+    single-partition window).  The rank window then runs over ≤ top_k rows.
+    Output: (rank, key, key_count, n_rows, n_keys, max_key_count, skew_ppm).
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("key_count")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("key_count").cast("long").alias("n_rows"),
+        F.max("key_count").alias("max_key_count"),
+    )
+    top = counts.orderBy(F.desc("key_count"), F.asc("key")).limit(top_k)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("key_count"), F.asc("key"))),
+    )
+    return ranked.crossJoin(F.broadcast(stats)).select(
+        F.col("rank").cast("int").alias("rank"),
+        "key",
+        "key_count",
+        "n_rows",
+        "n_keys",
+        "max_key_count",
+        F.expr("max_key_count * n_keys * 1000000 div n_rows").alias("skew_ppm"),
+    )

@@ -1068,3 +1068,132 @@ def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
     out = windowed_drift(wh, ref, _DRIFT_BIN)
     return out.select("window_start", "n_a", "n_b", "emd_num", "emd")
+
+
+# --- CUSUM changepoint (temporal drift: where did the level shift?) ---------
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH e AS (SELECT event_type, epoch_us(ts) // {_DAY_US} AS day FROM events),
+    c AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY event_type, day),
+    tot AS (SELECT event_type, COUNT(*) AS d, SUM(n) AS t FROM c GROUP BY event_type),
+    r AS (SELECT c.event_type, c.day, tot.d, tot.t,
+                 ROW_NUMBER() OVER (PARTITION BY c.event_type ORDER BY c.day) AS k,
+                 SUM(c.n) OVER (PARTITION BY c.event_type ORDER BY c.day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM c JOIN tot USING (event_type)),
+    s AS (SELECT event_type, day, d, t, d * cum - k * t AS sv FROM r),
+    sel AS (SELECT event_type, day, sv,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ABS(sv) DESC, day) AS rn
+            FROM s)
+    SELECT sel.event_type,
+           CAST(tot.d AS BIGINT) AS n_buckets,
+           CAST(tot.t AS BIGINT) AS total,
+           CAST(sel.day AS BIGINT) AS cp_day,
+           CAST(ABS(sel.sv) AS BIGINT) AS cusum_scaled
+    FROM sel JOIN tot USING (event_type) WHERE rn = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM changepoint over the daily volume series
+    (operators/profile.cusum_changepoint): the day that best splits the
+    series into two level regimes, by max |D·cum_k − k·T| — exact bigints,
+    the temporal member of the drift family (PSI/EMD are distributional)."""
+    from kafka_flow_spark.operators.profile import cusum_changepoint
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_DAY_US}").alias("_day"),
+    )
+    counts = e.groupBy("event_type", "_day").agg(F.count(F.lit(1)).alias("_n"))
+    out = cusum_changepoint(counts, "event_type", "_day", "_n")
+    return out.select(
+        "event_type",
+        "n_buckets",
+        "total",
+        F.col("cp_time").cast("long").alias("cp_day"),
+        "cusum_scaled",
+    )
+
+
+# --- exact-moment Pearson correlation ---------------------------------------
+
+
+@register(
+    "q_price_quantity_corr",
+    oracle="""
+    WITH p AS (SELECT l_returnflag,
+                      CAST(l_quantity AS BIGINT) AS x,
+                      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+               FROM lineitem),
+    m AS (SELECT l_returnflag,
+                 COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM p GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+           THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           END AS corr
+    FROM m
+    """,
+)
+def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-moment Pearson correlation of quantity vs extended price per
+    return flag (operators/profile.group_corr) — F.corr/DuckDB corr stream
+    doubles in engine-specific orders, so the oracle-able form carries the
+    five moments as exact DECIMAL(38,0) sums and evaluates the mirrored
+    double expression once per group."""
+    from kafka_flow_spark.functions import cents
+    from kafka_flow_spark.operators.profile import group_corr
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("_x"),
+        cents("l_extendedprice").alias("_y"),
+    )
+    return group_corr(li, "l_returnflag", "_x", "_y")
+
+
+# --- join/agg key skew diagnosis --------------------------------------------
+
+
+@register(
+    "q_key_skew",
+    oracle="""
+    WITH c AS (SELECT user_id AS key, COUNT(*) AS key_count
+               FROM events GROUP BY user_id),
+    st AS (SELECT COUNT(*) AS n_keys, CAST(SUM(key_count) AS BIGINT) AS n_rows,
+                  MAX(key_count) AS max_key_count FROM c),
+    top AS (SELECT key, key_count,
+                   CAST(ROW_NUMBER() OVER (ORDER BY key_count DESC, key) AS INT) AS rank
+            FROM c QUALIFY rank <= 5)
+    SELECT rank, key, CAST(key_count AS BIGINT) AS key_count,
+           st.n_rows, CAST(st.n_keys AS BIGINT) AS n_keys,
+           CAST(st.max_key_count AS BIGINT) AS max_key_count,
+           CAST(st.max_key_count * st.n_keys * 1000000 // st.n_rows AS BIGINT)
+             AS skew_ppm
+    FROM top CROSS JOIN st
+    """,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew report for events.user_id (operators/profile
+    key_skew_report): hottest 5 keys + global shape stats — the
+    pre-flight a 100 TB join runs before picking salting/AQE-skew
+    strategies.  TakeOrderedAndProject top-k, no global sort."""
+    from kafka_flow_spark.operators.profile import key_skew_report
+
+    return key_skew_report(load(spark, sf_dir, "events"), "user_id", top_k=5)

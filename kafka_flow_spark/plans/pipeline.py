@@ -506,6 +506,45 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_decontaminated_split",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id,
+             CASE WHEN b < '{_T_TRAIN}' THEN 'train'
+                  WHEN b < '{_T_VAL}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS b
+            FROM documents)),
+    g AS ({_gram8("documents")}),
+    te AS (SELECT DISTINCT g.ng FROM g JOIN sp USING (doc_id)
+           WHERE sp.split = 'test'),
+    cont AS (SELECT DISTINCT g.doc_id FROM g JOIN sp USING (doc_id)
+             WHERE sp.split = 'train' AND g.ng IN (SELECT ng FROM te))
+    SELECT sp.doc_id, sp.split FROM sp
+    WHERE sp.doc_id NOT IN (SELECT doc_id FROM cont)
+    """,
+)
+def q_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/val/test assignment: the 80/10/10 hash split
+    with every train document that shares an 8-gram with the TEST slice
+    dropped — the washout applied at split time instead of reported after
+    the fact (composes hash_split + ngram_contamination, both independently
+    oracle-gated; this row proves the composition)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_key", F.col("doc_id").cast("string")
+    )
+    splits = hash_split(docs, "_key", _SPLITS).select("doc_id", "split", "text")
+    test = splits.where(F.col("split") == "test")
+    train = splits.where(F.col("split") == "train")
+    cont = (
+        ngram_contamination(train, test, "doc_id", "text", n=8)
+        .where(F.col("n_shared") > 0)
+        .select("doc_id")
+    )
+    return splits.join(cont, "doc_id", "left_anti").select("doc_id", "split")
+
+
+@register(
     "q_curation_pipeline",
     oracle=f"""
     WITH RECURSIVE

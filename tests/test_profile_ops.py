@@ -1,0 +1,75 @@
+"""group_corr / cusum_changepoint / key_skew_report (operators/profile.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from kafka_flow_spark.operators.profile import (
+    cusum_changepoint,
+    group_corr,
+    key_skew_report,
+)
+
+
+def test_group_corr_matches_python_mirror(spark):
+    rows = [
+        ("a", 1, 10), ("a", 2, 19), ("a", 3, 31), ("a", 4, 42), ("a", 5, 48),
+        ("b", 1, 50), ("b", 2, 40), ("b", 3, 28), ("b", 4, 22),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x BIGINT, y BIGINT")
+    got = {r["g"]: (r["n_points"], r["corr"]) for r in group_corr(df, "g", "x", "y").collect()}
+
+    def py_corr(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        return round((n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+
+    a = [(x, y) for g, x, y in rows if g == "a"]
+    b = [(x, y) for g, x, y in rows if g == "b"]
+    assert got["a"] == (5, py_corr(a))
+    assert got["b"] == (4, py_corr(b))
+    assert got["a"][1] > 0.99 and got["b"][1] < -0.99
+
+
+def test_group_corr_degenerate_groups_null(spark):
+    rows = [("const", 1, 7), ("const", 2, 7), ("single", 1, 3)]
+    df = spark.createDataFrame(rows, "g STRING, x BIGINT, y BIGINT")
+    got = {r["g"]: r["corr"] for r in group_corr(df, "g", "x", "y").collect()}
+    assert got["const"] is None  # zero y-variance
+    assert got["single"] is None  # n < 2
+
+
+def test_cusum_finds_obvious_level_shift(spark):
+    # level 10 for days 0..9, level 30 for days 10..19 -> changepoint day 9
+    rows = [("m", d, 10 if d < 10 else 30) for d in range(20)]
+    df = spark.createDataFrame(rows, "k STRING, day BIGINT, n BIGINT")
+    [r] = cusum_changepoint(df, "k", "day", "n").collect()
+    assert r["n_buckets"] == 20 and r["total"] == 400
+    # S'_k = 20*cum_k - k*400 peaks (in |.|) at the last low-level day
+    assert r["cp_time"] == 9
+    # |S'| at k=10 (day 9): 20*100 - 10*400 = -2000
+    assert r["cusum_scaled"] == 2000
+
+
+def test_cusum_flat_series_ties_to_earliest(spark):
+    rows = [("m", d, 5) for d in range(6)]
+    df = spark.createDataFrame(rows, "k STRING, day BIGINT, n BIGINT")
+    [r] = cusum_changepoint(df, "k", "day", "n").collect()
+    # perfectly flat: every S'_k = 0, tie-break -> earliest day
+    assert r["cusum_scaled"] == 0 and r["cp_time"] == 0
+
+
+def test_key_skew_report_hand_worked(spark):
+    rows = [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 1
+    df = spark.createDataFrame(rows, "k BIGINT")
+    out = {r["rank"]: r for r in key_skew_report(df, "k", top_k=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["key"] == 1 and out[1]["key_count"] == 6
+    assert out[2]["key"] == 2 and out[2]["key_count"] == 3
+    assert out[1]["n_rows"] == 10 and out[1]["n_keys"] == 3
+    # 6 * 3 * 1e6 div 10 = 1_800_000 (1.8x uniform)
+    assert out[1]["skew_ppm"] == 1_800_000
