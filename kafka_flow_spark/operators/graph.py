@@ -284,6 +284,98 @@ def pagerank_converged(
     return ranks.select("node", F.col("r").alias("rank_scaled")), it, residual
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_wedges: int = 5_000_000_000,
+) -> DataFrame:
+    """Global triangle count of an undirected graph — the third
+    iterative-graph-analytics entry next to connected components and
+    PageRank (clustering-coefficient numerator, community-density signal).
+
+    Algorithm: degree orientation (Suri & Vassilvitskii, WWW'11 — "the
+    curse of the last reducer").  Canonicalize each undirected edge once,
+    then orient every edge from its lower-(degree, id) endpoint to the
+    higher one; every triangle has exactly ONE node with two out-edges
+    under this order, so counting (u→v, u→w, v→w) matches counts each
+    triangle exactly once AND bounds the wedge fan-out per node by
+    O(sqrt(m)) instead of max-degree — the hub that would generate deg²
+    wedges generates almost none, which is what makes the plan survive a
+    skewed 100 TB graph.
+
+    Scale shape: one map-combinable degree aggregate, one join of edges to
+    degrees per endpoint, then ONE self-equi-join on the wedge apex u and
+    ONE semi-join of wedges against the oriented edge set on (v, w) — all
+    hash-partitionable, no cartesian anywhere, AQE splits residual skew.
+
+    Output: single row (n_nodes, n_edges, n_triangles) — counts of the
+    de-duplicated undirected graph.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    canon = canon.localCheckpoint(eager=False)
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .union(canon.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("_db"))
+    withdeg = canon.join(da, "a").join(db, "b")
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    oriented = oriented.localCheckpoint(eager=False)
+    # volume gate (the quadratic-hazard house pattern): the wedge join emits
+    # EXACTLY Σ_u C(outdeg(u), 2) rows — one cheap aggregate predicts the
+    # whole cost, so refuse loudly instead of launching a week-long stage.
+    # Near-regular co-occurrence graphs defeat orientation's hub pruning
+    # (measured: 45M-edge sf10 supplier co-graph → ~1e10 oriented wedges);
+    # raise max_wedges deliberately, or pre-filter the edge set (per-nation /
+    # per-community) to bound density.
+    est = (
+        oriented.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.sum(F.expr("_d * (_d - 1) div 2")).alias("_w"))
+        .collect()[0]["_w"]
+    ) or 0
+    if est > max_wedges:
+        raise ValueError(
+            f"triangle_count: oriented wedge volume {est:,} exceeds "
+            f"max_wedges={max_wedges:,} — the closure join would emit that "
+            "many rows; pre-filter the edge set or raise max_wedges explicitly"
+        )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    # x < y keeps each unordered out-pair of the apex once; the closing edge
+    # between x and y is then exactly the CANONICAL pair (x, y), so one
+    # semi-join against the canonical edge set decides closure
+    wedges = e1.join(e2, "u").where(F.col("x") < F.col("y"))
+    closing = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    return (
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(
+            F.broadcast(canon.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        )
+        .crossJoin(
+            F.broadcast(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+        )
+    )
+
+
 def canonical_per_cluster(
     assign: DataFrame,
     scores: DataFrame,

@@ -1371,3 +1371,41 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scalar-output contract (test_plan_audit.py): flatten the array
         F.array_join("changed_cols", ",").alias("changed_cols"),
     )
+
+
+# --- triangle counting (graph analytics #3, after CC and PageRank) ----------
+
+
+@register(
+    "q_supplier_triangles",
+    oracle="""
+    WITH co AS (SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    nodes AS (SELECT DISTINCT n FROM (SELECT x AS n FROM co UNION ALL SELECT y FROM co)),
+    tri AS (SELECT COUNT(*) AS n_triangles
+            FROM co e1 JOIN co e2 ON e1.y = e2.x AND e1.x < e2.x
+                        JOIN co e3 ON e3.x = e1.x AND e3.y = e2.y)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM co) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the supplier co-transaction graph (edges = supplier
+    pairs that ship in the same order) — operators/graph.triangle_count,
+    the degree-oriented Suri–Vassilvitskii plan; the oracle is the naive
+    a<b<c triple join (exact truth, quadratic — oracle-only)."""
+    from kafka_flow_spark.operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sb"))
+    co = (
+        a.join(b, "o")
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("u"), F.col("sb").alias("v"))
+        .distinct()
+    )
+    return triangle_count(co, "u", "v")

@@ -236,6 +236,65 @@ def test_pagerank_converged_loose_tol_stops_early(spark):
     assert res <= 10**9
 
 
+# --- triangle counting -------------------------------------------------------
+
+
+def test_triangle_count_hand_worked(spark):
+    from kafka_flow_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5 + separate triangle {6,7,8},
+    # with duplicate and reversed edges thrown in
+    edges = (
+        [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+        + [(4, 5), (6, 7), (7, 8), (8, 6), (6, 7)]
+    )
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    [r] = triangle_count(df).collect()
+    assert r["n_nodes"] == 8
+    assert r["n_edges"] == 6 + 1 + 3  # K4 + pendant + triangle, deduped
+    assert r["n_triangles"] == 4 + 1
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from kafka_flow_spark.operators.graph import triangle_count
+
+    rng = random.Random(13)
+    nodes = list(range(30))
+    edges = [
+        (a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.2
+    ]
+    eset = {frozenset(e) for e in edges}
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {a, b} in eset and {b, c} in eset and {a, c} in eset
+    )
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    [r] = triangle_count(df).collect()
+    assert r["n_triangles"] == expected
+
+
+def test_triangle_count_wedge_guard(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.graph import triangle_count
+
+    # star K1,20 has 0 oriented wedges from spokes but the hub... orientation
+    # sends spoke->hub, so hub outdeg 0: guard must NOT fire on a star.
+    star = [(0, i) for i in range(1, 21)]
+    df = spark.createDataFrame(star, "u BIGINT, v BIGINT")
+    [r] = triangle_count(df, max_wedges=5).collect()
+    assert r["n_triangles"] == 0
+    # a clique K8 has C(8,2)=28 edges and plenty of wedges: tiny cap trips
+    clique = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    df2 = spark.createDataFrame(clique, "u BIGINT, v BIGINT")
+    with _pytest.raises(ValueError, match="wedge volume"):
+        triangle_count(df2, max_wedges=5)
+
+
 # --- canonical survivor selection -------------------------------------------
 
 
