@@ -221,6 +221,95 @@ def changeset(
     )
 
 
+def agg_maintain(
+    state: DataFrame,
+    old: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    row_pk: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Roll an ``agg_state`` table forward under a ROW-LEVEL CDC changeset
+    with updates and deletes — the retraction half of incremental aggregate
+    maintenance (``agg_merge`` handles append-only shards; real CDC feeds
+    also retract).
+
+    Retractability splits the state columns:
+    - ``_n`` / ``_sum_c`` are group homomorphisms — exact bigint adds, so
+      retraction is literal subtraction of the affected rows' OLD
+      contributions plus addition of their NEW ones.  No rescan.
+    - ``_min`` / ``_max`` are NOT retractable (deleting the current min
+      reveals an unknown runner-up), so they are RECOMPUTED — but only for
+      the groups the changeset touches, from the new snapshot of exactly
+      those groups (one semi-join-restricted scan of ``old`` + the upserts;
+      cost scales with the affected groups' row volume, never the table).
+
+    The maintained table provably equals ``agg_state(apply_changeset(old,
+    changes), keys, value_col)`` (randomized differential in
+    tests/test_incremental.py; q_incremental_agg_maintain's oracle is that
+    recompute).  Groups whose rows all disappear drop out; new groups
+    appear.  A changed row may MOVE groups — its old contribution retracts
+    from the old group and adds to the new one.
+    """
+    if "status" not in changes.columns:
+        raise ValueError("agg_maintain expects a changeset (needs 'status')")
+    pks = changes.select(*row_pk).distinct()
+    old_rows = old.join(pks, row_pk, "left_semi")
+    new_rows = changes.where(F.col("status") != "deleted").drop("status")
+    add = agg_state(new_rows, keys, value_col).select(
+        *keys,
+        F.col("_n").alias("_n_a"),
+        F.col("_sum_c").alias("_s_a"),
+    )
+    ret = agg_state(old_rows, keys, value_col).select(
+        *keys,
+        F.col("_n").alias("_n_r"),
+        F.col("_sum_c").alias("_s_r"),
+    )
+    delta = add.join(ret, keys, "full_outer").select(
+        *keys,
+        (F.coalesce("_n_a", F.lit(0)) - F.coalesce("_n_r", F.lit(0))).alias("_dn"),
+        (F.coalesce("_s_a", F.lit(0)) - F.coalesce("_s_r", F.lit(0))).alias("_ds"),
+    )
+    ns = (
+        state.join(delta, keys, "full_outer")
+        .select(
+            *keys,
+            (F.coalesce("_n", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias("_n"),
+            (F.coalesce("_sum_c", F.lit(0)) + F.coalesce("_ds", F.lit(0))).alias(
+                "_sum_c"
+            ),
+            F.col("_min").alias("_min_old"),
+            F.col("_max").alias("_max_old"),
+            F.col("_dn").isNotNull().alias("_touched"),
+        )
+        .where(F.col("_n") > 0)
+    )
+    affected = delta.select(*keys)
+    # new snapshot of ONLY the affected groups: their surviving old rows
+    # (group membership decided by the OLD row) + the changeset's upserts
+    survivors = (
+        old.join(affected, keys, "left_semi").join(pks, row_pk, "left_anti")
+    )
+    new_affected = survivors.select(*keys, value_col).unionByName(
+        new_rows.join(affected, keys, "left_semi").select(*keys, value_col)
+    )
+    mm = new_affected.groupBy(*keys).agg(
+        F.min(value_col).alias("_min_new"), F.max(value_col).alias("_max_new")
+    )
+    return ns.join(mm, keys, "left").select(
+        *keys,
+        "_n",
+        "_sum_c",
+        F.when(F.col("_touched"), F.col("_min_new"))
+        .otherwise(F.col("_min_old"))
+        .alias("_min"),
+        F.when(F.col("_touched"), F.col("_max_new"))
+        .otherwise(F.col("_max_old"))
+        .alias("_max"),
+    )
+
+
 def maintain_join_view(
     view_old: DataFrame,
     a_old: DataFrame,

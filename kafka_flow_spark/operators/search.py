@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_flow_spark.cache import scoped_persist
 from kafka_flow_spark.operators import text as T
 
 # BM25 shape parameters, pre-folded so both engines evaluate the identical
@@ -340,4 +341,103 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
         .select("query_id", id_col, "rrf_micro", "n_systems", "rank")
+    )
+
+
+IDF_SCALE = 1_000  # milli-nats: idf_scaled = round(ln((1+N)/(1+df))*1e3) + 1e3
+
+
+def tfidf_weights(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sparse TF-IDF document vectors as an inverted index:
+    ``(term, doc_id, w)`` with EXACT integer weights
+
+        w = tf · idf_scaled,   idf_scaled = round(ln((1+N)/(1+df)) · 1e3) + 1e3
+
+    (the scikit-learn smooth-idf ``ln((1+N)/(1+df)) + 1``, quantized to
+    milli-nats so every downstream dot product and norm is a bigint sum —
+    order-insensitive, hash-identical across engines; the quantization IS
+    the contract, same posture as search.py's rational-idf BM25).  ``ln``
+    runs once per TERM on an integer ratio (the safe transcendental class).
+
+    Overflow posture (ANSI: loud throw, never silent wrap): per-doc norm
+    sums Σ (tf·idf)² stay inside int64 for docs up to ~500k tokens at this
+    scale — beyond that, chunk the doc upstream.
+    """
+    post = postings(docs, text_col, id_col)
+    stats = term_stats(post)
+    n_docs = doc_lengths(docs, text_col, id_col).agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    idf = (
+        F.round(
+            F.log(
+                (F.col("_nd") + 1).cast("double") / (F.col("df") + 1).cast("double")
+            )
+            * IDF_SCALE
+        ).cast("long")
+        + IDF_SCALE
+    )
+    return (
+        post.join(stats, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", "doc_id", (F.col("tf") * idf).alias("w"))
+    )
+
+
+def tfidf_knn(
+    docs: DataFrame,
+    query_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k TF-IDF cosine neighbors of each query document — SPARSE
+    vector search via the inverted index, the bag-of-words sibling of the
+    dense-embedding kNN family (brute-force/int8/IVF/LSH/PQ all rank dense
+    ``array<float>``; this ranks the corpus's own term space).
+
+    Scale shape: the dot product is an equi-join ON TERM between the query
+    side's postings (|queries|·terms — broadcast material) and the corpus
+    postings, then ONE map-combinable groupBy(q, d) bigint sum — only
+    co-occurring terms ever join, which is the whole point of an inverted
+    index; no dense dim-length work anywhere.  Norms are one map-combinable
+    aggregate; the final cosine divides two exact bigints under mirrored
+    double sqrt, so ROUND(cos, 4) and the (cos DESC, id) ranking are
+    engine-exact.
+
+    ``query_ids``: one column of document ids (must exist in ``docs``).
+    Output: (q_id, neighbor_id, cos_sim, rank), self excluded.
+    """
+    from pyspark.sql.window import Window
+
+    w = scoped_persist(tfidf_weights(docs, text_col, id_col))
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    qids = query_ids.select(F.col(query_ids.columns[0]).alias("q_id"))
+    qw = w.join(F.broadcast(qids), w.doc_id == qids.q_id).select(
+        "q_id", F.col("term").alias("_t"), F.col("w").alias("_wq")
+    )
+    dots = (
+        w.join(F.broadcast(qw), (F.col("term") == F.col("_t")) & (F.col("doc_id") != F.col("q_id")))
+        .groupBy("q_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("_wq") * F.col("w")).alias("_dot"))
+    )
+    qn = norms.select(F.col("doc_id").alias("q_id"), F.col("n2").alias("_qn"))
+    nn = norms.select(F.col("doc_id").alias("neighbor_id"), F.col("n2").alias("_nn"))
+    cos = (
+        dots.join(F.broadcast(qn), "q_id")
+        .join(nn, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            (
+                F.col("_dot").cast("double")
+                / (F.sqrt(F.col("_qn").cast("double")) * F.sqrt(F.col("_nn").cast("double")))
+            ).alias("_cos"),
+        )
+    )
+    rank_w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", F.round("_cos", 4).alias("cos_sim"), "rank")
     )

@@ -1409,3 +1409,64 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(co, "u", "v")
+
+
+# --- retractable aggregate maintenance (CDC → agg state) ---------------------
+
+
+@register(
+    "q_incremental_agg_maintain",
+    oracle=f"""
+    WITH h AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                      substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) AS hx
+               FROM orders),
+    nw AS (SELECT o_orderstatus,
+                  CASE WHEN hx >= '{_TD_T2}' AND hx < '{_TD_T3}'
+                       THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+           FROM h WHERE hx < '{_TD_T1}' OR hx >= '{_TD_T2}')
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v,
+           MIN(o_totalprice) AS min_v,
+           MAX(o_totalprice) AS max_v
+    FROM nw GROUP BY o_orderstatus
+    """,
+)
+def q_incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable aggregate maintenance (operators/incremental.agg_maintain):
+    the per-status orders aggregate rolled forward under the synthetic CDC
+    changeset (5% added / 5% deleted / 10% price-perturbed) — count/sum
+    retract exactly in bigints, min/max recompute for TOUCHED groups only.
+    The oracle is the direct aggregate over the NEW snapshot, so a green
+    row proves maintained == recomputed without the full-table rescan."""
+    from kafka_flow_spark.operators.incremental import (
+        agg_maintain,
+        agg_result,
+        agg_state,
+        changeset,
+    )
+    from kafka_flow_spark.operators.sampling import hash_bucket
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        hash_bucket(F.col("o_orderkey").cast("string")).alias("_hx"),
+    )
+    old = base.where(F.col("_hx") >= _TD_T1).drop("_hx")
+    new = base.where((F.col("_hx") < _TD_T1) | (F.col("_hx") >= _TD_T2)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            (F.col("_hx") >= _TD_T2) & (F.col("_hx") < _TD_T3),
+            F.col("o_totalprice") + F.lit(1.0),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    st = agg_state(old, ["o_orderstatus"], "o_totalprice")
+    ch = changeset(old, new, ["o_orderkey"])
+    return agg_result(
+        agg_maintain(st, old, ch, ["o_orderstatus"], ["o_orderkey"], "o_totalprice")
+    )

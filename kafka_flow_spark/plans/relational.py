@@ -1211,3 +1211,59 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = agg_state(o.filter(F.col("o_orderkey") % 10 != 0), ["o_orderpriority"], "o_totalprice")
     delta = agg_state(o.filter(F.col("o_orderkey") % 10 == 0), ["o_orderpriority"], "o_totalprice")
     return agg_result(agg_merge(base, delta))
+
+
+# --- Hilbert clustering key: the better-locality sibling of q_zorder_events.
+# Same quantization front end; the per-bit rotation fold is unrolled into
+# chained CTEs, all ANSI integer arithmetic — bit-exact cross-engine ---
+def _hilbert_oracle(bits: int = 10) -> str:
+    ctes = [
+        """base AS (
+      SELECT event_id, user_id,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS vc
+      FROM events)""",
+        """b AS (SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+                 MIN(vc) AS vlo, MAX(vc) AS vhi FROM base)""",
+        f"""q AS (SELECT event_id,
+                 CAST(FLOOR(((user_id - ulo) * {1 << bits}) / (uhi - ulo + 1)) AS BIGINT) AS x,
+                 CAST(FLOOR(((vc - vlo) * {1 << bits}) / (vhi - vlo + 1)) AS BIGINT) AS y,
+                 CAST(0 AS BIGINT) AS d
+          FROM base, b)""",
+    ]
+    prev = "q"
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = f"((x >> {level}) & 1)"
+        ry = f"((y >> {level}) & 1)"
+        ctes.append(
+            f"""c{level} AS (
+      SELECT event_id,
+             CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END
+                  ELSE x END AS x,
+             CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END
+                  ELSE y END AS y,
+             d + {s * s} * xor(3 * {rx}, {ry}) AS d
+      FROM {prev})"""
+        )
+        prev = f"c{level}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT event_id, CAST(d AS BIGINT) AS hval FROM {prev}"
+    )
+
+
+@register("q_hilbert_events", oracle=_hilbert_oracle())
+def q_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key of (user_id, cents(value)) per event
+    (layout.with_hilbert_value) — the liquid-clustering-style alternative to
+    the Morton key: a continuous unit-step walk (no quadrant teleports), so
+    single-dimension range scans touch fewer clustered files at the same
+    bit budget.  Bijectivity + unit-step walk + python-mirror equality are
+    pinned in tests/test_layout.py."""
+    from kafka_flow_spark.functions import cents
+    from kafka_flow_spark.layout import column_bounds, quantize_minmax, with_hilbert_value
+
+    e = load(spark, sf_dir, "events").withColumn("_vc", cents("value"))
+    bounds = column_bounds(e, ["user_id", "_vc"])
+    qu, _ = quantize_minmax(e, "user_id", 10, bounds=bounds["user_id"])
+    qv, _ = quantize_minmax(e, "_vc", 10, bounds=bounds["_vc"])
+    return with_hilbert_value(e, qu, qv, 10).select("event_id", "hval")

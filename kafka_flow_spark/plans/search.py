@@ -196,3 +196,49 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = S.search_bm25(docs, queries, k=10)
     tf = S.search_tf(docs, queries, k=10)
     return S.rrf_fuse([bm, tf], k0=60, topk=10)
+
+
+# --- sparse TF-IDF cosine kNN (bag-of-words sibling of the dense ANN family) -
+
+_TFIDF_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+           WHERE length(trim(text)) > 0),
+tok AS (SELECT doc_id, UNNEST(toks) AS term FROM t),
+post AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id),
+stats AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+nd AS (SELECT COUNT(*) AS n FROM t),
+w AS (SELECT post.term, post.doc_id,
+             post.tf * (CAST(ROUND(LN(CAST(nd.n + 1 AS DOUBLE)
+                                      / CAST(stats.df + 1 AS DOUBLE)) * 1000)
+                             AS BIGINT) + 1000) AS w
+      FROM post JOIN stats USING (term) CROSS JOIN nd),
+norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY doc_id),
+qw AS (SELECT doc_id AS q_id, term, w AS wq FROM w WHERE doc_id < 10),
+dots AS (SELECT qw.q_id, w.doc_id AS neighbor_id, SUM(qw.wq * w.w) AS dot
+         FROM qw JOIN w ON qw.term = w.term AND w.doc_id != qw.q_id
+         GROUP BY qw.q_id, w.doc_id),
+cos AS (SELECT d.q_id, d.neighbor_id,
+               CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS c
+        FROM dots d JOIN norms a ON a.doc_id = d.q_id
+                    JOIN norms b ON b.doc_id = d.neighbor_id)
+SELECT q_id, neighbor_id, ROUND(c, 4) AS cos_sim, rank FROM (
+  SELECT q_id, neighbor_id, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY c DESC, neighbor_id) AS INT) AS rank
+  FROM cos)
+WHERE rank <= 5
+"""
+
+
+@register("q_tfidf_knn", oracle=_TFIDF_ORACLE)
+def q_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 TF-IDF cosine neighbors of the first 10 documents over
+    the documents corpus (operators/search.tfidf_knn) — sparse vector-space
+    retrieval on the inverted index, exact integer milli-nat weights, so
+    the cosine values AND the ranking hash-match DuckDB."""
+    from kafka_flow_spark.operators.search import tfidf_knn
+
+    docs = load(spark, sf_dir, "documents")
+    qids = docs.where(F.col("doc_id") < 10).select("doc_id")
+    return tfidf_knn(docs, qids, k=5)

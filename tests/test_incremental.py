@@ -229,6 +229,60 @@ def test_maintain_join_view_noop_deltas_is_identity(spark):
     assert got == {tuple(r) for r in view.select("fpk", "fk", "fv", "dv").collect()}
 
 
+def test_agg_maintain_equals_recompute_random(spark):
+    """Randomized differential: maintained state == agg_state(new) exactly,
+    for arbitrary add/update/delete mixes including rows that MOVE between
+    groups and groups that empty out or appear."""
+    import random
+
+    from kafka_flow_spark.operators.incremental import (
+        agg_maintain,
+        changeset,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        def rows():
+            return [
+                (k, rng.choice(["g1", "g2", "g3"]), round(rng.uniform(-50, 50), 2))
+                for k in rng.sample(range(60), rng.randint(25, 60))
+            ]
+
+        old = spark.createDataFrame(rows(), "pk INT, g STRING, v DOUBLE")
+        new = spark.createDataFrame(rows(), "pk INT, g STRING, v DOUBLE")
+        st = agg_state(old, ["g"], "v")
+        ch = changeset(old, new, ["pk"])
+        got = {
+            r["g"]: (r["_n"], r["_sum_c"], r["_min"], r["_max"])
+            for r in agg_maintain(st, old, ch, ["g"], ["pk"], "v").collect()
+        }
+        exp = {
+            r["g"]: (r["_n"], r["_sum_c"], r["_min"], r["_max"])
+            for r in agg_state(new, ["g"], "v").collect()
+        }
+        assert got == exp, f"trial {trial}"
+
+
+def test_agg_maintain_untouched_groups_keep_minmax_without_rescan(spark):
+    from kafka_flow_spark.operators.incremental import agg_maintain, changeset
+
+    old = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 9.0), (3, "b", 1.0)], "pk INT, g STRING, v DOUBLE"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 9.0), (3, "b", 2.0)], "pk INT, g STRING, v DOUBLE"
+    )
+    st = agg_state(old, ["g"], "v")
+    out = {
+        r["g"]: (r["_n"], r["_min"], r["_max"])
+        for r in agg_maintain(
+            st, old, changeset(old, new, ["pk"]), ["g"], ["pk"], "v"
+        ).collect()
+    }
+    assert out["a"] == (2, 5.0, 9.0)  # untouched, carried from state
+    assert out["b"] == (1, 2.0, 2.0)  # touched, recomputed
+
+
 def test_changeset_empty_when_identical(spark):
     from kafka_flow_spark.operators.incremental import changeset
     from kafka_flow_spark.tables import load
