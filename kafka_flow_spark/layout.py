@@ -282,3 +282,50 @@ def with_hilbert_value(
             *keep, nx.alias("_hx"), ny.alias("_hy"), nd.alias("_hd")
         )
     return df.withColumnRenamed("_hd", out_col).drop("_hx", "_hy")
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_cols: list[str],
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction plan: assign each file (or partition fragment)
+    to an output group of ~``target_bytes``, per partition — the table-
+    maintenance step every streaming sink needs (a day of micro-batches
+    leaves thousands of KB-files; readers want 128 MB+).
+
+    Deterministic "sorted fill": within each partition, order fragments by
+    (size DESC, then stable id order is the caller's sort key — here size
+    then the remaining columns), take the running cumulative size, and cut
+    groups at ``ceil``-boundaries of the target:
+
+        group = (cum_size - 1) div target_bytes
+
+    Exact integer arithmetic (oracle-gated); every group except possibly
+    the last per partition holds >= target/2 by construction for any input
+    whose fragments are <= target (greedy first-fit is NP-hard-adjacent;
+    sorted-fill is the deterministic, one-window form engines actually run).
+
+    Scale shape: one exchange on the partition columns + one running-sum
+    window over FILE-cardinality rows (metadata scale, not data scale).
+    Output: input columns + (cum_bytes, compaction_group).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    order = [F.desc(size_col)] + [
+        F.asc(c) for c in files.columns if c not in part_cols and c != size_col
+    ]
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(size_col).cast("long")).over(w)
+    return files.withColumn("cum_bytes", cum).withColumn(
+        "compaction_group",
+        F.expr(f"(cum_bytes - 1) div {int(target_bytes)}").cast("long"),
+    )

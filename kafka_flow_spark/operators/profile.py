@@ -734,3 +734,56 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
         "max_key_count",
         F.expr("max_key_count * n_keys * 1000000 div n_rows").alias("skew_ppm"),
     )
+
+
+def seasonal_residuals(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    count_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal-baseline residuals of a count series: how far is each
+    bucket's count from its key's SAME-PHASE mean (phase = bucket mod
+    period; period 7 over daily buckets = day-of-week seasonality — the
+    volume-anomaly check that doesn't false-alarm every weekend).
+
+    Exact integer contract: with m buckets and total t per (key, phase),
+
+        resid_scaled = c · m_phase − t_phase
+
+    (count minus phase-mean, scaled by the phase's bucket count) — bigint,
+    engine-identical.  Output: one row per input bucket with (phase,
+    n_phase, phase_total, resid_scaled); callers threshold or rank (the
+    registered query keeps the top-3 |resid| per key via WindowGroupLimit).
+
+    Scale shape: input is count-cardinality; one exchange on (key, phase)
+    feeds a map-combinable totals aggregate joined back — no windows over
+    raw events.
+    """
+    from pyspark.sql import functions as F
+
+    phase = (
+        (F.col(bucket_col) % period + period) % period
+    )  # pmod: negative buckets fold correctly (cross-engine floor-div note)
+    base = df.select(
+        F.col(key_col),
+        F.col(bucket_col),
+        F.col(count_col).cast("long").alias("_c"),
+        phase.cast("long").alias("phase"),
+    )
+    tot = base.groupBy(key_col, "phase").agg(
+        F.count(F.lit(1)).alias("n_phase"),
+        F.sum("_c").alias("phase_total"),
+    )
+    return base.join(tot, [key_col, "phase"]).select(
+        key_col,
+        bucket_col,
+        F.col("_c").alias(count_col),
+        "phase",
+        "n_phase",
+        "phase_total",
+        (F.col("_c") * F.col("n_phase") - F.col("phase_total")).alias(
+            "resid_scaled"
+        ),
+    )

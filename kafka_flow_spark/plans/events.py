@@ -1197,3 +1197,55 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flow_spark.operators.profile import key_skew_report
 
     return key_skew_report(load(spark, sf_dir, "events"), "user_id", top_k=5)
+
+
+# --- day-of-week seasonal volume outliers ------------------------------------
+
+
+@register(
+    "q_dow_volume_outliers",
+    oracle=f"""
+    WITH e AS (SELECT event_type, epoch_us(ts) // {_DAY_US} AS day FROM events),
+    c AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY event_type, day),
+    p AS (SELECT event_type, day, n, ((day % 7) + 7) % 7 AS phase FROM c),
+    t AS (SELECT event_type, phase, COUNT(*) AS n_phase, SUM(n) AS phase_total
+          FROM p GROUP BY event_type, phase),
+    r AS (SELECT p.event_type, p.day, p.n, p.phase,
+                 CAST(t.n_phase AS BIGINT) AS n_phase,
+                 CAST(t.phase_total AS BIGINT) AS phase_total,
+                 CAST(p.n * t.n_phase - t.phase_total AS BIGINT) AS resid_scaled
+          FROM p JOIN t USING (event_type, phase))
+    SELECT event_type, day, CAST(n AS BIGINT) AS n, phase, n_phase, phase_total,
+           resid_scaled, rank
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY event_type
+            ORDER BY ABS(resid_scaled) DESC, day) AS INT) AS rank FROM r)
+    WHERE rank <= 3
+    """,
+)
+def q_dow_volume_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-aware volume anomalies (operators/profile
+    seasonal_residuals): per event type, the 3 days whose count deviates
+    most from their SAME-WEEKDAY mean — exact c·m−t bigint residuals, so
+    weekend dips never false-alarm and the ranking is engine-exact."""
+    from pyspark.sql.window import Window
+
+    from kafka_flow_spark.operators.profile import seasonal_residuals
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_DAY_US}").alias("day"),
+    )
+    counts = e.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    res = seasonal_residuals(counts, "event_type", "day", "n", period=7)
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("resid_scaled")).desc(), F.asc("day")
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "event_type", "day", "n", "phase", "n_phase", "phase_total",
+            "resid_scaled", "rank",
+        )
+    )

@@ -1470,3 +1470,33 @@ def q_incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_result(
         agg_maintain(st, old, ch, ["o_orderstatus"], ["o_orderkey"], "o_totalprice")
     )
+
+
+# --- small-file compaction planning (table maintenance) ----------------------
+
+
+@register(
+    "q_compaction_plan",
+    oracle="""
+    SELECT source, doc_id, n_chars,
+           CAST(SUM(n_chars) OVER (
+             PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_bytes,
+           CAST((SUM(n_chars) OVER (
+             PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 50000
+             AS BIGINT) AS compaction_group
+    FROM documents
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (layout.compaction_plan): documents play
+    file fragments (n_chars = bytes) partitioned by source; sorted-fill
+    assigns each to a ~50 KB output group by exact integer cumulative-size
+    cuts — the maintenance job that turns a streaming sink's micro-batch
+    litter back into reader-sized files."""
+    from kafka_flow_spark.layout import compaction_plan
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return compaction_plan(docs, ["source"], "n_chars", 50_000)

@@ -322,3 +322,37 @@ def test_hilbert_beats_zorder_on_range_scan_locality(spark):
         return 1 + sum(1 for a, b in zip(vs, vs[1:]) if b - a > 1)
 
     assert runs(h.values()) <= runs(z.values())
+
+
+def test_compaction_plan_sorted_fill_properties(spark):
+    from kafka_flow_spark.layout import compaction_plan
+
+    rows = [("p1", i, s) for i, s in enumerate([90, 80, 40, 30, 20, 10])] + [
+        ("p2", 0, 55)
+    ]
+    df = spark.createDataFrame(rows, "part STRING, fid BIGINT, bytes BIGINT")
+    out = compaction_plan(df, ["part"], "bytes", 100).collect()
+    by_part = {}
+    for r in out:
+        by_part.setdefault(r["part"], []).append(r)
+    # p1: sorted-fill 90,80,40,30,20,10 -> cum 90,170,210,240,260,270
+    # groups (cum-1) div 100 -> 0,1,2,2,2,2
+    g = {r["fid"]: r["compaction_group"] for r in by_part["p1"]}
+    assert g == {0: 0, 1: 1, 2: 2, 3: 2, 4: 2, 5: 2}
+    # every non-final group in a partition carries >= target/2 bytes
+    sizes = {}
+    for r in by_part["p1"]:
+        sizes[r["compaction_group"]] = sizes.get(r["compaction_group"], 0) + r["bytes"]
+    last = max(sizes)
+    assert all(v >= 50 for k, v in sizes.items() if k != last)
+    assert [r["compaction_group"] for r in by_part["p2"]] == [0]
+
+
+def test_compaction_plan_rejects_bad_target(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.layout import compaction_plan
+
+    df = spark.createDataFrame([("a", 1, 10)], "part STRING, fid BIGINT, bytes BIGINT")
+    with _pytest.raises(ValueError, match="target_bytes"):
+        compaction_plan(df, ["part"], "bytes", 0)

@@ -10,6 +10,7 @@ from kafka_flow_spark.operators.profile import (
     cusum_changepoint,
     group_corr,
     key_skew_report,
+    seasonal_residuals,
 )
 
 
@@ -73,3 +74,25 @@ def test_key_skew_report_hand_worked(spark):
     assert out[1]["n_rows"] == 10 and out[1]["n_keys"] == 3
     # 6 * 3 * 1e6 div 10 = 1_800_000 (1.8x uniform)
     assert out[1]["skew_ppm"] == 1_800_000
+
+
+def test_seasonal_residuals_hand_worked(spark):
+    # weeks of flat 10s except day 8 (phase 1) spikes to 24
+    rows = [("m", d, 24 if d == 8 else 10) for d in range(14)]
+    df = spark.createDataFrame(rows, "k STRING, day BIGINT, n BIGINT")
+    out = {
+        r["day"]: r
+        for r in seasonal_residuals(df, "k", "day", "n", period=7).collect()
+    }
+    # phase 1 holds days {1, 8}: total 34, m=2 -> resid(8) = 24*2-34 = 14
+    assert out[8]["resid_scaled"] == 14
+    assert out[1]["resid_scaled"] == 10 * 2 - 34
+    # every other phase is flat -> residual 0
+    assert all(r["resid_scaled"] == 0 for d, r in out.items() if d not in (1, 8))
+
+
+def test_seasonal_residuals_negative_buckets_fold_by_pmod(spark):
+    rows = [("m", -7, 5), ("m", 0, 7)]  # both phase 0
+    df = spark.createDataFrame(rows, "k STRING, day BIGINT, n BIGINT")
+    out = {r["day"]: r["phase"] for r in seasonal_residuals(df, "k", "day", "n").collect()}
+    assert out[-7] == 0 and out[0] == 0
