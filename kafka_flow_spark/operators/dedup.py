@@ -1285,10 +1285,13 @@ def save_minhash_index(
     """
     assert k % bands == 0
     spark = df.sparkSession
+    sig, n_docs = _ids_signature(df, id_col)
     if mode == "append":
         # rolling the index forward must keep ONE params row — validate the
         # increment against the stored contract instead of appending a
-        # second (possibly different) one
+        # second (possibly different) one.  The id signature is xor-
+        # composable and increment ids are disjoint by contract, so the
+        # stored fingerprint rolls forward with the data.
         [p] = spark.read.parquet(f"{path}/params").collect()
         stored = (p["k"], p["bands"], p["shingle_n"])
         if stored != (k, bands, shingle_n):
@@ -1296,9 +1299,16 @@ def save_minhash_index(
                 f"save_minhash_index append: params {(k, bands, shingle_n)} "
                 f"!= stored index contract {stored}"
             )
+        prev_sig = int(p["id_sig"]) if "id_sig" in p.asDict() else 0
+        prev_n = int(p["n_docs"]) if "n_docs" in p.asDict() else 0
+        spark.createDataFrame(
+            [(k, bands, shingle_n, prev_sig ^ sig, prev_n + n_docs)],
+            "k int, bands int, shingle_n int, id_sig long, n_docs long",
+        ).write.mode("overwrite").parquet(f"{path}/params")
     else:
         spark.createDataFrame(
-            [(k, bands, shingle_n)], "k int, bands int, shingle_n int"
+            [(k, bands, shingle_n, sig, n_docs)],
+            "k int, bands int, shingle_n int, id_sig long, n_docs long",
         ).write.mode(mode).parquet(f"{path}/params")
     per = _minhash_mins(
         df, id_col, text_col, k, shingle_n, with_shingle_set=True
@@ -1306,6 +1316,17 @@ def save_minhash_index(
     banded = _banded(per, bands, k // bands)
     banded.write.mode(mode).partitionBy("band_id").parquet(f"{path}/bands")
     per.select("doc_id", "_sh").write.mode(mode).parquet(f"{path}/shingles")
+
+
+def _ids_signature(df: DataFrame, id_col: str) -> tuple[int, int]:
+    """(xor-of-xxhash64(id), count) — the stored index's corpus fingerprint.
+    One id-column aggregate (no text scan); xor composes under disjoint
+    appends, so roll-forward updates it without re-reading the corpus."""
+    row = df.agg(
+        F.coalesce(F.expr(f"bit_xor(xxhash64({id_col}))"), F.lit(0)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return int(row["s"]), int(row["n"])
 
 
 def ensure_minhash_index(
@@ -1320,22 +1341,34 @@ def ensure_minhash_index(
     """Build the stored LSH index iff it is absent or does not match the
     corpus — the idempotent entry point a daily increment job calls before
     querying.  "Matches" = the params contract (k, bands, shingle_n) AND the
-    stored doc count equal the corpus's; both checks are footer-cheap
-    relative to recomputing 100 TB of signatures.  A same-count same-params
-    corpus with *different contents* is NOT detected (a content checksum
-    would cost the full scan the index exists to avoid) — production rolls
-    the index forward explicitly via ``save_minhash_index(mode="append")``
-    rather than relying on this check.
+    stored id fingerprint (xor of xxhash64(id) + count, written by
+    ``save_minhash_index``) equal the corpus's — an id-column aggregate,
+    cheap relative to recomputing 100 TB of signatures.  The fingerprint
+    catches regenerated/relocated corpora (different ids or count); an
+    in-place TEXT edit under identical ids is the documented blind spot (a
+    content checksum would cost the full text scan the index exists to
+    avoid) — production rolls the index forward explicitly via
+    ``save_minhash_index(mode="append")`` rather than relying on this check.
+    Only a missing index (AnalysisException) routes to a silent build; real
+    IO errors propagate (review r7 — the old bare except turned them into
+    silent rebuilds inside timed regions).
     """
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
     try:
         [p] = spark.read.parquet(f"{path}/params").collect()
-        if (p["k"], p["bands"], p["shingle_n"]) == (k, bands, shingle_n):
-            stored_n = spark.read.parquet(f"{path}/shingles").count()
-            if stored_n == df.count():
-                return
-    except Exception:
-        pass
+    except AnalysisException:
+        save_minhash_index(
+            df, id_col, text_col, path, k=k, bands=bands, shingle_n=shingle_n
+        )
+        return
+    if (p["k"], p["bands"], p["shingle_n"]) == (k, bands, shingle_n) and (
+        "id_sig" in p.asDict()
+    ):
+        sig, n = _ids_signature(df, id_col)
+        if (int(p["id_sig"]), int(p["n_docs"])) == (sig, n):
+            return
     save_minhash_index(
         df, id_col, text_col, path, k=k, bands=bands, shingle_n=shingle_n
     )

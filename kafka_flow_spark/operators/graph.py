@@ -163,42 +163,20 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    d_num, d_den = damping
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ewd = e.join(deg, "src").localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+    # ONE implementation: delegate to the converged variant with a tolerance
+    # no residual can reach (tol < 0 also skips the per-round residual
+    # aggregate entirely) — the two forms' bit-identity is by construction,
+    # not by keeping two copies of the arithmetic in sync (review r7).
+    ranks, _, _ = pagerank_converged(
+        edges,
+        src=src,
+        dst=dst,
+        max_iterations=iterations,
+        tol_scaled=-1,
+        scale=scale,
+        damping=damping,
     )
-    n = nodes.count()  # one scalar — bounded driver value, like CC's checksum
-    if n == 0:
-        raise ValueError(
-            "pagerank: empty edge set (an upstream filter matched nothing?)"
-        )
-    base = (d_den - d_num) * scale // (d_den * n)
-    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
-    for _ in range(iterations):
-        contrib = (
-            ewd.join(ranks, ewd.src == ranks.node)
-            .select("dst", F.expr("r div outdeg").alias("_c"))
-            .groupBy("dst")
-            .agg(F.sum("_c").alias("_s"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(f"({d_num} * coalesce(_s, 0L)) div {d_den}")
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return ranks.select("node", F.col("r").alias("rank_scaled"))
+    return ranks
 
 
 def pagerank_converged(
@@ -272,15 +250,20 @@ def pagerank_converged(
             .localCheckpoint(eager=False)
         )
         # one scalar per round (the CC-checksum pattern): equi-join old/new
-        # ranks on the shared node hash, map-combinable abs-diff sum
-        residual = int(
-            nxt.join(ranks.select("node", F.col("r").alias("_pr")), "node")
-            .agg(F.sum(F.abs(F.col("r") - F.col("_pr"))).alias("_d"))
-            .collect()[0]["_d"]
-        )
-        ranks = nxt
-        if residual <= tol_scaled:
-            break
+        # ranks on the shared node hash, map-combinable abs-diff sum.
+        # tol_scaled < 0 = fixed-iteration mode (pagerank() delegates here):
+        # no residual is ever negative, so skip the aggregate entirely.
+        if tol_scaled >= 0:
+            residual = int(
+                nxt.join(ranks.select("node", F.col("r").alias("_pr")), "node")
+                .agg(F.sum(F.abs(F.col("r") - F.col("_pr"))).alias("_d"))
+                .collect()[0]["_d"]
+            )
+            ranks = nxt
+            if residual <= tol_scaled:
+                break
+        else:
+            ranks = nxt
     return ranks.select("node", F.col("r").alias("rank_scaled")), it, residual
 
 

@@ -93,10 +93,18 @@ def bigram_lm_scores(
     ``min_count > 1`` prunes model bigrams with c12 < min_count (they score
     as unseen) — bounds the model relation on web-scale references.
     """
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.coalesce(is_ref.cast("boolean"), F.lit(False)).alias("_ref"),
-        _norm_tokens(F.col(text_col)).alias("_toks"),
+    from kafka_flow_spark.cache import scoped_persist
+
+    # tokenize ONCE: base feeds the gram explode (twice — ref counts and
+    # candidate scoring) AND the vocab explode; without the persist the
+    # query re-scans and re-normalizes the corpus three times, on a plan
+    # that is gram-explode bound (review r7)
+    base = scoped_persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.coalesce(is_ref.cast("boolean"), F.lit(False)).alias("_ref"),
+            _norm_tokens(F.col(text_col)).alias("_toks"),
+        )
     )
     grams = _bigram_rows(base)
     c12 = (

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kafka_flow_spark.cache import scoped_persist
 from kafka_flow_spark.functions import cosine
 
 
@@ -1117,8 +1118,14 @@ def semantic_dedup_lsh(
     cell, where each must equal the exact all-pairs keep-first prune —
     carrying the contract proof to the trained/BLAS path.
 
-    Two in-cell scan engines with identical semantics (equality pinned in
-    tests/test_similarity.py):
+    Two in-cell scan engines with the same prune semantics (set equality
+    pinned on the real fixture for BOTH engines in
+    tests/test_similarity.py; note the honest caveat that blas cosines come
+    from blocked/SIMD summation, so a pair whose cosine sits within a few
+    double ulps of ``threshold`` could in principle decide differently from
+    the sequential fold — the same tolerance class documented for
+    ``semantic_dedup_pairs``; the oracle-gated q_semantic_dedup runs expr
+    at every driver scale):
 
     - ``expr``: equi-join on the int cell key + per-pair Catalyst cosine —
       exactly SQL-mirrored, the oracle-gate form.  Interpreted per-pair HOF
@@ -1143,17 +1150,25 @@ def semantic_dedup_lsh(
         int(sess.conf.get("spark.sql.shuffle.partitions")),
         sess.sparkContext.defaultParallelism,
     )
-    df = df.repartition(n_part, F.col(id_col))
+    # stage the cell id ONCE (scoped_persist): the interpreted sign fold
+    # (n_planes × dim per row) otherwise re-runs for the auto histogram and
+    # BOTH sides of the expr self-join — 3× the per-row HOF cost the
+    # _grid_scores_staged fix exists to avoid (review r7)
+    assigned = scoped_persist(
+        df.repartition(n_part, F.col(id_col)).select(
+            F.col(id_col), F.col(vec_col), cell.alias("_cell")
+        )
+    )
     if engine == "auto":
-        hist = df.select(cell.alias("_cell")).groupBy("_cell").count().collect()
+        hist = assigned.groupBy("_cell").count().collect()
         est = sum(r["count"] * (r["count"] - 1) // 2 for r in hist)
         engine = "expr" if est <= max_expr_pairs else "blas"
     if engine == "expr":
-        a = df.select(
-            F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), cell.alias("_cell")
+        a = assigned.select(
+            F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), "_cell"
         )
-        b = df.select(
-            F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), cell.alias("_cell")
+        b = assigned.select(
+            F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), "_cell"
         )
         sim = cosine(_as_double(F.col("_va")), _as_double(F.col("_vb")))
         dropped = (
@@ -1165,9 +1180,14 @@ def semantic_dedup_lsh(
         )
     elif engine == "blas":
         id_t = df.schema[id_col].dataType.simpleString()
-        assigned = df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
         dropped = (
-            _cell_pairs_blas(assigned, id_col, vec_col, threshold, id_t)
+            _cell_pairs_blas(
+                assigned.withColumnRenamed("_cell", "cell"),
+                id_col,
+                vec_col,
+                threshold,
+                id_t,
+            )
             .select(F.col("b_id").alias(id_col))
             .distinct()
         )

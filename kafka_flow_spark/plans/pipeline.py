@@ -1402,11 +1402,13 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sa"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("sb"))
+    # no caller-side distinct: triangle_count canonicalizes + distincts the
+    # edge set itself, and a second pre-dedup exchange of the raw self-join
+    # output is a full extra shuffle at sf10 (review r7)
     co = (
         a.join(b, "o")
         .where(F.col("sa") < F.col("sb"))
         .select(F.col("sa").alias("u"), F.col("sb").alias("v"))
-        .distinct()
     )
     return triangle_count(co, "u", "v")
 

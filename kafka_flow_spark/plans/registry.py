@@ -30,6 +30,13 @@ _LOADED = False
 
 def register(name: str, oracle: str | None = None, bench: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # duplicate registration silently REPLACED the first function for
+            # a whole round once (q_curation_pipeline r5-r6: the rule-gate
+            # variant was unreachable and unswept) — fail loudly instead
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already registered"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = " ".join(oracle.split())

@@ -411,6 +411,29 @@ def test_semantic_dedup_lsh_one_cell_equals_trained_one_cell(spark):
     assert a == b and len(a) > 0
 
 
+def test_semantic_dedup_lsh_blas_engine_equals_expr_engine(spark):
+    """The blas (blocked-matmul) and expr (Catalyst fold) in-cell engines
+    must keep the SAME set on the real corpus — the empirical pin for the
+    scale path that the oracle never exercises (auto picks expr at driver
+    scales; blas engages at sf10)."""
+    from kafka_flow_spark.operators.similarity import semantic_dedup_lsh
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    a = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_lsh(
+            emb, threshold=0.40, n_planes=4, engine="expr"
+        ).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_lsh(
+            emb, threshold=0.40, n_planes=4, engine="blas"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_semantic_dedup_lsh_keep_first_and_pairwise_contract(spark):
     """Every dropped vector has an in-cell near-dup with a smaller id, and
     every kept pair within a cell is below threshold (keep-first semantics
