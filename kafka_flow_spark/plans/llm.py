@@ -1332,7 +1332,15 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     LANGUAGE terciles of the bigram-LM score (operators/lm.py
     perplexity_buckets over bigram_lm_scores) — head = most reference-like
     third of each language, the slice CCNet keeps by default.  Exact
-    rank-based NTILE on integer micro-nat scores, fully oracle-mirrored."""
+    rank-based NTILE on integer micro-nat scores, fully oracle-mirrored.
+
+    Scale posture: the NTILE window sorts each LANGUAGE's scored docs in
+    one partition — exact boundaries, right up to ~10^8 rows per language.
+    Beyond that, the sampled-threshold form (operators/quality.py
+    score_buckets / q_perplexity_buckets — CCNet's own
+    fit-cutoffs-on-a-sample design) is the 100 TB path; the two are the
+    exact/approximate pair of the same split, like knn_bruteforce vs the
+    ANN family."""
     from kafka_flow_spark.operators.lm import bigram_lm_scores, perplexity_buckets
 
     docs = load(spark, sf_dir, "documents")
