@@ -329,3 +329,89 @@ def weighted_reservoir_per_group(
         .filter(F.col("sel_rank") <= k)
         .drop("_score")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    label_col: str | None = None,
+    n_buckets: int = 64,
+    salt: str = "neg-v1",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for every
+    anchor row, ``k`` pseudo-random partners drawn as its successors on a
+    content-addressed HASH RING — reproducible across runs, engines, and
+    partitionings (no rand()), which is what makes a training set auditable.
+
+    Ring construction: rows hash into ``n_buckets`` md5 buckets; within a
+    bucket they are ordered by an independent md5 position (salted, so a new
+    ``salt`` is a fresh permutation — the epoch knob, like shuffle_shard);
+    anchor's j-th negative is the row ``j`` steps ahead on the ring, index
+    modulo the bucket size (wrap-around).  Self-pairs (wrap on tiny buckets)
+    are dropped; with ``label_col``, same-label collisions are dropped too
+    (the caller's positives — expected loss ≈ k/|labels| per anchor,
+    documented rather than resampled: resample-until-different is
+    sequential and non-relational).
+
+    Scale shape: NO global sort — the rank window partitions by the hash
+    bucket (n_buckets parallel sorts of n/B rows each), the partner lookup
+    is one equi-join on (bucket, rank), and the j fan-out is a k-wide
+    explode on the anchor side.  All arithmetic is ROW_NUMBER + modular
+    integer — exactly SQL-mirrorable.
+
+    Output: (anchor id, j, negative id [, labels]) — j in [1, k].
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    idc = F.col(id_col)
+    bucket = (
+        F.conv(hash_bucket(F.concat(F.lit(salt + ":b:"), idc.cast("string"))), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    pos = hash_bucket(F.concat(F.lit(salt + ":p:"), idc.cast("string")))
+    cols = [idc.alias("_id"), bucket.alias("_b"), pos.alias("_p")] + (
+        [F.col(label_col).alias("_lbl")] if label_col else []
+    )
+    ring = df.select(*cols)
+    w = Window.partitionBy("_b").orderBy("_p", "_id")
+    ring = ring.select(
+        "*",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(Window.partitionBy("_b")).alias("_n"),
+    )
+    anchors = ring.select(
+        F.col("_id").alias("anchor_id"),
+        F.col("_b"),
+        F.col("_r"),
+        F.col("_n"),
+        *([F.col("_lbl").alias("_albl")] if label_col else []),
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
+    ).select(
+        "anchor_id",
+        "_b",
+        "j",
+        *(["_albl"] if label_col else []),
+        (((F.col("_r") - 1 + F.col("j")) % F.col("_n")) + 1).alias("_tr"),
+    )
+    partners = ring.select(
+        F.col("_b"), F.col("_r").alias("_tr"), F.col("_id").alias("neg_id"),
+        *([F.col("_lbl").alias("_nlbl")] if label_col else []),
+    )
+    out = anchors.join(partners, ["_b", "_tr"]).where(
+        F.col("neg_id") != F.col("anchor_id")
+    )
+    if label_col:
+        out = out.where(~F.col("_albl").eqNullSafe(F.col("_nlbl"))).select(
+            "anchor_id",
+            F.col("j").cast("int").alias("j"),
+            "neg_id",
+            F.col("_albl").alias("anchor_label"),
+            F.col("_nlbl").alias("neg_label"),
+        )
+    else:
+        out = out.select("anchor_id", F.col("j").cast("int").alias("j"), "neg_id")
+    return out

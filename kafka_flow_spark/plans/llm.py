@@ -1414,3 +1414,56 @@ def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin_bp_min=_BM_MIN,
         queries_a=side_a.where(F.col("vec_id") < 200),
     )
+
+
+# --- deterministic negative sampling (contrastive-training pairs) -----------
+
+
+def _fold6_llm(expr: str) -> str:
+    """md5 6-hex Horner fold — the established cross-engine bucket idiom."""
+    return (
+        "list_reduce(list_transform(range(1, 7), d -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), d, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+_NEG_K = 3
+_NEG_B = 16
+
+
+@register(
+    "q_negative_samples",
+    oracle=f"""
+    WITH r AS (
+      SELECT vec_id, label,
+             {_fold6_llm("'neg-v1:b:' || CAST(vec_id AS VARCHAR)")} % {_NEG_B} AS b,
+             substring(md5('neg-v1:p:' || CAST(vec_id AS VARCHAR)), 1, 6) AS p
+      FROM embeddings),
+    rk AS (SELECT vec_id, label, b, p,
+                  ROW_NUMBER() OVER (PARTITION BY b ORDER BY p, vec_id) AS r,
+                  COUNT(*) OVER (PARTITION BY b) AS n
+           FROM r),
+    a AS (SELECT vec_id AS anchor_id, label AS anchor_label, b, r, n,
+                 UNNEST([{", ".join(str(j) for j in range(1, _NEG_K + 1))}]) AS j
+          FROM rk),
+    t AS (SELECT anchor_id, anchor_label, b, j, ((r - 1 + j) % n) + 1 AS tr FROM a)
+    SELECT t.anchor_id, CAST(t.j AS INT) AS j, p2.vec_id AS neg_id,
+           t.anchor_label, p2.label AS neg_label
+    FROM t JOIN rk p2 ON p2.b = t.b AND p2.r = t.tr
+    WHERE p2.vec_id != t.anchor_id
+      AND t.anchor_label IS DISTINCT FROM p2.label
+    """,
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-ring negative sampling over the embeddings corpus
+    (operators/sampling.negative_samples): 3 content-addressed ring
+    successors per anchor, same-label collisions dropped — the auditable
+    replacement for rand()-based in-batch negatives; bucketed ring, no
+    global sort."""
+    from kafka_flow_spark.operators.sampling import negative_samples
+
+    e = load(spark, sf_dir, "embeddings")
+    return negative_samples(
+        e, "vec_id", k=_NEG_K, label_col="label", n_buckets=_NEG_B
+    )

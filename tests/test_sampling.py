@@ -372,3 +372,52 @@ def test_reservoir_per_group_exact_k_each(spark):
     sizes = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
     for r in per:
         assert r["count"] == min(10, sizes[r["lang"]])
+
+
+# --- negative sampling --------------------------------------------------------
+
+
+def test_negative_samples_deterministic_and_excludes_self_and_label(spark):
+    from kafka_flow_spark.operators.sampling import negative_samples
+
+    rows = [(i, i % 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, label INT")
+    a = sorted(
+        map(tuple, negative_samples(df, "vec_id", k=3, label_col="label",
+                                    n_buckets=4).collect())
+    )
+    b = sorted(
+        map(tuple, negative_samples(df.repartition(7), "vec_id", k=3,
+                                    label_col="label", n_buckets=4).collect())
+    )
+    assert a == b and len(a) > 0  # partitioning-independent
+    for anchor_id, j, neg_id, albl, nlbl in a:
+        assert neg_id != anchor_id
+        assert albl != nlbl
+        assert 1 <= j <= 3
+
+
+def test_negative_samples_new_salt_new_permutation(spark):
+    from kafka_flow_spark.operators.sampling import negative_samples
+
+    rows = [(i, 0 if i < 20 else 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, label INT")
+    a = set(
+        (r["anchor_id"], r["j"], r["neg_id"])
+        for r in negative_samples(df, "vec_id", k=2, salt="s1").collect()
+    )
+    b = set(
+        (r["anchor_id"], r["j"], r["neg_id"])
+        for r in negative_samples(df, "vec_id", k=2, salt="s2").collect()
+    )
+    assert a != b  # the epoch knob actually re-permutes
+
+
+def test_negative_samples_k_guard(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(1, 0)], "vec_id BIGINT, label INT")
+    with _pytest.raises(ValueError, match="k must be"):
+        negative_samples(df, "vec_id", k=0)
