@@ -1277,6 +1277,14 @@ def save_minhash_index(
       readers refuse on mismatch rather than silently joining
       incompatible hashes.
 
+    Write ordering is COMMIT-LAST: bands and shingles land first, the
+    params row (whose fingerprint is what ``ensure_minhash_index`` trusts)
+    is written only after both data writes return.  A crash mid-save
+    therefore leaves either the OLD params (overwrite: next ensure
+    fingerprint-mismatches and rebuilds) or a params/data contract where
+    the fingerprint cannot match the corpus — never a matching fingerprint
+    over torn data (ADVICE r7).
+
     ``mode="append"`` adds an increment's rows (call with the NEW batch
     after pair discovery to roll the index forward); ids must be disjoint
     from what's stored — re-crawled ids should be compacted out separately
@@ -1285,11 +1293,11 @@ def save_minhash_index(
     """
     assert k % bands == 0
     spark = df.sparkSession
-    sig, n_docs = _ids_signature(df, id_col)
+    sig, n_docs = _corpus_signature(df, id_col, text_col)
     if mode == "append":
         # rolling the index forward must keep ONE params row — validate the
         # increment against the stored contract instead of appending a
-        # second (possibly different) one.  The id signature is xor-
+        # second (possibly different) one.  The content signature is xor-
         # composable and increment ids are disjoint by contract, so the
         # stored fingerprint rolls forward with the data.
         [p] = spark.read.parquet(f"{path}/params").collect()
@@ -1301,29 +1309,36 @@ def save_minhash_index(
             )
         prev_sig = int(p["id_sig"]) if "id_sig" in p.asDict() else 0
         prev_n = int(p["n_docs"]) if "n_docs" in p.asDict() else 0
-        spark.createDataFrame(
-            [(k, bands, shingle_n, prev_sig ^ sig, prev_n + n_docs)],
-            "k int, bands int, shingle_n int, id_sig long, n_docs long",
-        ).write.mode("overwrite").parquet(f"{path}/params")
+        params_row = (k, bands, shingle_n, prev_sig ^ sig, prev_n + n_docs)
     else:
-        spark.createDataFrame(
-            [(k, bands, shingle_n, sig, n_docs)],
-            "k int, bands int, shingle_n int, id_sig long, n_docs long",
-        ).write.mode(mode).parquet(f"{path}/params")
+        params_row = (k, bands, shingle_n, sig, n_docs)
     per = _minhash_mins(
         df, id_col, text_col, k, shingle_n, with_shingle_set=True
     ).transform(scoped_persist)
     banded = _banded(per, bands, k // bands)
     banded.write.mode(mode).partitionBy("band_id").parquet(f"{path}/bands")
     per.select("doc_id", "_sh").write.mode(mode).parquet(f"{path}/shingles")
+    # commit point: the fingerprint becomes visible only after the data it
+    # vouches for is fully written (params overwrite is a one-row job)
+    spark.createDataFrame(
+        [params_row],
+        "k int, bands int, shingle_n int, id_sig long, n_docs long",
+    ).write.mode("overwrite").parquet(f"{path}/params")
 
 
-def _ids_signature(df: DataFrame, id_col: str) -> tuple[int, int]:
-    """(xor-of-xxhash64(id), count) — the stored index's corpus fingerprint.
-    One id-column aggregate (no text scan); xor composes under disjoint
-    appends, so roll-forward updates it without re-reading the corpus."""
+def _corpus_signature(df: DataFrame, id_col: str, text_col: str) -> tuple[int, int]:
+    """(xor-of-xxhash64(id, text), count) — the stored index's corpus
+    fingerprint.  One (id, text)-column aggregate: hashing the CONTENT too
+    means an in-place edit under a stable id invalidates the index (the r7
+    blind spot) — it reads the text column once but computes no shingles /
+    signatures, still ~k·|text| cheaper than rebuilding.  xxhash64's
+    multi-arg form hashes (id, text) structurally, so no separator-
+    injection ambiguity; xor composes under disjoint appends, so
+    roll-forward updates it without re-reading the stored corpus."""
     row = df.agg(
-        F.coalesce(F.expr(f"bit_xor(xxhash64({id_col}))"), F.lit(0)).alias("s"),
+        F.coalesce(
+            F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))"), F.lit(0)
+        ).alias("s"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     return int(row["s"]), int(row["n"])
@@ -1341,14 +1356,13 @@ def ensure_minhash_index(
     """Build the stored LSH index iff it is absent or does not match the
     corpus — the idempotent entry point a daily increment job calls before
     querying.  "Matches" = the params contract (k, bands, shingle_n) AND the
-    stored id fingerprint (xor of xxhash64(id) + count, written by
-    ``save_minhash_index``) equal the corpus's — an id-column aggregate,
-    cheap relative to recomputing 100 TB of signatures.  The fingerprint
-    catches regenerated/relocated corpora (different ids or count); an
-    in-place TEXT edit under identical ids is the documented blind spot (a
-    content checksum would cost the full text scan the index exists to
-    avoid) — production rolls the index forward explicitly via
-    ``save_minhash_index(mode="append")`` rather than relying on this check.
+    stored content fingerprint (xor of xxhash64(id, text) + count, written
+    by ``save_minhash_index``) equal the corpus's — one (id, text)
+    aggregate, no shingle/signature compute, cheap relative to rebuilding
+    100 TB of signatures.  The fingerprint catches regenerated/relocated
+    corpora AND in-place text edits under stable ids (the r7 blind spot —
+    hashing content costs one text-column scan, which the validation pays;
+    what the index avoids is the k-hash shingle pipeline, not the scan).
     Only a missing index (AnalysisException) routes to a silent build; real
     IO errors propagate (review r7 — the old bare except turned them into
     silent rebuilds inside timed regions).
@@ -1366,7 +1380,7 @@ def ensure_minhash_index(
     if (p["k"], p["bands"], p["shingle_n"]) == (k, bands, shingle_n) and (
         "id_sig" in p.asDict()
     ):
-        sig, n = _ids_signature(df, id_col)
+        sig, n = _corpus_signature(df, id_col, text_col)
         if (int(p["id_sig"]), int(p["n_docs"])) == (sig, n):
             return
     save_minhash_index(

@@ -702,7 +702,11 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
         skew_ppm = max_key_count · n_keys · 1e6 div n_rows
 
     (1e6 = perfectly uniform; a key holding 10% of a 1M-key table reads
-    ~1e11).  All-integer arithmetic, oracle-exact.
+    ~1e11).  All-integer arithmetic, oracle-exact; the product is carried
+    in DECIMAL(38,0) — a 1e9-key table with a 1e5-row hot key puts
+    max_key_count·n_keys·1e6 at ~1e20, past int64, and ANSI mode would
+    throw at exactly the diagnostic scale this exists for (ADVICE r7).
+    The final div result is cast back to BIGINT (a ratio, always small).
 
     Scale shape: one map-combinable groupBy(key) count, one scalar
     aggregate, and an ``orderBy().limit(top_k)`` that compiles to
@@ -732,7 +736,10 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
         "n_rows",
         "n_keys",
         "max_key_count",
-        F.expr("max_key_count * n_keys * 1000000 div n_rows").alias("skew_ppm"),
+        F.expr(
+            "cast(cast(max_key_count as decimal(38,0)) * n_keys * 1000000"
+            " div n_rows as bigint)"
+        ).alias("skew_ppm"),
     )
 
 

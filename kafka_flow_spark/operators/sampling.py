@@ -348,8 +348,13 @@ def negative_samples(
     bucket they are ordered by an independent md5 position (salted, so a new
     ``salt`` is a fresh permutation — the epoch knob, like shuffle_shard);
     anchor's j-th negative is the row ``j`` steps ahead on the ring, index
-    modulo the bucket size (wrap-around).  Self-pairs (wrap on tiny buckets)
-    are dropped; with ``label_col``, same-label collisions are dropped too
+    modulo the bucket size (wrap-around).  The fan-out is capped at
+    ``least(k, n-1)`` steps per bucket: in a bucket of ``n`` rows the ring
+    has only ``n-1`` distinct partners, and letting j wrap past a full lap
+    would re-emit the same (anchor, negative) pair under a different j —
+    a silently over-weighted negative in the training set (ADVICE r7; the
+    cap also makes self-pairs impossible, since 1 ≤ j ≤ n−1 never returns
+    to the anchor).  With ``label_col``, same-label collisions are dropped
     (the caller's positives — expected loss ≈ k/|labels| per anchor,
     documented rather than resampled: resample-until-different is
     sequential and non-relational).
@@ -390,6 +395,10 @@ def negative_samples(
         F.col("_n"),
         *([F.col("_lbl").alias("_albl")] if label_col else []),
         F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
+    ).where(
+        # least(k, n-1): never lap the ring — a second lap would duplicate
+        # (anchor, negative) pairs under new j values (ADVICE r7)
+        F.col("j") <= F.col("_n") - 1
     ).select(
         "anchor_id",
         "_b",

@@ -1132,11 +1132,13 @@ def semantic_dedup_lsh(
       cost makes it viable only up to ~10^7 in-cell pairs.
     - ``blas``: the shared blocked-matmul pair scan (``_cell_pairs_blas``,
       same kernel as ``semantic_dedup_pairs``) — the 100 TB form.
-    - ``auto`` (default): one bounded cell-histogram aggregate (≤ 2^n_planes
-      rows) estimates Σ c·(c−1)/2 and picks ``expr`` iff it fits under
-      ``max_expr_pairs`` — the same estimate-then-refuse discipline as the
-      edit-distance band histogram, except here there is a fast path to
-      switch to instead of refusing.
+    - ``auto`` (default): ONE scalar aggregate — sum(c·(c−1) div 2) over the
+      per-cell counts — estimates the pair volume and picks ``expr`` iff it
+      fits under ``max_expr_pairs``.  Same estimate-then-choose discipline
+      as the triangle wedge gate (operators/graph.py); the decision needs
+      one number, so only one number crosses to the driver (a trained
+      quantizer can emit millions of cells — a per-cell histogram collect
+      would ship them all; review r8).
     """
     cell = (
         lsh_bucket(F.col(vec_col), _hyperplanes(dim, n_planes, seed=seed))
@@ -1160,8 +1162,16 @@ def semantic_dedup_lsh(
         )
     )
     if engine == "auto":
-        hist = assigned.groupBy("_cell").count().collect()
-        est = sum(r["count"] * (r["count"] - 1) // 2 for r in hist)
+        est = (
+            assigned.groupBy("_cell")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("_d * (_d - 1) div 2")), F.lit(0)
+                ).alias("_pairs")
+            )
+            .collect()[0]["_pairs"]
+        )
         engine = "expr" if est <= max_expr_pairs else "blas"
     if engine == "expr":
         a = assigned.select(

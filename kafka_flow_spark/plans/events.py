@@ -1184,8 +1184,8 @@ def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT rank, key, CAST(key_count AS BIGINT) AS key_count,
            st.n_rows, CAST(st.n_keys AS BIGINT) AS n_keys,
            CAST(st.max_key_count AS BIGINT) AS max_key_count,
-           CAST(st.max_key_count * st.n_keys * 1000000 // st.n_rows AS BIGINT)
-             AS skew_ppm
+           CAST(CAST(st.max_key_count AS HUGEINT) * st.n_keys * 1000000
+                // st.n_rows AS BIGINT) AS skew_ppm
     FROM top CROSS JOIN st
     """,
 )

@@ -1447,7 +1447,8 @@ _NEG_B = 16
     a AS (SELECT vec_id AS anchor_id, label AS anchor_label, b, r, n,
                  UNNEST([{", ".join(str(j) for j in range(1, _NEG_K + 1))}]) AS j
           FROM rk),
-    t AS (SELECT anchor_id, anchor_label, b, j, ((r - 1 + j) % n) + 1 AS tr FROM a)
+    t AS (SELECT anchor_id, anchor_label, b, j, ((r - 1 + j) % n) + 1 AS tr
+          FROM a WHERE j <= n - 1)
     SELECT t.anchor_id, CAST(t.j AS INT) AS j, p2.vec_id AS neg_id,
            t.anchor_label, p2.label AS neg_label
     FROM t JOIN rk p2 ON p2.b = t.b AND p2.r = t.tr

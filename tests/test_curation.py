@@ -648,6 +648,75 @@ def test_minhash_index_append_rolls_forward(spark, tmp_path):
     assert got == want and got
 
 
+def test_ensure_minhash_index_same_id_text_edit_invalidates(spark, tmp_path):
+    """The corpus fingerprint hashes (id, text), so an in-place text edit
+    under identical ids and count must trigger a rebuild — the r7 blind
+    spot.  A byte-identical corpus must NOT rebuild (validated by mtime of
+    the stored shingles)."""
+    import os
+
+    from kafka_flow_spark.operators.dedup import (
+        ensure_minhash_index,
+        minhash_lsh_pairs_indexed,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "x y z w v"), (1, "p q r s t")], "doc_id BIGINT, text STRING"
+    )
+    path = str(tmp_path / "idx")
+    kw = dict(k=16, bands=8, shingle_n=1)
+    ensure_minhash_index(corpus, "doc_id", "text", path, **kw)
+
+    def _mtime():
+        d = f"{path}/shingles"
+        return max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+
+    t0 = _mtime()
+    ensure_minhash_index(corpus, "doc_id", "text", path, **kw)
+    assert _mtime() == t0  # unchanged corpus: validated, not rebuilt
+
+    # same ids, same count, ONE text edited in place
+    edited = spark.createDataFrame(
+        [(0, "x y z w v"), (1, "a b c d e")], "doc_id BIGINT, text STRING"
+    )
+    ensure_minhash_index(edited, "doc_id", "text", path, **kw)
+    assert _mtime() > t0  # rebuilt
+    # and the rebuilt index serves the EDITED content: a probe near doc 1's
+    # new text matches against it
+    probe = spark.createDataFrame([(9, "a b c d e f")], "doc_id BIGINT, text STRING")
+    pairs = {(r["a_id"], r["b_id"])
+             for r in minhash_lsh_pairs_indexed(
+                 probe, "doc_id", "text", path, threshold=0.4).collect()}
+    assert (9, 1) in pairs
+
+
+def test_save_minhash_index_writes_params_last(spark, tmp_path):
+    """Commit-last ordering (ADVICE r7): the params fingerprint must become
+    visible only after bands/ and shingles/ are fully written, so a torn
+    save can never leave a matching fingerprint over missing data."""
+    import os
+
+    from kafka_flow_spark.operators.dedup import save_minhash_index
+
+    corpus = spark.createDataFrame(
+        [(0, "x y z w v"), (1, "p q r s t")], "doc_id BIGINT, text STRING"
+    )
+    path = str(tmp_path / "idx")
+    save_minhash_index(corpus, "doc_id", "text", path, k=16, bands=8, shingle_n=1)
+
+    def _latest(sub):
+        d = f"{path}/{sub}"
+        out = 0.0
+        for root, _, files in os.walk(d):
+            for f in files:
+                out = max(out, os.path.getmtime(os.path.join(root, f)))
+        return out
+
+    t_params = _latest("params")
+    assert t_params >= _latest("bands")
+    assert t_params >= _latest("shingles")
+
+
 # --- line_dedup ---
 
 def _pages(spark):

@@ -413,6 +413,27 @@ def test_negative_samples_new_salt_new_permutation(spark):
     assert a != b  # the epoch knob actually re-permutes
 
 
+def test_negative_samples_tiny_bucket_no_duplicate_pairs(spark):
+    """k larger than the bucket population must NOT lap the ring: each
+    anchor gets at most n-1 distinct negatives and no (anchor, neg) pair is
+    emitted twice under different j (ADVICE r7)."""
+    from kafka_flow_spark.operators.sampling import negative_samples
+
+    # n_buckets=1 forces every row into one 3-row bucket; k=10 >> n-1=2
+    df = spark.createDataFrame([(1,), (2,), (3,)], "vec_id BIGINT")
+    rows = negative_samples(df, "vec_id", k=10, n_buckets=1).collect()
+    pairs = [(r["anchor_id"], r["neg_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))  # no duplicate negatives
+    per_anchor = {}
+    for a, n in pairs:
+        assert a != n
+        per_anchor.setdefault(a, set()).add(n)
+    # every anchor saw exactly the other two rows, once each
+    assert all(len(v) == 2 for v in per_anchor.values())
+    assert len(rows) == 6
+    assert all(1 <= r["j"] <= 2 for r in rows)
+
+
 def test_negative_samples_k_guard(spark):
     import pytest as _pytest
 
