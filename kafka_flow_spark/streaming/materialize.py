@@ -1,0 +1,295 @@
+"""Streaming materialized-view maintenance — foreachBatch sinks that roll a
+stored aggregate / join view forward one micro-batch at a time.
+
+This wires the batch incremental-maintenance family
+(operators/incremental.py: agg_state/agg_merge/agg_maintain/
+maintain_join_view/apply_changeset) into the streaming surface: each
+micro-batch IS the changeset, and the view on disk advances with it.  That is
+the reference's core reason to exist — maintaining state FROM A STREAM
+(core/.../FoldToState.scala:44-90 folds records into persisted per-key state;
+docs/overview.md:31-42 describes the same keep-state-near-the-stream loop) —
+applied to relational views instead of opaque per-key blobs.
+
+Exactly-once without a transactional table format
+-------------------------------------------------
+``foreachBatch`` is at-least-once: after a crash the engine REPLAYS the last
+unacknowledged micro-batch with the SAME ``batch_id`` and (for replayable
+sources) the same rows.  The sinks here make the replay a no-op with the
+standard versioned-commit protocol:
+
+- every batch writes its outputs to fresh ``v=<batch_id>`` directories —
+  never in place — so a crash mid-write can only tear an UNCOMMITTED version;
+- a version counts as committed only when every table of the view has its
+  ``_SUCCESS`` marker (Spark's job-commit protocol writes it last), and
+  multi-table views gain a view-level ``_VIEW_COMMIT`` marker written after
+  all tables — commit-last, the same ordering discipline as
+  save_minhash_index's params row;
+- on entry the sink consults the max committed version: ``batch_id <= that``
+  ⇒ replayed batch, skip (idempotent); otherwise roll forward FROM the
+  committed version (a torn half-written version is simply ignored and
+  overwritten).
+
+Offsets live in the streaming checkpoint, view state lives in the versioned
+parquet log, and the batch_id ties them together — the same
+offsets-never-ahead-of-state contract the reference builds from Kafka commits
+(SURVEY.md §3.2), here built from Spark's replay + idempotent sink.
+
+Scale shape: each micro-batch costs |Δ| + |touched groups| (agg) or
+|Δ|-sized joins + per-table scans with delta-keyed semi/anti joins (join
+view) — never a recompute over history.  Old versions are retained for
+time travel / debugging; ``vacuum(keep=n)`` prunes them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.operators.incremental import (
+    agg_maintain,
+    agg_merge,
+    agg_result,
+    agg_state,
+    apply_changeset,
+    maintain_join_view,
+)
+
+_VIEW_COMMIT = "_VIEW_COMMIT"
+
+
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` — works for local, HDFS and object
+    stores alike (the sink must not assume a POSIX view of cluster storage)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jvm
+
+
+def _committed_versions(spark: SparkSession, root: str, tables: list[str]) -> list[int]:
+    """Versions whose every table directory carries the view commit marker."""
+    fs, jvm = _fs(spark, root)
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/{name}/{_VIEW_COMMIT}")):
+            out.append(v)
+    return sorted(out)
+
+
+def _commit_version(spark: SparkSession, root: str, version: int) -> None:
+    fs, jvm = _fs(spark, root)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/v={version}/{_VIEW_COMMIT}"), True
+    ).close()
+
+
+class _VersionedView:
+    """Shared versioned-commit machinery: a view root holding
+    ``v=<batch_id>/<table>/`` parquet directories plus a commit marker per
+    version.  Subclasses implement ``_initial`` (first batch) and ``_advance``
+    (committed state + batch → new tables dict)."""
+
+    tables: list[str] = []
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # -- versioned-table plumbing ------------------------------------------
+    def last_committed(self, spark: SparkSession) -> int | None:
+        vs = _committed_versions(spark, self.path, self.tables)
+        return vs[-1] if vs else None
+
+    def _read(self, spark: SparkSession, version: int, table: str) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/v={version}/{table}")
+
+    def _write_all(
+        self, spark: SparkSession, version: int, frames: dict[str, DataFrame]
+    ) -> None:
+        assert set(frames) == set(self.tables)
+        for t in self.tables:
+            # overwrite: a torn, uncommitted attempt at this version from a
+            # previous incarnation must not poison the retry
+            frames[t].write.mode("overwrite").parquet(f"{self.path}/v={version}/{t}")
+        _commit_version(spark, self.path, version)  # commit point, written last
+
+    # -- the foreachBatch hook ---------------------------------------------
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        last = self.last_committed(spark)
+        if last is not None and batch_id <= last:
+            return  # replayed batch after restart: already applied, skip
+        if last is None:
+            frames = self._initial(batch)
+        else:
+            committed = {t: self._read(spark, last, t) for t in self.tables}
+            frames = self._advance(committed, batch)
+        self._write_all(spark, batch_id, frames)
+
+    def vacuum(self, spark: SparkSession, keep: int = 2) -> list[int]:
+        """Drop all but the newest ``keep`` committed versions (and any
+        uncommitted debris older than them); returns dropped versions."""
+        vs = _committed_versions(spark, self.path, self.tables)
+        drop = vs[:-keep] if keep > 0 else vs
+        fs, jvm = _fs(spark, self.path)
+        for v in drop:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/v={v}"), True)
+        return drop
+
+    # -- subclass contract ---------------------------------------------------
+    def _initial(self, batch: DataFrame) -> dict[str, DataFrame]:
+        raise NotImplementedError
+
+    def _advance(
+        self, committed: dict[str, DataFrame], batch: DataFrame
+    ) -> dict[str, DataFrame]:
+        raise NotImplementedError
+
+
+class MaterializedAggView(_VersionedView):
+    """Streaming-maintained per-group aggregate (count/sum/avg/min/max of
+    ``value_col`` by ``keys``), stored as an ``agg_state`` table.
+
+    Two stream shapes:
+    - ``row_pk=None`` (append-only stream, e.g. events): each micro-batch is
+      a new shard; state advances by ``agg_merge(state, agg_state(batch))`` —
+      pure algebraic merge, cost |Δ| + |groups|.
+    - ``row_pk=[...]`` (CDC stream): micro-batch rows are a ``changeset()``
+      (carry ``status`` ∈ added/changed/deleted + full new values); the sink
+      also maintains the BASE snapshot (needed to retract old contributions
+      and recompute touched groups' min/max) and advances by
+      ``agg_maintain`` + ``apply_changeset``.
+
+    ``result(spark)`` finalizes the committed state into the user-facing
+    aggregate exactly as a full recompute would (same unscaled-cents
+    arithmetic — the golden restart test pins maintained == recomputed
+    across a stop/start boundary).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: list[str],
+        value_col: str,
+        row_pk: list[str] | None = None,
+    ):
+        super().__init__(path)
+        self.keys, self.value_col, self.row_pk = list(keys), value_col, row_pk
+        self.tables = ["state"] + (["base"] if row_pk is not None else [])
+
+    def _initial(self, batch: DataFrame) -> dict[str, DataFrame]:
+        if self.row_pk is None:
+            return {"state": agg_state(batch, self.keys, self.value_col)}
+        rows = batch.where(F.col("status") != "deleted").drop("status")
+        return {"state": agg_state(rows, self.keys, self.value_col), "base": rows}
+
+    def _advance(self, committed, batch) -> dict[str, DataFrame]:
+        if self.row_pk is None:
+            return {
+                "state": agg_merge(
+                    committed["state"], agg_state(batch, self.keys, self.value_col)
+                )
+            }
+        base = committed["base"]
+        return {
+            "state": agg_maintain(
+                committed["state"], base, batch, self.keys, self.row_pk, self.value_col
+            ),
+            "base": apply_changeset(base, batch, self.row_pk),
+        }
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        last = self.last_committed(spark)
+        if last is None:
+            raise ValueError(f"no committed version under {self.path}")
+        return self._read(spark, last, "state")
+
+    def result(self, spark: SparkSession, frac_digits: int = 2) -> DataFrame:
+        return agg_result(self.state(spark), frac_digits)
+
+
+class MaterializedJoinView(_VersionedView):
+    """Streaming-maintained INNER fact⋈dim join view: the fact side arrives
+    as a CDC stream (``changeset()`` rows), the dim side is re-read from
+    ``dim_path`` each batch (slowly-changing dims are republished there; a
+    same-batch dim delta feed can be added by extending ``_advance`` with a
+    ``delta_b`` — the batch operator already supports it).
+
+    Maintains two tables per version: the view itself and the fact snapshot
+    (needed to find unchanged fact rows whose dim side changes later and to
+    apply the next delta).  Advance = ``maintain_join_view`` with an empty
+    dim delta — NO full A⋈B re-join, ever; per-batch cost is |Δ|-sized joins
+    plus delta-keyed anti joins over the view/fact scans.
+    """
+
+    def __init__(self, path: str, dim_path: str, a_pk: list[str], fk: str, b_pk: str):
+        super().__init__(path)
+        self.dim_path, self.a_pk, self.fk, self.b_pk = dim_path, list(a_pk), fk, b_pk
+        self.tables = ["view", "fact"]
+
+    def _dim(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.dim_path)
+
+    def _empty_dim_delta(self, dim: DataFrame) -> DataFrame:
+        return dim.withColumn("status", F.lit("added")).limit(0)
+
+    def _initial(self, batch: DataFrame) -> dict[str, DataFrame]:
+        spark = batch.sparkSession
+        dim = self._dim(spark)
+        fact = batch.where(F.col("status") != "deleted").drop("status")
+        empty_fact = fact.limit(0)
+        empty_view = empty_fact.join(dim, empty_fact[self.fk] == dim[self.b_pk]).drop(
+            self.b_pk
+        )
+        view = maintain_join_view(
+            empty_view, empty_fact, batch, dim, self._empty_dim_delta(dim),
+            self.a_pk, self.fk, self.b_pk,
+        )
+        return {"view": view, "fact": fact}
+
+    def _advance(self, committed, batch) -> dict[str, DataFrame]:
+        dim = self._dim(batch.sparkSession)
+        fact = committed["fact"]
+        return {
+            "view": maintain_join_view(
+                committed["view"], fact, batch, dim, self._empty_dim_delta(dim),
+                self.a_pk, self.fk, self.b_pk,
+            ),
+            "fact": apply_changeset(fact, batch, self.a_pk),
+        }
+
+    def view(self, spark: SparkSession) -> DataFrame:
+        last = self.last_committed(spark)
+        if last is None:
+            raise ValueError(f"no committed version under {self.path}")
+        return self._read(spark, last, "view")
+
+
+def run_view_sink(
+    stream: DataFrame,
+    sink: _VersionedView,
+    checkpoint: str,
+    available_now: bool = True,
+) -> None:
+    """Drive a CDC/append stream into a materialized-view sink to backlog
+    exhaustion and stop — restartable: the checkpoint replays the last
+    in-flight batch, the versioned commit makes the replay idempotent."""
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(**({"availableNow": True} if available_now else {"processingTime": "200 milliseconds"}))
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,267 @@
+"""Golden stream→maintain→restart→maintain scenarios for the materialized-view
+sinks (streaming/materialize.py) — the StatefulProcessingWithKafkaSpec restart
+pattern (persistence-kafka-it-tests/.../StatefulProcessingWithKafkaSpec.scala:
+214-264) applied to relational views: separate queries over ONE checkpoint
+force persist + recover between runs, and the maintained view must equal a
+full recompute over everything ever streamed."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_flow_spark.streaming.materialize import (
+    MaterializedAggView,
+    MaterializedJoinView,
+    run_view_sink,
+)
+
+EVENT_SCHEMA = "k STRING, v DOUBLE"
+CDC_SCHEMA = "pk BIGINT, k STRING, v DOUBLE, status STRING"
+FACT_CDC_SCHEMA = "pk BIGINT, fk BIGINT, qty DOUBLE, status STRING"
+
+
+def _write(spark, input_dir, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        input_dir
+    )
+
+
+def _run(spark, input_dir, schema, sink, checkpoint):
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    run_view_sink(stream, sink, checkpoint)
+
+
+def _result_rows(sink, spark):
+    return {
+        tuple(r)
+        for r in sink.result(spark)
+        .select("k", "n_rows", "sum_v", "min_v", "max_v")
+        .collect()
+    }
+
+
+def _recompute_rows(df):
+    return {
+        tuple(r)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("v"), 2).cast("double").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+
+
+def test_agg_view_append_stream_restart_equals_recompute(spark, tmp_path):
+    """Append-only stream: two separate runs over one checkpoint; after each
+    run the maintained aggregate equals a direct groupBy over ALL input so
+    far — state persisted at stop and recovered at restart."""
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    sink = MaterializedAggView(str(tmp_path / "view"), ["k"], "v")
+
+    _write(spark, input_dir, [("a", 1.25), ("a", 2.0), ("b", 10.0)], EVENT_SCHEMA)
+    _run(spark, input_dir, EVENT_SCHEMA, sink, chk)
+    assert _result_rows(sink, spark) == _recompute_rows(
+        spark.read.parquet(input_dir)
+    )
+
+    # restart: new backlog, same checkpoint — the view must roll FORWARD
+    # from recovered state, not re-aggregate history
+    _write(spark, input_dir, [("a", 0.75), ("c", 5.5)], EVENT_SCHEMA)
+    _run(spark, input_dir, EVENT_SCHEMA, sink, chk)
+    assert _result_rows(sink, spark) == _recompute_rows(
+        spark.read.parquet(input_dir)
+    )
+    got = {r["k"]: r for r in sink.result(spark).collect()}
+    assert got["a"]["n_rows"] == 3 and got["a"]["sum_v"] == 4.0
+
+
+def test_agg_view_cdc_stream_restart_equals_recompute(spark, tmp_path):
+    """CDC stream (adds, in-place changes, deletes, group moves) across a
+    stop/restart boundary: maintained state == agg_state over the final
+    snapshot, and the maintained base == changesets applied in order."""
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    sink = MaterializedAggView(str(tmp_path / "view"), ["k"], "v", row_pk=["pk"])
+
+    _write(
+        spark,
+        input_dir,
+        [
+            (1, "a", 1.0, "added"),
+            (2, "a", 2.0, "added"),
+            (3, "b", 30.0, "added"),
+            (4, "b", 40.0, "added"),
+        ],
+        CDC_SCHEMA,
+    )
+    _run(spark, input_dir, CDC_SCHEMA, sink, chk)
+    assert _result_rows(sink, spark) == {
+        ("a", 2, 3.0, 1.0, 2.0),
+        ("b", 2, 70.0, 30.0, 40.0),
+    }
+
+    # restart with a delta that exercises every CDC verb: pk 1 changes value,
+    # pk 3 MOVES group b→a, pk 4 is deleted, pk 5 is a new group
+    _write(
+        spark,
+        input_dir,
+        [
+            (1, "a", 9.0, "changed"),
+            (3, "a", 30.0, "changed"),
+            (4, None, None, "deleted"),
+            (5, "c", 7.0, "added"),
+        ],
+        CDC_SCHEMA,
+    )
+    _run(spark, input_dir, CDC_SCHEMA, sink, chk)
+    # final snapshot: a={9,2,30}, b=∅ (dropped), c={7}
+    assert _result_rows(sink, spark) == {
+        ("a", 3, 41.0, 2.0, 30.0),
+        ("c", 1, 7.0, 7.0, 7.0),
+    }
+    base = {tuple(r) for r in sink._read(spark, sink.last_committed(spark), "base").collect()}
+    assert base == {(1, "a", 9.0), (2, "a", 2.0), (3, "a", 30.0), (5, "c", 7.0)}
+
+
+def test_agg_view_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch redelivers the last batch with the same batch_id after a
+    crash; the versioned commit must make the second delivery a no-op."""
+    sink = MaterializedAggView(str(tmp_path / "view"), ["k"], "v")
+    b0 = spark.createDataFrame([("a", 1.0)], EVENT_SCHEMA)
+    b1 = spark.createDataFrame([("a", 1.0)], EVENT_SCHEMA)
+    sink(b0, 0)
+    sink(b1, 1)
+    before = _result_rows(sink, spark)
+    sink(b1, 1)  # replay: same batch_id
+    sink(b0, 0)  # stale replay from further back
+    assert _result_rows(sink, spark) == before
+    assert before == {("a", 2, 2.0, 1.0, 1.0)}
+
+
+def test_agg_view_torn_version_is_ignored_and_overwritten(spark, tmp_path):
+    """A crash mid-write leaves a version directory WITHOUT the commit
+    marker; the retry must ignore it (roll forward from the last committed
+    version) and overwrite the debris."""
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v")
+    sink(spark.createDataFrame([("a", 1.0)], EVENT_SCHEMA), 0)
+    # simulate the torn attempt at batch 1: parquet written, no _VIEW_COMMIT
+    spark.createDataFrame([("POISON", -1.0)], EVENT_SCHEMA).write.parquet(
+        f"{path}/v=1/state"
+    )
+    assert sink.last_committed(spark) == 0  # torn version invisible
+    sink(spark.createDataFrame([("a", 3.0)], EVENT_SCHEMA), 1)  # the retry
+    assert sink.last_committed(spark) == 1
+    assert _result_rows(sink, spark) == {("a", 2, 4.0, 1.0, 3.0)}
+
+
+def test_agg_view_vacuum_keeps_latest(spark, tmp_path):
+    sink = MaterializedAggView(str(tmp_path / "view"), ["k"], "v")
+    for i in range(4):
+        sink(spark.createDataFrame([("a", 1.0)], EVENT_SCHEMA), i)
+    dropped = sink.vacuum(spark, keep=2)
+    assert dropped == [0, 1]
+    assert sink.last_committed(spark) == 3
+    assert _result_rows(sink, spark) == {("a", 4, 4.0, 1.0, 1.0)}
+
+
+def test_join_view_cdc_stream_restart_equals_recompute(spark, tmp_path):
+    """Fact-CDC stream maintaining fact⋈dim across a restart: adds, an fk
+    move, a value change and a delete; after each run the maintained view
+    equals the full recompute fact_now ⋈ dim."""
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(10, "red"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.parquet(dim_path)
+    sink = MaterializedJoinView(
+        str(tmp_path / "view"), dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk"
+    )
+
+    _write(
+        spark,
+        input_dir,
+        [(1, 10, 5.0, "added"), (2, 20, 6.0, "added"), (3, 99, 7.0, "added")],
+        FACT_CDC_SCHEMA,
+    )
+    _run(spark, input_dir, FACT_CDC_SCHEMA, sink, chk)
+
+    def view_rows():
+        # USING-style anti joins reorder columns; pin the projection
+        return {
+            tuple(r)
+            for r in sink.view(spark).select("pk", "fk", "qty", "color").collect()
+        }
+
+    # pk 3's fk=99 has no dim row: inner semantics drop it
+    assert view_rows() == {(1, 10, 5.0, "red"), (2, 20, 6.0, "blue")}
+
+    # restart: pk 1 moves fk 10→20, pk 2 deleted, pk 3 changes fk to a real
+    # dim key (appears in the view for the first time), pk 4 added
+    _write(
+        spark,
+        input_dir,
+        [
+            (1, 20, 5.0, "changed"),
+            (2, None, None, "deleted"),
+            (3, 10, 7.5, "changed"),
+            (4, 10, 8.0, "added"),
+        ],
+        FACT_CDC_SCHEMA,
+    )
+    _run(spark, input_dir, FACT_CDC_SCHEMA, sink, chk)
+    want = {
+        (1, 20, 5.0, "blue"),
+        (3, 10, 7.5, "red"),
+        (4, 10, 8.0, "red"),
+    }
+    assert view_rows() == want
+    fact = {
+        tuple(r)
+        for r in sink._read(spark, sink.last_committed(spark), "fact")
+        .select("pk", "fk", "qty")
+        .collect()
+    }
+    assert fact == {(1, 20, 5.0), (3, 10, 7.5), (4, 10, 8.0)}
+
+
+def test_join_view_matches_batch_operator_on_same_deltas(spark, tmp_path):
+    """Differential: streaming the deltas through the sink equals calling the
+    batch operator directly with the same changesets — the sink adds commit
+    machinery, not semantics."""
+    from kafka_flow_spark.operators.incremental import (
+        apply_changeset,
+        maintain_join_view,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(10, "red"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    d1 = spark.createDataFrame(
+        [(1, 10, 5.0, "added"), (2, 20, 6.0, "added")], FACT_CDC_SCHEMA
+    )
+    d2 = spark.createDataFrame(
+        [(1, 20, 5.5, "changed"), (3, 10, 1.0, "added")], FACT_CDC_SCHEMA
+    )
+    sink = MaterializedJoinView(
+        str(tmp_path / "view"), dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk"
+    )
+    sink(d1, 0)
+    sink(d2, 1)
+
+    fact0 = d1.drop("status").limit(0)
+    view0 = fact0.join(dim, fact0["fk"] == dim["b_pk"]).drop("b_pk")
+    empty_db = dim.withColumn("status", F.lit("added")).limit(0)
+    v1 = maintain_join_view(view0, fact0, d1, dim, empty_db, ["pk"], "fk", "b_pk")
+    f1 = apply_changeset(fact0, d1, ["pk"])
+    v2 = maintain_join_view(v1, f1, d2, dim, empty_db, ["pk"], "fk", "b_pk")
+    cols = ["pk", "fk", "qty", "color"]
+    assert {tuple(r) for r in sink.view(spark).select(*cols).collect()} == {
+        tuple(r) for r in v2.select(*cols).collect()
+    }
