@@ -295,7 +295,22 @@ def triangle_count(
     Output: single row (n_nodes, n_edges, n_triangles) — counts of the
     de-duplicated undirected graph.
     """
-    canon = (
+    canon = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg, tri = _oriented_closure(canon, max_wedges)
+    return (
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(
+            F.broadcast(canon.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        )
+        .crossJoin(
+            F.broadcast(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+        )
+    )
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """De-duplicated canonical (a < b) undirected edge set, self-loops gone."""
+    return (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -303,7 +318,13 @@ def triangle_count(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    canon = canon.localCheckpoint(eager=False)
+
+
+def _oriented_closure(canon: DataFrame, max_wedges: int):
+    """Degree-orient ``canon``, gate on wedge volume, emit one row per
+    triangle — the shared core of the exact and DOULION-sampled counters.
+    Returns (deg, tri): the per-node degree table (node-count source) and the
+    closed-wedge relation."""
     deg = (
         canon.select(F.col("a").alias("n"))
         .union(canon.select(F.col("b").alias("n")))
@@ -326,8 +347,10 @@ def triangle_count(
     # whole cost, so refuse loudly instead of launching a week-long stage.
     # Near-regular co-occurrence graphs defeat orientation's hub pruning
     # (measured: 45M-edge sf10 supplier co-graph → ~1e10 oriented wedges);
-    # raise max_wedges deliberately, or pre-filter the edge set (per-nation /
-    # per-community) to bound density.
+    # raise max_wedges deliberately, pre-filter the edge set (per-nation /
+    # per-community), or switch to triangle_count_approx — DOULION sampling
+    # at p shrinks the wedge volume by ~p², so the gate passes where the
+    # exact count cannot.
     est = (
         oriented.groupBy("u")
         .agg(F.count(F.lit(1)).alias("_d"))
@@ -338,7 +361,8 @@ def triangle_count(
         raise ValueError(
             f"triangle_count: oriented wedge volume {est:,} exceeds "
             f"max_wedges={max_wedges:,} — the closure join would emit that "
-            "many rows; pre-filter the edge set or raise max_wedges explicitly"
+            "many rows; pre-filter the edge set, raise max_wedges explicitly, "
+            "or use triangle_count_approx (DOULION edge sampling)"
         )
     e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
@@ -348,13 +372,96 @@ def triangle_count(
     wedges = e1.join(e2, "u").where(F.col("x") < F.col("y"))
     closing = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
     tri = wedges.join(closing, ["x", "y"], "left_semi")
+    return deg, tri
+
+
+def triangle_count_approx(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    p_num: int = 1,
+    p_den: int = 10,
+    salt: str = "tri-v1",
+    max_wedges: int = 5_000_000_000,
+) -> DataFrame:
+    """DOULION triangle estimate (Tsourakakis, Kang, Miller & Faloutsos,
+    KDD'09): keep each canonical edge independently with probability
+    p = p_num/p_den, count triangles EXACTLY on the sparsified graph with the
+    same degree-oriented plan, and scale by 1/p³ — the answer past the exact
+    counter's wedge gate.  Sampling at p cuts the oriented wedge volume by
+    ~p² and the closure work by ~p³, so the sf10 supplier co-graph (~1e10
+    wedges, a refusal for the exact count) returns an estimate in one gate-
+    passing run at p = 1/10.
+
+    The estimator is unbiased: each triangle survives with probability p³,
+    so E[t_sampled / p³] = T (differential vs the exact count in
+    tests/test_graph.py: p=1 is bit-equal; a multi-salt mean converges on
+    the true count).  Variance (paper, Lemma 2):
+    Var = T·(1/p³ − 1) + 2k·(1/p² − 1) with k = # triangle pairs sharing an
+    edge — relative error shrinks as 1/sqrt(T), so the dense graphs that
+    NEED sampling are exactly the ones it estimates tightest.
+
+    Determinism (the house sampling discipline, same as hash_sample): the
+    keep decision is a pure function of the edge content — md5 bucket of
+    ``salt:a:b`` mod p_den < p_num — reproducible across runs, partitionings
+    and engines (SQL-mirrorable, so the full estimate is oracle-gated in
+    q_supplier_triangles_approx).  A new ``salt`` is a fresh sample — average
+    a few salts for a tighter estimate.
+
+    ``est_triangles = t_sampled · p_den³ div p_num³`` in DECIMAL(38,0) →
+    BIGINT (floor; exact integer whenever p_num = 1).  Output: one row
+    (n_nodes, n_edges, sampled_edges, sampled_triangles, est_triangles) —
+    node/edge counts are the FULL graph's (they need no sampling).
+    """
+    if not (0 < p_num <= p_den):
+        raise ValueError(f"need 0 < p_num <= p_den, got {p_num}/{p_den}")
+    from kafka_flow_spark.operators.sampling import hash_bucket
+
+    canon = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    keep = (
+        F.conv(
+            hash_bucket(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    F.col("a").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            16,
+            10,
+        ).cast("long")
+        % p_den
+        < p_num
+    )
+    sampled = canon.where(keep).localCheckpoint(eager=False)
+    _, tri = _oriented_closure(sampled, max_wedges)
+    den3, num3 = p_den**3, p_num**3
+    n_nodes = (
+        canon.select(F.col("a").alias("n"))
+        .union(canon.select(F.col("b").alias("n")))
+        .agg(F.count_distinct("n").cast("long").alias("n_nodes"))
+    )
     return (
-        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-        .crossJoin(
+        n_nodes.crossJoin(
             F.broadcast(canon.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
         )
         .crossJoin(
-            F.broadcast(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+            F.broadcast(
+                sampled.agg(F.count(F.lit(1)).cast("long").alias("sampled_edges"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                tri.agg(F.count(F.lit(1)).cast("long").alias("sampled_triangles"))
+            )
+        )
+        .withColumn(
+            "est_triangles",
+            F.expr(
+                f"cast(cast(sampled_triangles as decimal(38,0)) * {den3}"
+                f" div {num3} as bigint)"
+            ),
         )
     )
 

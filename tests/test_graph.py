@@ -295,6 +295,99 @@ def test_triangle_count_wedge_guard(spark):
         triangle_count(df2, max_wedges=5)
 
 
+def test_triangle_count_approx_p1_equals_exact(spark):
+    """DOULION at p=1 keeps every edge: the 'estimate' must be bit-equal to
+    the exact count (the differential that pins the shared closure core)."""
+    import itertools
+    import random
+
+    from kafka_flow_spark.operators.graph import triangle_count, triangle_count_approx
+
+    rng = random.Random(7)
+    nodes = list(range(25))
+    edges = [
+        (a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.25
+    ]
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    [exact] = triangle_count(df).collect()
+    [est] = triangle_count_approx(df, p_num=1, p_den=1).collect()
+    assert est["est_triangles"] == est["sampled_triangles"] == exact["n_triangles"]
+    assert est["sampled_edges"] == est["n_edges"] == exact["n_edges"]
+    assert est["n_nodes"] == exact["n_nodes"]
+
+
+def test_triangle_count_approx_unbiased_over_salts(spark):
+    """Multi-salt mean of the DOULION estimator converges on the exact count
+    (unbiasedness; deterministic — the salts are fixed, so this is a pinned
+    numeric fact, not a flaky statistical assertion)."""
+    import itertools
+    import random
+
+    from kafka_flow_spark.operators.graph import triangle_count, triangle_count_approx
+
+    rng = random.Random(99)
+    nodes = list(range(24))
+    edges = [
+        (a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.35
+    ]
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    [exact] = triangle_count(df).collect()
+    t_true = exact["n_triangles"]
+    assert t_true > 50  # dense enough for the estimator to be tight
+    ests = []
+    for i in range(12):
+        [r] = triangle_count_approx(
+            df, p_num=1, p_den=2, salt=f"unbias-{i}"
+        ).collect()
+        ests.append(r["est_triangles"])
+    mean = sum(ests) / len(ests)
+    # 12 half-density samples of a >50-triangle graph: the mean sits well
+    # inside ±30% of truth (measured ~±10%; bound left loose on purpose —
+    # it's pinning unbiasedness, not variance)
+    assert abs(mean - t_true) / t_true < 0.30
+    assert any(e != t_true for e in ests)  # it IS sampling, not a pass-through
+
+
+def test_triangle_count_approx_deterministic_and_partition_stable(spark):
+    from kafka_flow_spark.operators.graph import triangle_count_approx
+
+    clique = [(a, b) for a in range(12) for b in range(a + 1, 12)]
+    df = spark.createDataFrame(clique, "u BIGINT, v BIGINT")
+    [a] = triangle_count_approx(df, p_num=1, p_den=3).collect()
+    [b] = triangle_count_approx(df.repartition(7), p_num=1, p_den=3).collect()
+    assert tuple(a) == tuple(b)
+
+
+def test_triangle_count_approx_passes_gate_where_exact_refuses(spark):
+    """The whole point: a graph whose exact wedge volume trips the gate can
+    still be ESTIMATED, because sampling shrinks wedges ~p²."""
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.graph import triangle_count, triangle_count_approx
+
+    clique = [(a, b) for a in range(16) for b in range(a + 1, 16)]
+    df = spark.createDataFrame(clique, "u BIGINT, v BIGINT")
+    with _pytest.raises(ValueError, match="wedge volume"):
+        triangle_count(df, max_wedges=100)
+    [r] = triangle_count_approx(df, p_num=1, p_den=3, max_wedges=100).collect()
+    # K16 has C(16,3) = 560 triangles; p=1/3 estimate scaled by 27
+    assert r["est_triangles"] == r["sampled_triangles"] * 27
+    assert r["n_edges"] == 120 and r["n_nodes"] == 16
+    assert 0 < r["sampled_edges"] < 120
+
+
+def test_triangle_count_approx_p_guard(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.graph import triangle_count_approx
+
+    df = spark.createDataFrame([(1, 2)], "u BIGINT, v BIGINT")
+    with _pytest.raises(ValueError, match="p_num"):
+        triangle_count_approx(df, p_num=0, p_den=3)
+    with _pytest.raises(ValueError, match="p_num"):
+        triangle_count_approx(df, p_num=4, p_den=3)
+
+
 # --- canonical survivor selection -------------------------------------------
 
 
