@@ -154,6 +154,113 @@ def bigram_lm_scores(
     )
 
 
+def bigram_lm_scores_interp(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_ref: Column,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    min_count: int = 1,
+) -> DataFrame:
+    """Jelinek–Mercer / Stolcke-interpolated bigram LM scoring — the
+    materially better CCNet filter signal with the SAME integer-provable
+    determinism contract as ``bigram_lm_scores`` (KenLM proper is modified
+    Kneser–Ney; fixed-weight interpolation with an add-one unigram is the
+    closest member of that family whose every decision is exactly
+    SQL-mirrorable):
+
+        P(w2 | w1) = λ·c(w1,w2)/c(w1) + (1−λ)·(c(w2)+1)/(N+V)   if c(w1) > 0
+                   = (c(w2)+1)/(N+V)                              otherwise
+
+    with λ = lam_num/lam_den, N = total reference tokens, V = vocabulary
+    size.  Each conditional sums to exactly 1 over the vocabulary (λ·1 +
+    (1−λ)·1), and the w1-unseen branch backs off to the FULL unigram (not
+    (1−λ)·unigram, which would leak mass).  Why it separates better than
+    add-one: a frequent reference bigram keeps ~λ·ML-probability instead of
+    being crushed toward 1/V by the +V denominator, while an all-unseen
+    gibberish bigram falls to ~1/(N+V) « 1/V — both tails move apart
+    (strict-separation differential in tests/test_lm.py).
+
+    Determinism: both the numerator and denominator of P are EXACT integer
+    polynomials in (c12, c1, c2, N, V, λ) — carried in DECIMAL(38,0), since
+    λn·c12·(N+V) overflows int64 at web-scale reference counts (the
+    key-skew lesson) — then ONE double division + ONE ln, rounded to
+    micro-nat BIGINT: the same single-division contract as the add-one
+    model, hash-identical across engines.
+
+    Scale shape: identical to ``bigram_lm_scores`` (distinct-gram collapse
+    before joins, vocab-sized model relations, one broadcast scalar row)
+    plus ONE more vocab-sized join on w2 for the unigram counts.
+    ``min_count`` prunes c12 exactly as in the add-one model (c1 derives
+    from the pruned table, keeping the conditional normalized over the
+    pruned model).
+    """
+    if not (0 < lam_num < lam_den):
+        raise ValueError(f"need 0 < lam_num < lam_den, got {lam_num}/{lam_den}")
+    from kafka_flow_spark.cache import scoped_persist
+
+    # tokenize ONCE (HOF-staging rule): base feeds the gram explode twice
+    # and the unigram explode once
+    base = scoped_persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.coalesce(is_ref.cast("boolean"), F.lit(False)).alias("_ref"),
+            _norm_tokens(F.col(text_col)).alias("_toks"),
+        )
+    )
+    grams = _bigram_rows(base)
+    c12 = (
+        grams.where(F.col("_ref"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    if min_count > 1:
+        c12 = c12.where(F.col("_c12") >= min_count)
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    uni = base.where(F.col("_ref")).select(F.explode(F.col("_toks")).alias("_tok"))
+    c2 = uni.groupBy(F.col("_tok").alias("w2")).agg(F.count(F.lit(1)).alias("_c2"))
+    scal = uni.agg(
+        F.count_distinct(F.col("_tok")).alias("_v"),
+        F.count(F.lit(1)).alias("_ntok"),
+    )
+    dg = (
+        grams.where(~F.col("_ref"))
+        .groupBy("_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    nv = (F.col("_ntok") + F.col("_v")).cast("decimal(38,0)")
+    c12v = F.coalesce(F.col("_c12"), F.lit(0)).cast("decimal(38,0)")
+    c1v = F.coalesce(F.col("_c1"), F.lit(0)).cast("decimal(38,0)")
+    c2p1 = (F.coalesce(F.col("_c2"), F.lit(0)) + 1).cast("decimal(38,0)")
+    seen_w1 = F.coalesce(F.col("_c1"), F.lit(0)) > 0
+    num = F.when(
+        seen_w1,
+        F.lit(lam_num) * c12v * nv + F.lit(lam_den - lam_num) * c2p1 * c1v,
+    ).otherwise(c2p1)
+    den = F.when(seen_w1, F.lit(lam_den) * c1v * nv).otherwise(nv)
+    scored = (
+        dg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .join(c2, ["w2"], "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "_id",
+            "_n",
+            F.round(F.log(num.cast("double") / den.cast("double")) * LOG_SCALE)
+            .cast("long")
+            .alias("_term"),
+        )
+    )
+    return scored.groupBy(F.col("_id").alias(id_col)).agg(
+        F.sum("_n").cast("long").alias("n_bigrams"),
+        F.sum(F.col("_n") * F.col("_term")).cast("long").alias("logprob_scaled"),
+        F.expr("CAST(sum(_n * _term) div sum(_n) AS BIGINT)").alias(
+            "avg_logprob_scaled"
+        ),
+    )
+
+
 def perplexity_buckets(
     scores: DataFrame,
     group_col: str,

@@ -1295,6 +1295,65 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_LN, _LM_LD = 7, 10  # λ = 0.7, the interpolation weight
+
+
+@register(
+    "q_lm_perplexity_interp",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source = 'src0' AS is_ref, {_LM_TOKS} AS toks
+      FROM documents),
+    pr AS (SELECT doc_id, is_ref, toks, UNNEST(range(len(toks) - 1)) AS i
+           FROM t WHERE len(toks) >= 2),
+    g AS (SELECT doc_id, is_ref, toks[i + 1] AS w1, toks[i + 2] AS w2 FROM pr),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM g WHERE is_ref GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    u AS (SELECT UNNEST(toks) AS tok FROM t WHERE is_ref),
+    c2 AS (SELECT tok AS w2, COUNT(*) AS c2 FROM u GROUP BY tok),
+    vv AS (SELECT COUNT(DISTINCT tok) AS v, COUNT(*) AS ntok FROM u),
+    sc AS (SELECT dg.doc_id, dg.n,
+                  CAST(ROUND(LN(
+                    CAST(CASE WHEN COALESCE(c1.c1, 0) > 0
+                         THEN {_LM_LN} * CAST(COALESCE(c12.c12, 0) AS HUGEINT)
+                                * (vv.ntok + vv.v)
+                              + {_LM_LD - _LM_LN}
+                                * CAST(COALESCE(c2.c2, 0) + 1 AS HUGEINT) * c1.c1
+                         ELSE CAST(COALESCE(c2.c2, 0) + 1 AS HUGEINT) END AS DOUBLE)
+                    / CAST(CASE WHEN COALESCE(c1.c1, 0) > 0
+                           THEN {_LM_LD} * CAST(c1.c1 AS HUGEINT) * (vv.ntok + vv.v)
+                           ELSE CAST(vv.ntok + vv.v AS HUGEINT) END AS DOUBLE))
+                    * 1000000) AS BIGINT) AS term
+           FROM (SELECT doc_id, w1, w2, COUNT(*) AS n
+                 FROM g WHERE NOT is_ref GROUP BY doc_id, w1, w2) dg
+           LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+           LEFT JOIN c2 USING (w2)
+           CROSS JOIN vv)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n * term) AS BIGINT) AS logprob_scaled,
+           CAST(SUM(n * term) // SUM(n) AS BIGINT) AS avg_logprob_scaled
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_lm_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stolcke-interpolated bigram LM scoring (operators/lm.py
+    bigram_lm_scores_interp, λ=0.7): the KenLM-family upgrade of
+    q_lm_perplexity — frequent reference bigrams keep ~λ·ML probability
+    instead of being crushed by the add-one +V denominator, unseen grams
+    fall to the unigram floor 1/(N+V), so the keep/drop margin widens
+    (strict-separation differential in tests/test_lm.py).  Exact integer
+    numerator/denominator polynomials in DECIMAL(38,0)/HUGEINT, one double
+    division + ln per distinct gram, micro-nat bigint sums."""
+    from kafka_flow_spark.operators.lm import bigram_lm_scores_interp
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_lm_scores_interp(
+        docs, "doc_id", "text", F.col("source") == "src0", lam_num=_LM_LN,
+        lam_den=_LM_LD,
+    )
+
+
 @register(
     "q_ccnet_buckets",
     oracle=f"""

@@ -7,7 +7,7 @@ from collections import Counter
 
 import pyspark.sql.functions as F
 
-from kafka_flow_spark.operators.lm import bigram_lm_scores
+from kafka_flow_spark.operators.lm import bigram_lm_scores, bigram_lm_scores_interp
 from kafka_flow_spark.tables import load
 from tests.conftest import SF_SMALL
 
@@ -73,6 +73,85 @@ def test_min_count_prunes_model_bigrams(spark):
     # pruning can only lower a doc's score (a dropped bigram scores unseen)
     assert pruned[11] <= unpruned[11]
     assert pruned[10] == unpruned[10]
+
+
+def test_interp_strictly_improves_ref_vs_gibberish_separation(spark):
+    """The r7-brief differential: on the ref-vs-gibberish fixture the
+    interpolated model's score margin between the reference-like doc and the
+    gibberish doc must STRICTLY exceed the add-one model's — the reason to
+    ship the upgrade at all."""
+    from kafka_flow_spark.operators.lm import bigram_lm_scores_interp
+
+    ref = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, ref, "ref") for i in range(5)] + [
+        (100, "the cat sat on the mat", "raw"),
+        (101, "zq xv qqj kpl zzt wvx", "raw"),
+    ]
+    df = _mk(spark, rows)
+
+    def margin(fn, **kw):
+        out = {
+            r["doc_id"]: r["avg_logprob_scaled"]
+            for r in fn(df, "doc_id", "text", F.col("grp") == "ref", **kw).collect()
+        }
+        assert out[100] > out[101]  # both models must rank correctly
+        return out[100] - out[101]
+
+    assert margin(bigram_lm_scores_interp) > margin(bigram_lm_scores)
+
+
+def test_interp_matches_python_mirror(spark):
+    """Exact python mirror of the interpolated arithmetic (same integer
+    num/den polynomials, one double division, micro-nat rounding) — pins
+    tokenization, all four count relations, both branches of the backoff,
+    and the rounding contract."""
+    rows = [
+        (1, "a b a b c d", "ref"),
+        (2, "b c a a b", "ref"),
+        (10, "a b c", "raw"),    # seen bigrams
+        (11, "a q", "raw"),      # seen w1, unseen w2
+        (12, "q z a", "raw"),    # unseen w1 branch (and unseen w2)
+        (13, "c d b c", "raw"),  # mix
+    ]
+    ln_, ld_ = 7, 10
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores_interp(
+            _mk(spark, rows), "doc_id", "text", F.col("grp") == "ref",
+            lam_num=ln_, lam_den=ld_,
+        ).collect()
+    }
+    ref_toks = [t.split() for _, t, g in rows if g == "ref"]
+    c12: Counter = Counter()
+    c2: Counter = Counter()
+    for tk in ref_toks:
+        c2.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    for (a, _), c in c12.items():
+        c1[a] += c
+    V, N = len(c2), sum(c2.values())
+    for doc_id, text, grp in rows:
+        if grp != "raw":
+            continue
+        tk = text.split()
+        terms = []
+        for a, b in zip(tk, tk[1:]):
+            if c1[a] > 0:
+                num = ln_ * c12[(a, b)] * (N + V) + (ld_ - ln_) * (c2[b] + 1) * c1[a]
+                den = ld_ * c1[a] * (N + V)
+            else:
+                num, den = c2[b] + 1, N + V
+            # same rounding idiom as the add-one mirror: exact .5 ties in
+            # the 1e6-scaled double do not occur on this fixture
+            terms.append(int(round(math.log(num / den) * 1e6)))
+        total, n = sum(terms), len(terms)
+        q, rem = divmod(total, n)
+        trunc = q + (1 if q < 0 and rem else 0)  # toward-zero division
+        assert out[doc_id]["n_bigrams"] == n
+        assert out[doc_id]["logprob_scaled"] == total
+        assert out[doc_id]["avg_logprob_scaled"] == trunc
 
 
 def test_perplexity_buckets_are_balanced_terciles(spark):
