@@ -348,6 +348,85 @@ def test_compaction_plan_sorted_fill_properties(spark):
     assert [r["compaction_group"] for r in by_part["p2"]] == [0]
 
 
+def test_compact_files_collapses_streaming_litter_roundtrip(spark, tmp_path):
+    """Execute the plan (layout.compact_files) on a directory littered by the
+    streaming parquet sink: per partition the file count collapses to
+    ceil(partition_bytes / target) (the plan's group count) and the row
+    content round-trips exactly."""
+    import math
+    import os
+
+    from kafka_flow_spark.layout import compact_files, list_fragments
+    from kafka_flow_spark.streaming.flow import run_to_parquet_sink
+
+    src = str(tmp_path / "littered")
+    # litter: 6 micro-batches, each appending a tiny file per partition —
+    # the exact debris a day of streaming leaves behind
+    in_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    for b in range(6):
+        spark.createDataFrame(
+            [(b * 10 + i, f"p{i % 2}", f"payload-{b}-{i}") for i in range(8)],
+            "id BIGINT, part STRING, payload STRING",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(
+            "id BIGINT, part STRING, payload STRING"
+        ).parquet(in_dir)
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", src)
+            .option("checkpointLocation", chk)
+            .partitionBy("part")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    frags = list_fragments(spark, src, ["part"]).collect()
+    assert len(frags) >= 10  # genuinely littered
+    per_part_bytes = {}
+    for r in frags:
+        per_part_bytes[r["part"]] = per_part_bytes.get(r["part"], 0) + r["bytes"]
+    target = max(per_part_bytes.values()) // 2 + 1  # force ~2 groups somewhere
+
+    dst = str(tmp_path / "compacted")
+    summary = compact_files(spark, src, dst, target, ["part"])
+    # file count per partition == ceil(bytes/target) of the plan's groups
+    out_frags = list_fragments(spark, dst, ["part"]).collect()
+    per_part_out = {}
+    for r in out_frags:
+        per_part_out.setdefault(r["part"], []).append(r["path"])
+    for part, total in per_part_bytes.items():
+        want = math.ceil(total / target)
+        assert len(per_part_out[part]) == want, (part, total, target)
+    assert summary["dst_files"] == sum(len(v) for v in per_part_out.values())
+    assert summary["src_files"] == len(frags)
+    # byte-identical row content (same rows, all columns)
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b and len(a) == 48
+    # no temporary group dirs survive
+    for root, dirs, _ in os.walk(dst):
+        assert not any(d.startswith("_cgrp=") for d in dirs)
+
+
+def test_compact_files_unpartitioned_dir(spark, tmp_path):
+    from kafka_flow_spark.layout import compact_files, list_fragments
+
+    src = str(tmp_path / "src")
+    for b in range(5):
+        spark.createDataFrame(
+            [(b, i) for i in range(100)], "b BIGINT, i BIGINT"
+        ).coalesce(1).write.mode("append").parquet(src)
+    total = sum(r["bytes"] for r in list_fragments(spark, src).collect())
+    dst = str(tmp_path / "dst")
+    summary = compact_files(spark, src, dst, total + 1)  # everything: 1 file
+    assert summary["dst_files"] == 1
+    assert sorted(map(tuple, spark.read.parquet(dst).collect())) == sorted(
+        map(tuple, spark.read.parquet(src).collect())
+    )
+
+
 def test_compaction_plan_rejects_bad_target(spark):
     import pytest as _pytest
 
