@@ -794,3 +794,72 @@ def seasonal_residuals(
             "resid_scaled"
         ),
     )
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str,
+    group_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT per-group centroid drift between two embedding snapshots — the
+    vector-space member of the drift family (EMD/PSI/windowed cover scalar
+    columns; an embedding model swap or encoder regression moves CENTROIDS,
+    which none of those see).
+
+    Contract (the FLOOR-e6 + common-denominator discipline): each component
+    quantizes to ``FLOOR(x·scale)`` bigint; with per-(group, dim) sums s and
+    group counts n,
+
+        drift_l1_scaled = Σ_d | s_old_d · n_new − s_new_d · n_old |
+
+    — the L1 centroid shift under the common denominator n_old·n_new, so
+    there is no division anywhere and the number is engine-identical.
+    Callers recover the mean per-dim shift as drift / (n_old·n_new·dims·
+    scale).  The Σ products are carried in DECIMAL(38,0) (bigint saturates
+    around n≈1e7 per group at scale 1e6 — the key-skew lesson); the final
+    value is cast to BIGINT after the sum (bounded by dims·max-product).
+
+    Scale shape: one posexplode per side (dims× row fan-out, map-side) into
+    ONE map-combinable groupBy(group, dim) sum — (groups·dims)-cardinality
+    relations from there on; counts ride a separate group-cardinality
+    aggregate; one (group, dim) equi-join, one final group aggregate.
+    Groups present on only one side are dropped (inner join — report
+    appearance/disappearance with table_diff, not a centroid).
+
+    Output: (group_col, n_old, n_new, drift_l1_scaled).
+    """
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+
+    def sums(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        q = F.floor(F.col("x").cast("double") * F.lit(float(scale))).cast("long")
+        s = (
+            df.select(F.col(group_col).alias("g"), F.posexplode(F.col(vec_col)).alias("d", "x"))
+            .select("g", "d", q.alias("q"))
+            .groupBy("g", "d")
+            .agg(F.sum("q").alias(f"s_{tag}"))
+        )
+        n = df.groupBy(F.col(group_col).alias("g")).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}")
+        )
+        return s, n
+
+    s_old, n_old = sums(old, "old")
+    s_new, n_new = sums(new, "new")
+    term = F.abs(
+        F.col("s_old").cast("decimal(38,0)") * F.col("n_new")
+        - F.col("s_new").cast("decimal(38,0)") * F.col("n_old")
+    )
+    return (
+        s_old.join(s_new, ["g", "d"])
+        .join(F.broadcast(n_old), "g")
+        .join(F.broadcast(n_new), "g")
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.max("n_old").cast("long").alias("n_old"),
+            F.max("n_new").cast("long").alias("n_new"),
+            F.sum(term).cast("long").alias("drift_l1_scaled"),
+        )
+    )

@@ -424,3 +424,113 @@ def negative_samples(
     else:
         out = out.select("anchor_id", F.col("j").cast("int").alias("j"), "neg_id")
     return out
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 2,
+    dim: int = 64,
+    n_planes: int = 4,
+    seed: int = 7,
+    max_pairs: int = 20_000_000,
+) -> DataFrame:
+    """HARD negative mining for contrastive training — the targeted
+    complement of ``negative_samples`` (which draws uniform ring partners):
+    for every anchor, the ``k`` most-similar vectors with a DIFFERENT label
+    from the anchor's LSH sign-bucket.  Hard negatives (close in embedding
+    space, different class) carry most of the contrastive gradient
+    (in-batch-negatives folklore; same motivation as ANCE-style mining),
+    and a pipeline typically mixes them with the uniform ring samples.
+
+    Determinism / oracle story (the q_knn_lsh pattern): the bucket comes
+    from the seeded hyperplane family (operators/similarity._hyperplanes —
+    a pure function of (dim, n_planes, seed)), and the ranking key is the
+    FLOOR-e6 bigint cosine, so bucket assignment, candidate set, and top-k
+    order are all exactly SQL-mirrorable; ties break on partner id.
+
+    Scale shape: one staged sign-fold pass (the HOF rule — the cell id is
+    computed once and persisted, not re-derived on both join sides), a
+    banded self-equi-join on the int cell key (only same-bucket pairs ever
+    materialize), and a rank window that compiles to WindowGroupLimit — at
+    most k rows per anchor cross the final exchange.  The in-cell pair scan
+    is the quadratic hazard, so it is GATED by the same scalar Σ c·(c−1)/2
+    estimate as semantic_dedup_lsh: past ``max_pairs`` the per-pair
+    interpreted cosine would dominate and the call refuses loudly — the
+    knob that scales is ``n_planes`` (2^planes cells; keep expected in-cell
+    pairs under the gate: 200k vectors want ≥10 planes, each extra plane
+    quarters the pair volume).  Recall is LSH-bounded by construction: a
+    hard negative in a different bucket is missed — n_planes=0 is exact
+    (one bucket, all-pairs) on small corpora, or union multiple seeds.
+
+    Output: (anchor_id, rank, neg_id, cos_e6, anchor_label, neg_label).
+    """
+    from kafka_flow_spark.cache import scoped_persist
+    from kafka_flow_spark.functions import cosine
+    from kafka_flow_spark.operators.similarity import (
+        _as_double,
+        _hyperplanes,
+        lsh_bucket,
+    )
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cell = (
+        lsh_bucket(F.col(vec_col), _hyperplanes(dim, n_planes, seed=seed))
+        if n_planes > 0
+        else F.lit(0)
+    )
+    assigned = scoped_persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("_lbl"),
+            _as_double(F.col(vec_col)).alias("_v"),
+            cell.alias("_cell"),
+        )
+    )
+    est = (
+        assigned.groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(
+            F.coalesce(F.sum(F.expr("_d * (_d - 1) div 2")), F.lit(0)).alias("_p")
+        )
+        .collect()[0]["_p"]
+    )
+    if est > max_pairs:
+        raise ValueError(
+            f"hard_negatives: in-cell pair volume {est:,} exceeds "
+            f"max_pairs={max_pairs:,} — the per-pair cosine scan would emit "
+            "that many rows; raise n_planes (each plane quarters the "
+            "volume) or max_pairs explicitly"
+        )
+    a = assigned.select(
+        F.col("_id").alias("anchor_id"),
+        F.col("_lbl").alias("anchor_label"),
+        F.col("_v").alias("_va"),
+        "_cell",
+    )
+    b = assigned.select(
+        F.col("_id").alias("neg_id"),
+        F.col("_lbl").alias("neg_label"),
+        F.col("_v").alias("_vb"),
+        "_cell",
+    )
+    cos_e6 = F.floor(
+        cosine(F.col("_va"), F.col("_vb")) * F.lit(1_000_000.0)
+    ).cast("long")
+    pairs = (
+        a.join(b, "_cell")
+        .where(~F.col("anchor_label").eqNullSafe(F.col("neg_label")))
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", cos_e6.alias("cos_e6"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_e6"), F.asc("neg_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "rank", "neg_id", "cos_e6", "anchor_label", "neg_label")
+    )

@@ -1527,3 +1527,111 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(
         e, "vec_id", k=_NEG_K, label_col="label", n_buckets=_NEG_B
     )
+
+
+# --- hard negative mining (LSH-bucketed top-k cross-label neighbors) ---------
+
+_HN_K, _HN_PLANES, _HN_SEED, _HN_DIM = 2, 12, 7, 64
+
+
+def _hard_negatives_oracle() -> str:
+    from kafka_flow_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_HN_DIM, _HN_PLANES, seed=_HN_SEED)
+    dot_cols = []
+    for i in range(_HN_PLANES):
+        chain = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({planes[i][d]!r})"
+            for d in range(_HN_DIM)
+        )
+        dot_cols.append(f"({chain}) AS d_{i}")
+    bucket = " + ".join(
+        f"(CASE WHEN d_{i} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_HN_PLANES)
+    )
+    return f"""
+    WITH dots AS (SELECT vec_id, label, embedding, {', '.join(dot_cols)} FROM embeddings),
+    v AS (SELECT vec_id, label, ({bucket}) AS cell,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM dots),
+    p AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                 b.vec_id AS neg_id, b.label AS neg_label,
+                 CAST(FLOOR(
+                   list_sum(list_transform(list_zip(a.e, b.e), q -> q[1] * q[2]))
+                   / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.e, x -> x * x))))
+                   * 1000000.0) AS BIGINT) AS cos_e6
+          FROM v a JOIN v b ON a.cell = b.cell
+          WHERE a.label IS DISTINCT FROM b.label)
+    SELECT anchor_id, rank, neg_id, cos_e6, anchor_label, neg_label
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY anchor_id ORDER BY cos_e6 DESC, neg_id) AS INT) AS rank
+          FROM p)
+    WHERE rank <= {_HN_K}
+    """
+
+
+@register("q_hard_negatives", oracle=_hard_negatives_oracle())
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD negative mining (operators/sampling.hard_negatives): per anchor,
+    the 2 most-cosine-similar DIFFERENT-label vectors from its seeded-
+    hyperplane LSH bucket — the targeted complement of q_negative_samples'
+    uniform ring draws (hard negatives carry the contrastive gradient).
+    FLOOR-e6 bigint ranking + generated literal-plane oracle make bucket,
+    candidate set, and top-k order value-exact; WindowGroupLimit bounds the
+    final exchange to k rows per anchor.  12 planes = 4096 cells keeps the
+    gated in-cell pair volume at 7.7e6 for sf10's 200k vectors, measured —
+    10 planes reads 2.6e7 and trips the 2e7 gate (skewed sign-cells beat
+    the balanced estimate; the n_planes knob IS the scale dial, each plane
+    roughly quarters the volume)."""
+    from kafka_flow_spark.operators.sampling import hard_negatives
+
+    e = load(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        e, "vec_id", "embedding", "label",
+        k=_HN_K, dim=_HN_DIM, n_planes=_HN_PLANES, seed=_HN_SEED,
+    )
+
+
+# --- embedding drift (exact centroid shift between snapshots) ----------------
+
+
+@register(
+    "q_embedding_drift",
+    oracle="""
+    WITH sides AS (SELECT vec_id, label, embedding, vec_id % 2 = 0 AS is_old
+                   FROM embeddings),
+    e AS (SELECT label, is_old, embedding, UNNEST(range(len(embedding))) AS i
+          FROM sides),
+    s AS (SELECT label, is_old, i AS d,
+                 SUM(CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0)
+                          AS BIGINT)) AS s
+          FROM e GROUP BY label, is_old, i),
+    n AS (SELECT label, is_old, COUNT(*) AS n FROM sides GROUP BY label, is_old),
+    j AS (SELECT so.label, so.d, so.s AS s_old, sn.s AS s_new,
+                 no.n AS n_old, nn.n AS n_new
+          FROM s so JOIN s sn ON so.label = sn.label AND so.d = sn.d
+                             AND so.is_old AND NOT sn.is_old
+          JOIN n no ON no.label = so.label AND no.is_old
+          JOIN n nn ON nn.label = so.label AND NOT nn.is_old)
+    SELECT label, CAST(MAX(n_old) AS BIGINT) AS n_old,
+           CAST(MAX(n_new) AS BIGINT) AS n_new,
+           CAST(SUM(ABS(CAST(s_old AS HUGEINT) * n_new
+                        - CAST(s_new AS HUGEINT) * n_old)) AS BIGINT)
+             AS drift_l1_scaled
+    FROM j GROUP BY label
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label centroid drift between two embedding snapshots
+    (operators/profile.embedding_drift — the vector-space member of the
+    drift family; EMD/PSI see scalar columns, an encoder swap moves
+    CENTROIDS).  Snapshots = content-addressed halves (vec_id parity);
+    FLOOR-e6 component sums under the common denominator n_old·n_new, no
+    division anywhere — engine-identical bigints."""
+    from kafka_flow_spark.operators.profile import embedding_drift
+
+    e = load(spark, sf_dir, "embeddings")
+    old = e.where(F.col("vec_id") % 2 == 0)
+    new = e.where(F.col("vec_id") % 2 == 1)
+    return embedding_drift(old, new, "embedding", "label")

@@ -96,3 +96,65 @@ def test_seasonal_residuals_negative_buckets_fold_by_pmod(spark):
     df = spark.createDataFrame(rows, "k STRING, day BIGINT, n BIGINT")
     out = {r["day"]: r["phase"] for r in seasonal_residuals(df, "k", "day", "n").collect()}
     assert out[-7] == 0 and out[0] == 0
+
+
+# --- embedding drift -----------------------------------------------------------
+
+
+def test_embedding_drift_python_mirror(spark):
+    import math
+
+    from kafka_flow_spark.operators.profile import embedding_drift
+
+    old_rows = [("a", [0.5, -0.25]), ("a", [0.1, 0.3]), ("b", [1.0, 1.0])]
+    new_rows = [("a", [0.52, -0.2]), ("a", [0.0, 0.0]), ("a", [0.3, 0.3]),
+                ("b", [1.0, 1.0])]
+    old = spark.createDataFrame(old_rows, "label STRING, embedding ARRAY<DOUBLE>")
+    new = spark.createDataFrame(new_rows, "label STRING, embedding ARRAY<DOUBLE>")
+    got = {r["label"]: r for r in embedding_drift(old, new, "embedding", "label").collect()}
+
+    def q(x):
+        return math.floor(x * 1_000_000)
+
+    for lbl, o_rows, n_rows in [
+        ("a", [v for l, v in old_rows if l == "a"], [v for l, v in new_rows if l == "a"]),
+        ("b", [v for l, v in old_rows if l == "b"], [v for l, v in new_rows if l == "b"]),
+    ]:
+        want = sum(
+            abs(sum(q(v[d]) for v in o_rows) * len(n_rows)
+                - sum(q(v[d]) for v in n_rows) * len(o_rows))
+            for d in range(2)
+        )
+        assert got[lbl]["drift_l1_scaled"] == want
+        assert (got[lbl]["n_old"], got[lbl]["n_new"]) == (len(o_rows), len(n_rows))
+    # identical snapshots drift exactly 0
+    same = {r["label"]: r["drift_l1_scaled"]
+            for r in embedding_drift(old, old, "embedding", "label").collect()}
+    assert set(same.values()) == {0}
+
+
+def test_embedding_drift_detects_shift_and_drops_one_sided_groups(spark):
+    from kafka_flow_spark.operators.profile import embedding_drift
+
+    old = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("a", [0.2, 0.2]), ("gone", [1.0, 1.0])],
+        "label STRING, embedding ARRAY<DOUBLE>",
+    )
+    shifted = spark.createDataFrame(
+        [("a", [0.5, 0.5]), ("a", [0.7, 0.7]), ("new", [1.0, 1.0])],
+        "label STRING, embedding ARRAY<DOUBLE>",
+    )
+    out = {r["label"]: r["drift_l1_scaled"]
+           for r in embedding_drift(old, shifted, "embedding", "label").collect()}
+    assert set(out) == {"a"}  # inner-join contract: one-sided groups dropped
+    assert out["a"] > 0
+
+
+def test_embedding_drift_scale_guard(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.profile import embedding_drift
+
+    df = spark.createDataFrame([("a", [1.0])], "label STRING, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError, match="scale"):
+        embedding_drift(df, df, "embedding", "label", scale=0)

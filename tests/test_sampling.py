@@ -442,3 +442,88 @@ def test_negative_samples_k_guard(spark):
     df = spark.createDataFrame([(1, 0)], "vec_id BIGINT, label INT")
     with _pytest.raises(ValueError, match="k must be"):
         negative_samples(df, "vec_id", k=0)
+
+
+# --- hard negative mining ------------------------------------------------------
+
+
+def _vec_rows():
+    # two tight same-label clusters + one cross-label near neighbor
+    return [
+        (1, 0, [1.0, 0.0, 0.0, 0.0]),
+        (2, 0, [0.9, 0.1, 0.0, 0.0]),
+        (3, 1, [0.95, 0.05, 0.0, 0.0]),   # label 1 but VERY close to 1/2
+        (4, 1, [0.0, 1.0, 0.0, 0.0]),
+        (5, 2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+
+
+def test_hard_negatives_exact_single_bucket_matches_bruteforce(spark):
+    """n_planes=0 = one bucket = exact: top-k different-label cosine
+    neighbors must equal a python brute force with the same FLOOR-e6 key."""
+    import math
+
+    from kafka_flow_spark.operators.sampling import hard_negatives
+
+    rows = _vec_rows()
+    df = spark.createDataFrame(rows, "vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>")
+    got = {
+        (r["anchor_id"], r["rank"]): (r["neg_id"], r["cos_e6"])
+        for r in hard_negatives(
+            df, "vec_id", "embedding", "label", k=2, dim=4, n_planes=0
+        ).collect()
+    }
+
+    def cos_e6(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor(dot / (na * nb) * 1_000_000)
+
+    by_id = {i: (l, v) for i, l, v in rows}
+    for i, (lbl, v) in by_id.items():
+        cands = sorted(
+            (
+                (-cos_e6(v, v2), j)
+                for j, (l2, v2) in by_id.items()
+                if l2 != lbl
+            )
+        )
+        for rank, (negc, j) in enumerate(cands[:2], start=1):
+            assert got[(i, rank)] == (j, -negc), (i, rank)
+    # the interesting case: anchor 1's hardest negative is 3 (cross-label
+    # near neighbor), not some same-label twin
+    assert got[(1, 1)][0] == 3
+
+
+def test_hard_negatives_bucketed_subset_of_exact_and_deterministic(spark):
+    """With LSH bucketing on, results are a subset of the exact candidate
+    relation (same pairs, same scores) and stable under repartitioning."""
+    from kafka_flow_spark.operators.sampling import hard_negatives
+
+    rows = [(i, i % 3, [float((i * 7 + d * 13) % 11 - 5) for d in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>")
+    kw = dict(k=2, dim=8, n_planes=3, seed=7)
+    a = sorted(map(tuple, hard_negatives(df, "vec_id", "embedding", "label", **kw).collect()))
+    b = sorted(map(tuple, hard_negatives(df.repartition(5), "vec_id", "embedding", "label", **kw).collect()))
+    assert a == b and len(a) > 0
+    exact_pairs = {
+        (r["anchor_id"], r["neg_id"]): r["cos_e6"]
+        for r in hard_negatives(
+            df, "vec_id", "embedding", "label", k=50, dim=8, n_planes=0
+        ).collect()
+    }
+    for anchor_id, rank, neg_id, cos_e6, albl, nlbl in a:
+        assert albl != nlbl and 1 <= rank <= 2
+        assert exact_pairs[(anchor_id, neg_id)] == cos_e6  # same score contract
+
+
+def test_hard_negatives_k_guard(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.sampling import hard_negatives
+
+    df = spark.createDataFrame([(1, 0, [1.0])], "vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError, match="k must be"):
+        hard_negatives(df, "vec_id", "embedding", "label", k=0)
