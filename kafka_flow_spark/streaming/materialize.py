@@ -42,8 +42,6 @@ time travel / debugging; ``vacuum(keep=n)`` prunes them.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -169,7 +167,10 @@ class MaterializedAggView(_VersionedView):
       (carry ``status`` ∈ added/changed/deleted + full new values); the sink
       also maintains the BASE snapshot (needed to retract old contributions
       and recompute touched groups' min/max) and advances by
-      ``agg_maintain`` + ``apply_changeset``.
+      ``agg_maintain`` + ``apply_changeset``.  Changeset contract: at most
+      ONE row per pk per micro-batch (a CDC burst with several versions of
+      a key in one batch must be collapsed last-wins upstream — the same
+      requirement ``changeset()`` output satisfies by construction).
 
     ``result(spark)`` finalizes the committed state into the user-facing
     aggregate exactly as a full recompute would (same unscaled-cents
@@ -221,10 +222,13 @@ class MaterializedAggView(_VersionedView):
 
 class MaterializedJoinView(_VersionedView):
     """Streaming-maintained INNER fact⋈dim join view: the fact side arrives
-    as a CDC stream (``changeset()`` rows), the dim side is re-read from
-    ``dim_path`` each batch (slowly-changing dims are republished there; a
-    same-batch dim delta feed can be added by extending ``_advance`` with a
-    ``delta_b`` — the batch operator already supports it).
+    as a CDC stream (``changeset()`` rows), the dim side is read from
+    ``dim_path``.  Contract: the dim content must be STABLE across batches —
+    an in-place dim edit without a corresponding delta would join new dim
+    values onto changed fact rows while untouched view rows keep the old
+    ones (a mixed view).  Evolve the dim by feeding its ``changeset()`` as
+    a ``delta_b`` (extend ``_advance`` — the batch operator
+    ``maintain_join_view`` already takes two-sided deltas).
 
     Maintains two tables per version: the view itself and the fact snapshot
     (needed to find unchanged fact rows whose dim side changes later and to
