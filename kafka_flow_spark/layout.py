@@ -467,8 +467,21 @@ def compact_files(
                     dest = jvm.org.apache.hadoop.fs.Path(
                         d, f"compact-{gid}.parquet"
                     )
-                    fs.rename(data[0], dest)
-                    fs.delete(p, True)
+                    # Hadoop rename reports most failures via FALSE, not an
+                    # exception; deleting the group dir after a failed
+                    # rename would destroy the group's only data file
+                    # (review r8) — check both returns
+                    if not fs.rename(data[0], dest):
+                        raise RuntimeError(
+                            f"compact_files: rename {data[0]} -> {dest} "
+                            "failed (filesystem returned false); group dir "
+                            "left in place, destination incomplete"
+                        )
+                    if not fs.delete(p, True):
+                        raise RuntimeError(
+                            f"compact_files: could not remove group dir {p} "
+                            "after lifting its file"
+                        )
                     n_dst += 1
                 else:
                     _lift(p)

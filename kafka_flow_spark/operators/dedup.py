@@ -1307,11 +1307,22 @@ def save_minhash_index(
                 f"save_minhash_index append: params {(k, bands, shingle_n)} "
                 f"!= stored index contract {stored}"
             )
+        if p.asDict().get("sig_ver") != _SIG_VER:
+            # xoring a (id, text) content signature onto an id-only (or
+            # unknown) fingerprint would produce a value matching NEITHER
+            # convention — every later ensure would silently full-rebuild,
+            # defeating the append path entirely (review r8).  One explicit
+            # overwrite migrates the format.
+            raise ValueError(
+                "save_minhash_index append: stored index predates the "
+                f"(id, text) fingerprint format (sig_ver != {_SIG_VER}) — "
+                "rebuild once with mode='overwrite' before appending"
+            )
         prev_sig = int(p["id_sig"]) if "id_sig" in p.asDict() else 0
         prev_n = int(p["n_docs"]) if "n_docs" in p.asDict() else 0
-        params_row = (k, bands, shingle_n, prev_sig ^ sig, prev_n + n_docs)
+        params_row = (k, bands, shingle_n, prev_sig ^ sig, prev_n + n_docs, _SIG_VER)
     else:
-        params_row = (k, bands, shingle_n, sig, n_docs)
+        params_row = (k, bands, shingle_n, sig, n_docs, _SIG_VER)
     per = _minhash_mins(
         df, id_col, text_col, k, shingle_n, with_shingle_set=True
     ).transform(scoped_persist)
@@ -1322,8 +1333,11 @@ def save_minhash_index(
     # vouches for is fully written (params overwrite is a one-row job)
     spark.createDataFrame(
         [params_row],
-        "k int, bands int, shingle_n int, id_sig long, n_docs long",
+        "k int, bands int, shingle_n int, id_sig long, n_docs long, sig_ver int",
     ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+_SIG_VER = 2  # 1 = xor(xxhash64(id)) [r6-r7]; 2 = xor(xxhash64(id, text)) [r8]
 
 
 def _corpus_signature(df: DataFrame, id_col: str, text_col: str) -> tuple[int, int]:
@@ -1378,7 +1392,7 @@ def ensure_minhash_index(
         )
         return
     if (p["k"], p["bands"], p["shingle_n"]) == (k, bands, shingle_n) and (
-        "id_sig" in p.asDict()
+        p.asDict().get("sig_ver") == _SIG_VER
     ):
         sig, n = _corpus_signature(df, id_col, text_col)
         if (int(p["id_sig"]), int(p["n_docs"])) == (sig, n):

@@ -456,12 +456,14 @@ def hard_negatives(
     banded self-equi-join on the int cell key (only same-bucket pairs ever
     materialize), and a rank window that compiles to WindowGroupLimit — at
     most k rows per anchor cross the final exchange.  The in-cell pair scan
-    is the quadratic hazard, so it is GATED by the same scalar Σ c·(c−1)/2
-    estimate as semantic_dedup_lsh: past ``max_pairs`` the per-pair
-    interpreted cosine would dominate and the call refuses loudly — the
-    knob that scales is ``n_planes`` (2^planes cells; keep expected in-cell
-    pairs under the gate: 200k vectors want ≥10 planes, each extra plane
-    quarters the pair volume).  Recall is LSH-bounded by construction: a
+    is the quadratic hazard, so it is GATED by a scalar Σ c·(c−1) estimate
+    (ORDERED pairs — unlike semantic_dedup's a<b scan, this join evaluates
+    both (a,b) and (b,a) since every anchor needs its own top-k; review r8)
+    in DECIMAL(38,0) (a >3e9-row hot cell wraps the int64 product): past
+    ``max_pairs`` the per-pair interpreted cosine would dominate and the
+    call refuses loudly — the knob that scales is ``n_planes`` (2^planes
+    cells; each extra plane roughly quarters the volume; measured sf10:
+    12 planes = 1.55e7 ordered pairs passes, 10 planes = 5.2e7 refuses).  Recall is LSH-bounded by construction: a
     hard negative in a different bucket is missed — n_planes=0 is exact
     (one bucket, all-pairs) on small corpora, or union multiple seeds.
 
@@ -491,17 +493,20 @@ def hard_negatives(
             cell.alias("_cell"),
         )
     )
-    est = (
+    est = int(
         assigned.groupBy("_cell")
         .agg(F.count(F.lit(1)).alias("_d"))
         .agg(
-            F.coalesce(F.sum(F.expr("_d * (_d - 1) div 2")), F.lit(0)).alias("_p")
+            F.coalesce(
+                F.sum(F.expr("cast(_d as decimal(38,0)) * (_d - 1)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_p")
         )
         .collect()[0]["_p"]
     )
     if est > max_pairs:
         raise ValueError(
-            f"hard_negatives: in-cell pair volume {est:,} exceeds "
+            f"hard_negatives: in-cell ORDERED pair volume {est:,} exceeds "
             f"max_pairs={max_pairs:,} — the per-pair cosine scan would emit "
             "that many rows; raise n_planes (each plane quarters the "
             "volume) or max_pairs explicitly"

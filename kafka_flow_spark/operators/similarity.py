@@ -1162,15 +1162,23 @@ def semantic_dedup_lsh(
         )
     )
     if engine == "auto":
+        # DECIMAL(38,0) product, halved driver-side: a 100 TB corpus with
+        # few planes can put a hot cell past 3e9 rows, where _d*(_d-1)
+        # wraps int64 — and a per-cell `div 2` back to long would re-import
+        # the overflow (review r8; same class as key_skew's ppm product)
         est = (
-            assigned.groupBy("_cell")
-            .agg(F.count(F.lit(1)).alias("_d"))
-            .agg(
-                F.coalesce(
-                    F.sum(F.expr("_d * (_d - 1) div 2")), F.lit(0)
-                ).alias("_pairs")
+            int(
+                assigned.groupBy("_cell")
+                .agg(F.count(F.lit(1)).alias("_d"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.expr("cast(_d as decimal(38,0)) * (_d - 1)")),
+                        F.lit(0).cast("decimal(38,0)"),
+                    ).alias("_pairs2")
+                )
+                .collect()[0]["_pairs2"]
             )
-            .collect()[0]["_pairs"]
+            // 2
         )
         engine = "expr" if est <= max_expr_pairs else "blas"
     if engine == "expr":

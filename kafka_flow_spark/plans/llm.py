@@ -1580,10 +1580,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOOR-e6 bigint ranking + generated literal-plane oracle make bucket,
     candidate set, and top-k order value-exact; WindowGroupLimit bounds the
     final exchange to k rows per anchor.  12 planes = 4096 cells keeps the
-    gated in-cell pair volume at 7.7e6 for sf10's 200k vectors, measured —
-    10 planes reads 2.6e7 and trips the 2e7 gate (skewed sign-cells beat
-    the balanced estimate; the n_planes knob IS the scale dial, each plane
-    roughly quarters the volume)."""
+    gated in-cell ORDERED pair volume at 1.55e7 for sf10's 200k vectors,
+    measured — 10 planes reads 5.2e7 and trips the 2e7 gate (skewed
+    sign-cells beat the balanced estimate; the n_planes knob IS the scale
+    dial, each plane roughly quarters the volume)."""
     from kafka_flow_spark.operators.sampling import hard_negatives
 
     e = load(spark, sf_dir, "embeddings")

@@ -19,13 +19,15 @@ standard versioned-commit protocol:
 
 - every batch writes its outputs to fresh ``v=<batch_id>`` directories —
   never in place — so a crash mid-write can only tear an UNCOMMITTED version;
-- a version counts as committed only when every table of the view has its
-  ``_SUCCESS`` marker (Spark's job-commit protocol writes it last), and
-  multi-table views gain a view-level ``_VIEW_COMMIT`` marker written after
-  all tables — commit-last, the same ordering discipline as
-  save_minhash_index's params row;
-- on entry the sink consults the max committed version: ``batch_id <= that``
-  ⇒ replayed batch, skip (idempotent); otherwise roll forward FROM the
+- a version counts as committed solely on its view-level ``_VIEW_COMMIT``
+  marker, written after every table's parquet job has returned — commit-
+  last, the same ordering discipline as save_minhash_index's params row
+  (the per-table ``_SUCCESS`` files Spark writes are thereby subsumed);
+- on entry the sink consults the max committed version: ``batch_id`` EQUAL
+  to it ⇒ the crash-replay of the last batch, skip (idempotent);
+  ``batch_id`` BELOW it ⇒ a different stream incarnation (new/cleared
+  checkpoint) — refuse loudly rather than eat its backlog as phantom
+  replays or double-apply history; otherwise roll forward FROM the
   committed version (a torn half-written version is simply ignored and
   overwritten).
 
@@ -66,8 +68,11 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(hconf), jvm
 
 
-def _committed_versions(spark: SparkSession, root: str, tables: list[str]) -> list[int]:
-    """Versions whose every table directory carries the view commit marker."""
+def _list_versions(spark: SparkSession, root: str) -> list[tuple[int, bool]]:
+    """All ``v=<n>`` directories under the view root as (version, committed);
+    committed iff the view-level ``_VIEW_COMMIT`` marker exists — the marker
+    alone is the commit point (it is written only after every table's
+    parquet job, whose own ``_SUCCESS`` files it therefore subsumes)."""
     fs, jvm = _fs(spark, root)
     jpath = jvm.org.apache.hadoop.fs.Path(root)
     if not fs.exists(jpath):
@@ -81,9 +86,15 @@ def _committed_versions(spark: SparkSession, root: str, tables: list[str]) -> li
             v = int(name[2:])
         except ValueError:
             continue
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/{name}/{_VIEW_COMMIT}")):
-            out.append(v)
+        committed = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{root}/{name}/{_VIEW_COMMIT}")
+        )
+        out.append((v, committed))
     return sorted(out)
+
+
+def _committed_versions(spark: SparkSession, root: str) -> list[int]:
+    return [v for v, committed in _list_versions(spark, root) if committed]
 
 
 def _commit_version(spark: SparkSession, root: str, version: int) -> None:
@@ -106,7 +117,7 @@ class _VersionedView:
 
     # -- versioned-table plumbing ------------------------------------------
     def last_committed(self, spark: SparkSession) -> int | None:
-        vs = _committed_versions(spark, self.path, self.tables)
+        vs = _committed_versions(spark, self.path)
         return vs[-1] if vs else None
 
     def _read(self, spark: SparkSession, version: int, table: str) -> DataFrame:
@@ -126,8 +137,25 @@ class _VersionedView:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         last = self.last_committed(spark)
-        if last is not None and batch_id <= last:
-            return  # replayed batch after restart: already applied, skip
+        if last is not None and batch_id == last:
+            return  # crash-replay of the last batch: already applied, skip
+        if last is not None and batch_id < last:
+            # Structured Streaming batch ids are monotonic within ONE
+            # checkpoint and only the LAST batch is ever redelivered; an id
+            # below the committed head means a DIFFERENT stream incarnation
+            # (new/cleared checkpoint restarting at 0) is pointed at this
+            # view root.  Silently skipping would eat its backlog (the
+            # batches would look like replays); silently applying would
+            # double-count everything the view already holds.  Refuse —
+            # the operator must keep the checkpoint, or rebuild the view
+            # under a fresh root (review r8).
+            raise ValueError(
+                f"materialized view at {self.path} is at committed batch "
+                f"{last} but received batch {batch_id} — this stream's "
+                "checkpoint does not match the view (was it cleared or "
+                "relocated?); keep checkpoint and view together, or point "
+                "the new stream at a fresh view path"
+            )
         if last is None:
             frames = self._initial(batch)
         else:
@@ -136,10 +164,21 @@ class _VersionedView:
         self._write_all(spark, batch_id, frames)
 
     def vacuum(self, spark: SparkSession, keep: int = 2) -> list[int]:
-        """Drop all but the newest ``keep`` committed versions (and any
-        uncommitted debris older than them); returns dropped versions."""
-        vs = _committed_versions(spark, self.path, self.tables)
-        drop = vs[:-keep] if keep > 0 else vs
+        """Drop all but the newest ``keep`` committed versions, plus any
+        UNCOMMITTED debris older than the newest committed version (a torn
+        directory from a crashed batch whose id was never redelivered —
+        newer uncommitted dirs are left alone, they may be an in-flight
+        write).  Returns dropped versions."""
+        all_vs = _list_versions(spark, self.path)
+        committed = [v for v, ok in all_vs if ok]
+        keep_set = set(committed[-keep:]) if keep > 0 else set()
+        head = committed[-1] if committed else None
+        drop = [
+            v
+            for v, ok in all_vs
+            if (ok and v not in keep_set)
+            or (not ok and head is not None and v < head)
+        ]
         fs, jvm = _fs(spark, self.path)
         for v in drop:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/v={v}"), True)

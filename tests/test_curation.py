@@ -690,6 +690,31 @@ def test_ensure_minhash_index_same_id_text_edit_invalidates(spark, tmp_path):
     assert (9, 1) in pairs
 
 
+def test_minhash_index_append_refuses_old_fingerprint_format(spark, tmp_path):
+    """Appending onto a pre-r8 index (id-only fingerprint) must refuse with
+    migration guidance: xoring an (id, text) signature onto an id-only one
+    would match NEITHER convention and every later ensure would silently
+    full-rebuild (review r8)."""
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.dedup import save_minhash_index
+
+    corpus = spark.createDataFrame(
+        [(0, "x y z w v")], "doc_id BIGINT, text STRING"
+    )
+    inc = spark.createDataFrame([(1, "p q r s t")], "doc_id BIGINT, text STRING")
+    path = str(tmp_path / "idx")
+    kw = dict(k=16, bands=8, shingle_n=1)
+    save_minhash_index(corpus, "doc_id", "text", path, **kw)
+    # simulate the stored r7 format: params without sig_ver
+    spark.createDataFrame(
+        [(16, 8, 1, 12345, 1)],
+        "k int, bands int, shingle_n int, id_sig long, n_docs long",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    with _pytest.raises(ValueError, match="rebuild once"):
+        save_minhash_index(inc, "doc_id", "text", path, mode="append", **kw)
+
+
 def test_save_minhash_index_writes_params_last(spark, tmp_path):
     """Commit-last ordering (ADVICE r7): the params fingerprint must become
     visible only after bands/ and shingles/ are fully written, so a torn

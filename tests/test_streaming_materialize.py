@@ -128,16 +128,24 @@ def test_agg_view_cdc_stream_restart_equals_recompute(spark, tmp_path):
 
 
 def test_agg_view_replayed_batch_is_idempotent(spark, tmp_path):
-    """foreachBatch redelivers the last batch with the same batch_id after a
-    crash; the versioned commit must make the second delivery a no-op."""
+    """foreachBatch redelivers the LAST batch with the same batch_id after a
+    crash; the versioned commit must make the second delivery a no-op.  A
+    batch id BELOW the committed head is not a crash replay (Spark only
+    redelivers the last batch of one checkpoint) — it means a different
+    stream incarnation is pointed at this view, and the sink must refuse
+    rather than eat its backlog or double-apply history (review r8)."""
+    import pytest as _pytest
+
     sink = MaterializedAggView(str(tmp_path / "view"), ["k"], "v")
     b0 = spark.createDataFrame([("a", 1.0)], EVENT_SCHEMA)
     b1 = spark.createDataFrame([("a", 1.0)], EVENT_SCHEMA)
     sink(b0, 0)
     sink(b1, 1)
     before = _result_rows(sink, spark)
-    sink(b1, 1)  # replay: same batch_id
-    sink(b0, 0)  # stale replay from further back
+    sink(b1, 1)  # replay: same batch_id — idempotent no-op
+    assert _result_rows(sink, spark) == before
+    with _pytest.raises(ValueError, match="checkpoint does not match"):
+        sink(b0, 0)  # foreign stream restarting at 0: refuse loudly
     assert _result_rows(sink, spark) == before
     assert before == {("a", 2, 2.0, 1.0, 1.0)}
 
@@ -159,13 +167,26 @@ def test_agg_view_torn_version_is_ignored_and_overwritten(spark, tmp_path):
     assert _result_rows(sink, spark) == {("a", 2, 4.0, 1.0, 3.0)}
 
 
-def test_agg_view_vacuum_keeps_latest(spark, tmp_path):
-    sink = MaterializedAggView(str(tmp_path / "view"), ["k"], "v")
+def test_agg_view_vacuum_keeps_latest_and_clears_old_debris(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v")
     for i in range(4):
         sink(spark.createDataFrame([("a", 1.0)], EVENT_SCHEMA), i)
+    # torn debris: an uncommitted version OLDER than the head (crashed batch
+    # whose id was never redelivered) must be vacuumed; one NEWER than the
+    # head may be an in-flight write and must survive
+    os.remove(f"{path}/v=2/_VIEW_COMMIT")  # make v=2 torn
+    spark.createDataFrame([("y", 0.0)], EVENT_SCHEMA).write.parquet(
+        f"{path}/v=9/state"
+    )  # in-flight (uncommitted, newer than head 3)
     dropped = sink.vacuum(spark, keep=2)
-    assert dropped == [0, 1]
+    # committed survivors are {1, 3} (newest two of 0,1,3); 0 drops as old
+    # committed, 2 drops as old torn debris
+    assert dropped == [0, 2]
     assert sink.last_committed(spark) == 3
+    assert os.path.isdir(f"{path}/v=9")  # in-flight write untouched
     assert _result_rows(sink, spark) == {("a", 4, 4.0, 1.0, 1.0)}
 
 
