@@ -172,3 +172,59 @@ def windowed_cms(
         "b",
         "cnt",
     )
+
+
+def linear_counting_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, m: int = 4096
+) -> DataFrame:
+    """Linear-counting occupancy sketch (Whang, Vander-Zanden & Taylor,
+    TODS 1990): the DISTINCT (group…, bucket) pairs of a content-addressed
+    ``m``-bucket hash of ``value_col`` — the approximate-distinct sketch
+    whose every bit is engine-reproducible, unlike HLL (whose register
+    internals keep q_approx_distinct_users rows-only by design).
+
+    The occupancy SET is the sketch, and it is fully mergeable: the sketch
+    of a union is the distinct-union of the shards' sketches (law pinned in
+    tests/test_sketches.py) — shards sketch map-side, merge = one distinct.
+    Standard-error/size guidance from the paper: load factor n/m up to ~10
+    still estimates within ~1–2% (m = n/10 memory), far past HLL accuracy
+    at small n; saturation (every bucket hit) returns NULL from the
+    estimator rather than +inf.
+
+    Scale shape: one map-side hash projection + one distinct over at most
+    |groups|·m rows — group-times-m cardinality from there on, never row
+    volume.
+    """
+    if m < 2:
+        raise ValueError(f"m must be >= 2, got {m}")
+    from kafka_flow_spark.operators.sampling import hash_bucket
+
+    bucket = F.pmod(
+        F.conv(hash_bucket(F.col(value_col).cast("string")), 16, 10).cast("long"),
+        F.lit(m),
+    )
+    return df.select(*group_cols, bucket.alias("bucket")).distinct()
+
+
+def linear_counting_estimate(
+    sketch: DataFrame, group_cols: list[str], m: int
+) -> DataFrame:
+    """Finalize a linear-counting sketch: n̂ = m·ln(m/z) with z = m −
+    occupied empty buckets, emitted as FLOOR-e6 micro-scaled BIGINT
+    (``est_e6``; divide by 1e6 for the estimate) — one double division +
+    one ln per GROUP, the house single-division determinism contract, so
+    the estimate is value-exact against the SQL mirror.  A saturated group
+    (occupied == m, z = 0) yields NULL: the sketch carries no information
+    beyond "n ≫ m"; resize m.  Output: (group…, occupied, est_e6)."""
+    occ = sketch.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("occupied"))
+    est = F.when(
+        F.col("occupied") < m,
+        F.floor(
+            F.lit(float(m))
+            * F.log(
+                F.lit(float(m)) / (F.lit(m) - F.col("occupied")).cast("double")
+            )
+            * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    return occ.select(*group_cols, "occupied", est.alias("est_e6"))

@@ -1199,6 +1199,55 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(load(spark, sf_dir, "events"), "user_id", top_k=5)
 
 
+# --- linear-counting approximate distinct (value-exact sketch) ---------------
+
+_LC_M = 4096
+_LC_FOLD = (
+    "list_reduce(list_transform(range(1, 7), d -> "
+    "CAST(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), d, 1))"
+    " - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "q_approx_distinct_linear",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT event_type, {_LC_FOLD} % {_LC_M} AS bucket
+               FROM events),
+    occ AS (SELECT event_type, COUNT(*) AS occupied FROM b GROUP BY event_type),
+    ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY event_type)
+    SELECT occ.event_type, CAST(occupied AS BIGINT) AS occupied,
+           CASE WHEN occupied < {_LC_M}
+                THEN CAST(FLOOR({_LC_M}.0 * LN({_LC_M}.0 / ({_LC_M} - occupied))
+                          * 1000000.0) AS BIGINT) END AS est_e6,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM occ JOIN ex USING (event_type)
+    """,
+)
+def q_approx_distinct_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct users per event type
+    (operators/sketches.linear_counting_*): the VALUE-EXACT approximate-
+    distinct — the occupancy set is a deterministic md5 hash, the estimate
+    one FLOOR-e6 ln per group, so unlike the HLL row
+    (q_approx_distinct_users, rows-only: register internals are engine-
+    specific) the whole sketch is oracle-gated.  exact_distinct rides along
+    for the error story; the sketch itself is |groups|·m-cardinality and
+    mergeable across shards by distinct-union."""
+    from kafka_flow_spark.operators.sketches import (
+        linear_counting_estimate,
+        linear_counting_sketch,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    sk = linear_counting_sketch(ev, ["event_type"], "user_id", m=_LC_M)
+    est = linear_counting_estimate(sk, ["event_type"], _LC_M)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
 # --- day-of-week seasonal volume outliers ------------------------------------
 
 

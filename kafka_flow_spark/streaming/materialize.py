@@ -163,6 +163,26 @@ class _VersionedView:
             frames = self._advance(committed, batch)
         self._write_all(spark, batch_id, frames)
 
+    def versions(self, spark: SparkSession) -> list[int]:
+        """Committed versions available for time travel, oldest first."""
+        return _committed_versions(spark, self.path)
+
+    def _resolve(self, spark: SparkSession, version: int | None) -> int:
+        """Validate a time-travel version (None = latest committed).  Reading
+        an uncommitted/absent version is refused — torn data must stay
+        invisible through EVERY read path, not just the roll-forward."""
+        vs = _committed_versions(spark, self.path)
+        if not vs:
+            raise ValueError(f"no committed version under {self.path}")
+        if version is None:
+            return vs[-1]
+        if version not in vs:
+            raise ValueError(
+                f"version {version} is not committed under {self.path} "
+                f"(committed: {vs}; vacuumed versions are gone for good)"
+            )
+        return version
+
     def vacuum(self, spark: SparkSession, keep: int = 2) -> list[int]:
         """Drop all but the newest ``keep`` committed versions, plus any
         UNCOMMITTED debris older than the newest committed version (a torn
@@ -249,14 +269,18 @@ class MaterializedAggView(_VersionedView):
             "base": apply_changeset(base, batch, self.row_pk),
         }
 
-    def state(self, spark: SparkSession) -> DataFrame:
-        last = self.last_committed(spark)
-        if last is None:
-            raise ValueError(f"no committed version under {self.path}")
-        return self._read(spark, last, "state")
+    def state(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The agg_state table at a committed ``version`` (None = latest) —
+        time travel over the retained version log (see ``versions``)."""
+        return self._read(spark, self._resolve(spark, version), "state")
 
-    def result(self, spark: SparkSession, frac_digits: int = 2) -> DataFrame:
-        return agg_result(self.state(spark), frac_digits)
+    def result(
+        self,
+        spark: SparkSession,
+        frac_digits: int = 2,
+        version: int | None = None,
+    ) -> DataFrame:
+        return agg_result(self.state(spark, version), frac_digits)
 
 
 class MaterializedJoinView(_VersionedView):
@@ -312,11 +336,10 @@ class MaterializedJoinView(_VersionedView):
             "fact": apply_changeset(fact, batch, self.a_pk),
         }
 
-    def view(self, spark: SparkSession) -> DataFrame:
-        last = self.last_committed(spark)
-        if last is None:
-            raise ValueError(f"no committed version under {self.path}")
-        return self._read(spark, last, "view")
+    def view(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The join view at a committed ``version`` (None = latest) — time
+        travel over the retained version log (see ``versions``)."""
+        return self._read(spark, self._resolve(spark, version), "view")
 
 
 def run_view_sink(

@@ -153,3 +153,76 @@ def test_windowed_cms_drops_late_data(spark, tmp_path):
     second = run([(datetime(2026, 1, 1, 12, 0, 30), 1)])
     assert {k: v for k, v in second.items() if k[0] == 0} == \
            {k: v for k, v in first.items() if k[0] == 0}
+
+
+# --- linear counting ----------------------------------------------------------
+
+
+def test_linear_counting_close_to_exact_and_partition_stable(spark):
+    from kafka_flow_spark.operators.sketches import (
+        linear_counting_estimate,
+        linear_counting_sketch,
+    )
+
+    rows = [(f"g{i % 2}", i % 700) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g STRING, v INT")
+    m = 4096
+    out = {
+        r["g"]: r
+        for r in linear_counting_estimate(
+            linear_counting_sketch(df, ["g"], "v", m=m), ["g"], m
+        ).collect()
+    }
+    import math
+
+    for g in ("g0", "g1"):
+        exact = len({v for gg, v in rows if gg == g})
+        est = out[g]["est_e6"] / 1e6
+        assert abs(est - exact) / exact < 0.05  # load factor ~0.09: tight
+        assert out[g]["occupied"] <= exact
+        # python mirror of the micro-scaled estimate
+        want = math.floor(m * math.log(m / (m - out[g]["occupied"])) * 1e6)
+        assert out[g]["est_e6"] == want
+    a = sorted(map(tuple, linear_counting_sketch(df, ["g"], "v", m=m).collect()))
+    b = sorted(
+        map(tuple, linear_counting_sketch(df.repartition(7), ["g"], "v", m=m).collect())
+    )
+    assert a == b
+
+
+def test_linear_counting_sketch_merge_law(spark):
+    """sketch(A ∪ B) == distinct-union(sketch(A), sketch(B)) — the property
+    that lets shards sketch independently and merge with one distinct."""
+    from kafka_flow_spark.operators.sketches import linear_counting_sketch
+
+    rows = [("g", i * 13 % 997) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g STRING, v INT")
+    a = df.where("v % 2 = 0")
+    b = df.where("v % 2 = 1")
+    merged = (
+        linear_counting_sketch(a, ["g"], "v", m=512)
+        .unionByName(linear_counting_sketch(b, ["g"], "v", m=512))
+        .distinct()
+    )
+    whole = linear_counting_sketch(df, ["g"], "v", m=512)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_linear_counting_saturation_returns_null(spark):
+    from kafka_flow_spark.operators.sketches import (
+        linear_counting_estimate,
+        linear_counting_sketch,
+    )
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("g", i) for i in range(200)], "g STRING, v INT")
+    m = 4  # tiny: all 4 buckets certainly occupied
+    [r] = linear_counting_estimate(
+        linear_counting_sketch(df, ["g"], "v", m=m), ["g"], m
+    ).collect()
+    assert r["occupied"] == m and r["est_e6"] is None
+    with _pytest.raises(ValueError, match="m must be"):
+        linear_counting_sketch(df, ["g"], "v", m=1)

@@ -286,3 +286,26 @@ def test_join_view_matches_batch_operator_on_same_deltas(spark, tmp_path):
     assert {tuple(r) for r in sink.view(spark).select(*cols).collect()} == {
         tuple(r) for r in v2.select(*cols).collect()
     }
+
+
+def test_agg_view_time_travel_reads_history(spark, tmp_path):
+    """Committed versions stay readable (time travel) until vacuumed;
+    uncommitted/absent versions are refused through the read path too."""
+    import pytest as _pytest
+
+    sink = MaterializedAggView(str(tmp_path / "view"), ["k"], "v")
+    for i in range(3):
+        sink(spark.createDataFrame([("a", float(i + 1))], EVENT_SCHEMA), i)
+    assert sink.versions(spark) == [0, 1, 2]
+    # version 0: just the first row; version 2 (latest): all three
+    v0 = {tuple(r) for r in sink.result(spark, version=0)
+          .select("k", "n_rows", "sum_v").collect()}
+    assert v0 == {("a", 1, 1.0)}
+    latest = {tuple(r) for r in sink.result(spark)
+              .select("k", "n_rows", "sum_v").collect()}
+    assert latest == {("a", 3, 6.0)}
+    with _pytest.raises(ValueError, match="not committed"):
+        sink.state(spark, version=7)
+    sink.vacuum(spark, keep=1)
+    with _pytest.raises(ValueError, match="not committed"):
+        sink.state(spark, version=0)  # vacuumed away
