@@ -359,3 +359,49 @@ def run_view_sink(
         .start()
     )
     q.awaitTermination()
+
+
+class MaterializedSketchView(_VersionedView):
+    """Streaming-maintained approximate-distinct sketch: the linear-counting
+    occupancy set (operators/sketches.linear_counting_sketch) rolled forward
+    per micro-batch by its own merge law — sketch(A ∪ B) = distinct-union of
+    sketches — so a live "distinct users per group, so far" stays one
+    |groups|·m-cardinality table no matter how much history streamed past.
+    The third view shape next to the aggregate and join views, and the one
+    whose state can NEVER grow with the data (the agg view's state is
+    group-cardinality; this one is capped at groups·m rows by construction).
+
+    ``result(spark)`` finalizes to (group…, occupied, est_e6) via
+    ``linear_counting_estimate`` — value-exact for any replayed prefix of
+    the stream (same FLOOR-e6 contract as q_approx_distinct_linear).
+    """
+
+    def __init__(self, path: str, group_cols: list[str], value_col: str, m: int = 4096):
+        super().__init__(path)
+        self.group_cols, self.value_col, self.m = list(group_cols), value_col, m
+        self.tables = ["sketch"]
+
+    def _sketch(self, batch: DataFrame) -> DataFrame:
+        from kafka_flow_spark.operators.sketches import linear_counting_sketch
+
+        return linear_counting_sketch(batch, self.group_cols, self.value_col, self.m)
+
+    def _initial(self, batch: DataFrame) -> dict[str, DataFrame]:
+        return {"sketch": self._sketch(batch)}
+
+    def _advance(self, committed, batch) -> dict[str, DataFrame]:
+        return {
+            "sketch": committed["sketch"]
+            .unionByName(self._sketch(batch))
+            .distinct()
+        }
+
+    def sketch(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        return self._read(spark, self._resolve(spark, version), "sketch")
+
+    def result(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        from kafka_flow_spark.operators.sketches import linear_counting_estimate
+
+        return linear_counting_estimate(
+            self.sketch(spark, version), self.group_cols, self.m
+        )

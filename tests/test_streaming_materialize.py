@@ -309,3 +309,31 @@ def test_agg_view_time_travel_reads_history(spark, tmp_path):
     sink.vacuum(spark, keep=1)
     with _pytest.raises(ValueError, match="not committed"):
         sink.state(spark, version=0)  # vacuumed away
+
+
+def test_sketch_view_stream_restart_equals_whole_corpus_sketch(spark, tmp_path):
+    """Streaming distinct-count maintenance: occupancy set rolled forward by
+    the merge law across a stop/restart equals the one-shot sketch (and
+    therefore the identical estimate) of everything ever streamed."""
+    from kafka_flow_spark.operators.sketches import (
+        linear_counting_estimate,
+        linear_counting_sketch,
+    )
+    from kafka_flow_spark.streaming.materialize import MaterializedSketchView
+
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    sink = MaterializedSketchView(str(tmp_path / "view"), ["k"], "v", m=512)
+    _write(spark, input_dir, [("a", float(i % 37)) for i in range(300)], EVENT_SCHEMA)
+    _run(spark, input_dir, EVENT_SCHEMA, sink, chk)
+    _write(spark, input_dir, [("a", float(i % 91)) for i in range(300)]
+           + [("b", 1.0)], EVENT_SCHEMA)
+    _run(spark, input_dir, EVENT_SCHEMA, sink, chk)  # restart, same checkpoint
+
+    whole = linear_counting_estimate(
+        linear_counting_sketch(spark.read.parquet(input_dir), ["k"], "v", 512),
+        ["k"], 512,
+    )
+    got = {tuple(r) for r in sink.result(spark).collect()}
+    assert got == {tuple(r) for r in whole.collect()} and len(got) == 2
+    # state stays capped: at most groups*m rows regardless of stream volume
+    assert sink.sketch(spark).count() <= 2 * 512
