@@ -816,3 +816,53 @@ def score_buckets(
         idx = idx + after.cast("int")
     mapping = F.array(*[F.lit(lb) for lb in labels])
     return df.withColumn("bucket", F.element_at(mapping, idx + F.lit(1)))
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    templated/repetitive-text signal the ratio heuristics miss (a page of
+    "click here click here …" has healthy length and punctuation but near-
+    zero entropy; Gopher-class pipelines threshold on it next to the
+    repetition ratios in operators/text.py).
+
+    Exact micro-nat contract (the lm.py discipline): with per-token counts
+    c_t and n = Σ c_t,
+
+        entropy_e6 = ln_e6(n) − (Σ_t c_t · ln_e6(c_t)) div n
+
+    where ln_e6(x) = ROUND(ln(x)·1e6) of a BIGINT count — one ln per
+    distinct (doc, token), bigint sums, truncating division: engine-
+    identical, value-exact against the SQL mirror.  entropy_e6/1e6 ≈ H in
+    nats; uniform tokens give ln(n_types), all-same-token gives 0.  Docs
+    with no tokens are absent (no distribution to measure — the DSIR
+    absence convention).
+
+    Scale shape: tokenize once, one explode, ONE map-combinable
+    groupBy(doc, token) count, one groupBy(doc) fold — same gram-explode
+    class as q_text_stats; nothing wider than a token crosses an exchange.
+
+    Output: (id, n_tokens, n_types, entropy_e6).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("_tok"),
+    )
+    ln_e6 = lambda c: F.round(F.log(c.cast("double")) * 1_000_000).cast("long")  # noqa: E731
+    per = toks.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.col("_c") * ln_e6(F.col("_c"))).alias("_sum_cln"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_types",
+            (
+                ln_e6(F.col("n_tokens"))
+                - F.expr("_sum_cln div n_tokens")
+            ).cast("long").alias("entropy_e6"),
+        )
+    )

@@ -697,3 +697,31 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment(docs, "doc_id", "text", merges).select(
         "doc_id", "n_tokens", "n_pieces"
     )
+
+
+@register(
+    "q_token_entropy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    e AS (SELECT doc_id, UNNEST(toks) AS tok FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM e GROUP BY doc_id, tok),
+    a AS (SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 SUM(c * CAST(ROUND(LN(c) * 1000000) AS BIGINT)) AS sum_cln
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           CAST(CAST(ROUND(LN(n_tokens) * 1000000) AS BIGINT)
+                - sum_cln // n_tokens AS BIGINT) AS entropy_e6
+    FROM a
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy
+    (operators/quality.token_entropy): the templated-text signal ratio
+    heuristics miss — exact micro-nat bigints (one ROUND-e6 ln per distinct
+    count, truncating division), so thresholds are engine-identical.
+    Gram-explode class; nothing wider than a token shuffles."""
+    from kafka_flow_spark.operators.quality import token_entropy
+
+    return token_entropy(load(spark, sf_dir, "documents"), "doc_id", "text")

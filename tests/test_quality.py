@@ -483,3 +483,52 @@ def test_exact_percentiles_disc_fp_boundary(spark):
     # ceil(.07*100)=7, ceil(.29*100)=29 (0.29*100=28.999999999999996 needs
     # the plain >= side to hold too), ceil(.5*100)=50
     assert (r["p_7"], r["p_29"], r["p_50"]) == (7, 29, 50)
+
+
+# --- token entropy -------------------------------------------------------------
+
+
+def test_token_entropy_hand_worked_and_mirror(spark):
+    import math
+
+    from kafka_flow_spark.operators.quality import token_entropy
+
+    rows = [
+        (1, "a a a a"),           # all-same: H = 0
+        (2, "a b c d"),           # uniform: H = ln 4
+        (3, "a a b"),             # mixed
+        (4, ""),                  # no tokens -> absent
+        (5, None),                # null -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in token_entropy(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+
+    def ln_e6(x):
+        return int(round(math.log(x) * 1e6))
+
+    def mirror(counts):
+        n = sum(counts)
+        s = sum(c * ln_e6(c) for c in counts)
+        q, rem = divmod(s, n)
+        trunc = q + (1 if q < 0 and rem else 0)
+        return ln_e6(n) - trunc
+
+    assert out[1]["entropy_e6"] == mirror([4]) == 0
+    assert out[2]["entropy_e6"] == mirror([1, 1, 1, 1]) == ln_e6(4)
+    assert out[3]["entropy_e6"] == mirror([2, 1])
+    assert (out[3]["n_tokens"], out[3]["n_types"]) == (3, 2)
+    # ordering: uniform > mixed > constant
+    assert out[2]["entropy_e6"] > out[3]["entropy_e6"] > out[1]["entropy_e6"]
+
+
+def test_token_entropy_flags_templated_text(spark):
+    from kafka_flow_spark.operators.quality import token_entropy
+
+    rows = [
+        (1, "click here " * 50),
+        (2, "the quick brown fox jumps over the lazy dog and then naps"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r["entropy_e6"] for r in token_entropy(df, "doc_id", "text").collect()}
+    assert out[1] < out[2]  # templated page scores below natural prose
