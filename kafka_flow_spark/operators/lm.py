@@ -295,3 +295,156 @@ def perplexity_buckets(
     for i in range(1, n):
         bucket = bucket.when(nt == i + 1, F.lit(labels[i]))
     return scores.withColumn("bucket", bucket)
+
+
+def _trigram_rows(base: DataFrame) -> DataFrame:
+    """Explode staged token arrays to (…, w1, w2, w3) trigram rows."""
+    n = F.size(F.col("_toks"))
+    triples = F.transform(
+        F.sequence(F.lit(0), n - F.lit(3)),
+        lambda i: F.struct(
+            F.element_at(F.col("_toks"), i + 1).alias("w1"),
+            F.element_at(F.col("_toks"), i + 2).alias("w2"),
+            F.element_at(F.col("_toks"), i + 3).alias("w3"),
+        ),
+    )
+    return (
+        base.where(n >= 3)
+        .select("_id", "_ref", F.explode(triples).alias("_g"))
+        .select(
+            "_id",
+            "_ref",
+            F.col("_g.w1").alias("w1"),
+            F.col("_g.w2").alias("w2"),
+            F.col("_g.w3").alias("w3"),
+        )
+    )
+
+
+def trigram_lm_scores_interp(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_ref: Column,
+    l3: int = 5,
+    l2: int = 3,
+    l1: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Trigram LM with fixed-weight interpolation down the full backoff
+    ladder — the last SQL-provable rung of the KenLM family (bigram add-one
+    → bigram interpolated → THIS; beyond it sits modified Kneser–Ney, whose
+    discount fitting is not engine-exact arithmetic):
+
+        P(w3 | w1 w2) = λ3·c123/c12 + λ2·c23/c2 + λ1·(c3+1)/(N+V)
+
+    with λi = li/(l3+l2+l1), c12 = Σ_w3 c123 (the trigram-context count, so
+    the λ3 term sums to exactly 1 over the vocabulary), c2 = Σ_w3 c23, and
+    the same add-one unigram floor as ``bigram_lm_scores_interp``.
+    Mass-preserving backoff: an unseen (w1, w2) context renormalizes
+    (λ2, λ1) over their sum; an unseen w2 falls to the pure unigram —
+    every branch's conditional sums to exactly 1.
+
+    Determinism: numerator and denominator of every branch are exact
+    integer polynomials in the six count relations, carried in
+    DECIMAL(38,0) (largest term λ·c123·c2·(N+V) — three counts and a
+    vocab-plus-token scalar; ~1e24 at sf10, bound documented to ~1e37 /
+    1e12-count corpora before the decimal saturates), then ONE double
+    division + ONE ln per distinct scored trigram, micro-nat bigint sums —
+    the house single-division contract, value-exact vs DuckDB.
+
+    ``min_count`` prunes trigram counts only (c12 derives from the PRUNED
+    table, keeping the λ3 term normalized over the pruned model); the
+    bigram/unigram floors stay dense — exactly KenLM's pruning posture.
+
+    Scale shape: one tokenize-once persist feeding three explodes (tri/bi/
+    uni), every model relation vocab-sized, candidate trigrams collapsed to
+    DISTINCT (doc, w1, w2, w3, n) before the five model joins + one
+    broadcast scalar row, one final map-combinable groupBy(doc).
+
+    Output: (id, n_trigrams, logprob_scaled, avg_logprob_scaled) — docs
+    with < 3 tokens are absent (no trigram evidence).
+    """
+    if min(l3, l2, l1) <= 0:
+        raise ValueError(f"interpolation weights must be positive, got {(l3, l2, l1)}")
+    from kafka_flow_spark.cache import scoped_persist
+
+    ld = l3 + l2 + l1
+    base = scoped_persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.coalesce(is_ref.cast("boolean"), F.lit(False)).alias("_ref"),
+            _norm_tokens(F.col(text_col)).alias("_toks"),
+        )
+    )
+    tri = _trigram_rows(base)
+    c123 = (
+        tri.where(F.col("_ref"))
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_c123"))
+    )
+    if min_count > 1:
+        c123 = c123.where(F.col("_c123") >= min_count)
+    c12 = c123.groupBy("w1", "w2").agg(F.sum("_c123").alias("_c12"))
+    bi = _bigram_rows(base)
+    c23 = (
+        bi.where(F.col("_ref"))
+        .groupBy(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
+        .agg(F.count(F.lit(1)).alias("_c23"))
+    )
+    c2 = c23.groupBy("w2").agg(F.sum("_c23").alias("_c2"))
+    uni = base.where(F.col("_ref")).select(F.explode(F.col("_toks")).alias("_tok"))
+    c3 = uni.groupBy(F.col("_tok").alias("w3")).agg(F.count(F.lit(1)).alias("_c3"))
+    scal = uni.agg(
+        F.count_distinct(F.col("_tok")).alias("_v"),
+        F.count(F.lit(1)).alias("_ntok"),
+    )
+    dg = (
+        tri.where(~F.col("_ref"))
+        .groupBy("_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    dec = lambda c: F.coalesce(c, F.lit(0)).cast("decimal(38,0)")  # noqa: E731
+    nv = (F.col("_ntok") + F.col("_v")).cast("decimal(38,0)")
+    v123, v12 = dec(F.col("_c123")), dec(F.col("_c12"))
+    v23, v2 = dec(F.col("_c23")), dec(F.col("_c2"))
+    c3p1 = (F.coalesce(F.col("_c3"), F.lit(0)) + 1).cast("decimal(38,0)")
+    seen12 = F.coalesce(F.col("_c12"), F.lit(0)) > 0
+    seen2 = F.coalesce(F.col("_c2"), F.lit(0)) > 0
+    num = (
+        F.when(
+            seen12 & seen2,
+            F.lit(l3) * v123 * v2 * nv
+            + F.lit(l2) * v23 * v12 * nv
+            + F.lit(l1) * c3p1 * v12 * v2,
+        )
+        .when(seen2, F.lit(l2) * v23 * nv + F.lit(l1) * c3p1 * v2)
+        .otherwise(c3p1)
+    )
+    den = (
+        F.when(seen12 & seen2, F.lit(ld) * v12 * v2 * nv)
+        .when(seen2, F.lit(l2 + l1) * v2 * nv)
+        .otherwise(nv)
+    )
+    scored = (
+        dg.join(c123, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(c2, ["w2"], "left")
+        .join(c3, ["w3"], "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "_id",
+            "_n",
+            F.round(F.log(num.cast("double") / den.cast("double")) * LOG_SCALE)
+            .cast("long")
+            .alias("_term"),
+        )
+    )
+    return scored.groupBy(F.col("_id").alias(id_col)).agg(
+        F.sum("_n").cast("long").alias("n_trigrams"),
+        F.sum(F.col("_n") * F.col("_term")).cast("long").alias("logprob_scaled"),
+        F.expr("CAST(sum(_n * _term) div sum(_n) AS BIGINT)").alias(
+            "avg_logprob_scaled"
+        ),
+    )

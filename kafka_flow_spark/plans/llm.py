@@ -1354,6 +1354,84 @@ def q_lm_perplexity_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TG_L3, _TG_L2, _TG_L1 = 5, 3, 2  # trigram interpolation weights /10
+
+
+@register(
+    "q_lm_perplexity_trigram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source = 'src0' AS is_ref, {_LM_TOKS} AS toks
+      FROM documents),
+    tp AS (SELECT doc_id, is_ref, toks, UNNEST(range(len(toks) - 2)) AS i
+           FROM t WHERE len(toks) >= 3),
+    tg AS (SELECT doc_id, is_ref, toks[i + 1] AS w1, toks[i + 2] AS w2,
+                  toks[i + 3] AS w3 FROM tp),
+    c123 AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg WHERE is_ref
+             GROUP BY w1, w2, w3),
+    c12 AS (SELECT w1, w2, SUM(c123) AS c12 FROM c123 GROUP BY w1, w2),
+    bp AS (SELECT is_ref, toks, UNNEST(range(len(toks) - 1)) AS i
+           FROM t WHERE len(toks) >= 2),
+    c23 AS (SELECT toks[i + 1] AS w2, toks[i + 2] AS w3, COUNT(*) AS c23
+            FROM bp WHERE is_ref GROUP BY 1, 2),
+    c2 AS (SELECT w2, SUM(c23) AS c2 FROM c23 GROUP BY w2),
+    u AS (SELECT UNNEST(toks) AS tok FROM t WHERE is_ref),
+    c3 AS (SELECT tok AS w3, COUNT(*) AS c3 FROM u GROUP BY tok),
+    vv AS (SELECT COUNT(DISTINCT tok) AS v, COUNT(*) AS ntok FROM u),
+    dg AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS n
+           FROM tg WHERE NOT is_ref GROUP BY doc_id, w1, w2, w3),
+    sc AS (SELECT dg.doc_id, dg.n,
+                  CAST(ROUND(LN(
+                    CAST(CASE
+                      WHEN COALESCE(c12.c12, 0) > 0 AND COALESCE(c2.c2, 0) > 0
+                      THEN {_TG_L3} * CAST(COALESCE(c123.c123, 0) AS HUGEINT)
+                             * c2.c2 * (vv.ntok + vv.v)
+                           + {_TG_L2} * CAST(COALESCE(c23.c23, 0) AS HUGEINT)
+                             * c12.c12 * (vv.ntok + vv.v)
+                           + {_TG_L1} * CAST(COALESCE(c3.c3, 0) + 1 AS HUGEINT)
+                             * c12.c12 * c2.c2
+                      WHEN COALESCE(c2.c2, 0) > 0
+                      THEN {_TG_L2} * CAST(COALESCE(c23.c23, 0) AS HUGEINT)
+                             * (vv.ntok + vv.v)
+                           + {_TG_L1} * CAST(COALESCE(c3.c3, 0) + 1 AS HUGEINT)
+                             * c2.c2
+                      ELSE CAST(COALESCE(c3.c3, 0) + 1 AS HUGEINT) END AS DOUBLE)
+                    / CAST(CASE
+                      WHEN COALESCE(c12.c12, 0) > 0 AND COALESCE(c2.c2, 0) > 0
+                      THEN {_TG_L3 + _TG_L2 + _TG_L1}
+                             * CAST(c12.c12 AS HUGEINT) * c2.c2 * (vv.ntok + vv.v)
+                      WHEN COALESCE(c2.c2, 0) > 0
+                      THEN {_TG_L2 + _TG_L1} * CAST(c2.c2 AS HUGEINT)
+                             * (vv.ntok + vv.v)
+                      ELSE CAST(vv.ntok + vv.v AS HUGEINT) END AS DOUBLE))
+                    * 1000000) AS BIGINT) AS term
+           FROM dg LEFT JOIN c123 USING (w1, w2, w3) LEFT JOIN c12 USING (w1, w2)
+           LEFT JOIN c23 USING (w2, w3) LEFT JOIN c2 USING (w2)
+           LEFT JOIN c3 USING (w3)
+           CROSS JOIN vv)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_trigrams,
+           CAST(SUM(n * term) AS BIGINT) AS logprob_scaled,
+           CAST(SUM(n * term) // SUM(n) AS BIGINT) AS avg_logprob_scaled
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_lm_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram interpolated LM scoring (operators/lm.py
+    trigram_lm_scores_interp, λ = 0.5/0.3/0.2 down the tri→bi→uni ladder) —
+    the deepest SQL-provable rung of the KenLM family: longer context where
+    the reference has the counts, mass-preserving renormalized backoff
+    where it doesn't.  Exact DECIMAL(38,0)/HUGEINT branch polynomials, ONE
+    double division + ln per distinct scored trigram, micro-nat bigints."""
+    from kafka_flow_spark.operators.lm import trigram_lm_scores_interp
+
+    docs = load(spark, sf_dir, "documents")
+    return trigram_lm_scores_interp(
+        docs, "doc_id", "text", F.col("source") == "src0",
+        l3=_TG_L3, l2=_TG_L2, l1=_TG_L1,
+    )
+
+
 @register(
     "q_ccnet_buckets",
     oracle=f"""

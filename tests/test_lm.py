@@ -218,3 +218,144 @@ def test_lm_scores_match_python_mirror_on_real_corpus(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_trigram_interp_matches_python_mirror(spark):
+    """Exact mirror of the trigram interpolation's three backoff branches:
+    seen context (full ladder), unseen context/seen w2 (renormalized bi+uni),
+    unseen w2 (pure unigram)."""
+    from kafka_flow_spark.operators.lm import trigram_lm_scores_interp
+
+    rows = [
+        (1, "a b c a b c d", "ref"),
+        (2, "b c a a b e", "ref"),
+        (10, "a b c", "raw"),        # seen trigram
+        (11, "a b q", "raw"),        # seen context, unseen w3
+        (12, "q z a b", "raw"),      # unseen context branches + seen one
+        (13, "q q q", "raw"),        # everything unseen
+    ]
+    l3, l2, l1 = 5, 3, 2
+    out = {
+        r["doc_id"]: r
+        for r in trigram_lm_scores_interp(
+            _mk(spark, rows), "doc_id", "text", F.col("grp") == "ref",
+            l3=l3, l2=l2, l1=l1,
+        ).collect()
+    }
+    ref_toks = [t.split() for _, t, g in rows if g == "ref"]
+    c123: Counter = Counter()
+    c23: Counter = Counter()
+    c3: Counter = Counter()
+    for tk in ref_toks:
+        c3.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            c23[(a, b)] += 1
+        for a, b, c in zip(tk, tk[1:], tk[2:]):
+            c123[(a, b, c)] += 1
+    c12: Counter = Counter()
+    for (a, b, _), n in c123.items():
+        c12[(a, b)] += n
+    c2: Counter = Counter()
+    for (b, _), n in c23.items():
+        c2[b] += n
+    V, N = len(c3), sum(c3.values())
+    NV = N + V
+    for doc_id, text, grp in rows:
+        if grp != "raw":
+            continue
+        tk = text.split()
+        if len(tk) < 3:
+            assert doc_id not in out
+            continue
+        terms = []
+        for a, b, c in zip(tk, tk[1:], tk[2:]):
+            if c12[(a, b)] > 0 and c2[b] > 0:
+                num = (l3 * c123[(a, b, c)] * c2[b] * NV
+                       + l2 * c23[(b, c)] * c12[(a, b)] * NV
+                       + l1 * (c3[c] + 1) * c12[(a, b)] * c2[b])
+                den = (l3 + l2 + l1) * c12[(a, b)] * c2[b] * NV
+            elif c2[b] > 0:
+                num = l2 * c23[(b, c)] * NV + l1 * (c3[c] + 1) * c2[b]
+                den = (l2 + l1) * c2[b] * NV
+            else:
+                num, den = c3[c] + 1, NV
+            terms.append(int(round(math.log(num / den) * 1e6)))
+        total, n = sum(terms), len(terms)
+        q, rem = divmod(total, n)
+        trunc = q + (1 if q < 0 and rem else 0)
+        assert out[doc_id]["n_trigrams"] == n
+        assert out[doc_id]["logprob_scaled"] == total
+        assert out[doc_id]["avg_logprob_scaled"] == trunc
+
+
+def test_trigram_conditional_sums_to_one_per_branch():
+    """Mass preservation of every backoff branch, checked symbolically on a
+    tiny closed vocabulary (pure python — the algebra the operator encodes)."""
+    l3, l2, l1 = 5, 3, 2
+    vocab = ["a", "b", "c"]
+    c123 = {("a", "b", "a"): 2, ("a", "b", "b"): 1}
+    c12 = {("a", "b"): 3}
+    c23 = {("b", "a"): 2, ("b", "b"): 2, ("c", "a"): 1}
+    c2 = {"b": 4, "c": 1}
+    c3 = {"a": 3, "b": 3, "c": 1}
+    N = sum(c3.values()); V = len(vocab); NV = N + V
+
+    def p(w1, w2, w3):
+        if c12.get((w1, w2), 0) > 0 and c2.get(w2, 0) > 0:
+            return (l3 * c123.get((w1, w2, w3), 0) / c12[(w1, w2)]
+                    + l2 * c23.get((w2, w3), 0) / c2[w2]
+                    + l1 * (c3.get(w3, 0) + 1) / NV) / (l3 + l2 + l1)
+        if c2.get(w2, 0) > 0:
+            return (l2 * c23.get((w2, w3), 0) / c2[w2]
+                    + l1 * (c3.get(w3, 0) + 1) / NV) / (l2 + l1)
+        return (c3.get(w3, 0) + 1) / NV
+
+    # full ladder over the closed vocab + the unseen-word mass 1/NV each:
+    # sum over vocab of each branch's P must equal 1 - (unseen-word share)
+    for ctx in [("a", "b"), ("x", "b"), ("x", "y")]:
+        s = sum(p(ctx[0], ctx[1], w) for w in vocab)
+        unseen_share = sum(
+            {"a": 0, "b": 0, "c": 0}.get(w, 1) for w in vocab
+        )  # all vocab words seen here
+        # remaining mass goes to unseen words: V_unseen/NV-weighted l1 slice;
+        # over the CLOSED seen vocab the sum is 1 - l1_eff*(N+V-Σ(c3+1))/NV
+        l1_eff = (
+            l1 / (l3 + l2 + l1) if c12.get(ctx, 0) > 0 and c2.get(ctx[1], 0) > 0
+            else (l1 / (l2 + l1) if c2.get(ctx[1], 0) > 0 else 1.0)
+        )
+        expected = 1.0 - l1_eff * (NV - sum(c3[w] + 1 for w in vocab)) / NV
+        assert abs(s - expected) < 1e-12
+
+
+def test_trigram_interp_beats_bigram_interp_on_trigram_fixture(spark):
+    """On a reference with strong trigram structure, the trigram model's
+    ref-vs-gibberish margin must be at least the bigram-interp's — longer
+    context can only sharpen this fixture."""
+    from kafka_flow_spark.operators.lm import trigram_lm_scores_interp
+
+    ref = "the cat sat on the mat and the dog sat on the rug " * 3
+    rows = [(i, ref, "ref") for i in range(3)] + [
+        (100, "the cat sat on the mat", "raw"),
+        (101, "zq xv qqj kpl zzt wvx", "raw"),
+    ]
+    df = _mk(spark, rows)
+
+    def margin(fn, **kw):
+        out = {
+            r["doc_id"]: r["avg_logprob_scaled"]
+            for r in fn(df, "doc_id", "text", F.col("grp") == "ref", **kw).collect()
+        }
+        assert out[100] > out[101]
+        return out[100] - out[101]
+
+    assert margin(trigram_lm_scores_interp) >= margin(bigram_lm_scores_interp)
+
+
+def test_trigram_weights_guard(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.lm import trigram_lm_scores_interp
+
+    df = _mk(spark, [(1, "a b c", "ref")])
+    with _pytest.raises(ValueError, match="weights"):
+        trigram_lm_scores_interp(df, "doc_id", "text", F.col("grp") == "ref", l3=0)
