@@ -203,7 +203,14 @@ def linear_counting_sketch(
         F.conv(hash_bucket(F.col(value_col).cast("string")), 16, 10).cast("long"),
         F.lit(m),
     )
-    return df.select(*group_cols, bucket.alias("bucket")).distinct()
+    # COUNT(DISTINCT) semantics: NULL is not a value — unfiltered, md5(NULL)
+    # survives distinct() as a phantom NULL bucket that inflates every
+    # estimate and breaks occupied <= m (review r8)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"))
+        .distinct()
+    )
 
 
 def linear_counting_estimate(

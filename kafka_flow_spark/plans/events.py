@@ -1213,7 +1213,7 @@ _LC_FOLD = (
     "q_approx_distinct_linear",
     oracle=f"""
     WITH b AS (SELECT DISTINCT event_type, {_LC_FOLD} % {_LC_M} AS bucket
-               FROM events),
+               FROM events WHERE user_id IS NOT NULL),
     occ AS (SELECT event_type, COUNT(*) AS occupied FROM b GROUP BY event_type),
     ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
            FROM events GROUP BY event_type)

@@ -310,21 +310,13 @@ def test_trigram_conditional_sums_to_one_per_branch():
                     + l1 * (c3.get(w3, 0) + 1) / NV) / (l2 + l1)
         return (c3.get(w3, 0) + 1) / NV
 
-    # full ladder over the closed vocab + the unseen-word mass 1/NV each:
-    # sum over vocab of each branch's P must equal 1 - (unseen-word share)
+    # the vocab is CLOSED (every token of the model appears in it, so
+    # Σ_vocab (c3+1) == N+V): each branch's conditional must sum to exactly
+    # 1 over it — seen context (full ladder), unseen context (renormalized
+    # bi+uni), unseen w2 (pure unigram)
     for ctx in [("a", "b"), ("x", "b"), ("x", "y")]:
         s = sum(p(ctx[0], ctx[1], w) for w in vocab)
-        unseen_share = sum(
-            {"a": 0, "b": 0, "c": 0}.get(w, 1) for w in vocab
-        )  # all vocab words seen here
-        # remaining mass goes to unseen words: V_unseen/NV-weighted l1 slice;
-        # over the CLOSED seen vocab the sum is 1 - l1_eff*(N+V-Σ(c3+1))/NV
-        l1_eff = (
-            l1 / (l3 + l2 + l1) if c12.get(ctx, 0) > 0 and c2.get(ctx[1], 0) > 0
-            else (l1 / (l2 + l1) if c2.get(ctx[1], 0) > 0 else 1.0)
-        )
-        expected = 1.0 - l1_eff * (NV - sum(c3[w] + 1 for w in vocab)) / NV
-        assert abs(s - expected) < 1e-12
+        assert abs(s - 1.0) < 1e-12, ctx
 
 
 def test_trigram_interp_beats_bigram_interp_on_trigram_fixture(spark):

@@ -226,3 +226,23 @@ def test_linear_counting_saturation_returns_null(spark):
     assert r["occupied"] == m and r["est_e6"] is None
     with _pytest.raises(ValueError, match="m must be"):
         linear_counting_sketch(df, ["g"], "v", m=1)
+
+
+def test_linear_counting_ignores_nulls(spark):
+    """NULL is not a value: it must neither occupy a phantom bucket nor
+    create a group estimate where no values exist (review r8)."""
+    from kafka_flow_spark.operators.sketches import (
+        linear_counting_estimate,
+        linear_counting_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "0"), ("g", "1"), ("g", None), ("h", None)],
+        "g STRING, v STRING",
+    )
+    sk = linear_counting_sketch(df, ["g"], "v", m=4)
+    rows = sk.collect()
+    assert all(r["bucket"] is not None for r in rows)
+    out = {r["g"]: r for r in linear_counting_estimate(sk, ["g"], 4).collect()}
+    assert "h" not in out  # all-NULL group: no distribution at all
+    assert out["g"]["occupied"] <= 2  # never counts the NULL
