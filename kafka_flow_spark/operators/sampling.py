@@ -469,6 +469,57 @@ def hard_negatives(
 
     Output: (anchor_id, rank, neg_id, cos_e6, anchor_label, neg_label).
     """
+    return _bucketed_topk_pairs(
+        df, id_col, vec_col, label_col, k, dim, n_planes, seed, max_pairs,
+        same_label=False, partner="neg", op_name="hard_negatives",
+    )
+
+
+def positive_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 1,
+    dim: int = 64,
+    n_planes: int = 4,
+    seed: int = 7,
+    max_pairs: int = 20_000_000,
+) -> DataFrame:
+    """Positive-pair mining — the anchor→positive half of a contrastive
+    dataset: for every anchor, the ``k`` most-cosine-similar vectors with
+    the SAME label from its LSH sign-bucket (self excluded).  Exactly
+    ``hard_negatives`` with the label predicate flipped — same seeded
+    buckets, same FLOOR-e6 ranking, same ordered-pair volume gate, same
+    oracle story — so an anchor's positives and hard negatives come from
+    one consistent geometry (q_contrastive_dataset composes the two with
+    the uniform ring draws).
+
+    Output: (anchor_id, rank, pos_id, cos_e6, anchor_label, pos_label).
+    """
+    return _bucketed_topk_pairs(
+        df, id_col, vec_col, label_col, k, dim, n_planes, seed, max_pairs,
+        same_label=True, partner="pos", op_name="positive_pairs",
+    )
+
+
+def _bucketed_topk_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    max_pairs: int,
+    same_label: bool,
+    partner: str,
+    op_name: str,
+) -> DataFrame:
+    """Shared core of hard_negatives / positive_pairs: seeded sign-bucket
+    assignment (staged once), gated in-cell ORDERED pair scan, FLOOR-e6
+    cosine, WindowGroupLimit top-k per anchor."""
     from kafka_flow_spark.cache import scoped_persist
     from kafka_flow_spark.functions import cosine
     from kafka_flow_spark.operators.similarity import (
@@ -506,11 +557,12 @@ def hard_negatives(
     )
     if est > max_pairs:
         raise ValueError(
-            f"hard_negatives: in-cell ORDERED pair volume {est:,} exceeds "
+            f"{op_name}: in-cell ORDERED pair volume {est:,} exceeds "
             f"max_pairs={max_pairs:,} — the per-pair cosine scan would emit "
             "that many rows; raise n_planes (each plane quarters the "
             "volume) or max_pairs explicitly"
         )
+    pid, plbl = f"{partner}_id", f"{partner}_label"
     a = assigned.select(
         F.col("_id").alias("anchor_id"),
         F.col("_lbl").alias("anchor_label"),
@@ -518,24 +570,28 @@ def hard_negatives(
         "_cell",
     )
     b = assigned.select(
-        F.col("_id").alias("neg_id"),
-        F.col("_lbl").alias("neg_label"),
+        F.col("_id").alias(pid),
+        F.col("_lbl").alias(plbl),
         F.col("_v").alias("_vb"),
         "_cell",
+    )
+    match = F.col("anchor_label").eqNullSafe(F.col(plbl))
+    pred = (
+        # same-label pairs must also exclude the anchor's own row; the
+        # different-label predicate excludes self for free
+        (match & (F.col(pid) != F.col("anchor_id"))) if same_label else ~match
     )
     cos_e6 = F.floor(
         cosine(F.col("_va"), F.col("_vb")) * F.lit(1_000_000.0)
     ).cast("long")
     pairs = (
         a.join(b, "_cell")
-        .where(~F.col("anchor_label").eqNullSafe(F.col("neg_label")))
-        .select("anchor_id", "anchor_label", "neg_id", "neg_label", cos_e6.alias("cos_e6"))
+        .where(pred)
+        .select("anchor_id", "anchor_label", pid, plbl, cos_e6.alias("cos_e6"))
     )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cos_e6"), F.asc("neg_id")
-    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_e6"), F.asc(pid))
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
-        .select("anchor_id", "rank", "neg_id", "cos_e6", "anchor_label", "neg_label")
+        .select("anchor_id", "rank", pid, "cos_e6", "anchor_label", plbl)
     )

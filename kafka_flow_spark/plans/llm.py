@@ -1612,7 +1612,7 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HN_K, _HN_PLANES, _HN_SEED, _HN_DIM = 2, 12, 7, 64
 
 
-def _hard_negatives_oracle() -> str:
+def _mined_pairs_oracle(same_label: bool, partner: str, k: int) -> str:
     from kafka_flow_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(_HN_DIM, _HN_PLANES, seed=_HN_SEED)
@@ -1627,26 +1627,36 @@ def _hard_negatives_oracle() -> str:
         f"(CASE WHEN d_{i} >= 0 THEN {1 << i} ELSE 0 END)"
         for i in range(_HN_PLANES)
     )
+    pred = (
+        "a.label IS NOT DISTINCT FROM b.label AND b.vec_id != a.vec_id"
+        if same_label
+        else "a.label IS DISTINCT FROM b.label"
+    )
+    pid, plbl = f"{partner}_id", f"{partner}_label"
     return f"""
     WITH dots AS (SELECT vec_id, label, embedding, {', '.join(dot_cols)} FROM embeddings),
     v AS (SELECT vec_id, label, ({bucket}) AS cell,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
           FROM dots),
     p AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
-                 b.vec_id AS neg_id, b.label AS neg_label,
+                 b.vec_id AS {pid}, b.label AS {plbl},
                  CAST(FLOOR(
                    list_sum(list_transform(list_zip(a.e, b.e), q -> q[1] * q[2]))
                    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
                       * sqrt(list_sum(list_transform(b.e, x -> x * x))))
                    * 1000000.0) AS BIGINT) AS cos_e6
           FROM v a JOIN v b ON a.cell = b.cell
-          WHERE a.label IS DISTINCT FROM b.label)
-    SELECT anchor_id, rank, neg_id, cos_e6, anchor_label, neg_label
+          WHERE {pred})
+    SELECT anchor_id, rank, {pid}, cos_e6, anchor_label, {plbl}
     FROM (SELECT *, CAST(ROW_NUMBER() OVER (
-            PARTITION BY anchor_id ORDER BY cos_e6 DESC, neg_id) AS INT) AS rank
+            PARTITION BY anchor_id ORDER BY cos_e6 DESC, {pid}) AS INT) AS rank
           FROM p)
-    WHERE rank <= {_HN_K}
+    WHERE rank <= {k}
     """
+
+
+def _hard_negatives_oracle() -> str:
+    return _mined_pairs_oracle(same_label=False, partner="neg", k=_HN_K)
 
 
 @register("q_hard_negatives", oracle=_hard_negatives_oracle())
@@ -1668,6 +1678,25 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         e, "vec_id", "embedding", "label",
         k=_HN_K, dim=_HN_DIM, n_planes=_HN_PLANES, seed=_HN_SEED,
+    )
+
+
+@register(
+    "q_positive_pairs",
+    oracle=_mined_pairs_oracle(same_label=True, partner="pos", k=1),
+)
+def q_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive-pair mining (operators/sampling.positive_pairs): per anchor,
+    its nearest SAME-label bucket-mate by FLOOR-e6 cosine — the anchor→
+    positive half of a contrastive dataset, drawn from the same seeded
+    bucket geometry (and gated by the same ordered-pair estimate) as
+    q_hard_negatives, so the two compose into consistent training triples."""
+    from kafka_flow_spark.operators.sampling import positive_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    return positive_pairs(
+        e, "vec_id", "embedding", "label",
+        k=1, dim=_HN_DIM, n_planes=_HN_PLANES, seed=_HN_SEED,
     )
 
 

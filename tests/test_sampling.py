@@ -527,3 +527,40 @@ def test_hard_negatives_k_guard(spark):
     df = spark.createDataFrame([(1, 0, [1.0])], "vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>")
     with _pytest.raises(ValueError, match="k must be"):
         hard_negatives(df, "vec_id", "embedding", "label", k=0)
+
+
+def test_positive_pairs_same_label_excludes_self(spark):
+    """Positive mining: nearest SAME-label bucket-mate, never the anchor
+    itself; exact single-bucket run checked against python brute force."""
+    import math
+
+    from kafka_flow_spark.operators.sampling import positive_pairs
+
+    rows = _vec_rows()
+    df = spark.createDataFrame(rows, "vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>")
+    got = {
+        r["anchor_id"]: (r["pos_id"], r["cos_e6"])
+        for r in positive_pairs(
+            df, "vec_id", "embedding", "label", k=1, dim=4, n_planes=0
+        ).collect()
+    }
+
+    def cos_e6(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor(dot / (na * nb) * 1_000_000)
+
+    by_id = {i: (l, v) for i, l, v in rows}
+    for i, (lbl, v) in by_id.items():
+        cands = sorted(
+            (-cos_e6(v, v2), j)
+            for j, (l2, v2) in by_id.items()
+            if l2 == lbl and j != i
+        )
+        if not cands:
+            assert i not in got  # label 2 is a singleton: no positive exists
+        else:
+            negc, j = cands[0]
+            assert got[i] == (j, -negc)
+    assert 5 not in got  # the singleton
