@@ -1300,6 +1300,7 @@ _LM_LN, _LM_LD = 7, 10  # λ = 0.7, the interpolation weight
 
 @register(
     "q_lm_perplexity_interp",
+    bench=True,
     oracle=f"""
     WITH t AS (
       SELECT doc_id, source = 'src0' AS is_ref, {_LM_TOKS} AS toks
