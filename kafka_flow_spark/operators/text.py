@@ -129,3 +129,47 @@ def ngram_level(prev: Column, toks: Column, k: int) -> Column:
         1,
         tail_len,
     )
+
+
+# HTML entity → character pairs shared verbatim with the SQL oracle (chained
+# plain replaces, applied AFTER tag stripping; &amp; LAST so freshly decoded
+# ampersands cannot re-trigger earlier entities)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Boilerplate-free text from raw HTML — the crawl→text extraction step
+    every web-corpus pipeline runs before any quality/dedup operator here
+    (trafilatura/jusText are the C/Python tools; this is the Spark-native
+    regex core, entirely whole-stage-codegen `regexp_replace` — no UDF, no
+    parser library, scan-speed).
+
+    Stages (each pattern stays inside the syntax BOTH java.util.regex and
+    RE2/DuckDB support — the PII_PATTERNS discipline — so the whole chain is
+    oracle-mirrorable):
+    1. strip comments / <script>…</script> / <style>…</style> blocks
+       ((?is): dot-all + case-fold — script bodies span lines),
+    2. every remaining tag → one space (text in adjacent elements must not
+       concatenate into a fake token),
+    3. decode the six universal entities (module constant, &amp; last),
+    4. collapse whitespace runs and trim.
+
+    NULL html → NULL.  Lossy by design: attributes, alt-text and structure
+    drop; documents needing layout-aware extraction go through the real
+    parser offline — this is the 100 TB bulk path.
+    """
+    col = F.col(html) if isinstance(html, str) else html
+    out = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -725,3 +725,60 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flow_spark.operators.quality import token_entropy
 
     return token_entropy(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_HTML_WRAP_SQL = (
+    "'<html><!-- nav --><script>var x=1;</script>"
+    "<style>p{margin:0}</style><body><h1>Title</h1><p>' || text || "
+    "'</p><div>footer &amp; links</div></body></html>'"
+)
+
+
+@register(
+    "q_html_extract",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html
+               FROM documents WHERE text IS NOT NULL),
+    e AS (SELECT doc_id,
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(
+          regexp_replace(
+          regexp_replace(
+          regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+            '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+            '<[^>]+>', ' ', 'g'),
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', ''''), '&amp;', '&'),
+        '\\s+', ' ', 'g')) AS extracted
+      FROM h)
+    SELECT doc_id, extracted, CAST(length(extracted) AS BIGINT) AS n_chars
+    FROM e
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl→text extraction (operators/text.html_to_text): every document
+    wrapped in a deterministic HTML shell (comments, script/style blocks,
+    block tags, entities) and stripped back to text — the whole
+    comment/script/tag/entity/whitespace chain is pure codegen
+    regexp_replace, value-exact against the mirrored DuckDB chain.  The
+    shell is the fixture; the CONTRACT under test is the extraction chain a
+    raw-crawl pipeline runs at scan speed before any other operator here."""
+    from kafka_flow_spark.operators.text import html_to_text
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    html = F.concat(
+        F.lit(
+            "<html><!-- nav --><script>var x=1;</script>"
+            "<style>p{margin:0}</style><body><h1>Title</h1><p>"
+        ),
+        F.col("text"),
+        F.lit("</p><div>footer &amp; links</div></body></html>"),
+    )
+    extracted = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )

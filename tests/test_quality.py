@@ -532,3 +532,37 @@ def test_token_entropy_flags_templated_text(spark):
     df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
     out = {r["doc_id"]: r["entropy_e6"] for r in token_entropy(df, "doc_id", "text").collect()}
     assert out[1] < out[2]  # templated page scores below natural prose
+
+
+# --- HTML extraction -----------------------------------------------------------
+
+
+def test_html_to_text_hand_worked(spark):
+    from kafka_flow_spark.operators.text import html_to_text
+
+    cases = [
+        # comments, multi-line script bodies, style, nested attrs, entities
+        ("<html><!-- hidden\nnav --><script type='x'>var a=1;\nif(a<2){}</script>"
+         "<style>p { margin: 0 }</style><body><h1>Big&nbsp;Title</h1>"
+         "<p>Hello &amp; welcome</p><div class='f'>B &lt;3 &quot;q&quot; &#39;s&#39;</div></body>",
+         "Big Title Hello & welcome B <3 \"q\" 's'"),
+        ("no markup at all", "no markup at all"),
+        ("  <p>  spaced   out  </p>  ", "spaced out"),
+        ("<SCRIPT>UPPER case blocks</SCRIPT>kept", "kept"),
+        ("", ""),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i INT, h STRING"
+    )
+    got = {r["i"]: r["t"] for r in df.select("i", html_to_text("h").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_html_to_text_adjacent_elements_do_not_merge_tokens(spark):
+    from kafka_flow_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame([("<td>alpha</td><td>beta</td>",)], "h STRING")
+    [r] = df.select(html_to_text("h").alias("t")).collect()
+    assert r["t"] == "alpha beta"  # not "alphabeta"
