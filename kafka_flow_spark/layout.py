@@ -331,12 +331,22 @@ def compaction_plan(
     )
 
 
-def _norm_uri(p: str) -> str:
-    """Normalize a file URI for joining Hadoop listings against
-    ``_metadata.file_path`` (``file:/x`` vs ``file:///x``)."""
-    import re
-
-    return re.sub(r"^file:/+", "/", p)
+def _canon_uri(spark: SparkSession, p: str) -> str:
+    """Canonicalize a path/URI string through Hadoop's own
+    ``Path.toUri().toString()`` — the one normalizer that maps every
+    rendering of the same file (``file:/x``, ``file:///x``, an
+    authority-form HDFS/S3 URI from a listing vs the scan's
+    ``_metadata.file_path``) to one canonical string, for ANY scheme.
+    A hand-rolled ``^file:/+`` regex only handled the local scheme
+    (review r8).  ``Path.toUri`` alone is NOT enough — it preserves the
+    presence/absence of an empty authority (``file:/x`` vs ``file:///x``
+    stay distinct), so the rendering is pinned to ``scheme://authority/path``
+    after qualifying against the path's own FileSystem."""
+    jvm = spark.sparkContext._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(p)
+    fs = jp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    u = fs.makeQualified(jp).toUri()
+    return f"{u.getScheme()}://{u.getAuthority() or ''}{u.getPath()}"
 
 
 def list_fragments(
@@ -354,11 +364,16 @@ def list_fragments(
     fs = root.getFileSystem(hconf)
     rows = []
     it = fs.listFiles(root, True)  # recursive
-    base = _norm_uri(root.toString())
+    def render(u) -> str:
+        # the same scheme://authority/path rendering _canon_uri pins, so
+        # plan paths and canonicalized scan paths join exactly
+        return f"{u.getScheme()}://{u.getAuthority() or ''}{u.getPath()}"
+
+    base = render(fs.makeQualified(root).toUri())
     while it.hasNext():
         st = it.next()
         p = st.getPath()
-        full = _norm_uri(p.toString())
+        full = render(p.toUri())  # listing statuses are always qualified
         rel = full[len(base):].lstrip("/")
         if any(seg[:1] in ("_", ".") for seg in rel.split("/")):
             continue  # commit markers / _spark_metadata/ / hidden dirs
@@ -421,17 +436,39 @@ def compact_files(
     part_cols = part_cols or []
     frags = list_fragments(spark, src_dir, part_cols)
     plan = compaction_plan(frags, part_cols, "bytes", target_bytes)
-    n_src = frags.count()
+    plan_rows = plan.select("path", "compaction_group").collect()  # file-cardinality
+    n_src = len(plan_rows)
+    group_of = {r["path"]: r["compaction_group"] for r in plan_rows}
+    # Fail-fast fragment matching BEFORE the rewrite (review r8: the old
+    # src==dst count check caught a listing/scan URI mismatch only AFTER
+    # paying the full write).  The scan's own file identities are the join
+    # keys: collect the distinct _metadata.file_path values (one metadata-
+    # only pass, file-cardinality) and match them to the plan through the
+    # scheme-agnostic canonical form — every plan fragment must be seen by
+    # the scan and vice versa, or we refuse up front.
+    src = spark.read.parquet(src_dir)
+    scan_paths = [
+        r[0] for r in src.select(F.col("_metadata.file_path")).distinct().collect()
+    ]
+    seen = {_canon_uri(spark, p): p for p in scan_paths}
+    unmatched_plan = sorted(set(group_of) - set(seen))
+    unmatched_scan = sorted(set(seen) - set(group_of))
+    if unmatched_plan or unmatched_scan:
+        raise RuntimeError(
+            "compact_files: listing and scan disagree on the fragment set "
+            f"before any write (plan-only: {unmatched_plan[:3]}…, "
+            f"scan-only: {unmatched_scan[:3]}…) — URI scheme/authority "
+            "mismatch or a concurrent writer; refusing to rewrite"
+        )
+    # broadcast map keyed by the scan's RAW file_path strings — the join
+    # needs no per-row normalization at all
     fmap = F.broadcast(
-        plan.select(
-            F.col("path").alias("_frag_path"),
-            F.col("compaction_group").alias("_cgrp"),
+        spark.createDataFrame(
+            [(seen[c], int(g)) for c, g in group_of.items()],
+            "_frag_path STRING, _cgrp BIGINT",
         )
     )
-    df = spark.read.parquet(src_dir).withColumn(
-        "_frag_path",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
-    )
+    df = src.withColumn("_frag_path", F.col("_metadata.file_path"))
     tagged = df.join(fmap, "_frag_path").drop("_frag_path")
     # group key = partition values + group id: one task per group (step 3)
     gkey = F.concat_ws(

@@ -189,6 +189,15 @@ class _VersionedView:
         directory from a crashed batch whose id was never redelivered —
         newer uncommitted dirs are left alone, they may be an in-flight
         write).  Returns dropped versions."""
+        if keep < 1:
+            # keep=0 would delete the committed head; the next micro-batch
+            # would then see last_committed()=None and silently re-initialize
+            # the view from that single batch — silent state loss, and the
+            # foreign-checkpoint refusal would be bypassed too (review r8).
+            raise ValueError(
+                f"vacuum keep must be >= 1 (got {keep}) — the roll-forward "
+                "always needs the committed head"
+            )
         all_vs = _list_versions(spark, self.path)
         committed = [v for v, ok in all_vs if ok]
         keep_set = set(committed[-keep:]) if keep > 0 else set()

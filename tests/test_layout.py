@@ -427,6 +427,61 @@ def test_compact_files_unpartitioned_dir(spark, tmp_path):
     )
 
 
+def test_compact_files_authority_form_uri_and_canonicalizer(spark, tmp_path):
+    """src/dst given in ``file://`` authority form must compact identically —
+    the listing↔scan fragment match goes through Hadoop's Path.toUri
+    canonicalizer, not a local-scheme-only regex (review r8)."""
+    from kafka_flow_spark.layout import _canon_uri, compact_files
+
+    # the canonicalizer itself: every rendering of the same file collapses
+    assert (
+        _canon_uri(spark, "file:/x/y.parquet")
+        == _canon_uri(spark, "file:///x/y.parquet")
+        == _canon_uri(spark, "/x/y.parquet")
+    )
+    src = str(tmp_path / "src")
+    for b in range(4):
+        spark.createDataFrame(
+            [(b, i) for i in range(50)], "b BIGINT, i BIGINT"
+        ).coalesce(1).write.mode("append").parquet(src)
+    dst = str(tmp_path / "dst")
+    summary = compact_files(spark, f"file://{src}", f"file://{dst}", 10**9)
+    assert summary["dst_files"] == 1 and summary["rows"] == 200
+    assert sorted(map(tuple, spark.read.parquet(dst).collect())) == sorted(
+        map(tuple, spark.read.parquet(src).collect())
+    )
+
+
+def test_compact_files_refuses_on_fragment_mismatch_before_write(
+    spark, tmp_path, monkeypatch
+):
+    """A plan fragment the scan never reports (URI mismatch, concurrent
+    writer) must abort BEFORE the rewrite — not after paying the full write
+    (review r8)."""
+    import pytest as _pytest
+
+    import kafka_flow_spark.layout as layout
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, 2)], "a BIGINT, b BIGINT").write.parquet(src)
+    real = layout.list_fragments
+
+    def with_phantom(spark_, src_dir, part_cols=None):
+        frags = real(spark_, src_dir, part_cols)
+        phantom = spark_.createDataFrame(
+            [("file:///nowhere/phantom.parquet", 123)], "path STRING, bytes BIGINT"
+        )
+        return frags.unionByName(phantom)
+
+    monkeypatch.setattr(layout, "list_fragments", with_phantom)
+    dst = str(tmp_path / "dst")
+    with _pytest.raises(RuntimeError, match="listing and scan disagree"):
+        layout.compact_files(spark, src, dst, 10**9)
+    import os
+
+    assert not os.path.exists(dst)  # nothing was written
+
+
 def test_compaction_plan_rejects_bad_target(spark):
     import pytest as _pytest
 

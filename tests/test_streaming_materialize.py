@@ -190,6 +190,19 @@ def test_agg_view_vacuum_keeps_latest_and_clears_old_debris(spark, tmp_path):
     assert _result_rows(sink, spark) == {("a", 4, 4.0, 1.0, 1.0)}
 
 
+def test_vacuum_refuses_to_drop_the_committed_head(spark, tmp_path):
+    """keep=0 would delete the newest committed version; the next batch would
+    see no committed head and silently re-initialize the view from that one
+    batch (state loss) — the sink must refuse keep < 1 (review r8)."""
+    import pytest as _pytest
+
+    sink = MaterializedAggView(str(tmp_path / "view"), ["k"], "v")
+    sink(spark.createDataFrame([("a", 1.0)], EVENT_SCHEMA), 0)
+    with _pytest.raises(ValueError, match="keep must be >= 1"):
+        sink.vacuum(spark, keep=0)
+    assert sink.last_committed(spark) == 0
+
+
 def test_join_view_cdc_stream_restart_equals_recompute(spark, tmp_path):
     """Fact-CDC stream maintaining fact⋈dim across a restart: adds, an fk
     move, a value change and a delete; after each run the maintained view
