@@ -595,3 +595,164 @@ def _bucketed_topk_pairs(
         .where(F.col("rank") <= k)
         .select("anchor_id", "rank", pid, "cos_e6", "anchor_label", plbl)
     )
+
+
+def contrastive_dataset(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k_pos: int = 1,
+    k_hard: int = 2,
+    k_ring: int = 3,
+    dim: int = 64,
+    n_planes: int = 4,
+    seed: int = 7,
+    n_buckets: int = 64,
+    ring_salt: str = "neg-v1",
+    max_pairs: int = 20_000_000,
+) -> DataFrame:
+    """The contrastive-training capstone: one long-format dataset composing
+    the three pair miners — per anchor its ``k_pos`` nearest SAME-label
+    bucket-mates (``role='positive'``), its ``k_hard`` nearest
+    DIFFERENT-label bucket-mates (``role='hard_negative'``), and ``k_ring``
+    uniform hash-ring draws (``role='ring_negative'``) — restricted to
+    anchors that have BOTH a positive and a hard negative (a triple needs
+    all sides; ring draws alone don't qualify an anchor).
+
+    NOT a wrapper over ``positive_pairs`` + ``hard_negatives``: those each
+    pay the gated in-cell pair scan, and the two scans are identical except
+    for the label predicate.  Here ONE scan emits every non-self bucket
+    pair once, classifies it by label match, and a single
+    (anchor, role)-partitioned rank window (WindowGroupLimit) keeps the
+    per-role top-k — half the pair-scan cost of composing the operators,
+    same seeded geometry, same FLOOR-e6 ranking, same ordered-pair
+    Σ c·(c−1) scalar gate.  The ring draws reuse ``negative_samples``
+    verbatim (window over hash buckets, no vectors touched).
+
+    Determinism/oracle story: every branch is the established
+    SQL-mirrorable construction (seeded literal hyperplanes, FLOOR-e6
+    bigint cosine, md5 ring) — the composed dataset is value-exact against
+    one generated DuckDB oracle (plans/llm.q_contrastive_dataset).
+
+    Output: (anchor_id, anchor_label, role, rank, partner_id,
+    partner_label, cos_e6) — rank restarts per (anchor, role); cos_e6 is
+    NULL for ring draws (no vector math on the ring path, by design).
+    """
+    from kafka_flow_spark.cache import scoped_persist
+    from kafka_flow_spark.functions import cosine
+    from kafka_flow_spark.operators.similarity import (
+        _as_double,
+        _hyperplanes,
+        lsh_bucket,
+    )
+    from pyspark.sql import Window
+
+    for name, v in (("k_pos", k_pos), ("k_hard", k_hard), ("k_ring", k_ring)):
+        if v < 1:
+            raise ValueError(f"{name} must be >= 1, got {v}")
+    cell = (
+        lsh_bucket(F.col(vec_col), _hyperplanes(dim, n_planes, seed=seed))
+        if n_planes > 0
+        else F.lit(0)
+    )
+    assigned = scoped_persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("_lbl"),
+            _as_double(F.col(vec_col)).alias("_v"),
+            cell.alias("_cell"),
+        )
+    )
+    est = int(
+        assigned.groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("cast(_d as decimal(38,0)) * (_d - 1)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_p")
+        )
+        .collect()[0]["_p"]
+    )
+    if est > max_pairs:
+        raise ValueError(
+            f"contrastive_dataset: in-cell ORDERED pair volume {est:,} "
+            f"exceeds max_pairs={max_pairs:,} — raise n_planes (each plane "
+            "quarters the volume) or max_pairs explicitly"
+        )
+    a = assigned.select(
+        F.col("_id").alias("anchor_id"),
+        F.col("_lbl").alias("anchor_label"),
+        F.col("_v").alias("_va"),
+        "_cell",
+    )
+    b = assigned.select(
+        F.col("_id").alias("partner_id"),
+        F.col("_lbl").alias("partner_label"),
+        F.col("_v").alias("_vb"),
+        "_cell",
+    )
+    cos_e6 = F.floor(
+        cosine(F.col("_va"), F.col("_vb")) * F.lit(1_000_000.0)
+    ).cast("long")
+    role = F.when(
+        F.col("anchor_label").eqNullSafe(F.col("partner_label")),
+        F.lit("positive"),
+    ).otherwise(F.lit("hard_negative"))
+    pairs = (
+        a.join(b, "_cell")
+        .where(F.col("partner_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            role.alias("role"),
+            "partner_id",
+            "partner_label",
+            cos_e6.alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "role").orderBy(
+        F.desc("cos_e6"), F.asc("partner_id")
+    )
+    k_for = F.when(F.col("role") == "positive", F.lit(k_pos)).otherwise(
+        F.lit(k_hard)
+    )
+    mined = scoped_persist(
+        pairs.withColumn("rank", F.row_number().over(w).cast("int")).where(
+            F.col("rank") <= k_for
+        )
+    )
+    # an anchor qualifies only with BOTH mined sides present — computed from
+    # the top-k rows (small: <= k_pos + k_hard per anchor), reused twice,
+    # hence the persist above
+    qualified = (
+        mined.groupBy("anchor_id")
+        .agg(
+            F.max((F.col("role") == "positive").cast("int")).alias("_hp"),
+            F.max((F.col("role") == "hard_negative").cast("int")).alias("_hn"),
+        )
+        .where((F.col("_hp") == 1) & (F.col("_hn") == 1))
+        .select("anchor_id")
+    )
+    ring = negative_samples(
+        df, id_col, k=k_ring, label_col=label_col, n_buckets=n_buckets,
+        salt=ring_salt,
+    ).select(
+        F.col("anchor_id"),
+        F.col("anchor_label"),
+        F.lit("ring_negative").alias("role"),
+        F.col("j").cast("int").alias("rank"),
+        F.col("neg_id").alias("partner_id"),
+        F.col("neg_label").alias("partner_label"),
+        F.lit(None).cast("long").alias("cos_e6"),
+    )
+    out_cols = [
+        "anchor_id", "anchor_label", "role", "rank",
+        "partner_id", "partner_label", "cos_e6",
+    ]
+    return (
+        mined.select(*out_cols)
+        .unionByName(ring.select(*out_cols))
+        .join(qualified, "anchor_id", "left_semi")
+    )

@@ -1701,6 +1701,102 @@ def q_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contrastive_oracle() -> str:
+    """Generated oracle for the composed contrastive dataset: the literal-
+    plane mined halves (one pair scan, role-classified, per-role rank) UNION
+    ALL the md5 hash-ring draws, gated to anchors holding both mined sides."""
+    from kafka_flow_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_HN_DIM, _HN_PLANES, seed=_HN_SEED)
+    dot_cols = []
+    for i in range(_HN_PLANES):
+        chain = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({planes[i][d]!r})"
+            for d in range(_HN_DIM)
+        )
+        dot_cols.append(f"({chain}) AS d_{i}")
+    bucket = " + ".join(
+        f"(CASE WHEN d_{i} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_HN_PLANES)
+    )
+    return f"""
+    WITH dots AS (SELECT vec_id, label, embedding, {', '.join(dot_cols)} FROM embeddings),
+    v AS (SELECT vec_id, label, ({bucket}) AS cell,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM dots),
+    p AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                 CASE WHEN a.label IS NOT DISTINCT FROM b.label
+                      THEN 'positive' ELSE 'hard_negative' END AS role,
+                 b.vec_id AS partner_id, b.label AS partner_label,
+                 CAST(FLOOR(
+                   list_sum(list_transform(list_zip(a.e, b.e), q -> q[1] * q[2]))
+                   / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.e, x -> x * x))))
+                   * 1000000.0) AS BIGINT) AS cos_e6
+          FROM v a JOIN v b ON a.cell = b.cell
+          WHERE b.vec_id != a.vec_id),
+    m AS (SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY anchor_id, role ORDER BY cos_e6 DESC, partner_id) AS INT) AS rank
+          FROM p),
+    mk AS (SELECT anchor_id, anchor_label, role, rank, partner_id,
+                  partner_label, cos_e6
+           FROM m
+           WHERE (role = 'positive' AND rank <= {_CD_K_POS})
+              OR (role = 'hard_negative' AND rank <= {_CD_K_HARD})),
+    r AS (
+      SELECT vec_id, label,
+             {_fold6_llm("'neg-v1:b:' || CAST(vec_id AS VARCHAR)")} % {_NEG_B} AS b,
+             substring(md5('neg-v1:p:' || CAST(vec_id AS VARCHAR)), 1, 6) AS p
+      FROM embeddings),
+    rk AS (SELECT vec_id, label, b, p,
+                  ROW_NUMBER() OVER (PARTITION BY b ORDER BY p, vec_id) AS r,
+                  COUNT(*) OVER (PARTITION BY b) AS n
+           FROM r),
+    ra AS (SELECT vec_id AS anchor_id, label AS anchor_label, b, r, n,
+                  UNNEST([{", ".join(str(j) for j in range(1, _NEG_K + 1))}]) AS j
+           FROM rk),
+    rt AS (SELECT anchor_id, anchor_label, b, j, ((r - 1 + j) % n) + 1 AS tr
+           FROM ra WHERE j <= n - 1),
+    ring AS (SELECT rt.anchor_id, rt.anchor_label,
+                    'ring_negative' AS role, CAST(rt.j AS INT) AS rank,
+                    p2.vec_id AS partner_id, p2.label AS partner_label,
+                    CAST(NULL AS BIGINT) AS cos_e6
+             FROM rt JOIN rk p2 ON p2.b = rt.b AND p2.r = rt.tr
+             WHERE p2.vec_id != rt.anchor_id
+               AND rt.anchor_label IS DISTINCT FROM p2.label),
+    q AS (SELECT anchor_id FROM mk GROUP BY anchor_id
+          HAVING BOOL_OR(role = 'positive') AND BOOL_OR(role = 'hard_negative'))
+    SELECT u.anchor_id, u.anchor_label, u.role, u.rank, u.partner_id,
+           u.partner_label, u.cos_e6
+    FROM (SELECT * FROM mk UNION ALL SELECT * FROM ring) u
+    JOIN q USING (anchor_id)
+    """
+
+
+_CD_K_POS, _CD_K_HARD = 1, 2
+
+
+@register("q_contrastive_dataset", oracle=_contrastive_oracle())
+def q_contrastive_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contrastive-training capstone (operators/sampling.
+    contrastive_dataset): anchors with their top-1 same-label positive,
+    top-2 cross-label hard negatives, and 3 uniform hash-ring negatives in
+    ONE long-format dataset, restricted to anchors holding both mined
+    sides.  One gated in-cell pair scan serves BOTH mined roles (half the
+    scan cost of composing q_positive_pairs + q_hard_negatives); the ring
+    draws reuse q_negative_samples' md5 ring untouched.  Same seeded plane
+    geometry and FLOOR-e6 ranking as the component queries — the composed
+    output is value-exact against one generated DuckDB oracle."""
+    from kafka_flow_spark.operators.sampling import contrastive_dataset
+
+    e = load(spark, sf_dir, "embeddings")
+    return contrastive_dataset(
+        e, "vec_id", "embedding", "label",
+        k_pos=_CD_K_POS, k_hard=_CD_K_HARD, k_ring=_NEG_K,
+        dim=_HN_DIM, n_planes=_HN_PLANES, seed=_HN_SEED, n_buckets=_NEG_B,
+    )
+
+
 # --- embedding drift (exact centroid shift between snapshots) ----------------
 
 

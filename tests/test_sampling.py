@@ -564,3 +564,70 @@ def test_positive_pairs_same_label_excludes_self(spark):
             negc, j = cands[0]
             assert got[i] == (j, -negc)
     assert 5 not in got  # the singleton
+
+
+def test_contrastive_dataset_equals_composed_miners(spark):
+    """Differential: the one-scan capstone must equal composing
+    positive_pairs + hard_negatives + negative_samples with the same
+    geometry, restricted to anchors holding both mined sides — the single
+    pair scan changes the cost, not the semantics."""
+    from kafka_flow_spark.operators.sampling import (
+        contrastive_dataset,
+        hard_negatives,
+        negative_samples,
+        positive_pairs,
+    )
+
+    rows = [(i, i % 3, [float((i * 7 + d * 13) % 11 - 5) for d in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>")
+    kw = dict(dim=8, n_planes=3, seed=7)
+    got = sorted(
+        map(
+            tuple,
+            contrastive_dataset(
+                df, "vec_id", "embedding", "label",
+                k_pos=1, k_hard=2, k_ring=2, n_buckets=8, **kw,
+            ).collect(),
+        )
+    )
+    pos = {
+        (r["anchor_id"], "positive", r["rank"]): (r["pos_id"], r["pos_label"], r["cos_e6"])
+        for r in positive_pairs(df, "vec_id", "embedding", "label", k=1, **kw).collect()
+    }
+    hard = {
+        (r["anchor_id"], "hard_negative", r["rank"]): (r["neg_id"], r["neg_label"], r["cos_e6"])
+        for r in hard_negatives(df, "vec_id", "embedding", "label", k=2, **kw).collect()
+    }
+    ring = {
+        (r["anchor_id"], "ring_negative", r["j"]): (r["neg_id"], r["neg_label"], None)
+        for r in negative_samples(df, "vec_id", k=2, label_col="label", n_buckets=8).collect()
+    }
+    ok = {a for (a, _, _) in pos} & {a for (a, _, _) in hard}
+    lbl = {i: l for i, l, _ in rows}
+    want = sorted(
+        (a, lbl[a], role, rank, pid, plbl, c)
+        for d in (pos, hard, ring)
+        for (a, role, rank), (pid, plbl, c) in d.items()
+        if a in ok
+    )
+    assert got == want and len(got) > 0
+    # every qualified anchor carries all three roles
+    roles_by_anchor = {}
+    for a, _, role, *_ in got:
+        roles_by_anchor.setdefault(a, set()).add(role)
+    assert all(
+        {"positive", "hard_negative"} <= s for s in roles_by_anchor.values()
+    )
+
+
+def test_contrastive_dataset_k_guard(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.sampling import contrastive_dataset
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0])], "vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>"
+    )
+    with _pytest.raises(ValueError, match="k_ring must be"):
+        contrastive_dataset(df, "vec_id", "embedding", "label", k_ring=0)
