@@ -39,6 +39,28 @@ def scoped_persist(
     return out
 
 
+def mark() -> int:
+    """Current tracking position — pair with ``release_since`` to scope
+    persists to one unit of work (e.g. one foreachBatch invocation) inside
+    a long-lived session where nobody calls ``release_all``."""
+    return len(_TRACKED)
+
+
+def release_since(pos: int, blocking: bool = True) -> int:
+    """Unpersist every handle registered after ``mark()`` returned ``pos``
+    — the streaming-sink scope: a per-batch cache must not outlive its
+    micro-batch or a week-long stream accumulates one cache per batch."""
+    n = 0
+    while len(_TRACKED) > pos:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to free
+    return n
+
+
 def release_all(blocking: bool = True) -> int:
     """Unpersist every tracked cache; returns how many were tracked.
 

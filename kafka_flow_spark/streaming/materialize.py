@@ -36,13 +36,46 @@ parquet log, and the batch_id ties them together — the same
 offsets-never-ahead-of-state contract the reference builds from Kafka commits
 (SURVEY.md §3.2), here built from Spark's replay + idempotent sink.
 
-Scale shape: each micro-batch costs |Δ| + |touched groups| (agg) or
+Delta-proportional WRITES (the r8-review scale fix)
+---------------------------------------------------
+Compute was always delta-sized, but the r8 sinks REWROTE every row-level
+snapshot (``base``/``fact``/``view``) in full per micro-batch — a
+100 TB-view killer on the write path.  Now every row-level table is
+HASH-BUCKETED by its primary key (``pmod(xxhash64(pk), n_buckets)``) and a
+version writes only the buckets its delta touches:
+
+- each version's table dir holds ``_bkt=<b>/`` parquet dirs for the buckets
+  REWRITTEN at that version, plus a ``_BUCKET_MANIFEST.json`` mapping EVERY
+  live bucket to the version whose dir holds its current data (absolute
+  pointers, not a delta chain — reading a version opens exactly the dirs
+  its own manifest names);
+- untouched buckets are carried forward by manifest POINTER, not by copy —
+  the Spark-native form of the reference's dirty-keys-only write-behind
+  flush (core/.../persistence/Persistence.scala:100-137, snapshot
+  value-dedup core/.../snapshot/Snapshots.scala:67-121: only what changed
+  hits storage);
+- per-batch bytes written ∝ |touched buckets| ≈ |Δ| · ceil(|table| /
+  n_buckets) in the worst case of all-distinct delta buckets — pinned by a
+  bytes-counting multi-batch test, NOT ∝ |table|;
+- ``vacuum`` keeps the transitive closure of manifest-referenced versions,
+  so every committed version that remains on disk stays fully readable.
+
+Group-bounded tables (the agg ``state``, the linear-counting ``sketch``)
+stay full-write: their cardinality is the view's OUTPUT cardinality, the
+thing the user asked to keep small, and a full write is one file per
+version — simpler and cheap by construction.
+
+Scale shape: each micro-batch costs |Δ| + |touched groups| compute (agg) or
 |Δ|-sized joins + per-table scans with delta-keyed semi/anti joins (join
-view) — never a recompute over history.  Old versions are retained for
-time travel / debugging; ``vacuum(keep=n)`` prunes them.
+view) — never a recompute over history — and writes only delta-touched
+buckets.  Old versions are retained for time travel / debugging;
+``vacuum(keep=n)`` prunes them.
 """
 
 from __future__ import annotations
+
+import json
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,10 +86,22 @@ from kafka_flow_spark.operators.incremental import (
     agg_result,
     agg_state,
     apply_changeset,
+    changeset,
     maintain_join_view,
 )
 
 _VIEW_COMMIT = "_VIEW_COMMIT"
+_MANIFEST = "_BUCKET_MANIFEST.json"
+
+
+@dataclass
+class BucketPatch:
+    """A bucketed table's advance: rewrite exactly ``touched`` buckets with
+    ``rows`` (which must contain ONLY rows hashing into those buckets);
+    every other bucket carries forward by manifest pointer."""
+
+    touched: list[int]
+    rows: DataFrame
 
 
 def _fs(spark: SparkSession, path: str):
@@ -108,29 +153,215 @@ class _VersionedView:
     """Shared versioned-commit machinery: a view root holding
     ``v=<batch_id>/<table>/`` parquet directories plus a commit marker per
     version.  Subclasses implement ``_initial`` (first batch) and ``_advance``
-    (committed state + batch → new tables dict)."""
+    (committed state + batch → new tables dict); tables named in
+    ``bucketed`` are hash-bucketed by their pk and may advance with a
+    ``BucketPatch`` (rewrite touched buckets only)."""
 
     tables: list[str] = []
+    bucketed: dict[str, list[str]] = {}
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, n_buckets: int = 64):
         self.path = path
+        self.n_buckets = n_buckets
+
+    # -- bucketing ----------------------------------------------------------
+    def _bkt(self, pk: list[str]) -> F.Column:
+        return F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(self.n_buckets))
+
+    def touched_buckets(self, df: DataFrame, pk: list[str]) -> list[int]:
+        """The bucket ids a delta's keys hash into — a bounded collect
+        (≤ n_buckets ints), the write-planning scalar gate."""
+        return sorted(
+            int(r["_b"])
+            for r in df.select(self._bkt(pk).alias("_b")).distinct().collect()
+        )
+
+    def _in_buckets(self, df: DataFrame, pk: list[str], buckets: list[int]) -> DataFrame:
+        return df.where(self._bkt(pk).isin([int(b) for b in buckets]))
 
     # -- versioned-table plumbing ------------------------------------------
     def last_committed(self, spark: SparkSession) -> int | None:
         vs = _committed_versions(spark, self.path)
         return vs[-1] if vs else None
 
+    def _manifest(self, spark: SparkSession, version: int, table: str) -> dict | None:
+        """The bucket manifest of ``table`` at ``version`` — None for a
+        pre-bucketing (legacy full-write) version directory."""
+        fs, jvm = _fs(spark, self.path)
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/v={version}/{table}/{_MANIFEST}"
+        )
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )  # commons-io ships with Spark; avoids a per-byte py4j loop
+            return json.loads(text)
+        finally:
+            stream.close()
+
+    def _write_manifest(
+        self, spark: SparkSession, version: int, table: str, man: dict
+    ) -> None:
+        fs, jvm = _fs(spark, self.path)
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{self.path}/v={version}/{table}/{_MANIFEST}"
+            ),
+            True,
+        )
+        try:
+            out.write(bytearray(json.dumps(man).encode("utf-8")))
+        finally:
+            out.close()
+
+    def _list_bucket_dirs(self, spark: SparkSession, version: int, table: str) -> list[int]:
+        fs, jvm = _fs(spark, self.path)
+        d = jvm.org.apache.hadoop.fs.Path(f"{self.path}/v={version}/{table}")
+        out = []
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("_bkt="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
     def _read(self, spark: SparkSession, version: int, table: str) -> DataFrame:
+        if table in self.bucketed:
+            man = self._manifest(spark, version, table)
+            if man is not None:
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(json.loads(man["schema"]))
+                paths = [
+                    f"{self.path}/v={v}/{table}/_bkt={b}"
+                    for b, v in man["buckets"].items()
+                ]
+                if not paths:
+                    return spark.createDataFrame([], schema)
+                return spark.read.schema(schema).parquet(*paths)
+            # legacy full-write dir (pre-bucketing layout): plain read —
+            # the next advance migrates it to the bucketed layout
         return spark.read.parquet(f"{self.path}/v={version}/{table}")
 
+    def _write_bucketed_full(
+        self, spark: SparkSession, version: int, table: str, rows: DataFrame
+    ) -> None:
+        """Write EVERY bucket of a bucketed table at ``version`` (initial
+        batch, or the one-time migration off a legacy full-write dir)."""
+        from pyspark.sql.types import StructField, StructType
+
+        pk = self.bucketed[table]
+        # pin the manifest schema all-nullable: parquet round-trips are
+        # nullable anyway, and a non-nullable literal column in the first
+        # batch must not tighten the contract every later read is held to
+        schema_json = StructType(
+            [StructField(f.name, f.dataType, True) for f in rows.schema.fields]
+        ).json()
+        tagged = rows.withColumn("_bkt", self._bkt(pk))
+        (
+            tagged.repartition("_bkt")
+            .write.mode("overwrite")
+            .partitionBy("_bkt")
+            .parquet(f"{self.path}/v={version}/{table}")
+        )
+        present = self._list_bucket_dirs(spark, version, table)
+        self._write_manifest(
+            spark,
+            version,
+            table,
+            {
+                "n_buckets": self.n_buckets,
+                "schema": schema_json,
+                "buckets": {str(b): version for b in present},
+            },
+        )
+
+    def _write_bucketed_patch(
+        self,
+        spark: SparkSession,
+        version: int,
+        prev: int,
+        table: str,
+        patch: BucketPatch,
+    ) -> None:
+        """Rewrite only ``patch.touched`` buckets; every other bucket's
+        manifest pointer carries forward from the committed ``prev``
+        version.  An absent pointer means the bucket is empty."""
+        prev_man = self._manifest(spark, prev, table)
+        if prev_man is None:
+            # legacy full-write predecessor: migrate in one full bucketed
+            # write — untouched buckets from the legacy dir + the patch rows
+            legacy = spark.read.parquet(f"{self.path}/v={prev}/{table}")
+            pk = self.bucketed[table]
+            carried = legacy.where(
+                ~self._bkt(pk).isin([int(b) for b in patch.touched])
+            )
+            self._write_bucketed_full(
+                spark, version, table, carried.unionByName(patch.rows)
+            )
+            return
+        if int(prev_man["n_buckets"]) != self.n_buckets:
+            raise ValueError(
+                f"materialized view table {table!r} at {self.path} was "
+                f"bucketed with n_buckets={prev_man['n_buckets']} but this "
+                f"sink is configured with n_buckets={self.n_buckets} — the "
+                "bucket function must be stable for pointer carry-forward; "
+                "recreate the view to re-bucket"
+            )
+        schema_json = prev_man["schema"]
+        pk = self.bucketed[table]
+        tagged = patch.rows.withColumn("_bkt", self._bkt(pk))
+        (
+            tagged.repartition("_bkt")
+            .write.mode("overwrite")
+            .partitionBy("_bkt")
+            .parquet(f"{self.path}/v={version}/{table}")
+        )
+        present = set(self._list_bucket_dirs(spark, version, table))
+        stray = present - {int(b) for b in patch.touched}
+        if stray:
+            raise ValueError(
+                f"BucketPatch for {table!r} wrote rows into undeclared "
+                f"buckets {sorted(stray)} — the patch rows must hash only "
+                "into its touched set"
+            )
+        buckets = dict(prev_man["buckets"])
+        for b in patch.touched:
+            buckets.pop(str(int(b)), None)  # touched-and-now-empty: drop
+        for b in present:
+            buckets[str(b)] = version
+        self._write_manifest(
+            spark,
+            version,
+            table,
+            {
+                "n_buckets": self.n_buckets,
+                "schema": schema_json,
+                "buckets": buckets,
+            },
+        )
+
     def _write_all(
-        self, spark: SparkSession, version: int, frames: dict[str, DataFrame]
+        self,
+        spark: SparkSession,
+        version: int,
+        frames: dict[str, DataFrame | BucketPatch],
+        prev: int | None = None,
     ) -> None:
         assert set(frames) == set(self.tables)
         for t in self.tables:
-            # overwrite: a torn, uncommitted attempt at this version from a
-            # previous incarnation must not poison the retry
-            frames[t].write.mode("overwrite").parquet(f"{self.path}/v={version}/{t}")
+            f = frames[t]
+            if isinstance(f, BucketPatch):
+                assert t in self.bucketed and prev is not None
+                self._write_bucketed_patch(spark, version, prev, t, f)
+            elif t in self.bucketed:
+                self._write_bucketed_full(spark, version, t, f)
+            else:
+                # overwrite: a torn, uncommitted attempt at this version from
+                # a previous incarnation must not poison the retry
+                f.write.mode("overwrite").parquet(f"{self.path}/v={version}/{t}")
         _commit_version(spark, self.path, version)  # commit point, written last
 
     # -- the foreachBatch hook ---------------------------------------------
@@ -156,12 +387,18 @@ class _VersionedView:
                 "relocated?); keep checkpoint and view together, or point "
                 "the new stream at a fresh view path"
             )
-        if last is None:
-            frames = self._initial(batch)
-        else:
-            committed = {t: self._read(spark, last, t) for t in self.tables}
-            frames = self._advance(committed, batch)
-        self._write_all(spark, batch_id, frames)
+        from kafka_flow_spark.cache import mark, release_since
+
+        pos = mark()  # scope any _advance persist to THIS micro-batch
+        try:
+            if last is None:
+                frames = self._initial(batch)
+            else:
+                committed = {t: self._read(spark, last, t) for t in self.tables}
+                frames = self._advance(committed, batch)
+            self._write_all(spark, batch_id, frames, prev=last)
+        finally:
+            release_since(pos)
 
     def versions(self, spark: SparkSession) -> list[int]:
         """Committed versions available for time travel, oldest first."""
@@ -188,7 +425,14 @@ class _VersionedView:
         UNCOMMITTED debris older than the newest committed version (a torn
         directory from a crashed batch whose id was never redelivered —
         newer uncommitted dirs are left alone, they may be an in-flight
-        write).  Returns dropped versions."""
+        write).  Returns dropped versions.
+
+        Bucketed tables share storage across versions by manifest pointer,
+        so a kept version may read buckets out of an OLDER version's dir:
+        the TRANSITIVE closure of manifest-referenced versions survives too
+        (every committed version still on disk stays fully readable — the
+        Delta-style rule that data files referenced by a live snapshot are
+        not vacuumable)."""
         if keep < 1:
             # keep=0 would delete the committed head; the next micro-batch
             # would then see last_committed()=None and silently re-initialize
@@ -200,7 +444,19 @@ class _VersionedView:
             )
         all_vs = _list_versions(spark, self.path)
         committed = [v for v, ok in all_vs if ok]
-        keep_set = set(committed[-keep:]) if keep > 0 else set()
+        keep_set = set(committed[-keep:])
+        if self.bucketed:
+            frontier = list(keep_set)
+            while frontier:
+                v = frontier.pop()
+                for t in self.bucketed:
+                    man = self._manifest(spark, v, t)
+                    if man is None:
+                        continue
+                    for ref in set(man["buckets"].values()):
+                        if ref not in keep_set:
+                            keep_set.add(ref)
+                            frontier.append(ref)
         head = committed[-1] if committed else None
         drop = [
             v
@@ -235,10 +491,14 @@ class MaterializedAggView(_VersionedView):
       (carry ``status`` ∈ added/changed/deleted + full new values); the sink
       also maintains the BASE snapshot (needed to retract old contributions
       and recompute touched groups' min/max) and advances by
-      ``agg_maintain`` + ``apply_changeset``.  Changeset contract: at most
-      ONE row per pk per micro-batch (a CDC burst with several versions of
-      a key in one batch must be collapsed last-wins upstream — the same
-      requirement ``changeset()`` output satisfies by construction).
+      ``agg_maintain`` + ``apply_changeset``.  The base is HASH-BUCKETED by
+      ``row_pk``: a micro-batch rewrites only the buckets its pks hash into
+      (bytes ∝ |Δ|-touched buckets, never ∝ |base| — the r8-review write-
+      amplification fix); the group-bounded ``state`` stays full-write.
+      Changeset contract: at most ONE row per pk per micro-batch (a CDC
+      burst with several versions of a key in one batch must be collapsed
+      last-wins upstream — the same requirement ``changeset()`` output
+      satisfies by construction).
 
     ``result(spark)`` finalizes the committed state into the user-facing
     aggregate exactly as a full recompute would (same unscaled-cents
@@ -252,10 +512,12 @@ class MaterializedAggView(_VersionedView):
         keys: list[str],
         value_col: str,
         row_pk: list[str] | None = None,
+        n_buckets: int = 64,
     ):
-        super().__init__(path)
+        super().__init__(path, n_buckets)
         self.keys, self.value_col, self.row_pk = list(keys), value_col, row_pk
         self.tables = ["state"] + (["base"] if row_pk is not None else [])
+        self.bucketed = {"base": list(row_pk)} if row_pk is not None else {}
 
     def _initial(self, batch: DataFrame) -> dict[str, DataFrame]:
         if self.row_pk is None:
@@ -263,7 +525,7 @@ class MaterializedAggView(_VersionedView):
         rows = batch.where(F.col("status") != "deleted").drop("status")
         return {"state": agg_state(rows, self.keys, self.value_col), "base": rows}
 
-    def _advance(self, committed, batch) -> dict[str, DataFrame]:
+    def _advance(self, committed, batch) -> dict[str, DataFrame | BucketPatch]:
         if self.row_pk is None:
             return {
                 "state": agg_merge(
@@ -271,11 +533,18 @@ class MaterializedAggView(_VersionedView):
                 )
             }
         base = committed["base"]
+        # agg_maintain must see the FULL base (min/max recompute reaches any
+        # row of an affected GROUP, and a group's rows live in any bucket) —
+        # the read is scan-cost; only the WRITE is bucket-restricted
+        touched = self.touched_buckets(batch, self.row_pk)
+        new_base_touched = apply_changeset(
+            self._in_buckets(base, self.row_pk, touched), batch, self.row_pk
+        )
         return {
             "state": agg_maintain(
                 committed["state"], base, batch, self.keys, self.row_pk, self.value_col
             ),
-            "base": apply_changeset(base, batch, self.row_pk),
+            "base": BucketPatch(touched, new_base_touched),
         }
 
     def state(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -294,25 +563,44 @@ class MaterializedAggView(_VersionedView):
 
 class MaterializedJoinView(_VersionedView):
     """Streaming-maintained INNER fact⋈dim join view: the fact side arrives
-    as a CDC stream (``changeset()`` rows), the dim side is read from
-    ``dim_path``.  Contract: the dim content must be STABLE across batches —
-    an in-place dim edit without a corresponding delta would join new dim
-    values onto changed fact rows while untouched view rows keep the old
-    ones (a mixed view).  Evolve the dim by feeding its ``changeset()`` as
-    a ``delta_b`` (extend ``_advance`` — the batch operator
-    ``maintain_join_view`` already takes two-sided deltas).
+    as a CDC stream (``changeset()`` rows); the dim side is read from
+    ``dim_path`` and DIFFED against the view's own stored dim snapshot every
+    batch, so a slowly-changing dim evolves the view incrementally — both
+    deltas feed ``maintain_join_view`` (two-sided maintenance, the r8-review
+    gap: the batch operator always took a dim delta, the sink used to pin it
+    empty and require a frozen dim).  An in-place dim edit is therefore
+    PICKED UP, not forbidden — at the next fact micro-batch (the dim diff
+    rides the fact stream's trigger; a dim-only change with no fact traffic
+    waits for one).
 
-    Maintains two tables per version: the view itself and the fact snapshot
-    (needed to find unchanged fact rows whose dim side changes later and to
-    apply the next delta).  Advance = ``maintain_join_view`` with an empty
-    dim delta — NO full A⋈B re-join, ever; per-batch cost is |Δ|-sized joins
-    plus delta-keyed anti joins over the view/fact scans.
+    Maintains three tables per version: the view, the fact snapshot (to find
+    unchanged fact rows whose dim side changes later and to apply the next
+    delta) and the dim snapshot (the diff baseline).  All three are
+    HASH-BUCKETED (view/fact by ``a_pk``, dim by ``b_pk``) and each batch
+    rewrites only delta-touched buckets; a dim delta's touched view buckets
+    come from the fact rows its keys hit (one semi-join over the fact scan —
+    read is scan-cost, WRITE stays delta-proportional).  NO full A⋈B re-join,
+    ever; per-batch compute is |Δ|-sized joins plus delta-keyed anti/semi
+    joins over the view/fact/dim scans, plus the dim-sized diff.
     """
 
-    def __init__(self, path: str, dim_path: str, a_pk: list[str], fk: str, b_pk: str):
-        super().__init__(path)
+    def __init__(
+        self,
+        path: str,
+        dim_path: str,
+        a_pk: list[str],
+        fk: str,
+        b_pk: str,
+        n_buckets: int = 64,
+    ):
+        super().__init__(path, n_buckets)
         self.dim_path, self.a_pk, self.fk, self.b_pk = dim_path, list(a_pk), fk, b_pk
-        self.tables = ["view", "fact"]
+        self.tables = ["view", "fact", "dim"]
+        self.bucketed = {
+            "view": list(a_pk),
+            "fact": list(a_pk),
+            "dim": [b_pk],
+        }
 
     def _dim(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.dim_path)
@@ -332,17 +620,53 @@ class MaterializedJoinView(_VersionedView):
             empty_view, empty_fact, batch, dim, self._empty_dim_delta(dim),
             self.a_pk, self.fk, self.b_pk,
         )
-        return {"view": view, "fact": fact}
+        return {"view": view, "fact": fact, "dim": dim}
 
-    def _advance(self, committed, batch) -> dict[str, DataFrame]:
-        dim = self._dim(batch.sparkSession)
+    def _advance(self, committed, batch) -> dict[str, DataFrame | BucketPatch]:
+        from kafka_flow_spark.cache import scoped_persist
+
+        spark = batch.sparkSession
+        dim_old = committed["dim"]
+        # the dim delta: diff the current dim source against the stored
+        # snapshot (ONE full-outer key join at dim cardinality); persisted
+        # because maintain_join_view + the touched-bucket plan reuse it
+        delta_b = scoped_persist(
+            changeset(dim_old, self._dim(spark), [self.b_pk])
+        )
         fact = committed["fact"]
+        touched_fact = self.touched_buckets(batch, self.a_pk)
+        # view rows a dim change touches: every fact row whose fk is in the
+        # dim delta (view ⊆ fact⋈dim, so this covers dropped, changed AND
+        # newly-joining view rows); their a_pk buckets join the rewrite set
+        b_keys = delta_b.select(self.b_pk).distinct()
+        hit_a = fact.join(
+            b_keys.withColumnRenamed(self.b_pk, self.fk), [self.fk], "left_semi"
+        )
+        touched_view = sorted(
+            set(touched_fact) | set(self.touched_buckets(hit_a, self.a_pk))
+        )
+        # maintenance restricted to the rewrite set: rows outside it are
+        # untouched by BOTH deltas (fact delta by bucket construction; dim
+        # delta because every hit row's bucket is in the set)
+        view_t = self._in_buckets(committed["view"], self.a_pk, touched_view)
+        fact_t = self._in_buckets(fact, self.a_pk, touched_view)
+        new_view_t = maintain_join_view(
+            view_t, fact_t, batch, dim_old, delta_b,
+            self.a_pk, self.fk, self.b_pk,
+        )
+        new_fact_t = apply_changeset(
+            self._in_buckets(fact, self.a_pk, touched_fact), batch, self.a_pk
+        )
+        touched_dim = self.touched_buckets(delta_b, [self.b_pk])
+        new_dim_t = apply_changeset(
+            self._in_buckets(dim_old, [self.b_pk], touched_dim),
+            delta_b,
+            [self.b_pk],
+        )
         return {
-            "view": maintain_join_view(
-                committed["view"], fact, batch, dim, self._empty_dim_delta(dim),
-                self.a_pk, self.fk, self.b_pk,
-            ),
-            "fact": apply_changeset(fact, batch, self.a_pk),
+            "view": BucketPatch(touched_view, new_view_t),
+            "fact": BucketPatch(touched_fact, new_fact_t),
+            "dim": BucketPatch(touched_dim, new_dim_t),
         }
 
     def view(self, spark: SparkSession, version: int | None = None) -> DataFrame:

@@ -350,3 +350,192 @@ def test_sketch_view_stream_restart_equals_whole_corpus_sketch(spark, tmp_path):
     assert got == {tuple(r) for r in whole.collect()} and len(got) == 2
     # state stays capped: at most groups*m rows regardless of stream volume
     assert sink.sketch(spark).count() <= 2 * 512
+
+
+def _dir_bytes(root):
+    import os
+
+    total = 0
+    for r, _, files in os.walk(root):
+        for f in files:
+            total += os.path.getsize(os.path.join(r, f))
+    return total
+
+
+def _bucket_dirs(path, version, table):
+    import os
+
+    d = f"{path}/v={version}/{table}"
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(n.split("=", 1)[1]) for n in os.listdir(d) if n.startswith("_bkt=")
+    )
+
+
+def test_cdc_view_write_is_delta_proportional(spark, tmp_path):
+    """THE r8-review scale fix: a small CDC delta against a big base must
+    rewrite only its touched buckets — bucket-dir count per version == the
+    delta's bucket count (not n_buckets), version bytes a small fraction of
+    the initial snapshot's — while the maintained result stays exact."""
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=32)
+    # batch 0: a 3000-row base across all 32 buckets
+    rows0 = [(i, f"g{i % 7}", float(i % 100), "added") for i in range(3000)]
+    sink(spark.createDataFrame(rows0, CDC_SCHEMA), 0)
+    assert len(_bucket_dirs(path, 0, "base")) == 32
+    base_bytes = _dir_bytes(f"{path}/v=0/base")
+
+    # batches 1..3: 2-row deltas — each version dir must hold <= 2 buckets
+    snap = {i: (f"g{i % 7}", float(i % 100)) for i in range(3000)}
+    for b in range(1, 4):
+        pk1, pk2 = b * 17, b * 911
+        delta = [
+            (pk1, "gX", 1000.0 + b, "changed"),
+            (pk2, None, None, "deleted"),
+        ]
+        snap[pk1] = ("gX", 1000.0 + b)
+        snap.pop(pk2, None)
+        sink(spark.createDataFrame(delta, CDC_SCHEMA), b)
+        touched = _bucket_dirs(path, b, "base")
+        assert 1 <= len(touched) <= 2, touched
+        assert _dir_bytes(f"{path}/v={b}/base") < base_bytes / 4
+
+    # and the maintained aggregate still equals the full recompute
+    import collections
+
+    want = collections.defaultdict(list)
+    for k, v in snap.values():
+        want[k].append(v)
+    expect = {
+        (k, len(vs), round(sum(vs), 2), min(vs), max(vs))
+        for k, vs in want.items()
+    }
+    assert _result_rows(sink, spark) == expect
+    # the recovered base (manifest multi-version read) equals the snapshot
+    got_base = {
+        r["pk"]: (r["k"], r["v"])
+        for r in sink._read(spark, 3, "base").collect()
+    }
+    assert got_base == snap
+
+
+def test_join_view_two_sided_dim_deltas_across_restart(spark, tmp_path):
+    """r8-review gap: an in-place dim edit (value change, delete, insert)
+    between micro-batches must evolve the view incrementally — fact CDC +
+    dim CDC applied across a restart == full recompute on the final
+    snapshots."""
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(10, "red"), (20, "blue"), (30, "green")], "b_pk BIGINT, color STRING"
+    ).write.parquet(dim_path)
+    sink = MaterializedJoinView(
+        str(tmp_path / "view"), dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk",
+        n_buckets=8,
+    )
+    _write(
+        spark,
+        input_dir,
+        [(1, 10, 5.0, "added"), (2, 20, 6.0, "added"), (3, 30, 7.0, "added"),
+         (4, 40, 8.0, "added")],
+        FACT_CDC_SCHEMA,
+    )
+    _run(spark, input_dir, FACT_CDC_SCHEMA, sink, chk)
+
+    def view_rows():
+        return {
+            tuple(r)
+            for r in sink.view(spark).select("pk", "fk", "qty", "color").collect()
+        }
+
+    assert view_rows() == {
+        (1, 10, 5.0, "red"), (2, 20, 6.0, "blue"), (3, 30, 7.0, "green")
+    }
+
+    # IN-PLACE dim edit: 10 recolors, 20 deleted, 40 appears (fact pk 4 was
+    # waiting on it); plus a fact delta touching an unrelated row
+    spark.createDataFrame(
+        [(10, "crimson"), (30, "green"), (40, "gold")],
+        "b_pk BIGINT, color STRING",
+    ).write.mode("overwrite").parquet(dim_path)
+    _write(spark, input_dir, [(5, 30, 9.0, "added")], FACT_CDC_SCHEMA)
+    _run(spark, input_dir, FACT_CDC_SCHEMA, sink, chk)  # restart, same chk
+
+    # full recompute on final snapshots: fact {1,2,3,4,5} x dim {10,30,40}
+    assert view_rows() == {
+        (1, 10, 5.0, "crimson"),
+        (3, 30, 7.0, "green"),
+        (4, 40, 8.0, "gold"),
+        (5, 30, 9.0, "green"),
+    }
+    # stored dim snapshot advanced too
+    got_dim = {
+        tuple(r)
+        for r in sink._read(spark, sink.last_committed(spark), "dim").collect()
+    }
+    assert got_dim == {(10, "crimson"), (30, "green"), (40, "gold")}
+
+
+def test_vacuum_keeps_manifest_referenced_versions(spark, tmp_path):
+    """Bucketed tables carry untouched buckets forward by POINTER: vacuum
+    must keep every version a surviving manifest references (transitively),
+    or the head view would lose data."""
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=16)
+    rows0 = [(i, f"g{i % 3}", float(i), "added") for i in range(400)]
+    sink(spark.createDataFrame(rows0, CDC_SCHEMA), 0)
+    snap = {i: (f"g{i % 3}", float(i)) for i in range(400)}
+    for b in range(1, 4):
+        pk = b * 31
+        snap[pk] = ("gZ", 999.0)
+        sink(
+            spark.createDataFrame([(pk, "gZ", 999.0, "changed")], CDC_SCHEMA), b
+        )
+    dropped = sink.vacuum(spark, keep=1)
+    # v=0 holds most buckets' only copy: it MUST survive although keep=1
+    assert 0 not in dropped
+    import os
+
+    assert os.path.isdir(f"{path}/v=0")
+    got = {
+        r["pk"]: (r["k"], r["v"]) for r in sink._read(spark, 3, "base").collect()
+    }
+    assert got == snap
+
+
+def test_bucketed_view_migrates_legacy_full_write_layout(spark, tmp_path):
+    """A pre-bucketing (r8) version dir — full parquet tables, no manifest —
+    must roll forward: the next batch migrates the table to the bucketed
+    layout in one full write, preserving content."""
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    # hand-build the legacy v=0: plain full-write tables + commit marker
+    rows = [(i, f"g{i % 2}", float(i)) for i in range(50)]
+    base = spark.createDataFrame(rows, "pk BIGINT, k STRING, v DOUBLE")
+    from kafka_flow_spark.operators.incremental import agg_state
+
+    base.write.parquet(f"{path}/v=0/base")
+    agg_state(base, ["k"], "v").write.parquet(f"{path}/v=0/state")
+    open(f"{path}/v=0/_VIEW_COMMIT", "w").close()
+
+    sink(spark.createDataFrame([(0, "g0", 100.0, "changed")], CDC_SCHEMA), 1)
+    got = {r["pk"]: r["v"] for r in sink._read(spark, 1, "base").collect()}
+    assert got[0] == 100.0 and len(got) == 50
+    # migrated: v=1 holds a manifest and ALL live buckets point at v=1
+    man = sink._manifest(spark, 1, "base")
+    assert man is not None and set(man["buckets"].values()) == {1}
+
+
+def test_bucketed_view_refuses_n_buckets_change(spark, tmp_path):
+    """The bucket function must be stable for pointer carry-forward: a sink
+    configured with a different n_buckets over an existing view refuses."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "view")
+    MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=8)(
+        spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0
+    )
+    bad = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=16)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        bad(spark.createDataFrame([(2, "a", 2.0, "added")], CDC_SCHEMA), 1)
