@@ -744,6 +744,136 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
 
 
+# --- quantized-centroid Lloyd: the VALUE-EXACT member of the ANN training
+# story (operators/clustering.py) — fixed-iteration k-means over FLOOR-e6
+# vectors with sum-div-n integer centroids, mirrored as an unrolled CTE
+# chain (the PageRank-oracle pattern) ---
+_KM_K, _KM_ITERS = 8, 2
+_KM_NPROBE, _KM_TOPK, _KM_NQUERIES = 2, 5, 100
+
+_QUANT = (
+    "list_transform(embedding, v -> "
+    "CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))"
+)
+
+
+def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """The unrolled Lloyd CTE chain; returns (cte_sql, final_assign_alias).
+    Each round: d<i> scores every (point, centroid) pair with the exact
+    bigint squared distance, a<i> keeps the argmin (ties to smaller cid),
+    s<i>/c<i> re-quantize centroids via truncating `//` (== Spark div)."""
+    parts = [
+        f"pts AS (SELECT vec_id, {_QUANT} AS xe FROM embeddings)",
+        "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,"
+        " xe AS ce FROM (SELECT vec_id, xe FROM pts ORDER BY vec_id"
+        f" LIMIT {k}))",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT p.vec_id, p.xe, c.cid, "
+            "CAST(list_sum(list_transform(list_zip(p.xe, c.ce), "
+            "q -> (q[1]-q[2])*(q[1]-q[2]))) AS BIGINT) AS dist "
+            f"FROM pts p CROSS JOIN c{i-1} c)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, xe, cid, dist FROM "
+            "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist, cid) AS rn FROM d{i}) WHERE rn = 1)"
+        )
+        if i < iters:
+            parts.append(
+                f"s{i} AS (SELECT cid, i AS d, CAST(SUM(xe[i+1]) AS BIGINT)"
+                " AS s, COUNT(*) AS n FROM (SELECT cid, xe,"
+                f" UNNEST(range(len(xe))) AS i FROM a{i}) GROUP BY cid, i)"
+            )
+            parts.append(
+                f"c{i} AS (SELECT cid, list(s // n ORDER BY d) AS ce"
+                f" FROM s{i} GROUP BY cid)"
+            )
+    return ",\n    ".join(parts), f"a{iters}"
+
+
+def _kmeans_cells_oracle() -> str:
+    ctes, fin = _kmeans_ctes(_KM_K, _KM_ITERS)
+    return f"""
+    WITH {ctes}
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(dist AS HUGEINT)) // 1000000 AS BIGINT) AS inertia_e6
+    FROM {fin} GROUP BY cid
+    """
+
+
+@register("q_kmeans_cells", oracle=_kmeans_cells_oracle())
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration quantized-centroid Lloyd over the embeddings corpus
+    (operators/clustering.kmeans_quantized): 8 cells, deterministic
+    smallest-id init, 2 assignment rounds, integer-exact throughout —
+    k-means TRAINING as an oracle-checked query (the sampled iterative
+    trainers behind q_knn_ivf/ivfpq stay rows-only; this is their
+    value-exact sibling).  Per-cell (n_points, inertia_e6) pins both the
+    final assignment and the distance geometry."""
+    from kafka_flow_spark.operators.clustering import kmeans_summary
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_summary(e, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS)
+
+
+def _ivf_exact_oracle() -> str:
+    ctes, fin = _kmeans_ctes(_KM_K, _KM_ITERS)
+    # the FINAL centroids are the ones the last assignment used: c<iters-1>
+    cfin = f"c{_KM_ITERS - 1}"
+    return f"""
+    WITH {ctes},
+    q AS (SELECT vec_id AS qid, {_QUANT} AS qxe,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < {_KM_NQUERIES}),
+    pq AS (SELECT qid, qv, cid FROM
+            (SELECT q.qid, q.qv, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                      CAST(list_sum(list_transform(list_zip(q.qxe, c.ce),
+                        z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), c.cid) AS pr
+             FROM q CROSS JOIN {cfin} c)
+           WHERE pr <= {_KM_NPROBE}),
+    corp AS (SELECT a.vec_id AS nid, a.cid,
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS nv
+             FROM {fin} a JOIN embeddings e ON e.vec_id = a.vec_id),
+    cand AS (SELECT pq.qid, corp.nid,
+                    CAST(FLOOR(
+                      list_sum(list_transform(list_zip(pq.qv, corp.nv),
+                                              z -> z[1] * z[2]))
+                      / (sqrt(list_sum(list_transform(pq.qv, x -> x * x)))
+                         * sqrt(list_sum(list_transform(corp.nv, x -> x * x))))
+                      * 1000000.0) AS BIGINT) AS cos_e6
+             FROM pq JOIN corp ON corp.cid = pq.cid
+             WHERE corp.nid != pq.qid)
+    SELECT query_id, rank, neighbor_id, cos_e6 FROM
+      (SELECT qid AS query_id, nid AS neighbor_id, cos_e6,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cos_e6 DESC, nid) AS INT) AS rank
+       FROM cand)
+    WHERE rank <= {_KM_TOPK}
+    """
+
+
+@register("q_knn_ivf_exact", oracle=_ivf_exact_oracle())
+def q_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with every stage value-exact (operators/clustering.
+    ivf_exact_knn): quantized-Lloyd cells (q_kmeans_cells' training), probe
+    the 2 nearest cells per query (first 100 vec_ids), exact FLOOR-e6
+    cosine re-rank of ONLY the probed cells — the oracle-gated twin of the
+    rows-only sampled-IVF q_knn_ivf: same search shape and the same
+    deterministic cell-bounded recall, but train → probe → re-rank all
+    hash-match DuckDB."""
+    from kafka_flow_spark.operators.clustering import ivf_exact_knn
+
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_exact_knn(
+        e, "vec_id", "embedding",
+        queries=e.filter(F.col("vec_id") < _KM_NQUERIES),
+        k=_KM_TOPK, n_cells=_KM_K, iters=_KM_ITERS, nprobe=_KM_NPROBE,
+    )
+
+
 # --- IVF-PQ (Jégou et al. TPAMI'11): product-quantized inverted file with
 # ADC shortlist + exact re-rank.  Rows-only: the trained coarse + residual
 # codebooks are not SQL-expressible; recall vs brute force and re-ranked
