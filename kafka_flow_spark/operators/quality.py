@@ -818,6 +818,84 @@ def score_buckets(
     return df.withColumn("bucket", F.element_at(mapping, idx + F.lit(1)))
 
 
+def zipf_fit(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    max_rank: int = 10_000,
+) -> DataFrame:
+    """Per-group Zipf exponent: the least-squares slope of the log-log
+    rank/frequency curve over the top ``max_rank`` word frequencies — the
+    corpus-naturalness diagnostic (natural language sits near slope ≈ −1;
+    templated/boilerplate-heavy or synthetic corpora bend measurably away),
+    fitted per source so one bad feed stands out in a profile sweep.
+
+    Exactness (the token_entropy/lm.py discipline, extended to a
+    REGRESSION): x = FLOOR(ln(rank)·1e6), y = FLOOR(ln(freq)·1e6) are
+    engine-identical bigints (FLOOR of a shared binary double), and the
+    closed-form slope
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    is evaluated as DECIMAL(38,0) integer polynomials with ONE truncating
+    division at the end (slope_e6 = num·1e6 div den — Spark ``div`` ==
+    DuckDB ``//``, truncation-identical on both signs), so the fitted
+    exponent hash-matches the oracle.  Magnitudes: x,y ≤ ~3.3e7 micro-nats,
+    Σ over ≤ max_rank terms keeps num·1e6 ≤ ~1e29 — inside DECIMAL(38,0)
+    and HUGEINT at any corpus size.
+
+    Rank is deterministic: frequency DESC, word ASC tie-break; ``max_rank``
+    caps the fit to the distribution head (where Zipf behavior lives — the
+    long unit-frequency tail flattens any fit) and bounds the regression
+    input per group regardless of vocabulary size.
+
+    Scale shape: tokenize-and-explode once, ONE map-combinable
+    (group, word) count, one per-group rank window over ≤ |vocab| rows
+    (max_rank keeps what follows tiny), one group aggregate.  Groups with
+    < 2 ranked points are absent (a one-point fit has no slope).
+
+    Output: (group, n_ranks, slope_e6) — slope_e6 ≈ −1e6 for natural text.
+    """
+    if max_rank < 2:
+        raise ValueError(f"max_rank must be >= 2, got {max_rank}")
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("_w"),
+    )
+    freqs = words.groupBy("_g", "_w").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy("_g").orderBy(F.desc("_f"), F.asc("_w"))
+    ranked = (
+        freqs.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= max_rank)
+    )
+    ln_e6 = lambda c: F.floor(  # noqa: E731
+        F.log(c.cast("double")) * F.lit(1_000_000.0)
+    ).cast("long")
+    xy = ranked.select(
+        "_g", ln_e6(F.col("_r")).alias("_x"), ln_e6(F.col("_f")).alias("_y")
+    )
+    s = xy.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("_n"),
+        F.sum("_x").cast("decimal(15,0)").alias("_sx"),
+        F.sum("_y").cast("decimal(15,0)").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("decimal(28,0)").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("decimal(28,0)").alias("_sxx"),
+    )
+    return (
+        s.where(F.col("_n") >= 2)
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n").cast("long").alias("n_ranks"),
+            F.expr(
+                "cast(((_n * _sxy - _sx * _sy) * 1000000)"
+                " div (_n * _sxx - _sx * _sx) as bigint)"
+            ).alias("slope_e6"),
+        )
+    )
+
+
 def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document Shannon entropy of the token distribution — the
     templated/repetitive-text signal the ratio heuristics miss (a page of

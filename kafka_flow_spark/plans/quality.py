@@ -700,6 +700,43 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_zipf_alpha",
+    oracle=f"""
+    WITH t AS (SELECT source, {_NTOKS} AS toks FROM documents),
+    e AS (SELECT source, UNNEST(toks) AS w FROM t WHERE len(toks) > 0),
+    f AS (SELECT source, w, COUNT(*) AS freq FROM e GROUP BY source, w),
+    r AS (SELECT source, freq,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY freq DESC, w) AS rnk
+          FROM f),
+    xy AS (SELECT source,
+                  CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+                  CAST(FLOOR(LN(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+           FROM r WHERE rnk <= 10000),
+    s AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                 CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                 CAST(SUM(x * x) AS HUGEINT) AS sxx
+          FROM xy GROUP BY source HAVING COUNT(*) >= 2)
+    SELECT source, CAST(n AS BIGINT) AS n_ranks,
+           CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+                AS BIGINT) AS slope_e6
+    FROM s
+    """,
+)
+def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent (operators/quality.zipf_fit): least-squares
+    slope of the log-log rank/frequency head (top 10k ranks, deterministic
+    freq-DESC/word-ASC ranking) — the corpus-naturalness diagnostic
+    (natural text ≈ −1e6 micro-slope; templated feeds bend away).  FLOOR-e6
+    ln coordinates + DECIMAL(38,0) closed-form slope with ONE truncating
+    division: the fitted exponent itself hash-matches DuckDB."""
+    from kafka_flow_spark.operators.quality import zipf_fit
+
+    return zipf_fit(load(spark, sf_dir, "documents"), "source", "text")
+
+
+@register(
     "q_token_entropy",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),

@@ -566,3 +566,70 @@ def test_html_to_text_adjacent_elements_do_not_merge_tokens(spark):
     df = spark.createDataFrame([("<td>alpha</td><td>beta</td>",)], "h STRING")
     [r] = df.select(html_to_text("h").alias("t")).collect()
     assert r["t"] == "alpha beta"  # not "alphabeta"
+
+
+def test_zipf_fit_python_mirror_exact(spark):
+    """The fitted slope is pure integer arithmetic over FLOOR-e6 ln
+    coordinates — a python mirror must match to the last micro-unit."""
+    import math
+    from collections import Counter
+
+    from kafka_flow_spark.operators.quality import zipf_fit
+
+    texts = [
+        "the the the the quick brown fox fox jumps over over the lazy dog",
+        "the quick fox runs and the dog sleeps while the fox waits",
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "s0") for i, t in enumerate(texts)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    got = {r["source"]: (r["n_ranks"], r["slope_e6"])
+           for r in zipf_fit(df, "source", "text").collect()}
+
+    counts = Counter(w for t in texts for w in t.lower().split())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (math.floor(math.log(r) * 1e6), math.floor(math.log(f) * 1e6))
+        for r, (_, f) in enumerate(ranked, start=1)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    q = num * 1_000_000
+    want = -((-q) // den) if q < 0 else q // den  # truncate like div
+    assert got == {"s0": (n, want)}
+
+
+def test_zipf_fit_natural_vs_uniform_shapes(spark):
+    """A planted 1/r frequency corpus fits near slope −1e6; a flat
+    every-word-once corpus fits near 0 — the diagnostic separates them."""
+    from kafka_flow_spark.operators.quality import zipf_fit
+
+    zipf_words = []
+    for r in range(1, 40):
+        zipf_words += [f"w{r:03d}"] * (400 // r)
+    flat_words = [f"u{i:03d}" for i in range(200)] * 3
+    df = spark.createDataFrame(
+        [(0, " ".join(zipf_words), "zipf"), (1, " ".join(flat_words), "flat")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    got = {r["source"]: r["slope_e6"] for r in zipf_fit(df, "source", "text").collect()}
+    assert -1_150_000 < got["zipf"] < -850_000
+    assert abs(got["flat"]) < 50_000
+
+
+def test_zipf_fit_guards_and_degenerate_groups(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.quality import zipf_fit
+
+    df = spark.createDataFrame(
+        [(0, "solo", "one_word"), (1, "a b c", "ok")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    with _pytest.raises(ValueError, match="max_rank"):
+        zipf_fit(df, "source", "text", max_rank=1)
+    got = {r["source"] for r in zipf_fit(df, "source", "text").collect()}
+    assert got == {"ok"}  # a single-rank group has no slope: absent
