@@ -560,6 +560,34 @@ class MaterializedAggView(_VersionedView):
     ) -> DataFrame:
         return agg_result(self.state(spark, version), frac_digits)
 
+    def topk(
+        self,
+        spark: SparkSession,
+        k: int,
+        by: str = "n_rows",
+        frac_digits: int = 2,
+        version: int | None = None,
+    ) -> DataFrame:
+        """The classic materialized-view read: top-k groups by ``n_rows`` /
+        ``sum_v`` / ``min_v`` / ``max_v`` at a committed version, ranked
+        descending with the group keys as the deterministic tie-break.
+        Pure finalizer over the group-bounded state — no recompute, no scan
+        of history; the rank window is WindowGroupLimit-shaped so only k
+        rows survive the final exchange."""
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        res = self.result(spark, frac_digits, version)
+        valid = {"n_rows", "sum_v", "avg_v", "min_v", "max_v"}
+        if by not in valid:
+            raise ValueError(f"by must be one of {sorted(valid)}, got {by!r}")
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.desc(by), *[F.asc(c) for c in self.keys])
+        return (
+            res.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+        )
+
 
 class MaterializedJoinView(_VersionedView):
     """Streaming-maintained INNER fact⋈dim join view: the fact side arrives

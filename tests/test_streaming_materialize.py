@@ -539,3 +539,21 @@ def test_bucketed_view_refuses_n_buckets_change(spark, tmp_path):
     bad = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=16)
     with _pytest.raises(ValueError, match="n_buckets"):
         bad(spark.createDataFrame([(2, "a", 2.0, "added")], CDC_SCHEMA), 1)
+
+
+def test_agg_view_topk_finalizer(spark, tmp_path):
+    """top-k over the maintained state: ranked by the chosen measure with
+    key tie-break, only k rows, straight off the committed version."""
+    import pytest as _pytest
+
+    sink = MaterializedAggView(str(tmp_path / "view"), ["k"], "v")
+    rows = [("a", 1.0)] * 5 + [("b", 2.0)] * 3 + [("c", 9.0)] * 3
+    sink(spark.createDataFrame(rows, EVENT_SCHEMA), 0)
+    top = sink.topk(spark, 2, by="n_rows").select("k", "n_rows", "rank").collect()
+    assert [(r["k"], r["n_rows"], r["rank"]) for r in top] == [("a", 5, 1), ("b", 3, 2)]
+    by_sum = sink.topk(spark, 1, by="sum_v").collect()
+    assert by_sum[0]["k"] == "c"
+    with _pytest.raises(ValueError, match="by must be"):
+        sink.topk(spark, 2, by="bogus")
+    with _pytest.raises(ValueError, match="k must be"):
+        sink.topk(spark, 0)
