@@ -803,7 +803,7 @@ def _kmeans_cells_oracle() -> str:
     """
 
 
-@register("q_kmeans_cells", oracle=_kmeans_cells_oracle())
+@register("q_kmeans_cells", oracle=_kmeans_cells_oracle(), bench=True)
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration quantized-centroid Lloyd over the embeddings corpus
     (operators/clustering.kmeans_quantized): 8 cells, deterministic
