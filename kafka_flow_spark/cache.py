@@ -24,10 +24,30 @@ footprint honest while a leak-window is open.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-_TRACKED: list[DataFrame] = []
+# Tracking is PER-THREAD: scoped_persist happens on the thread that builds
+# the plan, and two concurrent foreachBatch sinks in one session run their
+# callbacks on separate threads — a shared positional list would let one
+# stream's release pop the other's in-flight caches and strand entries as
+# permanent leaks (review r9).  release_all still drains every thread's
+# list (the bench/sweep harness scope).
+_LOCAL = threading.local()
+_ALL_LISTS: list[list[DataFrame]] = []
+_LOCK = threading.Lock()
+
+
+def _tracked() -> list[DataFrame]:
+    lst = getattr(_LOCAL, "lst", None)
+    if lst is None:
+        lst = []
+        _LOCAL.lst = lst
+        with _LOCK:
+            _ALL_LISTS.append(lst)
+    return lst
 
 
 def scoped_persist(
@@ -35,24 +55,28 @@ def scoped_persist(
 ) -> DataFrame:
     """persist() + register the handle for the next ``release_all()``."""
     out = df.persist(level)
-    _TRACKED.append(out)
+    _tracked().append(out)
     return out
 
 
 def mark() -> int:
-    """Current tracking position — pair with ``release_since`` to scope
-    persists to one unit of work (e.g. one foreachBatch invocation) inside
-    a long-lived session where nobody calls ``release_all``."""
-    return len(_TRACKED)
+    """Current tracking position ON THIS THREAD — pair with
+    ``release_since`` to scope persists to one unit of work (e.g. one
+    foreachBatch invocation) inside a long-lived session where nobody
+    calls ``release_all``."""
+    return len(_tracked())
 
 
 def release_since(pos: int, blocking: bool = True) -> int:
-    """Unpersist every handle registered after ``mark()`` returned ``pos``
-    — the streaming-sink scope: a per-batch cache must not outlive its
-    micro-batch or a week-long stream accumulates one cache per batch."""
+    """Unpersist every handle THIS THREAD registered after ``mark()``
+    returned ``pos`` — the streaming-sink scope: a per-batch cache must not
+    outlive its micro-batch or a week-long stream accumulates one cache per
+    batch.  Thread-local, so concurrent sinks never release each other's
+    caches."""
+    lst = _tracked()
     n = 0
-    while len(_TRACKED) > pos:
-        df = _TRACKED.pop()
+    while len(lst) > pos:
+        df = lst.pop()
         try:
             df.unpersist(blocking=blocking)
             n += 1
@@ -62,17 +86,21 @@ def release_since(pos: int, blocking: bool = True) -> int:
 
 
 def release_all(blocking: bool = True) -> int:
-    """Unpersist every tracked cache; returns how many were tracked.
+    """Unpersist every tracked cache on EVERY thread; returns how many.
 
     Blocking by default: the async form leaves blocks for the
     ContextCleaner, so a bench/sweep's next query still pays eviction
     pressure for the previous one's caches — the exact cross-query
     pollution this module exists to stop."""
-    n = len(_TRACKED)
-    while _TRACKED:
-        df = _TRACKED.pop()
-        try:
-            df.unpersist(blocking=blocking)
-        except Exception:
-            pass  # session already stopped — nothing to free
+    with _LOCK:
+        lists = list(_ALL_LISTS)
+    n = 0
+    for lst in lists:
+        while lst:
+            df = lst.pop()
+            try:
+                df.unpersist(blocking=blocking)
+            except Exception:
+                pass  # session already stopped — nothing to free
+            n += 1
     return n

@@ -503,34 +503,30 @@ def positive_pairs(
     )
 
 
-def _bucketed_topk_pairs(
+def _assigned_cells_with_gate(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     label_col: str,
-    k: int,
     dim: int,
     n_planes: int,
     seed: int,
     max_pairs: int,
-    same_label: bool,
-    partner: str,
     op_name: str,
 ) -> DataFrame:
-    """Shared core of hard_negatives / positive_pairs: seeded sign-bucket
-    assignment (staged once), gated in-cell ORDERED pair scan, FLOOR-e6
-    cosine, WindowGroupLimit top-k per anchor."""
+    """Shared prologue of every in-cell pair miner: seeded sign-bucket
+    assignment staged ONCE (persisted — both join sides and the gate probe
+    it), then the scalar ORDERED-pair Σ c·(c−1) volume gate in
+    DECIMAL(38,0) (a >3e9-row hot cell wraps the int64 product).  Raises
+    past ``max_pairs`` — the n_planes knob is the scale dial (each plane
+    roughly quarters the volume).  Returns (_id, _lbl, _v, _cell)."""
     from kafka_flow_spark.cache import scoped_persist
-    from kafka_flow_spark.functions import cosine
     from kafka_flow_spark.operators.similarity import (
         _as_double,
         _hyperplanes,
         lsh_bucket,
     )
-    from pyspark.sql import Window
 
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
     cell = (
         lsh_bucket(F.col(vec_col), _hyperplanes(dim, n_planes, seed=seed))
         if n_planes > 0
@@ -562,6 +558,34 @@ def _bucketed_topk_pairs(
             "that many rows; raise n_planes (each plane quarters the "
             "volume) or max_pairs explicitly"
         )
+    return assigned
+
+
+def _bucketed_topk_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    max_pairs: int,
+    same_label: bool,
+    partner: str,
+    op_name: str,
+) -> DataFrame:
+    """Shared core of hard_negatives / positive_pairs: seeded sign-bucket
+    assignment (staged once), gated in-cell ORDERED pair scan, FLOOR-e6
+    cosine, WindowGroupLimit top-k per anchor."""
+    from kafka_flow_spark.functions import cosine
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    assigned = _assigned_cells_with_gate(
+        df, id_col, vec_col, label_col, dim, n_planes, seed, max_pairs, op_name
+    )
     pid, plbl = f"{partner}_id", f"{partner}_label"
     a = assigned.select(
         F.col("_id").alias("anchor_id"),
@@ -641,46 +665,15 @@ def contrastive_dataset(
     """
     from kafka_flow_spark.cache import scoped_persist
     from kafka_flow_spark.functions import cosine
-    from kafka_flow_spark.operators.similarity import (
-        _as_double,
-        _hyperplanes,
-        lsh_bucket,
-    )
     from pyspark.sql import Window
 
     for name, v in (("k_pos", k_pos), ("k_hard", k_hard), ("k_ring", k_ring)):
         if v < 1:
             raise ValueError(f"{name} must be >= 1, got {v}")
-    cell = (
-        lsh_bucket(F.col(vec_col), _hyperplanes(dim, n_planes, seed=seed))
-        if n_planes > 0
-        else F.lit(0)
+    assigned = _assigned_cells_with_gate(
+        df, id_col, vec_col, label_col, dim, n_planes, seed, max_pairs,
+        "contrastive_dataset",
     )
-    assigned = scoped_persist(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(label_col).alias("_lbl"),
-            _as_double(F.col(vec_col)).alias("_v"),
-            cell.alias("_cell"),
-        )
-    )
-    est = int(
-        assigned.groupBy("_cell")
-        .agg(F.count(F.lit(1)).alias("_d"))
-        .agg(
-            F.coalesce(
-                F.sum(F.expr("cast(_d as decimal(38,0)) * (_d - 1)")),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("_p")
-        )
-        .collect()[0]["_p"]
-    )
-    if est > max_pairs:
-        raise ValueError(
-            f"contrastive_dataset: in-cell ORDERED pair volume {est:,} "
-            f"exceeds max_pairs={max_pairs:,} — raise n_planes (each plane "
-            "quarters the volume) or max_pairs explicitly"
-        )
     a = assigned.select(
         F.col("_id").alias("anchor_id"),
         F.col("_lbl").alias("anchor_label"),

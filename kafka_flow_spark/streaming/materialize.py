@@ -263,6 +263,11 @@ class _VersionedView:
         (
             tagged.repartition("_bkt")
             .write.mode("overwrite")
+            # STATIC overwrite regardless of the session's
+            # partitionOverwriteMode: the whole version/table dir must be
+            # replaced, or a torn previous attempt's stale _bkt dirs survive
+            # a dynamic-mode retry and resurrect rows (review r9)
+            .option("partitionOverwriteMode", "static")
             .partitionBy("_bkt")
             .parquet(f"{self.path}/v={version}/{table}")
         )
@@ -292,8 +297,11 @@ class _VersionedView:
         prev_man = self._manifest(spark, prev, table)
         if prev_man is None:
             # legacy full-write predecessor: migrate in one full bucketed
-            # write — untouched buckets from the legacy dir + the patch rows
-            legacy = spark.read.parquet(f"{self.path}/v={prev}/{table}")
+            # write — untouched buckets from the legacy dir + the patch
+            # rows.  Resolved through self._read so a subclass fallback for
+            # a table the legacy layout never stored (the join view's dim)
+            # applies here too.
+            legacy = self._read(spark, prev, table)
             pk = self.bucketed[table]
             carried = legacy.where(
                 ~self._bkt(pk).isin([int(b) for b in patch.touched])
@@ -316,6 +324,8 @@ class _VersionedView:
         (
             tagged.repartition("_bkt")
             .write.mode("overwrite")
+            # static for the same torn-retry reason as _write_bucketed_full
+            .option("partitionOverwriteMode", "static")
             .partitionBy("_bkt")
             .parquet(f"{self.path}/v={version}/{table}")
         )
@@ -632,6 +642,21 @@ class MaterializedJoinView(_VersionedView):
 
     def _dim(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.dim_path)
+
+    def _read(self, spark: SparkSession, version: int, table: str) -> DataFrame:
+        if table == "dim":
+            # legacy (r8 two-table) version dirs have no stored dim snapshot
+            # — the old sinks required a frozen dim, so the CURRENT dim
+            # source IS the baseline: the first post-upgrade batch sees an
+            # empty dim delta and simply starts tracking from here (without
+            # this, a pre-existing view bricks on a missing-path read;
+            # review r9)
+            fs, jvm = _fs(spark, self.path)
+            if not fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{self.path}/v={version}/dim")
+            ):
+                return self._dim(spark)
+        return super()._read(spark, version, table)
 
     def _empty_dim_delta(self, dim: DataFrame) -> DataFrame:
         return dim.withColumn("status", F.lit("added")).limit(0)

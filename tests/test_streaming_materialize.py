@@ -557,3 +557,39 @@ def test_agg_view_topk_finalizer(spark, tmp_path):
         sink.topk(spark, 2, by="bogus")
     with _pytest.raises(ValueError, match="k must be"):
         sink.topk(spark, 0)
+
+
+def test_join_view_upgrades_legacy_two_table_layout(spark, tmp_path):
+    """An r8-format join view (view+fact full-write dirs, NO stored dim)
+    must roll forward after the upgrade: the current dim source becomes the
+    diff baseline (empty first delta) instead of a missing-path crash
+    (review r9)."""
+    path = str(tmp_path / "view")
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(10, "red"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.parquet(dim_path)
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 6.0)], "pk BIGINT, fk BIGINT, qty DOUBLE"
+    )
+    dim = spark.read.parquet(dim_path)
+    # hand-build the legacy v=0: full-write view+fact, commit marker, no dim
+    fact.join(dim, fact["fk"] == dim["b_pk"]).drop("b_pk").write.parquet(
+        f"{path}/v=0/view"
+    )
+    fact.write.parquet(f"{path}/v=0/fact")
+    open(f"{path}/v=0/_VIEW_COMMIT", "w").close()
+
+    sink = MaterializedJoinView(
+        path, dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk", n_buckets=8
+    )
+    sink(
+        spark.createDataFrame([(3, 10, 7.0, "added")], FACT_CDC_SCHEMA), 1
+    )
+    got = {
+        tuple(r)
+        for r in sink.view(spark).select("pk", "fk", "qty", "color").collect()
+    }
+    assert got == {(1, 10, 5.0, "red"), (2, 20, 6.0, "blue"), (3, 10, 7.0, "red")}
+    # the dim snapshot is now stored and manifest-backed
+    assert sink._manifest(spark, 1, "dim") is not None
