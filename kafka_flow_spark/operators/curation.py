@@ -668,3 +668,95 @@ def token_budget_mix(
         )
         .drop("_budget")
     )
+
+
+def boilerplate_by_source(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    min_frac_pct: int = 30,
+    min_doc_count: int = 2,
+    min_line_chars: int = 1,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """PER-SOURCE boilerplate-line removal — the RefinedWeb refinement of
+    ``line_dedup``'s corpus-wide rule: a line is boilerplate for a source
+    when it appears in at least ``min_frac_pct`` percent of THAT SOURCE's
+    documents (and in >= ``min_doc_count`` of them), and is removed only
+    from that source's documents.
+
+    Why per-source: corpus-wide counting misses domain-local boilerplate (a
+    small site's cookie banner never crosses a global absolute bar) and
+    over-fires on legitimately common short lines shared across domains.
+    The fraction is compared in exact integer arithmetic
+    (``docs_with_line * 100 >= pct * docs_in_source``); the
+    ``min_doc_count`` floor keeps one-document sources from deleting
+    themselves (1/1 = 100% of the source).
+
+    Counting is per DISTINCT document (a line repeated inside one page
+    counts once), which is what "appears in x% of documents" means; the
+    same line duplicated WITHIN a page is ``duplicate_spans``' job.
+
+    Scale shape: one ``posexplode``; the distinct-doc line frequency is a
+    two-level aggregate ((source, line, id) distinct -> (source, line)
+    count) — both map-combinable after one exchange on (source, line);
+    per-source doc totals are a tiny broadcast relation; the boilerplate
+    set joins back on (source, line) with the same shuffle_hash pinning as
+    ``line_dedup`` (build side = the per-source boilerplate vocabulary,
+    corpus-sublinear).  Empty/short lines are exempt exactly as in
+    ``line_dedup``.  Output: (id, source, text, n_lines, n_removed).
+    """
+    if not 1 <= min_frac_pct <= 100:
+        raise ValueError(f"min_frac_pct must be in [1, 100], got {min_frac_pct}")
+    if min_doc_count < 1:
+        raise ValueError(f"min_doc_count must be >= 1, got {min_doc_count}")
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("_src"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + delimiter + "\\E", -1)
+        ).alias("_pos", "_ln"),
+    )
+    src_totals = df.groupBy(F.col(source_col).alias("_src")).agg(
+        F.countDistinct(id_col).alias("_nsrc")
+    )
+    doc_lines = (
+        lines.filter(F.length(F.trim("_ln")) >= min_line_chars)
+        .select("_src", "_ln", "_id")
+        .distinct()
+    )
+    dup = (
+        doc_lines.groupBy("_src", "_ln")
+        .agg(F.count(F.lit(1)).alias("_dc"))
+        .join(F.broadcast(src_totals), "_src")
+        .filter(
+            (F.col("_dc") >= min_doc_count)
+            & (F.col("_dc") * 100 >= min_frac_pct * F.col("_nsrc"))
+        )
+        .select("_src", "_ln", F.lit(True).alias("_dup"))
+    )
+    flagged = lines.join(dup.hint("shuffle_hash"), ["_src", "_ln"], "left")
+    return (
+        flagged.groupBy("_id", "_src")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_dup").isNull(), F.struct("_pos", "_ln"))
+                )
+            ).alias("_a"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_src").alias(source_col),
+            F.array_join(
+                F.transform("_a", lambda s: s["_ln"]), delimiter
+            ).alias(text_col),
+            "n_lines",
+            "n_removed",
+        )
+    )

@@ -518,3 +518,67 @@ def canonical_per_cluster(
         "canonical_id",
         (F.col(id_col) == F.col("canonical_id")).alias("keep"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.,
+    "Near linear time algorithm to detect community structures in large-scale
+    networks", Phys. Rev. E 76, 2007) — deterministic variant.
+
+    Communities differ from connected components: a component can contain
+    several densely-knit groups joined by thin bridges, and LPA finds those
+    groups without a cluster-count parameter.  Each node starts labeled with
+    its own id; every iteration each node adopts the label that is most
+    frequent among its neighbors, breaking count ties toward the SMALLEST
+    label (the determinism knob — the textbook algorithm breaks ties
+    randomly, which is un-oracle-able).  Updates are synchronous (all nodes
+    flip on generation i together), so a fixed iteration budget yields a
+    bit-reproducible labeling on any engine — no floats anywhere.
+
+    ``edges`` must be the symmetrized pair list (both directions present, as
+    for ``connected_components``); a node's neighborhood is exactly the rows
+    where it appears as ``dst``.
+
+    Scale shape per iteration: one equi-join of the label table onto the
+    edges (both hash on ``src``; AQE co-partitions and splits skewed hubs) +
+    ONE map-combinable groupBy((dst, label)) count + ONE groupBy(dst)
+    max_by aggregate — the argmax is (count, -label) struct ordering, not a
+    window, so no per-node sort materializes.  Lineage is truncated per
+    round (localCheckpoint — swap for checkpoint() on a cluster).  Output:
+    (node, community), one row per node appearing in the edge set.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col(src) != F.col(dst)
+    )
+    e = e.localCheckpoint(eager=False)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iterations):
+        freq = (
+            e.join(labels, e.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = (
+            freq.groupBy("dst")
+            .agg(
+                F.max_by(
+                    F.col("label"),
+                    F.struct(F.col("_c"), (-F.col("label")).alias("_nl")),
+                ).alias("label")
+            )
+            .select(F.col("dst").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))

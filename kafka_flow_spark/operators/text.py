@@ -173,3 +173,76 @@ def html_to_text(html: Column | str) -> Column:
     for ent, ch in HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# --- URL canonicalization (crawl-curation primitives) -----------------------
+#
+# A crawl pipeline's first dedup key is the CANONICAL url: scheme/host case,
+# www. prefixes, default ports, tracking params, fragments, and trailing
+# slashes all vary freely across re-crawls of the same page.  Every step here
+# is a codegen regexp on one short string column — scan speed, no UDF, and
+# the same pattern strings evaluate identically under java.util.regex and
+# RE2 (no backreferences, no lookaround), so a DuckDB oracle can mirror the
+# chain literally.
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def url_scheme(url: Column | str) -> Column:
+    """Lower-cased scheme ('' when the value has no scheme://)."""
+    col = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
+
+
+def url_host(url: Column | str) -> Column:
+    """Lower-cased host with any ``www.`` prefix and DEFAULT port stripped
+    (``:80`` for http, ``:443`` for https; explicit non-default ports are
+    kept — they address a different origin)."""
+    col = F.col(url) if isinstance(url, str) else url
+    hostport = F.lower(
+        F.regexp_extract(F.regexp_replace(col, _SCHEME_RE, ""), r"^([^/?#]*)", 1)
+    )
+    bare = F.regexp_replace(hostport, r"^www\.", "")
+    scheme = url_scheme(col)
+    return (
+        F.when(scheme == "http", F.regexp_replace(bare, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(bare, r":443$", ""))
+        .otherwise(bare)
+    )
+
+
+def url_domain(url: Column | str) -> Column:
+    """Registrable-domain heuristic: the last two dot-labels of the host
+    (`sub.a.example.com` -> `example.com`).  Public-suffix-list awareness
+    (co.uk etc.) is a lookup-table join the caller adds when needed."""
+    h = url_host(url)
+    return F.when(
+        h.rlike(r"[^.]+\.[^.]+$"), F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    ).otherwise(h)
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Full canonical form: lower scheme + canonical host + path with
+    tracking params (``utm_*``), fragments, empty queries, and trailing
+    slashes removed.
+
+    The path/query cleanup is three global regexp passes (mid-query
+    ``&utm_x=..`` params, a leading ``?utm_x=..&`` param, a lone
+    ``?utm_x=..`` tail) + slash/empty-`?` tidying — order matters and is
+    pinned by tests; the same literal patterns run in the oracle.
+    """
+    col = F.col(url) if isinstance(url, str) else url
+    pathq = F.regexp_replace(
+        F.regexp_replace(col, _SCHEME_RE, ""), r"^[^/?#]*", ""
+    )
+    # 1. drop the fragment  2. drop '&utm_*' params  3. promote '?utm_*&'
+    # 4. drop a lone '?utm_*' tail  5. collapse '/?' -> '?'  6. drop
+    # trailing slashes  7. drop a now-empty '?'
+    p = F.regexp_replace(pathq, r"(?s)#.*", "")
+    p = F.regexp_replace(p, r"&utm_[^&#]*", "")
+    p = F.regexp_replace(p, r"\?utm_[^&#]*&", "?")
+    p = F.regexp_replace(p, r"\?utm_[^&#]*$", "")
+    p = F.regexp_replace(p, r"/+\?", "?")
+    p = F.regexp_replace(p, r"/+$", "")
+    p = F.regexp_replace(p, r"\?$", "")
+    return F.concat(url_scheme(col), F.lit("://"), url_host(col), p)

@@ -471,3 +471,75 @@ def group_trend(
         slope.alias("slope_scaled"),
         avg.alias("avg_y_scaled"),
     )
+
+
+def ewma_anomaly(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_int_col: str,
+    k: int = 4,
+    threshold: int = 0,
+) -> DataFrame:
+    """Per-key truncated-EWMA residual anomaly flagging in EXACT integers.
+
+    The classic streaming anomaly test — "does this observation sit far from
+    the exponentially-weighted level of its own recent history?" — with the
+    EWMA truncated to the last ``k`` observations so it is a BOUNDED window
+    expression instead of an unbounded recursion:
+
+        ewma_i = (2^{k-1}·x_{i-1} + 2^{k-2}·x_{i-2} + ... + 1·x_{i-k})
+                 div (2^k - 1)
+
+    (alpha = 1/2; weights are exact powers of two, the divisor is the sum of
+    the weights actually present, and everything stays bigint — ``div``
+    truncation is the only rounding, and on the non-negative inputs this
+    operator requires it matches any engine's floor division, so the output
+    is bit-reproducible).  The first observation of a key has no history:
+    ewma/deviation are NULL and the row never flags.  Ramp-in rows (fewer
+    than ``k`` predecessors) renormalize over the weights present, exactly.
+
+    ``value_int_col`` must already be an integer column (quantize doubles
+    upstream — cents, micro-units — so the fp→int policy is the caller's
+    single explicit decision).  ``threshold`` is in the same integer units;
+    a row flags when ``abs(x - ewma) > threshold``.
+
+    Scale shape: ONE window (hash-exchange on the key + per-partition sort
+    on ``order_cols``) feeding k ``lag`` expressions evaluated in a single
+    pass — no self-joins, no recursion, no Python.  At 100 TB this is the
+    same exchange every per-key sessionization already pays; k only widens
+    the projected expression, not the shuffle.  Output: input columns +
+    (ewma, deviation, is_anomaly).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if threshold < 0:
+        raise ValueError(f"threshold must be >= 0, got {threshold}")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    x = F.col(value_int_col).cast("long")
+    lags = [F.lag(x, j).over(w) for j in range(1, k + 1)]
+    weights = [2 ** (k - j) for j in range(1, k + 1)]
+    num = None
+    den = None
+    for lag_col, wt in zip(lags, weights):
+        term = F.when(lag_col.isNotNull(), F.lit(wt) * lag_col).otherwise(F.lit(0))
+        wgt = F.when(lag_col.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = wgt if den is None else den + wgt
+    staged = df.select(
+        "*",
+        num.cast("long").alias("_ewma_num"),
+        den.cast("long").alias("_ewma_den"),
+    )
+    # bigint div (numerator is non-negative by contract, so truncating and
+    # floor division agree); NULL while the key has no history yet.
+    ewma = F.when(F.col("_ewma_den") > 0, F.expr("_ewma_num div _ewma_den"))
+    dev = x - ewma
+    return staged.select(
+        *df.columns,
+        ewma.alias("ewma"),
+        dev.alias("deviation"),
+        F.coalesce(F.abs(dev) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -1121,6 +1121,61 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- truncated-EWMA residual anomalies --------------------------------------
+
+_EWMA_THRESH_C = 10000  # cents: flag |x - ewma| > $100
+
+
+@register(
+    "q_ewma_anomaly",
+    oracle=f"""
+    WITH v AS (SELECT user_id, event_id, ts,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c
+               FROM events),
+    l AS (SELECT user_id, event_id, value_c,
+                 LAG(value_c, 1) OVER w AS x1,
+                 LAG(value_c, 2) OVER w AS x2,
+                 LAG(value_c, 3) OVER w AS x3,
+                 LAG(value_c, 4) OVER w AS x4
+          FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, event_id, value_c,
+                 COALESCE(8 * x1, 0) + COALESCE(4 * x2, 0)
+                   + COALESCE(2 * x3, 0) + COALESCE(x4, 0) AS num,
+                 (CASE WHEN x1 IS NULL THEN 0 ELSE 8 END)
+                   + (CASE WHEN x2 IS NULL THEN 0 ELSE 4 END)
+                   + (CASE WHEN x3 IS NULL THEN 0 ELSE 2 END)
+                   + (CASE WHEN x4 IS NULL THEN 0 ELSE 1 END) AS den
+          FROM l)
+    SELECT user_id, event_id, value_c,
+           CASE WHEN den > 0 THEN num // den END AS ewma,
+           CASE WHEN den > 0 THEN value_c - num // den END AS deviation,
+           COALESCE(ABS(value_c - CASE WHEN den > 0 THEN num // den END)
+                    > {_EWMA_THRESH_C}, FALSE) AS is_anomaly
+    FROM s
+    """,
+)
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user truncated-EWMA residual anomaly flags over the event value
+    stream (operators/timeseries.ewma_anomaly): values quantized to exact
+    cents, alpha=1/2 power-of-two weights over the last 4 observations, all
+    bigint — the streaming "is this spend off its own recent level?" test,
+    bit-reproducible on any engine.  One window exchange on user_id."""
+    from kafka_flow_spark.operators.timeseries import ewma_anomaly
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("value_c"),
+    )
+    out = ewma_anomaly(
+        e, "user_id", ["ts", "event_id"], "value_c", k=4, threshold=_EWMA_THRESH_C
+    )
+    return out.select(
+        "user_id", "event_id", "value_c", "ewma", "deviation", "is_anomaly"
+    )
+
+
 # --- exact-moment Pearson correlation ---------------------------------------
 
 

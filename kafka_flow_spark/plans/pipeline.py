@@ -863,6 +863,66 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_boilerplate_by_source",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents),
+    c0 AS (SELECT doc_id, source, CAST(i AS INT) + 1 AS pos,
+                  list_aggr(w[(i*5+1):((i+1)*5)], 'string_agg', ' ') AS line
+           FROM t, LATERAL unnest(range((len(w) + 4) // 5)) AS u(i)),
+    c AS (SELECT doc_id, source, 0 AS pos,
+                 'cookie banner ' || source AS line
+          FROM t WHERE doc_id % 2 = 0
+          UNION ALL SELECT doc_id, source, pos, line FROM c0),
+    n AS (SELECT source, COUNT(DISTINCT doc_id) AS nsrc FROM c GROUP BY source),
+    d AS (SELECT source, line, COUNT(DISTINCT doc_id) AS dc
+          FROM c WHERE length(trim(line)) >= 1 GROUP BY source, line),
+    b AS (SELECT d.source, d.line FROM d JOIN n USING (source)
+          WHERE dc >= 2 AND dc * 100 >= 30 * nsrc)
+    SELECT c.doc_id, c.source,
+           COALESCE(string_agg(CASE WHEN b.line IS NULL THEN c.line END,
+                               chr(10) ORDER BY c.pos), '') AS page,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM c LEFT JOIN b ON c.source = b.source AND c.line = b.line
+    GROUP BY c.doc_id, c.source
+    """,
+)
+def q_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE boilerplate removal (operators/curation.
+    boilerplate_by_source — the RefinedWeb refinement of q_line_dedup's
+    corpus-wide rule): a line appearing in >= 30% of a source's documents
+    (and >= 2 of them) is boilerplate FOR THAT SOURCE only.  The fixture
+    pages documents exactly as q_line_dedup does and stamps a per-source
+    cookie-banner line onto every even doc_id — domain-local boilerplate a
+    corpus-wide absolute bar cannot see; the fraction compare is exact
+    integers."""
+    from kafka_flow_spark.operators.curation import boilerplate_by_source
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ", -1)
+    n_chunks = F.expr("(size(split(text, ' ', -1)) + 4) div 5")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+            lambda i: F.array_join(F.slice(w, i * 5 + 1, 5), " "),
+        ),
+        "\n",
+    )
+    page = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("cookie banner "), F.col("source"), F.lit("\n"), body),
+    ).otherwise(body)
+    paged = docs.filter(F.size(w) >= 1).select(
+        "doc_id", "source", page.alias("page")
+    )
+    return boilerplate_by_source(
+        paged, "doc_id", "source", "page", min_frac_pct=30, min_doc_count=2
+    )
+
+
+@register(
     "q_source_overlap",
     oracle=f"""
     WITH t AS (SELECT source, {_DD_3GRAM} AS sh FROM documents),
@@ -1184,6 +1244,62 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_PR_SCALE,
         damping=(_PR_DN, _PR_DD),
     )
+
+
+# --- label-propagation communities (iterative, integer-exact) --------------
+
+_LP_ITERS = 5
+
+
+def _label_propagation_oracle() -> str:
+    """Unrolled DuckDB mirror of operators/graph.label_propagation on the
+    undirected customer-supplier co-transaction graph: one CTE per sync
+    generation; the argmax is (max count, min label) in pure integers."""
+    ctes = [
+        """pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)""",
+        """edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+             UNION ALL SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs)""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
+    ]
+    for i in range(1, _LP_ITERS + 1):
+        ctes.append(f"""l{i} AS (
+          SELECT node, MIN(label) AS label FROM (
+            SELECT e.dst AS node, l.label, COUNT(*) AS c,
+                   MAX(COUNT(*)) OVER (PARTITION BY e.dst) AS mx
+            FROM edges e JOIN l{i - 1} l ON e.src = l.node
+            GROUP BY e.dst, l.label) t
+          WHERE c = mx GROUP BY node)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(label AS BIGINT) AS community FROM l{_LP_ITERS}"
+    )
+
+
+@register("q_label_propagation", oracle=_label_propagation_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-generation synchronous label propagation over the undirected
+    customer-supplier co-transaction graph (operators/graph.
+    label_propagation): communities = densely co-transacting groups, finer
+    than connected components, no cluster-count parameter.  Deterministic
+    (count ties break to the smallest label), pure integer arithmetic."""
+    from kafka_flow_spark.operators.graph import label_propagation
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return label_propagation(edges, iterations=_LP_ITERS)
 
 
 # --- keyed snapshot diff (CDC primitive) -----------------------------------

@@ -819,3 +819,124 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         extracted.alias("extracted"),
         F.length(extracted).cast("long").alias("n_chars"),
     )
+
+
+# --- URL canonicalization (crawl-curation primitives) -----------------------
+#
+# The corpus ships without a url column, so (as with q_html_extract's HTML
+# shell) the messy url is a DETERMINISTIC fixture built from doc_id + source
+# with one shared SQL expression evaluated by BOTH engines: scheme/host case
+# noise, www. prefixes, default and explicit ports, trailing slashes, utm_*
+# tracking params in lead/mid/tail positions, and fragments.  The CONTRACT
+# under test is the canonicalization chain (operators/text.canonicalize_url).
+
+_URL_FIXTURE = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || source || "
+    "(CASE WHEN doc_id % 4 = 0 THEN '.Example.COM' ELSE '.example.org' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN "
+    "   (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) "
+    " WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) || "
+    "'/docs/d' || (doc_id % 11) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN '?id=' || (doc_id % 13) "
+    "        || '&utm_source=feed&utm_campaign=x' "
+    " WHEN doc_id % 3 = 1 THEN '?utm_medium=cpc&id=' || (doc_id % 13) "
+    " ELSE '?id=' || (doc_id % 13) END) || "
+    "(CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)"
+)
+
+# The oracle mirror of the whole chain, shared by both url queries.
+_URL_CANON_CTES = f"""
+    u AS (SELECT doc_id, {_URL_FIXTURE} AS url FROM documents),
+    pr AS (SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+           FROM u),
+    hp AS (SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+             regexp_replace(rest, '^[^/?#]*', '') AS pathq
+           FROM pr),
+    hb AS (SELECT *, regexp_replace(hostport, '^www\\.', '') AS bare FROM hp),
+    hh AS (SELECT *,
+             CASE WHEN scheme = 'http' THEN regexp_replace(bare, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(bare, ':443$', '')
+                  ELSE bare END AS host
+           FROM hb),
+    cc AS (SELECT doc_id, url, scheme, host,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(pathq,
+               '(?s)#.*', ''),
+               '&utm_[^&#]*', '', 'g'),
+               '\\?utm_[^&#]*&', '?'),
+               '\\?utm_[^&#]*$', ''),
+               '/+\\?', '?'),
+               '/+$', ''),
+               '\\?$', '') AS p
+           FROM hh),
+    canon AS (SELECT doc_id, url,
+                scheme || '://' || host || p AS canonical,
+                CASE WHEN regexp_matches(host, '[^.]+\\.[^.]+$')
+                     THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                     ELSE host END AS domain
+              FROM cc)
+"""
+
+_DOMAIN_BLOCKLIST = ["src1.example.com", "src3.example.org", "src7.example.com"]
+
+
+@register(
+    "q_url_canonicalize",
+    oracle=f"""
+    WITH {_URL_CANON_CTES}
+    SELECT doc_id, url, canonical, domain FROM canon
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-url + registrable-domain extraction (operators/text.
+    canonicalize_url / url_domain): the first dedup key of every crawl
+    pipeline.  Scheme/host lower-casing, www./default-port stripping,
+    utm_* param removal in all three positions, fragment and
+    trailing-slash cleanup — a pure codegen regexp chain at scan speed,
+    value-exact against the literal same patterns in DuckDB."""
+    from kafka_flow_spark.operators.text import canonicalize_url, url_domain
+
+    docs = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_FIXTURE)
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        canonicalize_url(url).alias("canonical"),
+        url_domain(url).alias("domain"),
+    )
+
+
+@register(
+    "q_domain_stats",
+    oracle=f"""
+    WITH {_URL_CANON_CTES}
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT canonical) AS n_urls
+    FROM canon
+    WHERE domain NOT IN ({", ".join(f"'{d}'" for d in _DOMAIN_BLOCKLIST)})
+    GROUP BY domain
+    """,
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl stats behind a blocklist gate: canonical urls from
+    q_url_canonicalize aggregated per registrable domain, with blocklisted
+    domains removed by a BROADCAST anti-join (a real blocklist is millions
+    of rows — an IN-list does not survive; the anti-join plan does)."""
+    canon = q_url_canonicalize(spark, sf_dir)
+    block = spark.createDataFrame(
+        [(d,) for d in _DOMAIN_BLOCKLIST], "domain string"
+    )
+    return (
+        canon.join(F.broadcast(block), "domain", "left_anti")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical").alias("n_urls"),
+        )
+    )

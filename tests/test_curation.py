@@ -1048,3 +1048,80 @@ def test_token_budget_mix_unlisted_groups_dropped(spark):
     )
     out = token_budget_mix(df, "g", "id", "text", {"a": 100})
     assert {r["g"] for r in out.collect()} == {"a"}
+
+
+# --- boilerplate_by_source ---
+
+
+def _bps(spark, rows, **kw):
+    from kafka_flow_spark.operators.curation import boilerplate_by_source
+
+    df = spark.createDataFrame(rows, "id BIGINT, src STRING, text STRING")
+    out = boilerplate_by_source(df, "id", "src", "text", **kw)
+    return {r["id"]: (r["text"], r["n_lines"], r["n_removed"]) for r in out.collect()}
+
+
+def test_bps_removes_only_within_the_source(spark):
+    # 'banner' is in 2/2 docs of src a (>=30%, >=2 docs) but only 1/2 of b.
+    rows = [
+        (1, "a", "banner\nalpha"),
+        (2, "a", "banner\nbeta"),
+        (3, "b", "banner\ngamma"),
+        (4, "b", "delta"),
+    ]
+    got = _bps(spark, rows, min_frac_pct=30, min_doc_count=2)
+    assert got[1] == ("alpha", 2, 1)
+    assert got[2] == ("beta", 2, 1)
+    assert got[3] == ("banner\ngamma", 2, 0)  # same line SURVIVES in src b
+    assert got[4] == ("delta", 1, 0)
+
+
+def test_bps_min_doc_count_saves_single_doc_sources(spark):
+    # 1/1 docs = 100% of the source, but the >=2-doc floor keeps the page.
+    got = _bps(spark, [(1, "solo", "only\nline")], min_frac_pct=30)
+    assert got[1] == ("only\nline", 2, 0)
+
+
+def test_bps_fraction_bar_is_exact_integers(spark):
+    # 3 docs in the source; a line in 1 of 3 = 33.33% -> passes pct=33
+    # (1*100 >= 33*3 is 100 >= 99) but fails pct=34 (100 < 102).
+    rows = [
+        (1, "a", "shared"),
+        (2, "a", "x2"),
+        (3, "a", "x3"),
+    ]
+    loose = _bps(spark, rows, min_frac_pct=33, min_doc_count=1)
+    tight = _bps(spark, rows, min_frac_pct=34, min_doc_count=1)
+    assert loose[1] == ("", 1, 1)
+    assert tight[1] == ("shared", 1, 0)
+
+
+def test_bps_repeats_inside_one_page_count_once(spark):
+    # 'dup' twice in doc 1 only: 1 distinct doc of 2 = 50% but
+    # min_doc_count=2 refuses; with the floor at 1 BOTH copies go.
+    rows = [(1, "a", "dup\ndup\nx"), (2, "a", "y")]
+    kept = _bps(spark, rows, min_frac_pct=30, min_doc_count=2)
+    assert kept[1] == ("dup\ndup\nx", 3, 0)
+    # with the floor at 1, BOTH dup copies go (as does singleton x — every
+    # 1-of-2-docs line crosses the 50% >= 30% bar).
+    gone = _bps(spark, rows, min_frac_pct=30, min_doc_count=1)
+    assert gone[1] == ("", 3, 3)
+
+
+def test_bps_empty_lines_exempt(spark):
+    rows = [(1, "a", "p\n\nq"), (2, "a", "r\n\ns")]
+    got = _bps(spark, rows, min_frac_pct=30, min_doc_count=2)
+    # the blank line is in 2/2 docs but exempt (min_line_chars=1)
+    assert got[1] == ("p\n\nq", 3, 0)
+
+
+def test_bps_validates_args(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.curation import boilerplate_by_source
+
+    df = spark.createDataFrame([(1, "a", "x")], "id BIGINT, src STRING, text STRING")
+    with _pytest.raises(ValueError, match="min_frac_pct"):
+        boilerplate_by_source(df, "id", "src", "text", min_frac_pct=0)
+    with _pytest.raises(ValueError, match="min_doc_count"):
+        boilerplate_by_source(df, "id", "src", "text", min_doc_count=0)

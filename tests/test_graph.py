@@ -452,3 +452,47 @@ def test_canonical_unscored_docs_survive_and_lose(spark):
     assert rows[2] == (1, False, None)
     assert rows[3] == (3, True, None)
     assert rows[4] == (3, False, None)
+
+
+# --- label_propagation ---
+
+
+def _lp(spark, edges: list[tuple[int, int]], iterations: int = 5) -> dict[int, int]:
+    from kafka_flow_spark.operators.graph import label_propagation
+
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src: long, dst: long")
+    out = label_propagation(df, iterations=iterations)
+    return {r["node"]: r["community"] for r in out.collect()}
+
+
+def test_lp_two_cliques_with_bridge(spark):
+    # two triangles joined by one bridge edge: LPA keeps them as two
+    # communities (connected components would merge them into one).
+    tri1 = [(1, 2), (1, 3), (2, 3)]
+    tri2 = [(10, 11), (10, 12), (11, 12)]
+    got = _lp(spark, tri1 + tri2 + [(3, 10)])
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
+
+
+def test_lp_tie_breaks_to_smallest_label(spark):
+    # node 2 sees neighbors 1 and 3 once each on generation 1: tie -> 1.
+    got = _lp(spark, [(1, 2), (2, 3)], iterations=1)
+    assert got[2] == 1
+
+
+def test_lp_deterministic_across_runs(spark):
+    edges = [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23]
+    assert _lp(spark, edges) == _lp(spark, edges)
+
+
+def test_lp_validates_iterations(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "src: long, dst: long")
+    with _pytest.raises(ValueError, match="iterations"):
+        label_propagation(df, iterations=0)

@@ -169,3 +169,75 @@ def test_cohort_retention_hand_checked(spark):
     assert out[(1, 1)] == (1, 2, 0.5)
     assert out[(8, 0)] == (1, 1, 1.0)
     assert len(out) == 3
+
+
+# --- ewma_anomaly ---
+
+
+def _ewma(spark, vals, threshold=0, k=4):
+    from kafka_flow_spark.operators.timeseries import ewma_anomaly
+
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key BIGINT, seq BIGINT, x BIGINT")
+    out = ewma_anomaly(df, "key", ["seq"], "x", k=k, threshold=threshold)
+    return sorted(
+        (r["seq"], r["ewma"], r["deviation"], r["is_anomaly"])
+        for r in out.collect()
+    )
+
+
+def test_ewma_hand_computed():
+    # pure-python mirror of the weighting used in the asserts below
+    def ewma_py(hist, k=4):
+        hist = hist[-k:][::-1]  # most recent first
+        w = [2 ** (k - j) for j in range(1, len(hist) + 1)]
+        return sum(wi * xi for wi, xi in zip(w, hist)) // sum(w)
+
+    assert ewma_py([100]) == 100
+    assert ewma_py([100, 200]) == (8 * 200 + 4 * 100) // 12
+    assert ewma_py([0, 0, 0, 0, 150]) == 150 * 8 // 15
+
+
+def test_ewma_first_row_null_never_flags(spark):
+    got = _ewma(spark, [1000], threshold=0)
+    assert got == [(0, None, None, False)]
+
+
+def test_ewma_ramp_in_renormalizes(spark):
+    got = _ewma(spark, [100, 200, 50])
+    # row1: only x1=100 -> den 8 -> ewma 100
+    assert got[1] == (1, 100, 100, True)
+    # row2: x1=200,x2=100 -> (8*200+4*100)//12 = 166
+    assert got[2] == (2, 166, 50 - 166, True)
+
+
+def test_ewma_full_window_and_threshold(spark):
+    vals = [100, 100, 100, 100, 100, 175]
+    got = _ewma(spark, vals, threshold=80)
+    # row5 has 4 predecessors all 100 -> ewma (8+4+2+1)*100//15 = 100
+    assert got[5] == (5, 100, 75, False)  # 75 <= 80: below the bar
+    got_hot = _ewma(spark, [100, 100, 100, 100, 100, 300], threshold=80)
+    assert got_hot[5] == (5, 100, 200, True)
+
+
+def test_ewma_keys_are_independent(spark):
+    from kafka_flow_spark.operators.timeseries import ewma_anomaly
+
+    rows = [(1, 0, 10), (1, 1, 20), (2, 0, 9000)]
+    df = spark.createDataFrame(rows, "key BIGINT, seq BIGINT, x BIGINT")
+    out = ewma_anomaly(df, "key", ["seq"], "x", k=4, threshold=0)
+    by = {(r["key"], r["seq"]): r["ewma"] for r in out.collect()}
+    assert by[(2, 0)] is None  # key 2's first row ignores key 1's history
+    assert by[(1, 1)] == 10
+
+
+def test_ewma_validates_args(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.timeseries import ewma_anomaly
+
+    df = spark.createDataFrame([(1, 0, 1)], "key BIGINT, seq BIGINT, x BIGINT")
+    with _pytest.raises(ValueError, match="k must be"):
+        ewma_anomaly(df, "key", ["seq"], "x", k=0)
+    with _pytest.raises(ValueError, match="threshold must be"):
+        ewma_anomaly(df, "key", ["seq"], "x", threshold=-1)
