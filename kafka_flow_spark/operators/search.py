@@ -441,3 +441,113 @@ def tfidf_knn(
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", F.round("_cos", 4).alias("cos_sim"), "rank")
     )
+
+
+# Dirichlet-prior query-likelihood smoothing mass (Zhai & Lafferty, "A Study
+# of Smoothing Methods for Language Models Applied to Ad Hoc Information
+# Retrieval", SIGIR'01 — µ=2000 is the paper's recommended default region).
+QL_MU = 2000
+
+
+def ql_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    mu: int = QL_MU,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood scores — the language-modeling
+    ranking next to ``bm25_scores``' tf-idf one (same index, same plan
+    shape, a different probability story):
+
+        score(q, d) = Σ_{t∈q} ln(1 + tf(t,d)·|C| / (µ·cf(t)))
+                      − |q| · ln((dl(d) + µ) / µ)
+
+    (the standard rank-equivalent decomposition of Σ ln P(t|d): only
+    MATCHED terms enter the sum; the document-length norm carries the
+    smoothing mass of everything else.)  Each ln's argument is a ratio of
+    exact bigints — ``(µ·cf + tf·|C|) / (µ·cf)`` and ``(dl+µ)/µ`` — so the
+    fp work per term is ONE double division + ONE ln, quantized to
+    micro-nats with the same floor(x·1e6+0.5) as BM25, then summed as
+    bigints: order-insensitive, engine-identical (the LM family's
+    established ln-e6 contract).  Bigint-exactness bound: µ·cf and tf·|C|
+    must stay under 2^53 for the double casts to be exact — at 1e12-token
+    corpora with µ=2000 that bounds cf < 4e9 per query term; beyond it,
+    pre-divide cf and |C| by a shared power of two (documented, not hit at
+    any tested scale).
+
+    Returns ``(query_id, doc_id, score_micro_nats)`` for every (query, doc)
+    pair sharing at least one term (bigint; negative — log-probabilities).
+    Plan: the same THREE corpus passes as BM25 (query-vocabulary postings,
+    doc lengths, one corpus-scalar row), broadcast query relation, one
+    (query_id, doc_id) reduce.  cf(t) rides the postings via a window over
+    the tiny query vocabulary, exactly as df does for BM25.
+    """
+    from pyspark.sql import Window
+
+    if mu < 1:
+        raise ValueError(f"mu must be >= 1, got {mu}")
+    dls = doc_lengths(docs, text_col, id_col)
+    corpus = dls.agg(F.sum("dl").alias("total_dl"))
+    qterms = queries.select("term").distinct()
+    qpost = (
+        doc_tokens(docs, text_col, id_col)
+        .join(F.broadcast(qterms), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("cf", F.sum("tf").over(Window.partitionBy("term")))
+    )
+    matched = (
+        qpost.join(F.broadcast(queries), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    num = (F.lit(mu) * F.col("cf") + F.col("tf") * F.col("total_dl")).cast("long")
+    den = (F.lit(mu) * F.col("cf")).cast("long")
+    term_micro = F.floor(
+        F.log(num.cast("double") / den.cast("double")) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    per_qd = (
+        matched.select("query_id", "doc_id", "dl", term_micro.alias("_t"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_t").alias("_sum"), F.max("dl").alias("dl"))
+    )
+    qsizes = queries.groupBy("query_id").agg(F.count("*").alias("qn"))
+    norm_micro = F.floor(
+        F.log((F.col("dl") + F.lit(mu)).cast("double") / F.lit(float(mu)))
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        per_qd.join(F.broadcast(qsizes), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("_sum") - F.col("qn") * norm_micro).alias("score_micro_nats"),
+        )
+    )
+
+
+def search_ql(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    mu: int = QL_MU,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs per query by Dirichlet query likelihood:
+    ``(query_id, doc_id, rank, score_micro_nats)`` — the same total-order
+    contract as ``search_bm25`` (ties break on doc_id)."""
+    from pyspark.sql import Window
+
+    scored = ql_scores(docs, queries, mu, text_col, id_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro_nats"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score_micro_nats")
+    )

@@ -83,6 +83,57 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.search_bm25(docs, queries, k=10)
 
 
+_QL_ORACLE = f"""
+WITH queries(query_id, term) AS (VALUES {_QUERY_VALUES}),
+toks AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+corpus AS (SELECT SUM(dl) AS total_dl FROM dls),
+qpost AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks2
+          JOIN (SELECT DISTINCT term FROM queries) USING (term)
+          GROUP BY term, doc_id),
+cfreq AS (SELECT term, SUM(tf) AS cf FROM qpost GROUP BY term),
+scored AS (
+  SELECT q.query_id, p.doc_id, dls.dl,
+         CAST(floor(ln(CAST(2000 * cf + tf * total_dl AS DOUBLE)
+                       / CAST(2000 * cf AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS t
+  FROM qpost p
+  JOIN queries q USING (term)
+  JOIN cfreq USING (term)
+  JOIN dls USING (doc_id)
+  CROSS JOIN corpus),
+qsz AS (SELECT query_id, COUNT(*) AS qn FROM queries GROUP BY query_id),
+agg AS (
+  SELECT query_id, doc_id,
+         SUM(t) - MAX(qn) * CAST(floor(ln(CAST(MAX(dl) + 2000 AS DOUBLE)
+                                          / 2000.0) * 1000000.0 + 0.5)
+                                 AS BIGINT) AS score_micro_nats
+  FROM scored JOIN qsz USING (query_id)
+  GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, rank, CAST(score_micro_nats AS BIGINT) AS score_micro_nats
+FROM (
+  SELECT query_id, doc_id, score_micro_nats,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_micro_nats DESC, doc_id) AS rank
+  FROM agg)
+WHERE rank <= 10
+"""
+
+
+@register("q_search_ql", oracle=_QL_ORACLE)
+def q_search_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs per fixed query under Dirichlet-smoothed query likelihood
+    (operators/search.search_ql, mu=2000): the language-modeling ranking
+    beside q_search_bm25's tf-idf one — same three corpus passes, same
+    broadcast query relation, per-term micro-nat lns summed as bigints."""
+    docs = load(spark, sf_dir, "documents")
+    queries = S.queries_from_terms(spark, QUERY_TERMS)
+    return S.search_ql(docs, queries, k=10)
+
+
 _VOCAB_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, UNNEST({_TOKS}) AS term

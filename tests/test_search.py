@@ -162,3 +162,90 @@ def test_search_tf_counts_occurrences_exactly(spark):
     }
     # doc 3 matches no query term -> absent; tie at tf=2 breaks on doc_id
     assert got == {1: (2, 1), 2: (2, 2)}
+
+
+# --- Dirichlet query likelihood ---
+
+
+def _ql_py(corpus_rows, query_terms, mu=2000):
+    """Pure-python mirror of ql_scores on a tokenized corpus."""
+    import math
+
+    docs = {
+        i: t.lower().split() for i, t in corpus_rows if t.strip()
+    }
+    dl = {i: len(ws) for i, ws in docs.items()}
+    total = sum(dl.values())
+    cf = {
+        t: sum(ws.count(t) for ws in docs.values()) for t in set(query_terms)
+    }
+    out = {}
+    for i, ws in docs.items():
+        s = 0
+        matched = False
+        for t in query_terms:
+            tf = ws.count(t)
+            if tf:
+                matched = True
+                s += math.floor(
+                    math.log((mu * cf[t] + tf * total) / (mu * cf[t])) * 1e6 + 0.5
+                )
+        if matched:
+            s -= len(query_terms) * math.floor(
+                math.log((dl[i] + mu) / mu) * 1e6 + 0.5
+            )
+            out[i] = s
+    return out
+
+
+def test_ql_matches_python_mirror(spark, corpus):
+    rows = [(r.doc_id, r.text) for r in corpus.collect()]
+    queries = S.queries_from_terms(spark, {"q": ["spark", "merge"]})
+    got = {
+        r.doc_id: r.score_micro_nats
+        for r in S.ql_scores(corpus, queries).collect()
+    }
+    assert got == _ql_py(rows, ["spark", "merge"])
+
+
+def test_ql_ranking_prefers_heavier_tf(spark, corpus):
+    queries = S.queries_from_terms(spark, {"q": ["spark"]})
+    ranked = S.search_ql(corpus, queries, k=10).collect()
+    order = [r.doc_id for r in sorted(ranked, key=lambda r: r.rank)]
+    # doc 1 (tf 3, dl 4) > doc 5 (tf 1, dl 2) > doc 2 (tf 1, dl 3):
+    # higher tf wins; equal tf ranks the SHORTER doc higher (dl norm).
+    assert order == [1, 5, 2]
+    # doc 3 has no 'spark': never scored
+    assert all(r.doc_id != 3 for r in ranked)
+
+
+def test_ql_rank_equivalent_to_true_log_probability(spark, corpus):
+    # the operator drops the query-constant Σ_t ln(µ·p(t|C)) of the full
+    # Dirichlet log-probability; ORDERINGS must agree with the real thing.
+    import math
+
+    terms = ["spark", "join"]
+    queries = S.queries_from_terms(spark, {"q": terms})
+    got = sorted(
+        ((r.score_micro_nats, -r.doc_id), r.doc_id)
+        for r in S.ql_scores(corpus, queries).collect()
+    )
+    docs = {r.doc_id: r.text.lower().split() for r in corpus.collect() if r.text.strip()}
+    total = sum(len(ws) for ws in docs.values())
+    cf = {t: sum(ws.count(t) for ws in docs.values()) for t in terms}
+    mu = 2000
+
+    def logp(i):
+        return sum(
+            math.log((docs[i].count(t) + mu * cf[t] / total) / (len(docs[i]) + mu))
+            for t in terms
+        )
+
+    truth = sorted(((logp(i), -i), i) for _, i in got)
+    assert [i for _, i in got] == [i for _, i in truth]
+
+
+def test_ql_validates_mu(spark, corpus):
+    queries = S.queries_from_terms(spark, {"q": ["spark"]})
+    with pytest.raises(ValueError, match="mu must be"):
+        S.ql_scores(corpus, queries, mu=0)
