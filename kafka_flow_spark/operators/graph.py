@@ -582,3 +582,69 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where every
+    node has degree >= k (Seidman, "Network structure and minimum degree",
+    Social Networks 5, 1983) — the graph family's density filter next to
+    connected_components' reachability and label_propagation's communities
+    (a dedup-pair graph's k-core is its "heavily duplicated" kernel; a
+    co-transaction graph's k-core is its active core market).
+
+    Algorithm: synchronous peeling.  Each round drops every node whose
+    CURRENT degree is < k and keeps only edges between survivors; the
+    fixpoint is the k-core.  Rounds are capped at ``max_rounds`` with a
+    convergence early-exit (the CC checksum pattern) — and because peeling
+    past the fixpoint is the identity, an engine running MORE rounds
+    computes the identical answer, which is what makes a fixed-round
+    unrolled oracle exact whenever either side converges within the cap.
+    The round count to convergence is emitted via the returned DataFrame's
+    lineage only (callers needing it use the checksum loop directly).
+
+    ``edges`` must be the symmetrized pair list (both directions), as for
+    the other graph operators.  Returns ``(node, degree)`` for k-core
+    members, degree measured INSIDE the core.
+
+    Scale shape per round: one map-combinable groupBy(src) degree count +
+    two semi-joins of the survivor set back onto the edges (hash on src/dst
+    — AQE co-partitions; the survivor relation shrinks monotonically and is
+    broadcast once it fits).  Lineage truncated per round (localCheckpoint;
+    checkpoint() on a cluster).  Peeling is O(rounds) shuffles regardless
+    of graph size — the degeneracy-ordering sequential algorithm is O(m)
+    total work but inherently serial; at 100 TB rounds win.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col(src) != F.col(dst)
+    )
+    cur = cur.localCheckpoint(eager=False)
+    prev_sig = _checksum(cur.select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.where(F.col("_deg") >= k).select(F.col("src").alias("_n"))
+        nxt = (
+            cur.join(keep, cur.src == keep._n, "left_semi")
+            .join(keep, cur.dst == keep._n, "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        sig = _checksum(nxt.select(F.col("src").alias("u"), F.col("dst").alias("v")))
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= k)
+        .select(F.col("src").alias("node"), "degree")
+    )

@@ -1246,6 +1246,66 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-core decomposition (iterative peeling) -------------------------------
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 12
+
+
+def _kcore_oracle() -> str:
+    """Unrolled DuckDB mirror of operators/graph.k_core: 12 peel rounds on
+    the co-transaction graph.  Peeling past the fixpoint is the identity,
+    so the unrolled depth only needs to COVER convergence (measured: 2
+    rounds at sf0.001/sf0.01) for bit-equality with Spark's early-exit loop."""
+    ctes = [
+        """pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)""",
+        """e0 AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+             UNION ALL SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs)""",
+    ]
+    # each e{i} references e{i-1} exactly ONCE (window degree counts on the
+    # symmetrized edge set) — a keep-set formulation references it twice and
+    # DuckDB's CTE inlining goes exponential in the unroll depth.
+    for i in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(f"""e{i} AS (SELECT src, dst FROM (
+             SELECT src, dst,
+                    COUNT(*) OVER (PARTITION BY src) AS cs,
+                    COUNT(*) OVER (PARTITION BY dst) AS cd
+             FROM e{i - 1})
+             WHERE cs >= {_KCORE_K} AND cd >= {_KCORE_K})""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e{_KCORE_ROUNDS} GROUP BY src HAVING COUNT(*) >= {_KCORE_K}"""
+    )
+
+
+@register("q_kcore_suppliers", oracle=_kcore_oracle())
+def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-core of the undirected customer-supplier co-transaction graph
+    (operators/graph.k_core): the maximal subgraph where every customer and
+    supplier keeps >= 8 co-transaction partners — the active core market.
+    Synchronous peeling with convergence early-exit; (node, in-core degree)."""
+    from kafka_flow_spark.operators.graph import k_core
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return k_core(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
 # --- label-propagation communities (iterative, integer-exact) --------------
 
 _LP_ITERS = 5

@@ -887,6 +887,7 @@ _DOMAIN_BLOCKLIST = ["src1.example.com", "src3.example.org", "src7.example.com"]
 
 @register(
     "q_url_canonicalize",
+    bench=True,
     oracle=f"""
     WITH {_URL_CANON_CTES}
     SELECT doc_id, url, canonical, domain FROM canon
@@ -938,5 +939,37 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("canonical").alias("n_urls"),
+        )
+    )
+
+
+@register(
+    "q_url_dedup_pages",
+    oracle=f"""
+    WITH {_URL_CANON_CTES}
+    SELECT regexp_replace(canonical, '\\?.*$', '') AS page_url,
+           MAX(domain) AS domain,
+           COUNT(*) AS n_crawls,
+           MAX(doc_id) AS kept_doc
+    FROM canon
+    GROUP BY page_url
+    """,
+)
+def q_url_dedup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl re-visit dedup: canonical urls further collapsed to the PAGE
+    level (query string stripped — parameter variants of a static page are
+    the same content) and deduplicated keep-latest (max doc_id = newest
+    crawl wins, the LWW rule every snapshot table here uses).  The
+    composition a crawl ingest runs between url canonicalization and text
+    dedup; one map-combinable aggregate on the page key."""
+    canon = q_url_canonicalize(spark, sf_dir)
+    page = F.regexp_replace(F.col("canonical"), r"\?.*$", "")
+    return (
+        canon.select("doc_id", "domain", page.alias("page_url"))
+        .groupBy("page_url")
+        .agg(
+            F.max("domain").alias("domain"),
+            F.count(F.lit(1)).alias("n_crawls"),
+            F.max("doc_id").alias("kept_doc"),
         )
     )

@@ -496,3 +496,55 @@ def test_lp_validates_iterations(spark):
     df = spark.createDataFrame([(1, 2)], "src: long, dst: long")
     with _pytest.raises(ValueError, match="iterations"):
         label_propagation(df, iterations=0)
+
+
+# --- k_core ---
+
+
+def _kcore(spark, edges, k, **kw):
+    from kafka_flow_spark.operators.graph import k_core
+
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src: long, dst: long")
+    return {r["node"]: r["degree"] for r in k_core(df, k, **kw).collect()}
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle 1-2-3 plus tail 3-4: the 2-core is the triangle only.
+    got = _kcore(spark, [(1, 2), (2, 3), (1, 3), (3, 4)], k=2)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_peeling_cascades(spark):
+    # path graph: removing the endpoints re-exposes new degree-1 nodes each
+    # round; the 2-core is empty (needs a cycle).
+    got = _kcore(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], k=2)
+    assert got == {}
+
+
+def test_kcore_degree_is_in_core_degree(spark):
+    # K4 plus a pendant on node 1: 3-core = K4, and node 1's degree is 3
+    # (the pendant edge does not count).
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    got = _kcore(spark, k4 + [(1, 99)], k=3)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_round_cap_is_exact_contract(spark):
+    # path of 5 with cap=1: one synchronous peel drops only the original
+    # endpoints; survivors keep edges among {2,3,4} and the final >= k
+    # filter reports the still-qualifying middle node only.
+    got = _kcore(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], k=2, max_rounds=1)
+    assert got == {3: 2}
+
+
+def test_kcore_validates_args(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2)], "src: long, dst: long")
+    with _pytest.raises(ValueError, match="k must be"):
+        k_core(df, k=0)
+    with _pytest.raises(ValueError, match="max_rounds"):
+        k_core(df, k=2, max_rounds=0)
