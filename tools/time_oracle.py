@@ -39,6 +39,9 @@ COMPARABLE = [
     # both full SQL mirrors, practical at every scale
     "q_quality_classifier",
     "q_scd2_history",
+    # joined the bench set in r9: url canonicalization — the oracle is the
+    # literal same regexp chain (RE2 vs java.util.regex), scan-speed both ways
+    "q_url_canonicalize",
     # q_dedup_incremental (bench r5 continuation) is NOT here: like
     # minhash/cosine/knn its oracle is the quadratic brute-force pair truth.
     # q_resample_ffill_hourly is deliberately NOT here: its oracle SQL (per-key
