@@ -944,3 +944,113 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).cast("long").alias("entropy_e6"),
         )
     )
+
+
+def source_quantile_gate(
+    scored: DataFrame,
+    source_col: str,
+    id_col: str,
+    score_col: str,
+    keep_frac_pct: int = 50,
+) -> DataFrame:
+    """PER-SOURCE quantile gating: keep each source's top ``keep_frac_pct``
+    percent by score (FineWeb-style per-domain thresholds — a single global
+    cut lets one verbose domain swamp the budget and silently deletes whole
+    domains whose scores run low; ranking WITHIN the source keeps every
+    domain represented at the same selectivity).
+
+    Fully integer: a row is kept iff ``(rank − 1) · 100 < pct · n_source``
+    (strict rank, best score first, ties broken to the smaller id), so the
+    kept count per source is exactly ``ceil(pct·n/100)`` and the decision is
+    engine-identical — no percentile interpolation, no doubles.
+
+    Scale shape: ONE window exchange on the source (rank + per-source count
+    in the same window pass) — the same shuffle any per-source report pays.
+    Output: (id, source, score, rank_in_source, n_source, keep).
+    """
+    from pyspark.sql.window import Window
+
+    if not 1 <= keep_frac_pct <= 100:
+        raise ValueError(f"keep_frac_pct must be in [1, 100], got {keep_frac_pct}")
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    wall = Window.partitionBy(source_col)
+    return scored.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(score_col),
+        F.row_number().over(w).alias("rank_in_source"),
+        F.count(F.lit(1)).over(wall).alias("n_source"),
+    ).withColumn(
+        "keep",
+        (F.col("rank_in_source") - 1) * 100 < F.lit(keep_frac_pct) * F.col("n_source"),
+    )
+
+
+def gate_agreement_kappa(
+    flags: DataFrame,
+    flag_a_col: str,
+    flag_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two boolean quality gates — "do my rule gate
+    and my model gate agree beyond chance?"  (Cohen 1960; the eval-tooling
+    number a curation pipeline reports before swapping one gate for the
+    other.)
+
+    Exact integer form: with confusion counts a(TT) b(TF) c(FT) d(FF) and
+    n = a+b+c+d,
+
+        kappa = (n·(a+d) − [(a+b)(a+c) + (c+d)(b+d)])
+                / (n² − [(a+b)(a+c) + (c+d)(b+d)])
+
+    — numerator/denominator are exact bigints; the e6 quantizations are
+    single truncating divisions with explicit negative-numerator handling
+    (kappa can be negative: worse-than-chance agreement).  Output is ONE
+    row: (n, a, b, c, d, po_e6, pe_e6, kappa_e6).
+
+    Scale shape: one map-combinable global aggregate over the flag pairs —
+    nothing else.  NULL flags are excluded (both gates must have voted).
+    """
+    both = flags.where(
+        F.col(flag_a_col).isNotNull() & F.col(flag_b_col).isNotNull()
+    )
+    agg = both.agg(
+        F.sum(F.when(F.col(flag_a_col) & F.col(flag_b_col), 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col(flag_a_col) & ~F.col(flag_b_col), 1).otherwise(0))
+        .cast("long").alias("b"),
+        F.sum(F.when(~F.col(flag_a_col) & F.col(flag_b_col), 1).otherwise(0))
+        .cast("long").alias("c"),
+        F.sum(F.when(~F.col(flag_a_col) & ~F.col(flag_b_col), 1).otherwise(0))
+        .cast("long").alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    chance = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
+        F.col("c") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    staged = agg.select(
+        "a", "b", "c", "d",
+        n.alias("n"),
+        (n * (F.col("a") + F.col("d"))).alias("_po_num"),
+        chance.alias("_pe_num"),
+    )
+    # truncating e6 divisions; po/pe are non-negative, kappa may be negative
+    # (div truncates toward zero on BOTH engines only for non-negative
+    # operands — negate explicitly, the group_trend pattern).
+    kappa_num = F.col("_po_num") - F.col("_pe_num")
+    kappa_den = F.col("n") * F.col("n") - F.col("_pe_num")
+    kappa = F.when(kappa_den == 0, F.lit(None).cast("long")).otherwise(
+        F.when(
+            kappa_num >= 0,
+            F.expr("(_po_num - _pe_num) * 1000000 div (n * n - _pe_num)"),
+        ).otherwise(
+            -F.expr("(_pe_num - _po_num) * 1000000 div (n * n - _pe_num)")
+        )
+    )
+    return staged.select(
+        "n", "a", "b", "c", "d",
+        F.expr("_po_num * 1000000 div (n * n)").alias("po_e6"),
+        F.expr("_pe_num * 1000000 div (n * n)").alias("pe_e6"),
+        kappa.alias("kappa_e6"),
+    )

@@ -973,3 +973,140 @@ def q_url_dedup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("kept_doc"),
         )
     )
+
+
+# --- per-source quantile gating + gate agreement -----------------------------
+
+_ENTROPY_GATE_CTES = f"""
+    t AS (SELECT doc_id, source, {_NTOKS} AS toks FROM documents),
+    e AS (SELECT doc_id, source, UNNEST(toks) AS tok FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, source, tok, COUNT(*) AS c
+          FROM e GROUP BY doc_id, source, tok),
+    a AS (SELECT doc_id, source,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 SUM(c * CAST(ROUND(LN(c) * 1000000) AS BIGINT)) AS sum_cln
+          FROM c GROUP BY doc_id, source),
+    sc AS (SELECT doc_id, source,
+                  CAST(CAST(ROUND(LN(n_tokens) * 1000000) AS BIGINT)
+                       - sum_cln // n_tokens AS BIGINT) AS entropy_e6
+           FROM a),
+    rk AS (SELECT doc_id, source, entropy_e6,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY entropy_e6 DESC, doc_id)
+                    AS rank_in_source,
+                  COUNT(*) OVER (PARTITION BY source) AS n_source
+           FROM sc)
+"""
+
+
+@register(
+    "q_source_entropy_gate",
+    oracle=f"""
+    WITH {_ENTROPY_GATE_CTES}
+    SELECT doc_id, source, entropy_e6,
+           CAST(rank_in_source AS BIGINT) AS rank_in_source,
+           CAST(n_source AS BIGINT) AS n_source,
+           (rank_in_source - 1) * 100 < 50 * n_source AS keep
+    FROM rk
+    """,
+)
+def q_source_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE quantile gating on token entropy (operators/quality.
+    source_quantile_gate): each source keeps its most token-diverse half —
+    FineWeb-style per-domain thresholds; a single global entropy cut lets
+    one verbose domain swamp the budget.  Fully integer keep rule
+    ((rank-1)*100 < pct*n), ONE window exchange on source on top of the
+    oracle-proven entropy aggregate."""
+    from kafka_flow_spark.operators.quality import (
+        source_quantile_gate,
+        token_entropy,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ent = token_entropy(docs, "doc_id", "text").select("doc_id", "entropy_e6")
+    scored = ent.join(docs.select("doc_id", "source"), "doc_id")
+    return source_quantile_gate(
+        scored, "source", "doc_id", "entropy_e6", keep_frac_pct=50
+    ).select(
+        "doc_id", "source", "entropy_e6", "rank_in_source", "n_source", "keep"
+    )
+
+
+@register(
+    "q_gate_agreement",
+    oracle=f"""
+    WITH {_ENTROPY_GATE_CTES},
+    gate_b AS (SELECT doc_id,
+                      (rank_in_source - 1) * 100 < 50 * n_source AS keep_b
+               FROM rk),
+    qt AS (SELECT doc_id, {_TOKS} AS toks,
+                  length(text) AS nc,
+                  length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                    AS np
+           FROM documents),
+    qs AS (SELECT doc_id, nc, np,
+                  CAST(len(toks) AS INT) AS n_words,
+                  COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                    AS chars,
+                  CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','a','and','of','to','is'], lower(x)))) AS INT)
+                    AS n_stopwords,
+                  CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(len(toks)-1),
+                                           i -> toks[i+1] || ' ' || toks[i+2])
+                       ELSE [] END AS g2
+           FROM qt),
+    gate_a AS (SELECT doc_id,
+                      (n_words >= 10 AND n_words <= 100000
+                       AND (CASE WHEN n_words = 0 THEN 0.0
+                                 ELSE chars * 1.0 / n_words END) >= 2.0
+                       AND (CASE WHEN n_words = 0 THEN 0.0
+                                 ELSE chars * 1.0 / n_words END) <= 12.0
+                       AND n_stopwords >= 1
+                       AND (CASE WHEN len(g2) = 0 THEN 0.0
+                                 ELSE (len(g2) - len(list_distinct(g2))) * 1.0
+                                      / len(g2) END) <= 0.9
+                       AND (CASE WHEN nc = 0 THEN 0.0
+                                 ELSE np * 1.0 / nc END) <= 0.1) AS keep_a
+               FROM qs),
+    j AS (SELECT keep_a, keep_b FROM gate_a JOIN gate_b USING (doc_id)),
+    m AS (SELECT
+            CAST(SUM(CASE WHEN keep_a AND keep_b THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN NOT keep_a AND keep_b THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN NOT keep_a AND NOT keep_b THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM j),
+    k AS (SELECT a, b, c, d, a + b + c + d AS n,
+                 (a + b + c + d) * (a + d) AS po_num,
+                 (a + b) * (a + c) + (c + d) * (b + d) AS pe_num
+          FROM m)
+    SELECT n, a, b, c, d,
+           po_num * 1000000 // (n * n) AS po_e6,
+           pe_num * 1000000 // (n * n) AS pe_e6,
+           CASE WHEN n * n - pe_num = 0 THEN NULL
+                WHEN po_num >= pe_num
+                THEN (po_num - pe_num) * 1000000 // (n * n - pe_num)
+                ELSE -((pe_num - po_num) * 1000000 // (n * n - pe_num))
+           END AS kappa_e6
+    FROM k
+    """,
+)
+def q_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the Gopher/C4 rule gate and the per-source
+    entropy-quantile gate (operators/quality.gate_agreement_kappa): the
+    beyond-chance agreement number a pipeline reports before swapping one
+    gate for the other.  Exact bigint confusion counts, e6 truncating
+    divisions with explicit negative handling; ONE global aggregate."""
+    from kafka_flow_spark.operators.quality import (
+        gate_agreement_kappa,
+        quality_flags,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    gate_a = quality_flags(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("keep_a")
+    )
+    gate_b = q_source_entropy_gate(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_b")
+    )
+    return gate_agreement_kappa(gate_a.join(gate_b, "doc_id"), "keep_a", "keep_b")

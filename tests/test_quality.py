@@ -633,3 +633,100 @@ def test_zipf_fit_guards_and_degenerate_groups(spark):
         zipf_fit(df, "source", "text", max_rank=1)
     got = {r["source"] for r in zipf_fit(df, "source", "text").collect()}
     assert got == {"ok"}  # a single-rank group has no slope: absent
+
+
+# --- source_quantile_gate ---
+
+
+def _gate(spark, rows, pct):
+    from kafka_flow_spark.operators.quality import source_quantile_gate
+
+    df = spark.createDataFrame(rows, "id BIGINT, src STRING, score BIGINT")
+    out = source_quantile_gate(df, "src", "id", "score", keep_frac_pct=pct)
+    return {r["id"]: (r["rank_in_source"], r["n_source"], r["keep"])
+            for r in out.collect()}
+
+
+def test_gate_keeps_top_fraction_per_source(spark):
+    rows = [
+        (1, "a", 100), (2, "a", 90), (3, "a", 80), (4, "a", 70),
+        (5, "b", 5), (6, "b", 4),
+    ]
+    got = _gate(spark, rows, 50)
+    # source a keeps exactly ceil(0.5*4)=2; source b keeps ceil(0.5*2)=1 —
+    # b's low absolute scores do NOT matter (the whole point).
+    assert [got[i][2] for i in (1, 2, 3, 4)] == [True, True, False, False]
+    assert got[5][2] is True and got[6][2] is False
+
+
+def test_gate_kept_count_is_exact_ceil(spark):
+    rows = [(i, "a", 100 - i) for i in range(1, 6)]  # n=5
+    kept = sum(v[2] for v in _gate(spark, rows, 50).values())
+    assert kept == 3  # ceil(0.5 * 5), the integer rule's contract
+
+
+def test_gate_ties_break_to_smaller_id(spark):
+    rows = [(10, "a", 7), (2, "a", 7)]  # equal scores
+    got = _gate(spark, rows, 50)
+    assert got[2] == (1, 2, True)
+    assert got[10] == (2, 2, False)
+
+
+def test_gate_validates_pct(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.quality import source_quantile_gate
+
+    df = spark.createDataFrame([(1, "a", 1)], "id BIGINT, src STRING, score BIGINT")
+    with _pytest.raises(ValueError, match="keep_frac_pct"):
+        source_quantile_gate(df, "src", "id", "score", keep_frac_pct=0)
+
+
+# --- gate_agreement_kappa ---
+
+
+def _kappa(spark, pairs):
+    from kafka_flow_spark.operators.quality import gate_agreement_kappa
+
+    df = spark.createDataFrame(pairs, "fa BOOLEAN, fb BOOLEAN")
+    return gate_agreement_kappa(df, "fa", "fb").collect()[0]
+
+
+def test_kappa_perfect_agreement_is_one(spark):
+    r = _kappa(spark, [(True, True)] * 3 + [(False, False)] * 2)
+    assert (r["a"], r["b"], r["c"], r["d"]) == (3, 0, 0, 2)
+    assert r["po_e6"] == 1_000_000
+    assert r["kappa_e6"] == 1_000_000
+
+
+def test_kappa_worse_than_chance_is_negative(spark):
+    # perfect DISagreement on a balanced table
+    r = _kappa(spark, [(True, False)] * 2 + [(False, True)] * 2)
+    assert r["kappa_e6"] == -1_000_000
+
+
+def test_kappa_hand_checked_2x2(spark):
+    # a=20 b=5 c=10 d=15, n=50: po=0.7, pe=(25*30+25*20)/2500=0.5,
+    # kappa = 0.2/0.5 = 0.4
+    pairs = ([(True, True)] * 20 + [(True, False)] * 5
+             + [(False, True)] * 10 + [(False, False)] * 15)
+    r = _kappa(spark, pairs)
+    assert r["po_e6"] == 700_000
+    assert r["pe_e6"] == 500_000
+    assert r["kappa_e6"] == 400_000
+
+
+def test_kappa_degenerate_denominator_is_null(spark):
+    # all four cells in one row class: pe=1 -> kappa undefined
+    r = _kappa(spark, [(True, True)] * 4)
+    assert r["kappa_e6"] is None
+
+
+def test_kappa_nulls_excluded(spark):
+    from kafka_flow_spark.operators.quality import gate_agreement_kappa
+
+    df = spark.createDataFrame(
+        [(True, True), (None, True), (True, None)], "fa BOOLEAN, fb BOOLEAN"
+    )
+    r = gate_agreement_kappa(df, "fa", "fb").collect()[0]
+    assert r["n"] == 1
