@@ -749,3 +749,92 @@ def contrastive_dataset(
         .unionByName(ring.select(*out_cols))
         .join(qualified, "anchor_id", "left_semi")
     )
+
+
+# --- Poisson bootstrap ------------------------------------------------------
+
+# Cumulative Poisson(1) thresholds scaled to the 6-hex md5 bucket space:
+# replicate weight k(u) = #{t : t <= u}.  Computed once here and shared
+# verbatim with the generated oracle, so both engines draw the identical
+# integer weights.  The tail is truncated at k=8 (P[k>8|lambda=1] ~ 1.1e-6,
+# absorbed into the last bucket — documented bias far below bootstrap noise).
+_POISSON1_MAX_K = 8
+
+
+def poisson1_thresholds() -> list[int]:
+    import math
+
+    cdf, acc = [], 0.0
+    for k in range(_POISSON1_MAX_K):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(min(int(acc * 16**_HEX_DIGITS), 16**_HEX_DIGITS - 1))
+    return cdf
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    key_col: str,
+    value_int_col: str,
+    replicates: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Deterministic Poisson bootstrap over an integer metric column — the
+    scan-frugal bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google TR 2012): instead of B resampled scans,
+    ONE pass assigns every row B independent Poisson(1) weights (the large-n
+    limit of multinomial resampling) and aggregates all replicates at once.
+    The spread of the replicate means IS the sampling distribution of the
+    metric — the error bar a data card should carry at 100 TB, where a real
+    resample is unaffordable.
+
+    Weights are content-addressed (md5(salt:replicate:key) bucket against
+    the shared Poisson(1) CDF thresholds — ``poisson1_thresholds``), so the
+    draw is reproducible across runs/engines/partitionings, like every
+    sampler here.  Output: one row per replicate,
+    ``(replicate, n_eff, sum_value, mean_value)`` — Σ weights, Σ weight·x,
+    and the truncating-division mean (all bigint; callers derive CI bounds
+    from the replicate spread).
+
+    Scale shape: explode ×B (the only fan-out; B is a constant 32, not a
+    data dimension) into ONE map-combinable (replicate) aggregate — B
+    partial rows per task.  No shuffle wider than B rows reaches the reduce.
+    """
+    if replicates < 2:
+        raise ValueError(f"replicates must be >= 2, got {replicates}")
+    ts = poisson1_thresholds()
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("replicate")
+    fanned = df.select(F.col(key_col), F.col(value_int_col), rep)
+    u = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(salt), F.col("replicate"), F.col(key_col)
+            ).cast("binary")
+        ),
+        1,
+        _HEX_DIGITS,
+    )
+    thresh = F.array(*[F.lit(format(t, f"0{_HEX_DIGITS}x")) for t in ts])
+    weight = F.size(F.filter(thresh, lambda t: t <= u))
+    staged = fanned.select(
+        "replicate",
+        weight.cast("long").alias("_w"),
+        (weight.cast("long") * F.col(value_int_col).cast("long")).alias("_wx"),
+    )
+    return (
+        staged.groupBy("replicate")
+        .agg(F.sum("_w").alias("n_eff"), F.sum("_wx").alias("sum_value"))
+        .select(
+            "replicate",
+            "n_eff",
+            "sum_value",
+            # explicit sign handling: bigint div truncates toward zero while
+            # DuckDB's // floors — they only agree on non-negative numerators
+            # (the group_trend pattern).
+            F.when(
+                F.col("n_eff") > 0,
+                F.when(
+                    F.col("sum_value") >= 0, F.expr("sum_value div n_eff")
+                ).otherwise(-F.expr("(-sum_value) div n_eff")),
+            ).alias("mean_value"),
+        )
+    )

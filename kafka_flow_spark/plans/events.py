@@ -1176,6 +1176,59 @@ def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Poisson bootstrap of the mean event value -------------------------------
+
+_BOOT_B = 32
+
+
+def _bootstrap_oracle() -> str:
+    from kafka_flow_spark.operators.sampling import poisson1_thresholds
+
+    ts = ", ".join(f"'{t:06x}'" for t in poisson1_thresholds())
+    return f"""
+    WITH v AS (SELECT event_id,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+               FROM events),
+    f AS (SELECT event_id, vc, UNNEST(range({_BOOT_B})) AS replicate FROM v),
+    w AS (SELECT replicate, vc,
+                 len(list_filter([{ts}],
+                     t -> t <= substring(md5('boot:' || replicate || ':'
+                                             || event_id), 1, 6))) AS w
+          FROM f),
+    a AS (SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+                 CAST(SUM(w * vc) AS BIGINT) AS sum_value
+          FROM w GROUP BY replicate)
+    SELECT CAST(replicate AS BIGINT) AS replicate, n_eff, sum_value,
+           CASE WHEN n_eff > 0 THEN
+             CASE WHEN sum_value >= 0 THEN sum_value // n_eff
+                  ELSE -((-sum_value) // n_eff) END
+           END AS mean_value
+    FROM a
+    """
+
+
+@register("q_bootstrap_mean_value", oracle=_bootstrap_oracle())
+def q_bootstrap_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-replicate deterministic Poisson bootstrap of the mean event value
+    in exact cents (operators/sampling.poisson_bootstrap): the error bar a
+    data card carries at 100 TB, from ONE pass — content-addressed
+    Poisson(1) weights against the shared CDF thresholds, one
+    map-combinable (replicate) aggregate."""
+    from kafka_flow_spark.operators.sampling import poisson_bootstrap
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("vc"),
+    )
+    out = poisson_bootstrap(e, "event_id", "vc", replicates=_BOOT_B, salt="boot")
+    return out.select(
+        F.col("replicate").cast("long").alias("replicate"),
+        "n_eff",
+        "sum_value",
+        "mean_value",
+    )
+
+
 # --- exact-moment Pearson correlation ---------------------------------------
 
 

@@ -631,3 +631,64 @@ def test_contrastive_dataset_k_guard(spark):
     )
     with _pytest.raises(ValueError, match="k_ring must be"):
         contrastive_dataset(df, "vec_id", "embedding", "label", k_ring=0)
+
+
+# --- poisson_bootstrap ---
+
+
+def test_bootstrap_weights_follow_poisson1(spark):
+    # over many (replicate, key) draws the weight histogram approximates
+    # Poisson(1): P(0)=P(1)=e^-1~0.368, mean ~1.
+    from kafka_flow_spark.operators.sampling import poisson_bootstrap
+
+    df = spark.createDataFrame([(i, 1) for i in range(500)], "id BIGINT, x BIGINT")
+    out = poisson_bootstrap(df, "id", "x", replicates=8).collect()
+    n_eff = sum(r["n_eff"] for r in out)
+    draws = 500 * 8
+    assert abs(n_eff / draws - 1.0) < 0.05  # mean weight ~ 1
+
+
+def test_bootstrap_replicates_differ_but_rerun_identical(spark):
+    from kafka_flow_spark.operators.sampling import poisson_bootstrap
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(200)], "id BIGINT, x BIGINT")
+    a = {r["replicate"]: (r["n_eff"], r["sum_value"])
+         for r in poisson_bootstrap(df, "id", "x", replicates=6).collect()}
+    b = {r["replicate"]: (r["n_eff"], r["sum_value"])
+         for r in poisson_bootstrap(df, "id", "x", replicates=6).collect()}
+    assert a == b                       # content-addressed: rerun identical
+    assert len(set(a.values())) > 1     # replicates are distinct draws
+
+
+def test_bootstrap_mean_is_weighted_truncating_mean(spark):
+    from kafka_flow_spark.operators.sampling import poisson_bootstrap
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 31)], "id BIGINT, x BIGINT")
+    for r in poisson_bootstrap(df, "id", "x", replicates=4).collect():
+        if r["n_eff"] > 0:
+            assert r["mean_value"] == r["sum_value"] // r["n_eff"]
+        else:
+            assert r["mean_value"] is None
+
+
+def test_bootstrap_spread_brackets_the_point_estimate(spark):
+    # the replicate means should scatter AROUND the true mean, not all to
+    # one side (a sanity check of the unbiasedness the method promises).
+    from kafka_flow_spark.operators.sampling import poisson_bootstrap
+
+    rows = [(i, 100 + (i * 37) % 50) for i in range(400)]
+    true_mean = sum(x for _, x in rows) / len(rows)
+    df = spark.createDataFrame(rows, "id BIGINT, x BIGINT")
+    means = [r["mean_value"] for r in
+             poisson_bootstrap(df, "id", "x", replicates=16).collect()]
+    assert min(means) <= true_mean <= max(means)
+
+
+def test_bootstrap_validates_replicates(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.sampling import poisson_bootstrap
+
+    df = spark.createDataFrame([(1, 1)], "id BIGINT, x BIGINT")
+    with _pytest.raises(ValueError, match="replicates"):
+        poisson_bootstrap(df, "id", "x", replicates=1)
