@@ -276,3 +276,68 @@ def classifier_scores(
         )
         .withColumn("label", F.col("score_micro") >= F.lit(int(threshold_micro)))
     )
+
+
+def score_bin_report(
+    scored: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration/lift table for a scoring model against a boolean outcome
+    — "does the score actually order the data by outcome rate?", the eval
+    artifact behind every keep-threshold choice.
+
+    Bins are FIXED-WIDTH over the observed score range (bin =
+    ``(score − min) · n_bins div (max − min + 1)``), not population
+    deciles: value bins need only one scalar min/max aggregate and stay
+    fully distributed, where rank deciles would demand a global sort (a
+    single-reducer non-starter at 100 TB; the top-k queries get away with
+    rank windows only because WindowGroupLimit prunes them).
+
+    All integer arithmetic on an integer score column: per bin
+    ``(bin, n, mean_score, pos_rate_e6, lift_e6)`` with
+    ``lift = bin rate / overall rate`` as one exact rational → e6
+    truncating division.  Bins nobody lands in simply don't appear (the
+    table is an aggregate, not a grid).  ``mean_score`` handles negative
+    sums explicitly (div-vs-floor, the group_trend pattern).
+
+    Scale shape: one scalar min/max aggregate broadcast back (1 row), one
+    map-combinable (bin) aggregate, one 1-row totals broadcast — three
+    passes of which two are metadata-sized.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    rng = scored.agg(
+        F.min(score_col).cast("long").alias("_lo"),
+        F.max(score_col).cast("long").alias("_hi"),
+    )
+    binned = scored.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"(CAST({score_col} AS BIGINT) - _lo) * {n_bins} div (_hi - _lo + 1)"
+        ).alias("bin"),
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(outcome_col).cast("boolean").alias("_y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_s").alias("_sum_s"),
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("_pos"),
+    )
+    totals = per_bin.agg(
+        F.sum("n").alias("_n_tot"), F.sum("_pos").alias("_pos_tot")
+    )
+    out = per_bin.crossJoin(F.broadcast(totals))
+    mean_score = F.when(
+        F.col("_sum_s") >= 0, F.expr("_sum_s div n")
+    ).otherwise(-F.expr("(-_sum_s) div n"))
+    return out.select(
+        "bin",
+        "n",
+        mean_score.alias("mean_score"),
+        F.expr("_pos * 1000000 div n").alias("pos_rate_e6"),
+        F.when(
+            F.col("_pos_tot") > 0,
+            F.expr("_pos * _n_tot * 1000000 div (n * _pos_tot)"),
+        ).alias("lift_e6"),
+    )

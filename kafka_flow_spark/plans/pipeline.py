@@ -1306,6 +1306,93 @@ def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
 
 
+# --- classifier calibration / lift table ------------------------------------
+
+
+def _calibration_oracle() -> str:
+    from kafka_flow_spark.plans.quality import _TOKS as _Q_TOKS
+
+    return f"""
+    WITH t AS (SELECT doc_id, {_DSIR_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM t WHERE len(toks) >= 1),
+    b AS (SELECT doc_id, {_fold6('tok')} % {_CLF_B} AS bucket FROM tok),
+    w AS (SELECT doc_id,
+                 CAST(SUM({_fold6(f"'{_CLF_TAG}:' || CAST(bucket AS VARCHAR)")} % 2001 - 1000)
+                      AS BIGINT) AS score_micro
+          FROM b GROUP BY doc_id),
+    qt AS (SELECT doc_id, {_Q_TOKS} AS qtoks,
+                  length(text) AS nc,
+                  length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                    AS np
+           FROM documents),
+    qs AS (SELECT doc_id, nc, np,
+                  CAST(len(qtoks) AS INT) AS n_words,
+                  COALESCE(list_sum(list_transform(qtoks, x -> length(x))), 0)
+                    AS chars,
+                  CAST(len(list_filter(qtoks, x -> list_contains(
+                       ['the','a','and','of','to','is'], lower(x)))) AS INT)
+                    AS n_stopwords,
+                  CASE WHEN len(qtoks) >= 2
+                       THEN list_transform(range(len(qtoks)-1),
+                                           i -> qtoks[i+1] || ' ' || qtoks[i+2])
+                       ELSE [] END AS g2
+           FROM qt),
+    gate AS (SELECT doc_id,
+                    (n_words >= 10 AND n_words <= 100000
+                     AND (CASE WHEN n_words = 0 THEN 0.0
+                               ELSE chars * 1.0 / n_words END) >= 2.0
+                     AND (CASE WHEN n_words = 0 THEN 0.0
+                               ELSE chars * 1.0 / n_words END) <= 12.0
+                     AND n_stopwords >= 1
+                     AND (CASE WHEN len(g2) = 0 THEN 0.0
+                               ELSE (len(g2) - len(list_distinct(g2))) * 1.0
+                                    / len(g2) END) <= 0.9
+                     AND (CASE WHEN nc = 0 THEN 0.0
+                               ELSE np * 1.0 / nc END) <= 0.1) AS keep
+             FROM qs),
+    j AS (SELECT w.score_micro AS s, gate.keep AS y
+          FROM w JOIN gate USING (doc_id)),
+    rng AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM j),
+    binned AS (SELECT (s - lo) * 10 // (hi - lo + 1) AS bin, s, y
+               FROM j CROSS JOIN rng),
+    per_bin AS (SELECT bin, COUNT(*) AS n, SUM(s) AS sum_s,
+                       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                FROM binned GROUP BY bin),
+    tot AS (SELECT SUM(n) AS n_tot, SUM(pos) AS pos_tot FROM per_bin)
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           CASE WHEN sum_s >= 0 THEN sum_s // n
+                ELSE -((-sum_s) // n) END AS mean_score,
+           pos * 1000000 // n AS pos_rate_e6,
+           CASE WHEN pos_tot > 0
+                THEN pos * n_tot * 1000000 // (n * pos_tot) END AS lift_e6
+    FROM per_bin CROSS JOIN tot
+    """
+
+
+@register("q_classifier_calibration", oracle=_calibration_oracle())
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/lift table of the hashed-linear quality classifier
+    against the rule gate (operators/selection.score_bin_report): does the
+    model score ORDER documents by rule-pass rate?  Fixed-width score bins
+    (value bins stay distributed; rank deciles would global-sort), exact
+    bigint counts, e6 truncating rates and lift."""
+    from kafka_flow_spark.operators.quality import quality_flags
+    from kafka_flow_spark.operators.selection import (
+        classifier_scores,
+        hash_model,
+        score_bin_report,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    model = hash_model(spark, _CLF_TAG, n_buckets=_CLF_B)
+    scores = classifier_scores(
+        docs, "text", "doc_id", weights=model, n_buckets=_CLF_B
+    ).select("doc_id", "score_micro")
+    gate = quality_flags(docs, "doc_id", "text").select("doc_id", "keep")
+    joined = scores.join(gate, "doc_id")
+    return score_bin_report(joined, "score_micro", "keep", n_bins=10)
+
+
 # --- label-propagation communities (iterative, integer-exact) --------------
 
 _LP_ITERS = 5

@@ -227,3 +227,53 @@ def test_classifier_sparse_model_scores_missing_as_zero(spark):
         for r in classifier_scores(df, "text", "doc_id", empty, 64).collect()
     }
     assert got == {1: (2, 0, True), 2: (1, 0, True)}
+
+
+# --- score_bin_report ---
+
+
+def _report(spark, rows, n_bins=10):
+    from kafka_flow_spark.operators.selection import score_bin_report
+
+    df = spark.createDataFrame(rows, "id BIGINT, s BIGINT, y BOOLEAN")
+    out = score_bin_report(df, "s", "y", n_bins=n_bins)
+    return {r["bin"]: (r["n"], r["mean_score"], r["pos_rate_e6"], r["lift_e6"])
+            for r in out.collect()}
+
+
+def test_report_hand_checked_two_bins(spark):
+    # scores 0..9 (bin 0) all negative outcome; 10..19 (bin 1) all positive
+    rows = [(i, i, i >= 10) for i in range(20)]
+    got = _report(spark, rows, n_bins=2)
+    assert got[0] == (10, 4, 0, 0)          # mean 45//10=4, rate 0, lift 0
+    assert got[1] == (10, 14, 1_000_000, 2_000_000)  # rate 1.0, lift 2x
+
+
+def test_report_empty_bins_absent(spark):
+    rows = [(1, 0, True), (2, 99, False)]  # middle bins unpopulated
+    got = _report(spark, rows, n_bins=10)
+    assert set(got) == {0, 9}
+
+
+def test_report_single_score_value_lands_in_bin_zero(spark):
+    got = _report(spark, [(i, 7, i % 2 == 0) for i in range(4)], n_bins=10)
+    assert set(got) == {0}
+    assert got[0][0] == 4 and got[0][2] == 500_000
+
+
+def test_report_negative_scores_and_means(spark):
+    rows = [(1, -10, False), (2, -7, False), (3, 50, True)]
+    got = _report(spark, rows, n_bins=2)
+    # (-10-(-10))*2 div 61 = 0; (-7+10)*2 div 61 = 0; (50+10)*2 div 61 = 1
+    assert got[0][1] == -8   # trunc toward zero: -17 div 2 -> -8
+    assert got[1][2] == 1_000_000
+
+
+def test_report_validates_bins(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.selection import score_bin_report
+
+    df = spark.createDataFrame([(1, 1, True)], "id BIGINT, s BIGINT, y BOOLEAN")
+    with _pytest.raises(ValueError, match="n_bins"):
+        score_bin_report(df, "s", "y", n_bins=1)
