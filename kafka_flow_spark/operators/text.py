@@ -245,4 +245,9 @@ def canonicalize_url(url: Column | str) -> Column:
     p = F.regexp_replace(p, r"/+\?", "?")
     p = F.regexp_replace(p, r"/+$", "")
     p = F.regexp_replace(p, r"\?$", "")
-    return F.concat(url_scheme(col), F.lit("://"), url_host(col), p)
+    scheme = url_scheme(col)
+    # schemeless inputs (relative crawl refs) canonicalize without
+    # inventing a '://' prefix; the host/path cleanup still applies.
+    return F.when(scheme == "", F.concat(url_host(col), p)).otherwise(
+        F.concat(scheme, F.lit("://"), url_host(col), p)
+    )

@@ -875,7 +875,8 @@ _URL_CANON_CTES = f"""
                '\\?$', '') AS p
            FROM hh),
     canon AS (SELECT doc_id, url,
-                scheme || '://' || host || p AS canonical,
+                CASE WHEN scheme = '' THEN host || p
+                     ELSE scheme || '://' || host || p END AS canonical,
                 CASE WHEN regexp_matches(host, '[^.]+\\.[^.]+$')
                      THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
                      ELSE host END AS domain

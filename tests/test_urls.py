@@ -119,3 +119,8 @@ def test_canonical_collision_is_the_dedup_key(spark):
         "http://example.com/news/today?utm_medium=a&utm_c=b",
     ]
     assert len(set(_canon(spark, variants))) == 1
+
+
+def test_schemeless_input_gets_no_phantom_scheme(spark):
+    got = _canon(spark, ["www.Example.com/a/?utm_s=1#f", "example.com"])
+    assert got == ["example.com/a", "example.com"]
