@@ -728,6 +728,59 @@ class MaterializedJoinView(_VersionedView):
         return self._read(spark, self._resolve(spark, version), "view")
 
 
+class MaterializedCmsView(_VersionedView):
+    """Streaming-maintained count-min sketch: the (r, b, cnt) cell table
+    (operators/sketches.cms_build) rolled forward per micro-batch by the CMS
+    merge law — cells of a union are the CELL-WISE SUM of the parts — so a
+    live "how often has this key streamed past, roughly?" probe table stays
+    depth x width rows no matter how much history flowed.  The frequency
+    sibling of MaterializedSketchView's distinct-count occupancy (both are
+    merge-law views: state bounded by construction, never by retention).
+
+    ``probe(spark, keys, col)`` point-queries the committed cells with the
+    one-sided >=-truth estimator (operators/sketches.cms_probe — the same
+    cell addressing by construction).
+    """
+
+    def __init__(self, path: str, value_col: str, depth: int = 4, width: int = 1024):
+        super().__init__(path)
+        self.value_col, self.depth, self.width = value_col, depth, width
+        self.tables = ["cells"]
+
+    def _cells(self, batch: DataFrame) -> DataFrame:
+        from kafka_flow_spark.operators.sketches import cms_build
+
+        return cms_build(batch, self.value_col, self.depth, self.width)
+
+    def _initial(self, batch: DataFrame) -> dict[str, DataFrame]:
+        return {"cells": self._cells(batch)}
+
+    def _advance(self, committed, batch) -> dict[str, DataFrame]:
+        merged = (
+            committed["cells"]
+            .unionByName(self._cells(batch))
+            .groupBy("r", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        return {"cells": merged}
+
+    def cells(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        return self._read(spark, self._resolve(spark, version), "cells")
+
+    def probe(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        col: str,
+        version: int | None = None,
+    ) -> DataFrame:
+        from kafka_flow_spark.operators.sketches import cms_probe
+
+        return cms_probe(
+            self.cells(spark, version), keys, col, self.depth, self.width
+        )
+
+
 def run_view_sink(
     stream: DataFrame,
     sink: _VersionedView,

@@ -593,3 +593,53 @@ def test_join_view_upgrades_legacy_two_table_layout(spark, tmp_path):
     assert got == {(1, 10, 5.0, "red"), (2, 20, 6.0, "blue"), (3, 10, 7.0, "red")}
     # the dim snapshot is now stored and manifest-backed
     assert sink._manifest(spark, 1, "dim") is not None
+
+
+def test_cms_view_stream_restart_equals_whole_corpus_sketch(spark, tmp_path):
+    """Streaming CMS maintenance: cell-wise-sum roll-forward across a
+    stop/restart equals the one-shot cms_build of everything ever streamed
+    (and therefore every probe estimate matches), with state capped at
+    depth x width cells regardless of stream volume."""
+    from kafka_flow_spark.operators.sketches import cms_build, cms_probe
+    from kafka_flow_spark.streaming.materialize import MaterializedCmsView
+
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    sink = MaterializedCmsView(str(tmp_path / "view"), "k", depth=3, width=64)
+    _write(spark, input_dir,
+           [(f"k{i % 11}", float(i)) for i in range(200)], EVENT_SCHEMA)
+    _run(spark, input_dir, EVENT_SCHEMA, sink, chk)
+    _write(spark, input_dir,
+           [(f"k{i % 23}", float(i)) for i in range(150)], EVENT_SCHEMA)
+    _run(spark, input_dir, EVENT_SCHEMA, sink, chk)  # restart, same checkpoint
+
+    whole = cms_build(spark.read.parquet(input_dir), "k", depth=3, width=64)
+    got_cells = {(r["r"], r["b"]): r["cnt"] for r in sink.cells(spark).collect()}
+    want_cells = {(r["r"], r["b"]): r["cnt"] for r in whole.collect()}
+    assert got_cells == want_cells
+    assert len(got_cells) <= 3 * 64  # state bounded by construction
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(23)], "k STRING")
+    got = {r["k"]: r["est"] for r in sink.probe(spark, keys, "k").collect()}
+    want = {r["k"]: r["est"]
+            for r in cms_probe(whole, keys, "k", depth=3, width=64).collect()}
+    assert got == want
+    # one-sided error: estimate never below the true count
+    from collections import Counter
+
+    truth = Counter(r["k"] for r in spark.read.parquet(input_dir).collect())
+    assert all(got[k] >= truth.get(k, 0) for k in got)
+
+
+def test_cms_view_replay_idempotent(spark, tmp_path):
+    """Replaying an already-committed batch (crash between commit and
+    checkpoint ack) must not double-count cells — the versioned-commit
+    protocol makes the second apply a no-op."""
+    from kafka_flow_spark.streaming.materialize import MaterializedCmsView
+
+    sink = MaterializedCmsView(str(tmp_path / "view"), "k", depth=2, width=32)
+    b0 = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.0)], EVENT_SCHEMA)
+    sink(b0, 0)
+    before = {(r["r"], r["b"]): r["cnt"] for r in sink.cells(spark).collect()}
+    sink(b0, 0)  # replay of the same epoch
+    after = {(r["r"], r["b"]): r["cnt"] for r in sink.cells(spark).collect()}
+    assert before == after
