@@ -605,8 +605,10 @@ def k_core(
     past the fixpoint is the identity, an engine running MORE rounds
     computes the identical answer, which is what makes a fixed-round
     unrolled oracle exact whenever either side converges within the cap.
-    The round count to convergence is emitted via the returned DataFrame's
-    lineage only (callers needing it use the checksum loop directly).
+    If the cap exhausts first the output is the well-defined ``max_rounds``-
+    round peel (the final >= k filter mirrors the oracle's), not the true
+    core — raise the cap for adversarially deep graphs (a path graph peels
+    one layer per round).
 
     ``edges`` must be the symmetrized pair list (both directions), as for
     the other graph operators.  Returns ``(node, degree)`` for k-core

@@ -171,3 +171,33 @@ def test_flow_to_near_dedup_sink(spark, tmp_path):
     flow.to_near_dedup("text", "doc_id", index_dir, out_dir, chk)
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
     assert kept == [1, 3]
+
+
+def test_crawl_stream_dedup_on_canonical_url(spark, tmp_path):
+    """Composition proof: the streaming exact-dedup state keyed on the
+    CANONICAL url (operators/text.canonicalize_url) collapses crawl
+    variants of the same page across batches AND restarts — the ingest-time
+    form of q_url_dedup_pages' batch LWW."""
+    from kafka_flow_spark.operators.text import canonicalize_url
+
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+
+    def build(r):
+        return dedup.dedup_exact_stream(
+            r.withColumn("canon", canonicalize_url("text")), "canon"
+        )
+
+    write_batch(spark, input_dir, [
+        (ts(0), 1, "http://www.Example.com:80/news/?utm_source=feed"),
+        (ts(1), 2, "HTTP://example.COM/news#top"),          # same page
+        (ts(2), 3, "https://other.org/a"),
+    ])
+    out1 = run_stream(spark, input_dir, chk, build)
+    assert sorted(r["doc_id"] for r in out1) == [1, 3]
+    # restart: a third variant of the same page still drops
+    write_batch(spark, input_dir, [
+        (ts(9), 4, "http://example.com/news?utm_medium=cpc"),
+        (ts(9), 5, "http://example.com/news/today"),        # genuinely new
+    ])
+    out2 = run_stream(spark, input_dir, chk, build)
+    assert sorted(r["doc_id"] for r in out2) == [1, 3, 5]
