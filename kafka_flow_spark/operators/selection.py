@@ -308,6 +308,17 @@ def score_bin_report(
     """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from kafka_flow_spark.cache import scoped_persist
+
+    # the min/max pass and the bin pass each re-execute the (possibly
+    # expensive) upstream scoring lineage — stage it once (released by the
+    # caller's release_all, the similarity-module pattern).
+    scored = scoped_persist(
+        scored.select(
+            F.col(score_col).cast("long").alias(score_col),
+            F.col(outcome_col).cast("boolean").alias(outcome_col),
+        )
+    )
     rng = scored.agg(
         F.min(score_col).cast("long").alias("_lo"),
         F.max(score_col).cast("long").alias("_hi"),
