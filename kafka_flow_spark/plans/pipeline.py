@@ -1360,11 +1360,12 @@ def _calibration_oracle() -> str:
                 FROM binned GROUP BY bin),
     tot AS (SELECT SUM(n) AS n_tot, SUM(pos) AS pos_tot FROM per_bin)
     SELECT bin, CAST(n AS BIGINT) AS n,
-           CASE WHEN sum_s >= 0 THEN sum_s // n
-                ELSE -((-sum_s) // n) END AS mean_score,
-           pos * 1000000 // n AS pos_rate_e6,
-           CASE WHEN pos_tot > 0
-                THEN pos * n_tot * 1000000 // (n * pos_tot) END AS lift_e6
+           CAST(CASE WHEN sum_s >= 0 THEN sum_s // n
+                     ELSE -((-sum_s) // n) END AS BIGINT) AS mean_score,
+           CAST(pos * 1000000 // n AS BIGINT) AS pos_rate_e6,
+           CAST(CASE WHEN pos_tot > 0
+                     THEN pos * n_tot * 1000000 // (n * pos_tot) END AS BIGINT)
+             AS lift_e6
     FROM per_bin CROSS JOIN tot
     """
 
