@@ -551,3 +551,79 @@ def search_ql(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "score_micro_nats")
     )
+
+
+def relevance_all_terms(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic relevance judgments: a document is relevant to a query
+    iff it contains EVERY query term (boolean-AND containment — the
+    strictest judgment derivable from text alone, and the standard
+    pseudo-qrel when no human labels exist).  Output: (query_id, doc_id),
+    one row per relevant pair.
+
+    Scale shape: distinct (term, doc) pairs restricted to the query
+    vocabulary via broadcast, then one (query_id, doc_id) aggregate whose
+    matched-distinct-term count must equal the query's term count."""
+    qterms = queries.select("term").distinct()
+    qsizes = queries.groupBy("query_id").agg(F.countDistinct("term").alias("_qn"))
+    pairs = (
+        doc_tokens(docs, text_col, id_col)
+        .join(F.broadcast(qterms), "term")
+        .select("term", "doc_id")
+        .distinct()
+        .join(F.broadcast(queries), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("_matched"))
+        .join(F.broadcast(qsizes), "query_id")
+        .where(F.col("_matched") == F.col("_qn"))
+    )
+    return pairs.select("query_id", "doc_id")
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Recall@k and MRR@k of a ranking against relevance judgments — the
+    eval the search family was missing (rankers without metrics are vibes).
+
+    ``ranked`` is (query_id, doc_id, rank) with rank 1-based and <= k
+    (the contract of ``search_bm25``/``search_ql``); ``relevant`` is
+    (query_id, doc_id).  Exact rationals quantized e6:
+    ``recall = hits·1e6 div n_rel``, ``mrr = 1e6 div first_relevant_rank``
+    (0 when nothing relevant is retrieved).  Queries with NO relevant
+    documents are dropped (recall undefined), matching trec_eval.
+
+    Scale shape: one equi-join of the k·|queries|-row ranking onto the
+    judgments + two tiny aggregates — judgment cardinality dominates and
+    both sides hash on (query_id, doc_id).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_rel = relevant.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (
+        ranked.where(F.col("rank") <= k)
+        .join(relevant, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("hits_at_k"),
+            F.min("rank").alias("_first"),
+        )
+    )
+    return (
+        n_rel.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("long").alias("hits_at_k"),
+            F.expr("coalesce(hits_at_k, 0L) * 1000000 div n_rel").alias("recall_e6"),
+            F.coalesce(F.expr("1000000 div _first"), F.lit(0))
+            .cast("long")
+            .alias("mrr_e6"),
+        )
+    )

@@ -293,3 +293,64 @@ def q_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     qids = docs.where(F.col("doc_id") < 10).select("doc_id")
     return tfidf_knn(docs, qids, k=5)
+
+
+def _retrieval_eval_oracle() -> str:
+    """Both rankers' full oracles nested as CTE bodies (DuckDB allows WITH
+    inside a CTE), one shared boolean-AND relevance set, rank metrics in
+    exact integers."""
+    return f"""
+WITH queries(query_id, term) AS (VALUES {_QUERY_VALUES}),
+bm AS ({_BM25_ORACLE}),
+ql AS ({_QL_ORACLE}),
+toks AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+dterm AS (SELECT DISTINCT term, doc_id FROM toks WHERE term <> ''),
+qsz AS (SELECT query_id, COUNT(DISTINCT term) AS qn FROM queries GROUP BY query_id),
+rel AS (
+  SELECT q.query_id, d.doc_id
+  FROM dterm d JOIN queries q USING (term)
+  GROUP BY q.query_id, d.doc_id
+  HAVING COUNT(DISTINCT d.term) = (SELECT qn FROM qsz WHERE qsz.query_id = q.query_id)),
+nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY query_id),
+ranked AS (
+  SELECT 'bm25' AS ranker, query_id, doc_id, rank FROM bm
+  UNION ALL SELECT 'ql' AS ranker, query_id, doc_id, rank FROM ql),
+h AS (
+  SELECT r.ranker, r.query_id,
+         COUNT(*) AS hits_at_k, MIN(r.rank) AS first_rank
+  FROM ranked r JOIN rel USING (query_id, doc_id)
+  WHERE r.rank <= 10
+  GROUP BY r.ranker, r.query_id),
+rk AS (SELECT ranker FROM (VALUES ('bm25'), ('ql')) AS t(ranker))
+SELECT rk.ranker, nrel.query_id, CAST(nrel.n_rel AS BIGINT) AS n_rel,
+       CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(COALESCE(h.hits_at_k, 0) * 1000000 // nrel.n_rel AS BIGINT) AS recall_e6,
+       CAST(COALESCE(1000000 // h.first_rank, 0) AS BIGINT) AS mrr_e6
+FROM nrel CROSS JOIN rk
+LEFT JOIN h ON h.query_id = nrel.query_id AND h.ranker = rk.ranker
+"""
+
+
+@register("q_retrieval_eval", oracle=_retrieval_eval_oracle())
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 and MRR@10 of BOTH rankers (BM25 and Dirichlet QL) against
+    boolean-AND pseudo-relevance (operators/search.relevance_all_terms +
+    retrieval_eval): the side-by-side eval a team runs before picking a
+    ranking function — rankers without metrics are vibes.  Exact integer
+    rank metrics, judgments shared by both arms."""
+    docs = load(spark, sf_dir, "documents")
+    queries = S.queries_from_terms(spark, QUERY_TERMS)
+    rel = S.relevance_all_terms(docs, queries)
+    out = []
+    for ranker, ranked in (
+        ("bm25", S.search_bm25(docs, queries, k=10)),
+        ("ql", S.search_ql(docs, queries, k=10)),
+    ):
+        out.append(
+            S.retrieval_eval(ranked, rel, k=10).select(
+                F.lit(ranker).alias("ranker"), "*"
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -249,3 +249,56 @@ def test_ql_validates_mu(spark, corpus):
     queries = S.queries_from_terms(spark, {"q": ["spark"]})
     with pytest.raises(ValueError, match="mu must be"):
         S.ql_scores(corpus, queries, mu=0)
+
+
+# --- retrieval_eval ---
+
+
+def test_relevance_requires_all_terms(spark, corpus):
+    queries = S.queries_from_terms(spark, {"q": ["spark", "merge"]})
+    rel = {(r.query_id, r.doc_id)
+           for r in S.relevance_all_terms(corpus, queries).collect()}
+    assert rel == {("q", 2)}  # only doc 2 has BOTH terms
+
+
+def test_retrieval_eval_hand_checked(spark):
+    ranked = spark.createDataFrame(
+        [("q", 100, 1), ("q", 200, 2), ("q", 300, 3)],
+        "query_id STRING, doc_id BIGINT, rank INT",
+    )
+    rel = spark.createDataFrame(
+        [("q", 200), ("q", 300), ("q", 999)],  # 999 never retrieved
+        "query_id STRING, doc_id BIGINT",
+    )
+    r = S.retrieval_eval(ranked, rel, k=10).collect()[0]
+    assert (r.n_rel, r.hits_at_k) == (3, 2)
+    assert r.recall_e6 == 666_666          # 2/3 truncated
+    assert r.mrr_e6 == 500_000             # first relevant at rank 2
+
+
+def test_retrieval_eval_zero_hits_and_missing_queries(spark):
+    ranked = spark.createDataFrame(
+        [("q", 100, 1)], "query_id STRING, doc_id BIGINT, rank INT"
+    )
+    rel = spark.createDataFrame(
+        [("q", 999), ("unjudged_only", 1)],
+        "query_id STRING, doc_id BIGINT",
+    )
+    got = {r.query_id: (r.hits_at_k, r.recall_e6, r.mrr_e6)
+           for r in S.retrieval_eval(ranked, rel, k=10).collect()}
+    assert got["q"] == (0, 0, 0)
+    # a query with judgments but no ranking rows still reports (0 recall)
+    assert got["unjudged_only"] == (0, 0, 0)
+
+
+def test_retrieval_eval_respects_k(spark):
+    ranked = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 11)], "query_id STRING, doc_id BIGINT, rank INT"
+    )
+    rel = spark.createDataFrame([("q", 2)], "query_id STRING, doc_id BIGINT")
+    r = S.retrieval_eval(ranked, rel, k=10).collect()[0]
+    assert r.hits_at_k == 0  # rank-11 hit is outside the cutoff
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        S.retrieval_eval(ranked, rel, k=0)
