@@ -1004,10 +1004,15 @@ def gate_agreement_kappa(
         kappa = (n·(a+d) − [(a+b)(a+c) + (c+d)(b+d)])
                 / (n² − [(a+b)(a+c) + (c+d)(b+d)])
 
-    — numerator/denominator are exact bigints; the e6 quantizations are
+    — numerator/denominator are exact DECIMAL(38,0) rationals (n² and the
+    chance products overflow BIGINT once n passes ~3.0e6 with the ×1e6
+    quantization folded in, and ANSI mode turns that into a hard error at
+    exactly the corpus sizes this gate targets); the e6 quantizations are
     single truncating divisions with explicit negative-numerator handling
-    (kappa can be negative: worse-than-chance agreement).  Output is ONE
-    row: (n, a, b, c, d, po_e6, pe_e6, kappa_e6).
+    (kappa can be negative: worse-than-chance agreement).  Exact bound:
+    DECIMAL(38,0) holds n²·1e6 up to n ≈ 3.1e15 rows — beyond any corpus
+    (pinned by test_gate_agreement_large_n).  Output is ONE row:
+    (n, a, b, c, d, po_e6, pe_e6, kappa_e6), all BIGINT.
 
     Scale shape: one map-combinable global aggregate over the flag pairs —
     nothing else.  NULL flags are excluded (both gates must have voted).
@@ -1025,32 +1030,52 @@ def gate_agreement_kappa(
         F.sum(F.when(~F.col(flag_a_col) & ~F.col(flag_b_col), 1).otherwise(0))
         .cast("long").alias("d"),
     )
-    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
-    chance = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
-        F.col("c") + F.col("d")
-    ) * (F.col("b") + F.col("d"))
+    # DECIMAL(38,0) arithmetic for every product: n·(a+d), the chance
+    # products, and the ×1e6 quantization all exceed int64 once n passes
+    # ~3e6, and ANSI mode (Spark 4 default) makes that a hard
+    # ARITHMETIC_OVERFLOW.  Decimal(38,0) keeps the rationals exact to
+    # n ≈ 3.1e15; `x div y` on decimals is still the truncating integral
+    # divide returning BIGINT on both engines (oracle mirrors with
+    # HUGEINT casts).
+    dec = "decimal(38,0)"
+    a, b, c, d = (F.col(x).cast(dec) for x in ("a", "b", "c", "d"))
+    n = a + b + c + d
+    chance = (a + b) * (a + c) + (c + d) * (b + d)
     staged = agg.select(
         "a", "b", "c", "d",
-        n.alias("n"),
-        (n * (F.col("a") + F.col("d"))).alias("_po_num"),
-        chance.alias("_pe_num"),
+        n.cast("long").alias("n"),
+        n.cast(dec).alias("_n_dec"),
+        (n * (a + d)).cast(dec).alias("_po_num"),
+        chance.cast(dec).alias("_pe_num"),
     )
     # truncating e6 divisions; po/pe are non-negative, kappa may be negative
     # (div truncates toward zero on BOTH engines only for non-negative
     # operands — negate explicitly, the group_trend pattern).
     kappa_num = F.col("_po_num") - F.col("_pe_num")
-    kappa_den = F.col("n") * F.col("n") - F.col("_pe_num")
-    kappa = F.when(kappa_den == 0, F.lit(None).cast("long")).otherwise(
+    kappa_den = F.col("_n_dec") * F.col("_n_dec") - F.col("_pe_num")
+    kappa = F.when(kappa_den == F.lit(0).cast(dec), F.lit(None).cast("long")).otherwise(
         F.when(
-            kappa_num >= 0,
-            F.expr("(_po_num - _pe_num) * 1000000 div (n * n - _pe_num)"),
+            kappa_num >= F.lit(0).cast(dec),
+            F.expr(
+                "CAST((_po_num - _pe_num) * CAST(1000000 AS decimal(38,0)) AS decimal(38,0))"
+                " div CAST(_n_dec * _n_dec - _pe_num AS decimal(38,0))"
+            ),
         ).otherwise(
-            -F.expr("(_pe_num - _po_num) * 1000000 div (n * n - _pe_num)")
+            -F.expr(
+                "CAST((_pe_num - _po_num) * CAST(1000000 AS decimal(38,0)) AS decimal(38,0))"
+                " div CAST(_n_dec * _n_dec - _pe_num AS decimal(38,0))"
+            )
         )
     )
     return staged.select(
         "n", "a", "b", "c", "d",
-        F.expr("_po_num * 1000000 div (n * n)").alias("po_e6"),
-        F.expr("_pe_num * 1000000 div (n * n)").alias("pe_e6"),
+        F.expr(
+            "CAST(_po_num * CAST(1000000 AS decimal(38,0)) AS decimal(38,0))"
+            " div CAST(_n_dec * _n_dec AS decimal(38,0))"
+        ).alias("po_e6"),
+        F.expr(
+            "CAST(_pe_num * CAST(1000000 AS decimal(38,0)) AS decimal(38,0))"
+            " div CAST(_n_dec * _n_dec AS decimal(38,0))"
+        ).alias("pe_e6"),
         kappa.alias("kappa_e6"),
     )

@@ -346,9 +346,20 @@ def score_bin_report(
         "bin",
         "n",
         mean_score.alias("mean_score"),
-        F.expr("_pos * 1000000 div n").alias("pos_rate_e6"),
+        # DECIMAL(38,0) for both rate products: pos·n_tot·1e6 exceeds int64
+        # once the corpus passes ~3e6 rows (ANSI → hard error), and even the
+        # per-bin pos·1e6 overflows at trillion-row bins.  Decimal keeps the
+        # rationals exact to n ≈ 3e15; div on decimals still returns BIGINT.
+        F.expr(
+            "CAST(CAST(_pos AS decimal(38,0)) * 1000000 AS decimal(38,0))"
+            " div CAST(n AS decimal(38,0))"
+        ).alias("pos_rate_e6"),
         F.when(
             F.col("_pos_tot") > 0,
-            F.expr("_pos * _n_tot * 1000000 div (n * _pos_tot)"),
+            F.expr(
+                "CAST(CAST(_pos AS decimal(38,0)) * _n_tot * 1000000"
+                " AS decimal(38,0))"
+                " div CAST(CAST(n AS decimal(38,0)) * _pos_tot AS decimal(38,0))"
+            ),
         ).alias("lift_e6"),
     )

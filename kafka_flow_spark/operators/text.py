@@ -213,9 +213,13 @@ def url_host(url: Column | str) -> Column:
 
 def url_domain(url: Column | str) -> Column:
     """Registrable-domain heuristic: the last two dot-labels of the host
-    (`sub.a.example.com` -> `example.com`).  Public-suffix-list awareness
-    (co.uk etc.) is a lookup-table join the caller adds when needed."""
-    h = url_host(url)
+    (`sub.a.example.com` -> `example.com`), with any explicit ``:port``
+    stripped first — a port addresses a different origin (url_host keeps
+    it) but the same REGISTRABLE domain, so per-domain aggregations must
+    not fragment `example.com` from `example.com:8080`.  Public-suffix-list
+    awareness (co.uk etc.) is a lookup-table join the caller adds when
+    needed."""
+    h = F.regexp_replace(url_host(url), r":[0-9]+$", "")
     return F.when(
         h.rlike(r"[^.]+\.[^.]+$"), F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
     ).otherwise(h)

@@ -493,9 +493,10 @@ def ewma_anomaly(
 
     (alpha = 1/2; weights are exact powers of two, the divisor is the sum of
     the weights actually present, and everything stays bigint — ``div``
-    truncation is the only rounding, and on the non-negative inputs this
-    operator requires it matches any engine's floor division, so the output
-    is bit-reproducible).  The first observation of a key has no history:
+    truncation toward zero is the only rounding; DuckDB's ``//`` truncates
+    identically and the streaming twin mirrors it explicitly, so the output
+    is bit-reproducible on NEGATIVE series too — no non-negativity
+    assumption).  The first observation of a key has no history:
     ewma/deviation are NULL and the row never flags.  Ramp-in rows (fewer
     than ``k`` predecessors) renormalize over the weights present, exactly.
 
@@ -533,8 +534,9 @@ def ewma_anomaly(
         num.cast("long").alias("_ewma_num"),
         den.cast("long").alias("_ewma_den"),
     )
-    # bigint div (numerator is non-negative by contract, so truncating and
-    # floor division agree); NULL while the key has no history yet.
+    # bigint div (truncates toward zero — DuckDB's // and the streaming
+    # twin's sign·(|num|//den) match it exactly, negatives included);
+    # NULL while the key has no history yet.
     ewma = F.when(F.col("_ewma_den") > 0, F.expr("_ewma_num div _ewma_den"))
     dev = x - ewma
     return staged.select(

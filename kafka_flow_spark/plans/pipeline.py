@@ -1362,9 +1362,10 @@ def _calibration_oracle() -> str:
     SELECT bin, CAST(n AS BIGINT) AS n,
            CAST(CASE WHEN sum_s >= 0 THEN sum_s // n
                      ELSE -((-sum_s) // n) END AS BIGINT) AS mean_score,
-           CAST(pos * 1000000 // n AS BIGINT) AS pos_rate_e6,
+           CAST(CAST(pos AS HUGEINT) * 1000000 // n AS BIGINT) AS pos_rate_e6,
            CAST(CASE WHEN pos_tot > 0
-                     THEN pos * n_tot * 1000000 // (n * pos_tot) END AS BIGINT)
+                     THEN CAST(pos AS HUGEINT) * n_tot * 1000000
+                          // (CAST(n AS HUGEINT) * pos_tot) END AS BIGINT)
              AS lift_e6
     FROM per_bin CROSS JOIN tot
     """

@@ -877,13 +877,19 @@ _URL_CANON_CTES = f"""
     canon AS (SELECT doc_id, url,
                 CASE WHEN scheme = '' THEN host || p
                      ELSE scheme || '://' || host || p END AS canonical,
-                CASE WHEN regexp_matches(host, '[^.]+\\.[^.]+$')
-                     THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
-                     ELSE host END AS domain
+                CASE WHEN regexp_matches(regexp_replace(host, ':[0-9]+$', ''),
+                                         '[^.]+\\.[^.]+$')
+                     THEN regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
+                                         '([^.]+\\.[^.]+)$', 1)
+                     ELSE regexp_replace(host, ':[0-9]+$', '') END AS domain
               FROM cc)
 """
 
-_DOMAIN_BLOCKLIST = ["src1.example.com", "src3.example.org", "src7.example.com"]
+# One entry that OCCURS (the fixture's registrable domains are exactly
+# example.com / example.org — the anti-join demonstrably removes ~half the
+# corpus, so a join-key bug fails the parity test) and one that doesn't
+# (pinning that non-matching entries remove nothing).
+_DOMAIN_BLOCKLIST = ["example.org", "spam.example.net"]
 
 
 @register(
@@ -1078,16 +1084,19 @@ def q_source_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(SUM(CASE WHEN NOT keep_a AND NOT keep_b THEN 1 ELSE 0 END) AS BIGINT) AS d
           FROM j),
     k AS (SELECT a, b, c, d, a + b + c + d AS n,
-                 (a + b + c + d) * (a + d) AS po_num,
-                 (a + b) * (a + c) + (c + d) * (b + d) AS pe_num
+                 CAST(a + b + c + d AS HUGEINT) * (a + d) AS po_num,
+                 CAST(a + b AS HUGEINT) * (a + c)
+                   + CAST(c + d AS HUGEINT) * (b + d) AS pe_num,
+                 CAST(a + b + c + d AS HUGEINT)
+                   * (a + b + c + d) AS n_sq
           FROM m)
     SELECT n, a, b, c, d,
-           po_num * 1000000 // (n * n) AS po_e6,
-           pe_num * 1000000 // (n * n) AS pe_e6,
-           CASE WHEN n * n - pe_num = 0 THEN NULL
+           CAST(po_num * 1000000 // n_sq AS BIGINT) AS po_e6,
+           CAST(pe_num * 1000000 // n_sq AS BIGINT) AS pe_e6,
+           CASE WHEN n_sq - pe_num = 0 THEN NULL
                 WHEN po_num >= pe_num
-                THEN (po_num - pe_num) * 1000000 // (n * n - pe_num)
-                ELSE -((pe_num - po_num) * 1000000 // (n * n - pe_num))
+                THEN CAST((po_num - pe_num) * 1000000 // (n_sq - pe_num) AS BIGINT)
+                ELSE CAST(-((pe_num - po_num) * 1000000 // (n_sq - pe_num)) AS BIGINT)
            END AS kappa_e6
     FROM k
     """,

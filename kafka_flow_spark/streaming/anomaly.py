@@ -2,9 +2,11 @@
 stateful flow that maintains the last-k value history across micro-batches
 and flags each arriving observation against the truncated EWMA of its own
 recent history — the online form of the batch window operator, with the
-SAME integer arithmetic (power-of-two weights, floor division), so the
-stream's output is bit-identical to a batch recompute over the union of all
-micro-batches (golden test: tests/test_streaming_anomaly.py, including a
+SAME integer arithmetic (power-of-two weights, division truncating toward
+zero — Spark's ``div``, NOT Python's floor ``//``: they differ on negative
+numerators, -199 div 3 = -66 vs -199 // 3 = -67), so the stream's output is
+bit-identical to a batch recompute over the union of all micro-batches —
+including negative-valued series (golden test: tests/test_streaming_anomaly.py, including a
 checkpoint stop/restart in the middle of a key's history).
 
 Built on the reference-parity flow assembly (``streaming.flow.FlowSpec`` =
@@ -26,14 +28,20 @@ from kafka_flow_spark.streaming.flow import FlowSpec, stateful_flow
 
 
 def _ewma_of(history: list[int], k: int) -> int | None:
-    """Truncated EWMA of a most-recent-first history — the same weights and
-    floor division as the batch operator (alpha=1/2, weights 2^(k-j))."""
+    """Truncated EWMA of a most-recent-first history — the same weights
+    (alpha=1/2, weights 2^(k-j)) and the same ROUNDING as the batch
+    operator: truncation toward zero (Spark ``div``), implemented as
+    sign·(|num| // den) because Python's ``//`` floors — on a negative
+    weighted sum the two differ by one and would break the bit-identical
+    stream/batch twin contract (pinned by
+    tests/test_streaming_anomaly.py on a negative-valued series)."""
     if not history:
         return None
     recent = history[:k]
     weights = [2 ** (k - j) for j in range(1, len(recent) + 1)]
     num = sum(w * x for w, x in zip(weights, recent))
-    return num // sum(weights)
+    den = sum(weights)
+    return num // den if num >= 0 else -((-num) // den)
 
 
 def ewma_flow_spec(

@@ -8,6 +8,7 @@ emails/phones/IPs, rule-boundary documents, negative/zero vectors).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafka_flow_spark.operators.quality import (
     pii_redact,
@@ -720,6 +721,28 @@ def test_kappa_degenerate_denominator_is_null(spark):
     # all four cells in one row class: pe=1 -> kappa undefined
     r = _kappa(spark, [(True, True)] * 4)
     assert r["kappa_e6"] is None
+
+
+def test_kappa_large_n_decimal_path(spark):
+    # n = 12M rows previously overflowed int64 in ANSI mode (n²·1e6 passes
+    # 9.2e18 once n > ~3.0e6); the DECIMAL(38,0) rationals must stay exact
+    # — including a NEGATIVE kappa (worse-than-chance table).
+    from kafka_flow_spark.operators.quality import gate_agreement_kappa
+
+    df = spark.range(12_000_000).select(
+        (F.col("id") % 12 < 7).alias("fa"),
+        ((F.col("id") % 12 < 4) | (F.col("id") % 12 >= 9)).alias("fb"),
+    )
+    r = gate_agreement_kappa(df, "fa", "fb").collect()[0]
+    a, b, c, d = 4_000_000, 3_000_000, 3_000_000, 2_000_000
+    n = a + b + c + d
+    po, pe = n * (a + d), (a + b) * (a + c) + (c + d) * (b + d)
+    kn, kd = po - pe, n * n - pe
+    expect_kappa = kn * 10**6 // kd if kn >= 0 else -((-kn) * 10**6 // kd)
+    assert (r["n"], r["a"], r["b"], r["c"], r["d"]) == (n, a, b, c, d)
+    assert r["po_e6"] == po * 10**6 // (n * n)
+    assert r["pe_e6"] == pe * 10**6 // (n * n)
+    assert r["kappa_e6"] == expect_kappa and expect_kappa < 0
 
 
 def test_kappa_nulls_excluded(spark):

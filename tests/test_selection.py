@@ -269,6 +269,33 @@ def test_report_negative_scores_and_means(spark):
     assert got[1][2] == 1_000_000
 
 
+def test_report_large_n_decimal_path(spark):
+    # 10M rows previously overflowed int64 in ANSI mode (pos·n_tot·1e6
+    # passes 9.2e18 once the corpus exceeds ~3e6 rows with a high positive
+    # rate); the DECIMAL(38,0) rationals must stay exact.
+    from kafka_flow_spark.cache import release_all
+    from kafka_flow_spark.operators.selection import score_bin_report
+
+    n = 10_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 10).alias("s"),
+        (F.col("id") % 10 >= 5).alias("y"),  # 50% positive overall
+    )
+    try:
+        out = {
+            r["bin"]: r
+            for r in score_bin_report(df, "s", "y", n_bins=2).collect()
+        }
+    finally:
+        release_all()
+    # bin 0 = scores 0..4 (all negative), bin 1 = scores 5..9 (all positive)
+    half, pos_tot = n // 2, n // 2
+    assert out[0]["n"] == half and out[0]["pos_rate_e6"] == 0
+    assert out[0]["lift_e6"] == 0
+    assert out[1]["pos_rate_e6"] == 1_000_000
+    assert out[1]["lift_e6"] == half * n * 10**6 // (half * pos_tot)  # = 2e6
+
+
 def test_report_validates_bins(spark):
     import pytest as _pytest
 

@@ -76,6 +76,23 @@ def test_history_truncates_at_k(spark, tmp_path):
     assert got == _batch_truth(spark, rows, threshold=900)
 
 
+def test_stream_equals_batch_on_negative_series(spark, tmp_path):
+    # The regression the twin contract exists to catch: Spark's `div`
+    # truncates toward zero while Python's `//` floors, and they differ on
+    # negative weighted sums (history [-99, -100]: batch ewma -99, a floor
+    # stream would say -100).  Both sides must truncate identically.
+    input_dir, checkpoint = str(tmp_path / "in"), str(tmp_path / "chk")
+    out_dir = str(tmp_path / "out")
+    rows = [(i, "n", v) for i, v in enumerate([-99, -100, -101, -7, -199, 3])]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(input_dir)
+    got = _run(spark, input_dir, checkpoint, out_dir, threshold=50)
+    assert got == _batch_truth(spark, rows, threshold=50)
+    # seq 2 sees history [-100, -99]: (8·-100 + 4·-99) div 12 = -99 (trunc),
+    # not -100 (floor)
+    s2 = [r for r in got if r[1] == 2][0]
+    assert s2[3] == -99
+
+
 def test_spec_validates_args():
     import pytest as _pytest
 

@@ -102,6 +102,23 @@ def test_domain_last_two_labels(spark):
     assert got == ["example.com", "example.org", "localhost"]
 
 
+def test_domain_strips_explicit_port(spark):
+    # url_host keeps a non-default port (different ORIGIN) but url_domain
+    # must not fragment the same registrable domain by port.
+    df = spark.createDataFrame(
+        [
+            ("http://a.example.com:8080/x",),
+            ("http://a.example.com/x",),
+            ("http://localhost:9000/x",),  # single label + port
+        ],
+        "url string",
+    )
+    hosts = [r["h"] for r in df.select(url_host("url").alias("h")).collect()]
+    doms = [r["d"] for r in df.select(url_domain("url").alias("d")).collect()]
+    assert hosts == ["a.example.com:8080", "a.example.com", "localhost:9000"]
+    assert doms == ["example.com", "example.com", "localhost"]
+
+
 def test_scheme_and_host_helpers(spark):
     df = spark.createDataFrame([("HtTpS://WWW.Ex.COM:443/p?q#f",)], "url string")
     row = df.select(
