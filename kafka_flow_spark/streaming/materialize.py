@@ -17,19 +17,23 @@ unacknowledged micro-batch with the SAME ``batch_id`` and (for replayable
 sources) the same rows.  The sinks here make the replay a no-op with the
 standard versioned-commit protocol:
 
-- every batch writes its outputs to fresh ``v=<batch_id>`` directories —
-  never in place — so a crash mid-write can only tear an UNCOMMITTED version;
+- every batch writes its outputs to a fresh ``v=<n>`` directory — never in
+  place — so a crash mid-write can only tear an UNCOMMITTED version;
 - a version counts as committed solely on its view-level ``_VIEW_COMMIT``
   marker, written after every table's parquet job has returned — commit-
   last, the same ordering discipline as save_minhash_index's params row
   (the per-table ``_SUCCESS`` files Spark writes are thereby subsumed);
-- on entry the sink consults the max committed version: ``batch_id`` EQUAL
-  to it ⇒ the crash-replay of the last batch, skip (idempotent);
-  ``batch_id`` BELOW it ⇒ a different stream incarnation (new/cleared
-  checkpoint) — refuse loudly rather than eat its backlog as phantom
-  replays or double-apply history; otherwise roll forward FROM the
-  committed version (a torn half-written version is simply ignored and
-  overwritten).
+- version numbers and stream batch ids are DECOUPLED (r10): each version
+  records the batch id that produced it in ``_BATCH_META.json`` (legacy
+  dirs without one used version == batch_id, the read fallback), because a
+  ``refresh()`` admin advance commits a version with NO new batch;
+- on entry the sink consults the head version's RECORDED batch id:
+  ``batch_id`` EQUAL to it ⇒ the crash-replay of the last batch, skip
+  (idempotent); ``batch_id`` BELOW it ⇒ a different stream incarnation
+  (new/cleared checkpoint) — refuse loudly rather than eat its backlog as
+  phantom replays or double-apply history; otherwise roll forward FROM the
+  committed head into version ``max(head+1, batch_id)`` (a torn
+  half-written version is simply ignored and overwritten).
 
 Offsets live in the streaming checkpoint, view state lives in the versioned
 parquet log, and the batch_id ties them together — the same
@@ -92,6 +96,7 @@ from kafka_flow_spark.operators.incremental import (
 
 _VIEW_COMMIT = "_VIEW_COMMIT"
 _MANIFEST = "_BUCKET_MANIFEST.json"
+_BATCH_META = "_BATCH_META.json"
 
 
 @dataclass
@@ -147,6 +152,39 @@ def _commit_version(spark: SparkSession, root: str, version: int) -> None:
     fs.create(
         jvm.org.apache.hadoop.fs.Path(f"{root}/v={version}/{_VIEW_COMMIT}"), True
     ).close()
+
+
+def _write_batch_meta(
+    spark: SparkSession, root: str, version: int, batch_id: int
+) -> None:
+    """Record which STREAM batch produced ``version`` (written before the
+    commit marker).  Versions and batch ids are decoupled since r10: a
+    ``refresh()`` admin advance creates a version with NO new batch (it
+    carries the previous batch id forward), so replay idempotence must
+    compare against the batch id ON RECORD, not the version number."""
+    fs, jvm = _fs(spark, root)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/v={version}/{_BATCH_META}"), True
+    )
+    try:
+        out.write(bytearray(json.dumps({"batch_id": batch_id}).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_batch_meta(spark: SparkSession, root: str, version: int) -> int:
+    """Batch id recorded for ``version`` — legacy version dirs (pre-r10)
+    have no meta file and used version == batch_id, the fallback."""
+    fs, jvm = _fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(f"{root}/v={version}/{_BATCH_META}")
+    if not fs.exists(p):
+        return version
+    stream = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        return int(json.loads(text)["batch_id"])
+    finally:
+        stream.close()
 
 
 class _VersionedView:
@@ -316,7 +354,9 @@ class _VersionedView:
                 f"bucketed with n_buckets={prev_man['n_buckets']} but this "
                 f"sink is configured with n_buckets={self.n_buckets} — the "
                 "bucket function must be stable for pointer carry-forward; "
-                "recreate the view to re-bucket"
+                "run rebucket(spark, n_new) once (offline, between batches) "
+                "to migrate the view, then restart the stream with sinks "
+                "constructed under the new count"
             )
         schema_json = prev_man["schema"]
         pk = self.bucketed[table]
@@ -359,6 +399,7 @@ class _VersionedView:
         version: int,
         frames: dict[str, DataFrame | BucketPatch],
         prev: int | None = None,
+        batch_id: int | None = None,
     ) -> None:
         assert set(frames) == set(self.tables)
         for t in self.tables:
@@ -372,15 +413,23 @@ class _VersionedView:
                 # overwrite: a torn, uncommitted attempt at this version from
                 # a previous incarnation must not poison the retry
                 f.write.mode("overwrite").parquet(f"{self.path}/v={version}/{t}")
+        if batch_id is not None:
+            _write_batch_meta(spark, self.path, version, batch_id)
         _commit_version(spark, self.path, version)  # commit point, written last
 
     # -- the foreachBatch hook ---------------------------------------------
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         last = self.last_committed(spark)
-        if last is not None and batch_id == last:
+        # replay idempotence compares STREAM batch ids, not version numbers:
+        # a refresh() admin advance creates versions with no new batch, so
+        # the head version's recorded batch id is the real high-water mark
+        last_bid = (
+            None if last is None else _read_batch_meta(spark, self.path, last)
+        )
+        if last_bid is not None and batch_id == last_bid:
             return  # crash-replay of the last batch: already applied, skip
-        if last is not None and batch_id < last:
+        if last_bid is not None and batch_id < last_bid:
             # Structured Streaming batch ids are monotonic within ONE
             # checkpoint and only the LAST batch is ever redelivered; an id
             # below the committed head means a DIFFERENT stream incarnation
@@ -392,10 +441,10 @@ class _VersionedView:
             # under a fresh root (review r8).
             raise ValueError(
                 f"materialized view at {self.path} is at committed batch "
-                f"{last} but received batch {batch_id} — this stream's "
-                "checkpoint does not match the view (was it cleared or "
-                "relocated?); keep checkpoint and view together, or point "
-                "the new stream at a fresh view path"
+                f"{last_bid} (version {last}) but received batch {batch_id} "
+                "— this stream's checkpoint does not match the view (was it "
+                "cleared or relocated?); keep checkpoint and view together, "
+                "or point the new stream at a fresh view path"
             )
         from kafka_flow_spark.cache import mark, release_since
 
@@ -403,10 +452,14 @@ class _VersionedView:
         try:
             if last is None:
                 frames = self._initial(batch)
+                version = batch_id
             else:
                 committed = {t: self._read(spark, last, t) for t in self.tables}
                 frames = self._advance(committed, batch)
-            self._write_all(spark, batch_id, frames, prev=last)
+                # next version slot, NOT batch_id: refresh() versions may sit
+                # between batches, and a version number must never collide
+                version = max(last + 1, batch_id)
+            self._write_all(spark, version, frames, prev=last, batch_id=batch_id)
         finally:
             release_since(pos)
 
@@ -478,6 +531,49 @@ class _VersionedView:
         for v in drop:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/v={v}"), True)
         return drop
+
+    def rebucket(self, spark: SparkSession, n_new: int) -> int:
+        """One-shot OFFLINE re-bucket: read every table at the committed
+        head and commit one new version whose bucketed tables are FULLY
+        rewritten under ``n_new`` buckets with a fresh manifest (no pointer
+        carry-forward across the bucket-function change — the one write
+        that must be snapshot-sized, by definition).  The operations story
+        for a view that outgrew its bucket count: without this, the
+        n_buckets-change refusal in ``_write_bucketed_patch`` is terminal
+        and the only remedy is recreating the view — a full REPROCESS of
+        history at 100 TB, vs this one full REWRITE of current state.
+
+        Cost: |view| + |fact| + |dim| bytes once; subsequent micro-batches
+        are delta-proportional again under the new bucket count.
+
+        After it returns, this sink instance advances under ``n_new``;
+        restart the stream with sinks constructed with ``n_buckets=n_new``
+        (a sink still configured with the old count refuses loudly on its
+        next patch, as ever).  Carries the head's batch id forward like
+        ``refresh()``, so the running stream's replay/refusal logic is
+        untouched.  Run from the single-writer context, between batches.
+        """
+        if n_new < 1:
+            raise ValueError(f"n_new must be >= 1, got {n_new}")
+        last = self.last_committed(spark)
+        if last is None:
+            raise ValueError(
+                f"materialized view at {self.path} has no committed version "
+                "to rebucket"
+            )
+        committed = {t: self._read(spark, last, t) for t in self.tables}
+        self.n_buckets = n_new
+        version = last + 1
+        # full frames (no BucketPatch): _write_all routes every bucketed
+        # table through _write_bucketed_full → fresh manifest under n_new
+        self._write_all(
+            spark,
+            version,
+            committed,
+            prev=last,
+            batch_id=_read_batch_meta(spark, self.path, last),
+        )
+        return version
 
     # -- subclass contract ---------------------------------------------------
     def _initial(self, batch: DataFrame) -> dict[str, DataFrame]:
@@ -608,8 +704,10 @@ class MaterializedJoinView(_VersionedView):
     gap: the batch operator always took a dim delta, the sink used to pin it
     empty and require a frozen dim).  An in-place dim edit is therefore
     PICKED UP, not forbidden — at the next fact micro-batch (the dim diff
-    rides the fact stream's trigger; a dim-only change with no fact traffic
-    waits for one).
+    rides the fact stream's trigger), or immediately via ``refresh()``:
+    the admin advance that runs the same maintenance with ZERO fact rows,
+    so a quiet fact stream over a fast-moving dim never serves stale joins
+    (the empty-poll timer path of the reference, Spark-shaped).
 
     Maintains three tables per version: the view, the fact snapshot (to find
     unchanged fact rows whose dim side changes later and to apply the next
@@ -726,6 +824,65 @@ class MaterializedJoinView(_VersionedView):
         """The join view at a committed ``version`` (None = latest) — time
         travel over the retained version log (see ``versions``)."""
         return self._read(spark, self._resolve(spark, version), "view")
+
+    def refresh(self, spark: SparkSession) -> int | None:
+        """Advance the dim diff with ZERO fact rows — the admin twin of a
+        fact micro-batch, for the quiet-fact-stream/fast-moving-dim case
+        (the reference runs state transitions on EMPTY polls:
+        core/.../ConsumerFlow.scala:103-104 — empty polls still drive
+        timers; core/.../Tick.scala:7-31.  Spark's foreachBatch only fires
+        on data, so the empty-poll path is an explicit call wired to the
+        SAME ``_advance`` + versioned-commit protocol).
+
+        Diffs ``dim_path`` against the stored dim snapshot and, if anything
+        changed, commits one new version carrying the head's batch id
+        forward — the running stream's replay/refusal logic is untouched
+        because it compares batch ids on record, not version numbers, and
+        its next micro-batch rolls forward from the refreshed head exactly
+        as from a batch-written one (restart-safe: a crash mid-refresh
+        leaves an uncommitted torn dir that the next writer overwrites).
+
+        Returns the committed version, or None when the dim is unchanged
+        (no version is written — safe to call on a schedule).  Refuses on a
+        view with no committed head: there is no fact schema or baseline to
+        advance from until the stream's first batch lands.
+
+        Concurrency contract (same as the reference's single-writer fence,
+        sinks.py:8-14): run refresh() from the SAME single-writer context
+        as the stream's foreachBatch — between micro-batches, not racing
+        one.
+        """
+        last = self.last_committed(spark)
+        if last is None:
+            raise ValueError(
+                f"materialized join view at {self.path} has no committed "
+                "version to refresh — the stream's first micro-batch "
+                "initializes the view (fact schema + dim baseline)"
+            )
+        from kafka_flow_spark.cache import mark, release_since, scoped_persist
+
+        pos = mark()
+        try:
+            dim_old = self._read(spark, last, "dim")
+            delta_b = scoped_persist(changeset(dim_old, self._dim(spark), [self.b_pk]))
+            if delta_b.limit(1).count() == 0:
+                return None  # dim unchanged: nothing to advance, no version
+            committed = {t: self._read(spark, last, t) for t in self.tables}
+            empty_fact_batch = (
+                committed["fact"].limit(0).withColumn("status", F.lit("added"))
+            )
+            frames = self._advance(committed, empty_fact_batch)
+            version = last + 1
+            self._write_all(
+                spark,
+                version,
+                frames,
+                prev=last,
+                batch_id=_read_batch_meta(spark, self.path, last),
+            )
+            return version
+        finally:
+            release_since(pos)
 
 
 class MaterializedCmsView(_VersionedView):

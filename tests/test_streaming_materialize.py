@@ -477,6 +477,83 @@ def test_join_view_two_sided_dim_deltas_across_restart(spark, tmp_path):
     assert got_dim == {(10, "crimson"), (30, "green"), (40, "gold")}
 
 
+def test_join_view_refresh_advances_dim_with_zero_fact_rows(spark, tmp_path):
+    """r9-review gap #1: a dim-only change must reach the committed view
+    WITHOUT waiting for fact traffic — the reference's empty-poll timer
+    path (ConsumerFlow.scala:103-104, Tick.scala), here the ``refresh()``
+    admin advance on the same versioned-commit path.  The golden contract:
+    refresh == full recompute; a later fact micro-batch (and a crash-replay
+    of an OLD batch) behave exactly as before the refresh."""
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(10, "red"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.parquet(dim_path)
+    sink = MaterializedJoinView(
+        str(tmp_path / "view"), dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk",
+        n_buckets=8,
+    )
+    _write(
+        spark,
+        input_dir,
+        [(1, 10, 5.0, "added"), (2, 20, 6.0, "added"), (3, 30, 7.0, "added")],
+        FACT_CDC_SCHEMA,
+    )
+    _run(spark, input_dir, FACT_CDC_SCHEMA, sink, chk)
+
+    def view_rows():
+        return {
+            tuple(r)
+            for r in sink.view(spark).select("pk", "fk", "qty", "color").collect()
+        }
+
+    head0 = sink.last_committed(spark)
+    assert view_rows() == {(1, 10, 5.0, "red"), (2, 20, 6.0, "blue")}
+
+    # dim-only edit, ZERO fact rows: 10 recolors, 20 dies, 30 appears
+    # (fact pk 3 was waiting on it)
+    spark.createDataFrame(
+        [(10, "crimson"), (30, "green")], "b_pk BIGINT, color STRING"
+    ).write.mode("overwrite").parquet(dim_path)
+    v1 = sink.refresh(spark)
+    assert v1 == head0 + 1  # one bounded admin trigger, committed
+    assert view_rows() == {(1, 10, 5.0, "crimson"), (3, 30, 7.0, "green")}
+    # stored dim baseline advanced with it
+    got_dim = {tuple(r) for r in sink._read(spark, v1, "dim").collect()}
+    assert got_dim == {(10, "crimson"), (30, "green")}
+
+    # unchanged dim: refresh is a no-op — no new version (schedulable)
+    assert sink.refresh(spark) is None
+    assert sink.last_committed(spark) == v1
+
+    # the stream continues over the refreshed head: next fact batch applies
+    # on top (restart, same checkpoint — replay of old batch ids must skip)
+    _write(spark, input_dir, [(4, 30, 9.0, "added")], FACT_CDC_SCHEMA)
+    _run(spark, input_dir, FACT_CDC_SCHEMA, sink, chk)
+    assert view_rows() == {
+        (1, 10, 5.0, "crimson"),
+        (3, 30, 7.0, "green"),
+        (4, 30, 9.0, "green"),
+    }
+    # version log stayed strictly monotone through the interleaving
+    vs = sink.versions(spark)
+    assert vs == sorted(vs) and len(vs) == len(set(vs))
+
+
+def test_join_view_refresh_requires_committed_head(spark, tmp_path):
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame([(1, "x")], "b_pk BIGINT, color STRING").write.parquet(
+        dim_path
+    )
+    sink = MaterializedJoinView(
+        str(tmp_path / "view"), dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no committed version"):
+        sink.refresh(spark)
+
+
 def test_vacuum_keeps_manifest_referenced_versions(spark, tmp_path):
     """Bucketed tables carry untouched buckets forward by POINTER: vacuum
     must keep every version a surviving manifest references (transitively),
@@ -539,6 +616,72 @@ def test_bucketed_view_refuses_n_buckets_change(spark, tmp_path):
     bad = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=16)
     with _pytest.raises(ValueError, match="n_buckets"):
         bad(spark.createDataFrame([(2, "a", 2.0, "added")], CDC_SCHEMA), 1)
+
+
+def test_rebucket_migrates_view_and_stays_delta_proportional(spark, tmp_path):
+    """r9-review gap #3: a view that outgrew its bucket count needed a full
+    recreate.  rebucket(n_new) writes ONE full bucketed version under the
+    new count; reads are unchanged, subsequent delta advances are
+    delta-proportional under n_new, and an old-count sink still refuses."""
+    import pytest as _pytest
+
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    dim_path = str(tmp_path / "dim")
+    path = str(tmp_path / "view")
+    spark.createDataFrame(
+        [(10, "red"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.parquet(dim_path)
+    sink = MaterializedJoinView(
+        path, dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk", n_buckets=4
+    )
+    _write(
+        spark,
+        input_dir,
+        [(i, 10 if i % 2 else 20, float(i), "added") for i in range(1, 9)],
+        FACT_CDC_SCHEMA,
+    )
+    _run(spark, input_dir, FACT_CDC_SCHEMA, sink, chk)
+    before = {
+        tuple(r)
+        for r in sink.view(spark).select("pk", "fk", "qty", "color").collect()
+    }
+    head = sink.last_committed(spark)
+
+    v_new = sink.rebucket(spark, 16)
+    assert v_new == head + 1 and sink.n_buckets == 16
+    # same rows, fresh manifest under the new count, no stale pointers
+    after = {
+        tuple(r)
+        for r in sink.view(spark).select("pk", "fk", "qty", "color").collect()
+    }
+    assert after == before
+    man = sink._manifest(spark, v_new, "view")
+    assert man["n_buckets"] == 16
+    assert all(v == v_new for v in man["buckets"].values())
+
+    # next delta advances under n_new and rewrites ONLY touched buckets
+    _write(spark, input_dir, [(100, 10, 99.0, "added")], FACT_CDC_SCHEMA)
+    _run(spark, input_dir, FACT_CDC_SCHEMA, sink, chk)
+    head2 = sink.last_committed(spark)
+    assert len(_bucket_dirs(path, head2, "fact")) == 1  # one key, one bucket
+    got = {
+        tuple(r)
+        for r in sink.view(spark).select("pk", "fk", "qty", "color").collect()
+    }
+    assert got == before | {(100, 10, 99.0, "red")}
+
+    # a sink still constructed with the OLD count refuses, pointing here
+    stale = MaterializedJoinView(
+        path, dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk", n_buckets=4
+    )
+    with _pytest.raises(ValueError, match="rebucket"):
+        stale(
+            spark.createDataFrame([(101, 20, 1.0, "added")], FACT_CDC_SCHEMA),
+            10**6,
+        )
+
+    with _pytest.raises(ValueError, match="n_new"):
+        sink.rebucket(spark, 0)
 
 
 def test_agg_view_topk_finalizer(spark, tmp_path):
