@@ -19,9 +19,12 @@ Scale notes (the 100 TB read):
   ``groupBy(u).agg(min(v))`` (map-side-combinable, skew-immune) followed by an
   equi-join of that tiny min-table back to the edges — both sides hash on
   ``u`` so AQE co-partitions, and a skewed u is split by AQE skew-join.
-- **Lineage is truncated every round** with ``localCheckpoint`` — iterative
-  self-joins otherwise grow the plan exponentially and re-execute prior
-  rounds.  On a cluster, swap for ``checkpoint()`` on reliable storage.
+- **Lineage is truncated every round** — iterative self-joins otherwise grow
+  the plan exponentially and re-execute prior rounds.  Every iterator takes
+  ``checkpoint_dir``: None → ``localCheckpoint`` (zero setup; in local mode
+  the iteration history lives in the one JVM), a path → reliable
+  ``checkpoint()`` on cluster storage (the 100 TB deployment shape — a
+  parameter, not a comment to re-learn).
 - **Convergence is checked with one aggregate** (count + xor-ish hash sum),
   not a full ``except``-style set compare: per round it costs one reduce, and
   a false "converged" requires a hash-sum collision across rounds (~2^-64).
@@ -29,8 +32,39 @@ Scale notes (the 100 TB read):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+
+_checkpoint_dir_set: str | None = None
+
+
+def _truncate(
+    df: DataFrame, checkpoint_dir: str | None, eager: bool = False
+) -> DataFrame:
+    """Per-round lineage truncation for the iterative operators.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint``: blocks live in the
+    running executors — zero setup, but in local mode the whole iteration
+    history sits in ONE JVM (the 48g-driver knob the sf10 graph audits used
+    to need).  A path → reliable ``checkpoint()`` to cluster storage: the
+    100 TB deployment shape, survives executor loss, and keeps local-mode
+    driver memory flat — this parameter replaces the former "swap for
+    checkpoint() on a cluster" comment."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    # setCheckpointDir materializes a UUID subdir, so getCheckpointDir never
+    # echoes the raw path back — cache what WE set to avoid a fresh subdir
+    # (and a py4j round-trip) per truncation round
+    global _checkpoint_dir_set
+    if _checkpoint_dir_set != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+        _checkpoint_dir_set = checkpoint_dir
+    return df.checkpoint(eager=eager)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -74,38 +108,74 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def connected_components_status(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 12,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, bool, int]:
+    """``connected_components`` plus the convergence contract: returns
+    ``(assignments, converged, rounds_run)``.  ``converged=False`` means
+    ``max_iter`` exhausted before the star-contraction fixpoint — the
+    output is a well-defined partial contraction (components may still be
+    split), and a 100 TB pipeline should ALERT on the flag rather than
+    silently ship it (review r9: every capped fixpoint here exposes this).
+    ``checkpoint_dir`` switches per-round lineage truncation from
+    localCheckpoint to reliable checkpoint() (see ``_truncate``)."""
+    cur = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src) != F.col(dst)
+    )
+    cur = _truncate(cur, checkpoint_dir, eager=True)
+    prev_sig = _checksum(cur)
+    converged, rounds = False, 0
+    for rounds in range(1, max_iter + 1):
+        nxt = _truncate(_small_star(_large_star(cur)), checkpoint_dir, eager=True)
+        sig = _checksum(nxt)
+        cur = nxt
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    # converged edge set is a union of stars (v -> component min)
+    members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    centers = cur.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    out = (
+        members.union(centers)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    return out, converged, rounds
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "u",
     dst: str = "v",
     max_iter: int = 12,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Assign each node the minimum node id of its connected component.
 
     ``edges`` is an undirected pair list (one row per edge, either direction).
     Returns ``(node, component)`` covering every node that appears in an edge;
     isolated nodes never enter and callers left-join + coalesce them back.
+
+    Cap-exhaustion (star contraction not at fixpoint after ``max_iter``)
+    logs a loud warning; use ``connected_components_status`` where the
+    caller needs the flag programmatically.
     """
-    cur = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
-        F.col(src) != F.col(dst)
+    out, converged, rounds = connected_components_status(
+        edges, src, dst, max_iter, checkpoint_dir
     )
-    cur = cur.localCheckpoint(eager=True)
-    prev_sig = _checksum(cur)
-    for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        sig = _checksum(nxt)
-        cur = nxt
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    # converged edge set is a union of stars (v -> component min)
-    members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    centers = cur.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
-    return (
-        members.union(centers)
-        .groupBy("node")
-        .agg(F.min("component").alias("component"))
-    )
+    if not converged:
+        _log.warning(
+            "connected_components: max_iter=%d exhausted before the "
+            "star-contraction fixpoint — components may still be split; "
+            "raise max_iter or call connected_components_status",
+            max_iter,
+        )
+    return out
 
 
 def dedup_clusters(
@@ -114,11 +184,14 @@ def dedup_clusters(
     id_col: str = "doc_id",
     a_col: str = "a_id",
     b_col: str = "b_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster documents by near-dup pair edges; singletons form their own
     cluster.  Output: (doc_id, cluster_id) for EVERY doc — ``cluster_id`` is
     the minimum doc id of the cluster, i.e. the canonical survivor."""
-    cc = connected_components(pairs, src=a_col, dst=b_col)
+    cc = connected_components(
+        pairs, src=a_col, dst=b_col, checkpoint_dir=checkpoint_dir
+    )
     return (
         docs.select(F.col(id_col))
         .join(cc, docs[id_col] == cc["node"], "left")
@@ -136,6 +209,7 @@ def pagerank(
     iterations: int = 5,
     scale: int = 10**12,
     damping: tuple[int, int] = (85, 100),
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer arithmetic.
 
@@ -157,8 +231,9 @@ def pagerank(
     one equi-join of ranks onto edges (both hash-partitioned on src — AQE
     co-partitions, skewed hubs split by skew-join) + one map-combinable
     groupBy(dst) SUM + one left join onto the node set.  Lineage is
-    truncated per round (localCheckpoint — swap for checkpoint() on a
-    cluster), so plan depth stays constant.  N is one bounded scalar
+    truncated per round (``checkpoint_dir=None`` → localCheckpoint; a path
+    → reliable checkpoint(), the cluster deployment shape — see
+    ``_truncate``), so plan depth stays constant.  N is one bounded scalar
     aggregate.  Output: (node, rank_scaled), one row per node.
     """
     if iterations < 1:
@@ -167,7 +242,7 @@ def pagerank(
     # no residual can reach (tol < 0 also skips the per-round residual
     # aggregate entirely) — the two forms' bit-identity is by construction,
     # not by keeping two copies of the arithmetic in sync (review r7).
-    ranks, _, _ = pagerank_converged(
+    ranks, _, _, _ = pagerank_converged(
         edges,
         src=src,
         dst=dst,
@@ -175,6 +250,7 @@ def pagerank(
         tol_scaled=-1,
         scale=scale,
         damping=damping,
+        checkpoint_dir=checkpoint_dir,
     )
     return ranks
 
@@ -187,7 +263,8 @@ def pagerank_converged(
     tol_scaled: int = 0,
     scale: int = 10**12,
     damping: tuple[int, int] = (85, 100),
-) -> tuple[DataFrame, int, int]:
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, int, int, bool]:
     """PageRank with early exit on the L1 residual — the answer to "how many
     iterations do I actually need?" that ``pagerank``'s fixed count leaves to
     the caller.
@@ -206,20 +283,26 @@ def pagerank_converged(
     A useful tolerance is ``n_nodes * 10`` scaled units (each rank within
     ~10 integer ulps of its fixpoint ≈ 1e-11 relative at the default scale).
 
-    Returns ``(ranks, iterations_run, final_residual)`` — the residual lets
-    the caller log convergence quality instead of trusting a fixed budget.
+    Returns ``(ranks, iterations_run, final_residual, converged)``.
+    ``converged`` is True when the residual met ``tol_scaled`` (trivially
+    True in fixed-iteration mode, ``tol_scaled < 0``, where the iteration
+    count IS the contract); False means ``max_iterations`` exhausted with
+    the residual still above tolerance — alert, don't silently ship
+    (review r9: the capped-fixpoint contract shared by the graph family).
+    ``checkpoint_dir`` switches lineage truncation to reliable
+    checkpoint() (see ``_truncate``).
     """
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     d_num, d_den = damping
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ewd = e.join(deg, "src").localCheckpoint(eager=False)
-    nodes = (
+    ewd = _truncate(e.join(deg, "src"), checkpoint_dir)
+    nodes = _truncate(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        checkpoint_dir,
     )
     n = nodes.count()
     if n == 0:
@@ -228,9 +311,10 @@ def pagerank_converged(
         )
     base = (d_den - d_num) * scale // (d_den * n)
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
-    ranks = ranks.localCheckpoint(eager=False)
+    ranks = _truncate(ranks, checkpoint_dir)
     residual = -1
     it = 0
+    converged = tol_scaled < 0  # fixed-iteration mode: the count IS the contract
     for it in range(1, max_iterations + 1):
         contrib = (
             ewd.join(ranks, ewd.src == ranks.node)
@@ -247,8 +331,8 @@ def pagerank_converged(
                     + F.expr(f"({d_num} * coalesce(_s, 0L)) div {d_den}")
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
+        nxt = _truncate(nxt, checkpoint_dir)
         # one scalar per round (the CC-checksum pattern): equi-join old/new
         # ranks on the shared node hash, map-combinable abs-diff sum.
         # tol_scaled < 0 = fixed-iteration mode (pagerank() delegates here):
@@ -261,10 +345,16 @@ def pagerank_converged(
             )
             ranks = nxt
             if residual <= tol_scaled:
+                converged = True
                 break
         else:
             ranks = nxt
-    return ranks.select("node", F.col("r").alias("rank_scaled")), it, residual
+    return (
+        ranks.select("node", F.col("r").alias("rank_scaled")),
+        it,
+        residual,
+        converged,
+    )
 
 
 def triangle_count(
@@ -520,11 +610,76 @@ def canonical_per_cluster(
     )
 
 
+def label_propagation_status(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, bool, int]:
+    """``label_propagation`` plus the convergence contract: returns
+    ``(labels, converged, rounds_run)``.  A label-table checksum (the CC
+    pattern, one map-combinable aggregate per round) detects the exact
+    fixpoint: once labels stop changing, further synchronous generations
+    are the identity, so early exit computes the SAME output as the full
+    fixed budget — the flag is free information, not a semantics change.
+    ``converged=False`` after ``iterations`` rounds means labels were still
+    moving (including the 2-cycle oscillation synchronous LPA can enter on
+    bipartite-ish regions): the output is the well-defined generation-N
+    labeling, and a pipeline at scale should alert rather than silently
+    treat it as final (review r9).  ``checkpoint_dir``: see ``_truncate``.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col(src) != F.col(dst)
+    )
+    e = _truncate(e, checkpoint_dir)
+    labels = _truncate(
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label")),
+        checkpoint_dir,
+    )
+
+    def _sig(lb: DataFrame) -> tuple[int, int]:
+        return _checksum(
+            lb.select(F.col("node").alias("u"), F.col("label").alias("v"))
+        )
+
+    prev_sig = _sig(labels)
+    converged, rounds = False, 0
+    for rounds in range(1, iterations + 1):
+        freq = (
+            e.join(labels, e.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = _truncate(
+            freq.groupBy("dst")
+            .agg(
+                F.max_by(
+                    F.col("label"),
+                    F.struct(F.col("_c"), (-F.col("label")).alias("_nl")),
+                ).alias("label")
+            )
+            .select(F.col("dst").alias("node"), "label"),
+            checkpoint_dir,
+        )
+        sig = _sig(labels)
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    return labels.select("node", F.col("label").alias("community")), converged, rounds
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     iterations: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et al.,
     "Near linear time algorithm to detect community structures in large-scale
@@ -549,39 +704,74 @@ def label_propagation(
     ONE map-combinable groupBy((dst, label)) count + ONE groupBy(dst)
     max_by aggregate — the argmax is (count, -label) struct ordering, not a
     window, so no per-node sort materializes.  Lineage is truncated per
-    round (localCheckpoint — swap for checkpoint() on a cluster).  Output:
-    (node, community), one row per node appearing in the edge set.
+    round (``checkpoint_dir`` switches localCheckpoint → reliable
+    checkpoint(), see ``_truncate``).  Early exit at the exact label
+    fixpoint (identity-preserving — see ``label_propagation_status``; a
+    budget exhausted with labels still moving logs a loud warning).
+    Output: (node, community), one row per node appearing in the edge set.
     """
-    if iterations < 1:
-        raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+    labels, converged, _ = label_propagation_status(
+        edges, src, dst, iterations, checkpoint_dir
+    )
+    if not converged:
+        _log.warning(
+            "label_propagation: iterations=%d exhausted with labels still "
+            "changing (possibly a synchronous 2-cycle) — output is the "
+            "generation-%d labeling, not a fixpoint; raise iterations or "
+            "call label_propagation_status",
+            iterations,
+            iterations,
+        )
+    return labels
+
+
+def k_core_status(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, bool, int]:
+    """``k_core`` plus the convergence contract: returns ``(core, converged,
+    rounds_run)``.  ``converged=False`` means ``max_rounds`` exhausted
+    before the peel fixpoint — the output is the well-defined N-round peel
+    (a SUPERSET of the true core: more rounds only remove nodes), not the
+    core itself, and a 100 TB pipeline should alert on the flag instead of
+    silently shipping a shallow peel on an adversarially deep graph (a path
+    graph peels one layer per round; review r9).  The checksum loop already
+    knew — this exposes it.  ``checkpoint_dir``: see ``_truncate``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col(src) != F.col(dst)
     )
-    e = e.localCheckpoint(eager=False)
-    labels = (
-        e.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=False)
+    cur = _truncate(cur, checkpoint_dir)
+    prev_sig = _checksum(cur.select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    converged, rounds = False, 0
+    for rounds in range(1, max_rounds + 1):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.where(F.col("_deg") >= k).select(F.col("src").alias("_n"))
+        nxt = _truncate(
+            cur.join(keep, cur.src == keep._n, "left_semi")
+            .join(keep, cur.dst == keep._n, "left_semi"),
+            checkpoint_dir,
+        )
+        sig = _checksum(nxt.select(F.col("src").alias("u"), F.col("dst").alias("v")))
+        cur = nxt
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    core = (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= k)
+        .select(F.col("src").alias("node"), "degree")
     )
-    for _ in range(iterations):
-        freq = (
-            e.join(labels, e.src == labels.node)
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("_c"))
-        )
-        labels = (
-            freq.groupBy("dst")
-            .agg(
-                F.max_by(
-                    F.col("label"),
-                    F.struct(F.col("_c"), (-F.col("label")).alias("_nl")),
-                ).alias("label")
-            )
-            .select(F.col("dst").alias("node"), "label")
-            .localCheckpoint(eager=False)
-        )
-    return labels.select("node", F.col("label").alias("community"))
+    return core, converged, rounds
 
 
 def k_core(
@@ -590,6 +780,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 12,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph where every
     node has degree >= k (Seidman, "Network structure and minimum degree",
@@ -617,36 +808,24 @@ def k_core(
     Scale shape per round: one map-combinable groupBy(src) degree count +
     two semi-joins of the survivor set back onto the edges (hash on src/dst
     — AQE co-partitions; the survivor relation shrinks monotonically and is
-    broadcast once it fits).  Lineage truncated per round (localCheckpoint;
-    checkpoint() on a cluster).  Peeling is O(rounds) shuffles regardless
-    of graph size — the degeneracy-ordering sequential algorithm is O(m)
-    total work but inherently serial; at 100 TB rounds win.
+    broadcast once it fits).  Lineage truncated per round
+    (``checkpoint_dir`` switches localCheckpoint → reliable checkpoint(),
+    see ``_truncate``).  Peeling is O(rounds) shuffles regardless of graph
+    size — the degeneracy-ordering sequential algorithm is O(m) total work
+    but inherently serial; at 100 TB rounds win.
+
+    Cap-exhaustion logs a loud warning; ``k_core_status`` returns the
+    ``converged`` flag for programmatic alerting.
     """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    if max_rounds < 1:
-        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
-    cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
-        F.col(src) != F.col(dst)
+    core, converged, _ = k_core_status(
+        edges, k, src, dst, max_rounds, checkpoint_dir
     )
-    cur = cur.localCheckpoint(eager=False)
-    prev_sig = _checksum(cur.select(F.col("src").alias("u"), F.col("dst").alias("v")))
-    for _ in range(max_rounds):
-        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-        keep = deg.where(F.col("_deg") >= k).select(F.col("src").alias("_n"))
-        nxt = (
-            cur.join(keep, cur.src == keep._n, "left_semi")
-            .join(keep, cur.dst == keep._n, "left_semi")
-            .localCheckpoint(eager=False)
+    if not converged:
+        _log.warning(
+            "k_core: max_rounds=%d exhausted before the peel fixpoint — "
+            "output is the %d-round peel (a superset of the true core); "
+            "raise max_rounds or call k_core_status",
+            max_rounds,
+            max_rounds,
         )
-        sig = _checksum(nxt.select(F.col("src").alias("u"), F.col("dst").alias("v")))
-        cur = nxt
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    return (
-        cur.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .where(F.col("degree") >= k)
-        .select(F.col("src").alias("node"), "degree")
-    )
+    return core

@@ -193,8 +193,8 @@ def test_pagerank_converged_tol0_equals_fixed_iterations(spark):
     # directed 3-cycle reaches the exact uniform fixpoint in one step
     edge_list = [(1, 2), (2, 3), (3, 1)]
     df = spark.createDataFrame(edge_list, "src BIGINT, dst BIGINT")
-    ranks, its, residual = pagerank_converged(df, max_iterations=10, tol_scaled=0)
-    assert residual == 0
+    ranks, its, residual, conv = pagerank_converged(df, max_iterations=10, tol_scaled=0)
+    assert residual == 0 and conv is True
     assert its < 10  # actually early-exited
     got = {r["node"]: r["rank_scaled"] for r in ranks.collect()}
     fixed = {
@@ -211,8 +211,8 @@ def test_pagerank_converged_matches_fixed_at_same_iteration_count(spark):
 
     edge_list = [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0)]
     df = spark.createDataFrame(edge_list, "src BIGINT, dst BIGINT")
-    ranks, its, residual = pagerank_converged(df, max_iterations=3, tol_scaled=0)
-    assert its == 3
+    ranks, its, residual, conv = pagerank_converged(df, max_iterations=3, tol_scaled=0)
+    assert its == 3 and conv is False
     got = {r["node"]: r["rank_scaled"] for r in ranks.collect()}
     fixed = {
         r["node"]: r["rank_scaled"] for r in pagerank(df, iterations=3).collect()
@@ -228,8 +228,8 @@ def test_pagerank_converged_loose_tol_stops_early(spark):
 
     edge_list = [(i, (i * 7 + 3) % 11) for i in range(11)]
     df = spark.createDataFrame(edge_list, "src BIGINT, dst BIGINT")
-    _, its_tight, _ = pagerank_converged(df, max_iterations=15, tol_scaled=0)
-    _, its_loose, res = pagerank_converged(
+    _, its_tight, _, _ = pagerank_converged(df, max_iterations=15, tol_scaled=0)
+    _, its_loose, res, _ = pagerank_converged(
         df, max_iterations=15, tol_scaled=10**9
     )
     assert its_loose <= its_tight
@@ -548,3 +548,111 @@ def test_kcore_validates_args(spark):
         k_core(df, k=0)
     with _pytest.raises(ValueError, match="max_rounds"):
         k_core(df, k=2, max_rounds=0)
+
+
+# --- convergence flags + checkpoint_dir (review r9 #4/#5) ---
+
+
+def _sym_df(spark, edges):
+    sym = edges + [(b, a) for a, b in edges]
+    return spark.createDataFrame(sym, "src: long, dst: long")
+
+
+def test_kcore_status_converged_and_cap_exhausted(spark):
+    from kafka_flow_spark.operators.graph import k_core_status
+
+    # triangle: every degree >= 2, round 1 removes nothing -> fixpoint
+    core, conv, rounds = k_core_status(
+        _sym_df(spark, [(1, 2), (2, 3), (1, 3)]), k=2
+    )
+    assert conv is True and rounds == 1
+    assert {r["node"] for r in core.collect()} == {1, 2, 3}
+    # long path with cap=2: peeling needs one round per layer -> exhausts
+    path = [(i, i + 1) for i in range(1, 10)]
+    core, conv, rounds = k_core_status(_sym_df(spark, path), k=2, max_rounds=2)
+    assert conv is False and rounds == 2
+    assert core.count() > 0  # the shallow peel is a superset of the (empty) core
+
+
+def test_cc_status_converged_and_cap_exhausted(spark):
+    from kafka_flow_spark.operators.graph import (
+        connected_components,
+        connected_components_status,
+    )
+
+    df = _sym_df(spark, [(1, 2), (2, 3), (10, 11)])
+    out, conv, rounds = connected_components_status(df, src="src", dst="dst")
+    assert conv is True
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got[1] == got[2] == got[3] == 1 and got[10] == got[11] == 10
+    # a long path with max_iter=1 cannot reach the star fixpoint
+    path = _sym_df(spark, [(i, i + 1) for i in range(1, 40)])
+    _, conv1, rounds1 = connected_components_status(
+        path, src="src", dst="dst", max_iter=1
+    )
+    assert conv1 is False and rounds1 == 1
+    # the plain wrapper still returns the same assignments (flag is logged)
+    plain = {
+        r["node"]: r["component"]
+        for r in connected_components(df, src="src", dst="dst").collect()
+    }
+    assert plain == got
+
+
+def test_lp_status_fixpoint_and_oscillation(spark):
+    from kafka_flow_spark.operators.graph import (
+        label_propagation,
+        label_propagation_status,
+    )
+
+    # two disjoint triangles: labels settle -> converged, early exit is
+    # identity-preserving (same labels as the full fixed budget)
+    tri = _sym_df(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)])
+    out, conv, rounds = label_propagation_status(tri, iterations=8)
+    assert conv is True and rounds < 8
+    got = {r["node"]: r["community"] for r in out.collect()}
+    full = {
+        r["node"]: r["community"]
+        for r in label_propagation(tri, iterations=8).collect()
+    }
+    assert got == full
+    # a single symmetrized edge 2-cycles forever under synchronous updates
+    edge = _sym_df(spark, [(1, 2)])
+    _, conv2, rounds2 = label_propagation_status(edge, iterations=4)
+    assert conv2 is False and rounds2 == 4
+
+
+def test_pagerank_converged_flag_cap_exhausted(spark):
+    from kafka_flow_spark.operators.graph import pagerank_converged
+
+    df = _sym_df(spark, [(0, 1), (0, 2), (0, 3)])
+    _, its, residual, conv = pagerank_converged(df, max_iterations=1, tol_scaled=0)
+    assert its == 1 and conv is False and residual > 0
+
+
+def test_checkpoint_dir_is_equivalent_and_used(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable checkpoint()
+    without changing any result — and actually writes there (the 48g
+    local-mode driver knob becomes a parameter, review r9 #5)."""
+    import os
+
+    from kafka_flow_spark.operators.graph import (
+        connected_components,
+        k_core_status,
+        label_propagation,
+        pagerank,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23]
+    df = _sym_df(spark, edges)
+    for build in (
+        lambda d, **kw: connected_components(d, src="src", dst="dst", **kw),
+        lambda d, **kw: pagerank(d, iterations=3, **kw),
+        lambda d, **kw: label_propagation(d, iterations=3, **kw),
+        lambda d, **kw: k_core_status(d, k=2, **kw)[0],
+    ):
+        local = {tuple(r) for r in build(df).collect()}
+        reliable = {tuple(r) for r in build(df, checkpoint_dir=ckpt).collect()}
+        assert reliable == local
+    assert os.path.isdir(ckpt) and any(os.scandir(ckpt))  # actually used
