@@ -1627,3 +1627,256 @@ def knn_hamming_rerank(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- MMR diversity re-ranking ------------------------------------------------
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_pool: int = 10,
+    k_select: int = 3,
+    lam_e2: int = 70,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking (Carbonell &
+    Goldstein, SIGIR'98) in EXACT integers — the step between "top-k most
+    similar" and "top-k most USEFUL": a RAG / few-shot-mining pipeline that
+    feeds a model k near-identical contexts wastes k-1 slots, so after
+    retrieval it greedily re-picks
+
+        pick_j = argmax over remaining candidates of
+                 (lam·rel(c) − (100−lam)·max_{s∈selected} sim(c, s)) div 100
+
+    with ``rel`` and ``sim`` both FLOOR-e6 cosines (the repo's established
+    engine-identical quantization) and ``lam_e2`` the relevance weight in
+    percent.  Pick 1 is plain argmax relevance (no selected set yet;
+    reported score = rel_e6); ties everywhere break to the smaller id, so
+    the greedy trajectory is fully deterministic and the whole k_select-step
+    program unrolls into an exact DuckDB oracle (the kmeans/pagerank
+    pattern).  The truncating div-by-100 is negative-safe (explicit sign
+    split — cosines can be negative).
+
+    Scale shape: the candidate pool is ``k_pool`` rows per query (one
+    broadcast-query cross join + WindowGroupLimit top-k — the
+    knn_bruteforce plan), pairwise sims are k_pool² per query (bounded by
+    construction, an equi-join on the query id, never corpus-quadratic),
+    and each of the k_select−1 greedy rounds is one anti-join + one
+    max-aggregate + one argmax on those bounded relations, all keyed on the
+    query id.  At 100 TB the corpus appears ONLY in the initial top-k_pool
+    retrieval; everything after is O(|queries|·k_pool²).
+
+    Output: (query_id, pick_rank, neighbor_id, mmr_e6).
+    """
+    if k_pool < 1:
+        raise ValueError(f"k_pool must be >= 1, got {k_pool}")
+    if not 1 <= k_select <= k_pool:
+        raise ValueError(
+            f"k_select must be in [1, k_pool={k_pool}], got {k_select}"
+        )
+    if not 0 <= lam_e2 <= 100:
+        raise ValueError(f"lam_e2 must be in [0, 100], got {lam_e2}")
+    E6 = 1_000_000
+    q = queries.select(
+        F.col(id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("_nid"), _as_double(F.col(vec_col)).alias("_nv")
+    )
+    rel_e6 = F.floor(cosine(F.col("_qv"), F.col("_nv")) * F.lit(float(E6))).cast(
+        "long"
+    )
+    wp = Window.partitionBy("_qid").orderBy(F.desc("_rel"), F.asc("_nid"))
+    pool = scoped_persist(
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("_nid") != F.col("_qid"))
+        .select("_qid", "_nid", "_nv", rel_e6.alias("_rel"))
+        .withColumn("_pr", F.row_number().over(wp))
+        .where(F.col("_pr") <= k_pool)
+        .drop("_pr")
+    )
+    a = pool.select("_qid", F.col("_nid").alias("_a"), F.col("_nv").alias("_av"))
+    b = pool.select("_qid", F.col("_nid").alias("_b"), F.col("_nv").alias("_bv"))
+    sim_e6 = F.floor(cosine(F.col("_av"), F.col("_bv")) * F.lit(float(E6))).cast(
+        "long"
+    )
+    pairs = scoped_persist(
+        a.join(b, "_qid")
+        .where(F.col("_a") != F.col("_b"))
+        .select("_qid", "_a", "_b", sim_e6.alias("_sim"))
+    )
+    # pick 1: argmax relevance (max_by struct argmax — no window)
+    selected = pool.groupBy("_qid").agg(
+        F.max_by(
+            F.struct(F.col("_nid"), F.col("_rel").alias("_score")),
+            F.struct(F.col("_rel"), (-F.col("_nid")).alias("_ni")),
+        ).alias("_s")
+    ).select(
+        "_qid",
+        F.col("_s._nid").alias("_nid"),
+        F.lit(1).alias("pick_rank"),
+        F.col("_s._score").alias("_score"),
+    )
+    for j in range(2, k_select + 1):
+        chosen = selected.select("_qid", F.col("_nid").alias("_b"))
+        remaining = pool.join(
+            chosen.withColumnRenamed("_b", "_nid"), ["_qid", "_nid"], "left_anti"
+        )
+        maxsim = (
+            pairs.join(chosen, ["_qid", "_b"])
+            .groupBy("_qid", "_a")
+            .agg(F.max("_sim").alias("_ms"))
+        )
+        num = F.lit(lam_e2) * F.col("_rel") - F.lit(100 - lam_e2) * F.col("_ms")
+        scored = remaining.join(
+            maxsim, (remaining["_qid"] == maxsim["_qid"]) & (remaining["_nid"] == maxsim["_a"])
+        ).select(
+            remaining["_qid"],
+            "_nid",
+            F.when(
+                num >= 0, F.expr(f"({lam_e2} * _rel - {100 - lam_e2} * _ms) div 100")
+            )
+            .otherwise(
+                -F.expr(f"-({lam_e2} * _rel - {100 - lam_e2} * _ms) div 100")
+            )
+            .alias("_score"),
+        )
+        pick = scored.groupBy("_qid").agg(
+            F.max_by(
+                F.struct(F.col("_nid"), F.col("_score")),
+                F.struct(F.col("_score"), (-F.col("_nid")).alias("_ni")),
+            ).alias("_s")
+        ).select(
+            "_qid",
+            F.col("_s._nid").alias("_nid"),
+            F.lit(j).alias("pick_rank"),
+            F.col("_s._score").alias("_score"),
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        F.col("_qid").alias("query_id"),
+        F.col("pick_rank").cast("int").alias("pick_rank"),
+        F.col("_nid").alias("neighbor_id"),
+        F.col("_score").alias("mmr_e6"),
+    )
+
+
+# --- per-dimension embedding profile + min-max scaling -----------------------
+
+
+def embedding_dim_profile(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION corpus statistics of an embedding column, exact: the
+    preprocessing pass an ANN/clustering pipeline runs before training a
+    quantizer (a dimension with 100× the spread of the rest dominates every
+    L2 distance; min-max scaling or dropping it is a training decision this
+    profile feeds).
+
+    Vectors quantize to FLOOR-e6 bigints (the engine-identical rule); per
+    dimension the output carries n, mean_e6 (truncating, negative-safe),
+    var_e12 = (n·Σx² − (Σx)²) div n² (exact population variance in e12
+    units, DECIMAL(38,0) internals — n·Σx² passes int64 at ~9e6 rows, the
+    kappa overflow class), min_e6, max_e6, and sum_scaled_e6: the per-dim
+    sum of min-max-scaled values z = (x − min)·1e6 div (max − min) (0 when
+    the dimension is constant), which pins every element's scaled value
+    corpus-wide through one order-insensitive exact aggregate.
+
+    Scale shape: ONE posexplode + ONE map-combinable (dim) aggregate for
+    the stats, one broadcast of the 64-row stats relation back onto the
+    exploded stream + a second (dim) aggregate for the scaled sum — output
+    cardinality is the dimensionality, never the corpus.
+    """
+    from kafka_flow_spark.operators.clustering import quantize_e6
+
+    dec = "decimal(38,0)"
+    ex = vectors.select(
+        F.posexplode(quantize_e6(F.col(vec_col))).alias("dim", "x")
+    )
+    ex = scoped_persist(ex)
+    stats = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("_sx"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("_sxx"),
+        F.min("x").alias("min_e6"),
+        F.max("x").alias("max_e6"),
+    )
+    mean = F.when(
+        F.col("_sx") >= F.lit(0).cast(dec),
+        F.expr("CAST(_sx AS decimal(38,0)) div CAST(n AS decimal(38,0))"),
+    ).otherwise(-F.expr("CAST(-_sx AS decimal(38,0)) div CAST(n AS decimal(38,0))"))
+    # n·Σx² − (Σx)² >= 0 by Cauchy-Schwarz: plain truncating div is safe
+    var = F.expr(
+        "CAST(CAST(n AS decimal(38,0)) * _sxx - _sx * _sx AS decimal(38,0))"
+        " div CAST(CAST(n AS decimal(38,0)) * n AS decimal(38,0))"
+    )
+    stats = stats.select(
+        "dim", "n", mean.alias("mean_e6"), var.alias("var_e12"),
+        "min_e6", "max_e6",
+    )
+    # scaled pass: z = (x - min) * 1e6 div (max - min); numerator >= 0
+    scaled = (
+        ex.join(F.broadcast(stats.select("dim", "min_e6", "max_e6")), "dim")
+        .select(
+            "dim",
+            F.when(
+                F.col("max_e6") > F.col("min_e6"),
+                F.expr("(x - min_e6) * 1000000 div (max_e6 - min_e6)"),
+            )
+            .otherwise(F.lit(0))
+            .alias("z"),
+        )
+        .groupBy("dim")
+        .agg(F.sum(F.col("z").cast(dec)).cast("long").alias("sum_scaled_e6"))
+    )
+    return stats.join(scaled, "dim").select(
+        "dim", "n", "mean_e6", "var_e12", "min_e6", "max_e6", "sum_scaled_e6"
+    )
+
+
+def minmax_scale(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Min-max scale every vector to per-dimension [0, 1e6] integer units:
+    z_d = (x_d − min_d)·1e6 div (max_d − min_d) over FLOOR-e6 quantized
+    inputs (constant dimensions scale to 0).  The materialized counterpart
+    of ``embedding_dim_profile``'s checksum column — feed it to the
+    quantizer trainers when one raw dimension would dominate L2.
+
+    Scale shape: the stats pass is dim-bounded; the rewrite is one
+    posexplode + one broadcast stats join + one group-back per id (the
+    exchange any per-row array rebuild pays).  Output: (id, vec_scaled
+    array<bigint>).
+    """
+    from kafka_flow_spark.operators.clustering import quantize_e6
+
+    ex = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(quantize_e6(F.col(vec_col))).alias("dim", "x"),
+    )
+    stats = ex.groupBy("dim").agg(
+        F.min("x").alias("_mn"), F.max("x").alias("_mx")
+    )
+    z = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.expr("(x - _mn) * 1000000 div (_mx - _mn)"),
+    ).otherwise(F.lit(0))
+    return (
+        ex.join(F.broadcast(stats), "dim")
+        .select("_id", "dim", z.alias("_z"))
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "_z"))
+            ).alias("_a")
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.transform("_a", lambda s: s["_z"]).alias("vec_scaled"),
+        )
+    )

@@ -1969,3 +1969,145 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = e.where(F.col("vec_id") % 2 == 0)
     new = e.where(F.col("vec_id") % 2 == 1)
     return embedding_drift(old, new, "embedding", "label")
+
+
+# --- MMR diversity re-ranking (the RAG retrieval capstone) -------------------
+
+_MMR_Q, _MMR_POOL, _MMR_K, _MMR_LAM = 20, 10, 3, 70
+
+
+def _mmr_cos(a: str, b: str) -> str:
+    """FLOOR-e6 cosine of two double-list SQL expressions — the literal
+    mirror of functions.cosine under the repo's FLOOR-e6 rule."""
+    return (
+        f"CAST(FLOOR(list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> p[1] * p[2]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f"    * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+        " * 1000000.0) AS BIGINT)"
+    )
+
+
+def _mmr_oracle() -> str:
+    lam, mu = _MMR_LAM, 100 - _MMR_LAM
+    score = (
+        f"CASE WHEN {lam} * rel - {mu} * ms >= 0"
+        f" THEN ({lam} * rel - {mu} * ms) // 100"
+        f" ELSE -((-({lam} * rel - {mu} * ms)) // 100) END"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    rels AS (SELECT q.vec_id AS qid, v.vec_id AS nid, v.e AS nv,
+                    {_mmr_cos('q.e', 'v.e')} AS rel
+             FROM v q JOIN v ON q.vec_id < {_MMR_Q} AND v.vec_id != q.vec_id),
+    pool AS (SELECT qid, nid, nv, rel FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY rel DESC, nid) AS rn FROM rels)
+             WHERE rn <= {_MMR_POOL}),
+    ps AS (SELECT a.qid, a.nid AS an, b.nid AS bn,
+                  {_mmr_cos('a.nv', 'b.nv')} AS sim
+           FROM pool a JOIN pool b ON a.qid = b.qid AND a.nid != b.nid),
+    s1 AS (SELECT qid, nid, rel AS score FROM
+            (SELECT qid, nid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY rel DESC, nid) AS rn FROM pool)
+           WHERE rn = 1),
+    m2 AS (SELECT p.qid, p.nid, p.rel, MAX(ps.sim) AS ms
+           FROM pool p
+           JOIN s1 ON s1.qid = p.qid AND p.nid != s1.nid
+           JOIN ps ON ps.qid = p.qid AND ps.an = p.nid AND ps.bn = s1.nid
+           GROUP BY p.qid, p.nid, p.rel),
+    sc2 AS (SELECT qid, nid, {score} AS score FROM m2),
+    s2 AS (SELECT qid, nid, score FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid) AS rn FROM sc2)
+           WHERE rn = 1),
+    sel2 AS (SELECT qid, nid FROM s1 UNION ALL SELECT qid, nid FROM s2),
+    m3 AS (SELECT p.qid, p.nid, p.rel, MAX(ps.sim) AS ms
+           FROM pool p
+           LEFT JOIN sel2 x ON x.qid = p.qid AND x.nid = p.nid
+           JOIN ps ON ps.qid = p.qid AND ps.an = p.nid
+           JOIN sel2 s ON s.qid = ps.qid AND s.nid = ps.bn
+           WHERE x.nid IS NULL
+           GROUP BY p.qid, p.nid, p.rel),
+    sc3 AS (SELECT qid, nid, {score} AS score FROM m3),
+    s3 AS (SELECT qid, nid, score FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid) AS rn FROM sc3)
+           WHERE rn = 1)
+    SELECT qid AS query_id, CAST(1 AS INT) AS pick_rank,
+           nid AS neighbor_id, score AS mmr_e6 FROM s1
+    UNION ALL
+    SELECT qid, CAST(2 AS INT), nid, score FROM s2
+    UNION ALL
+    SELECT qid, CAST(3 AS INT), nid, score FROM s3
+    """
+
+
+@register("q_mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-ranking over the embedding
+    corpus (operators/similarity.mmr_rerank — Carbonell & Goldstein '98):
+    top-10 cosine pool per query, then 3 greedy picks trading relevance
+    (70%) against max similarity to the already-picked set (30%), all in
+    FLOOR-e6 integers with smaller-id tie-breaks — the deterministic
+    unrolled-greedy program hash-matches a 3-round DuckDB CTE chain (the
+    kmeans-oracle pattern).  The step between "top-k nearest" and "top-k
+    worth feeding a model": near-identical contexts waste prompt slots."""
+    from kafka_flow_spark.operators.similarity import mmr_rerank
+
+    e = load(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        e, e.where(F.col("vec_id") < _MMR_Q),
+        k_pool=_MMR_POOL, k_select=_MMR_K, lam_e2=_MMR_LAM,
+    )
+
+
+# --- per-dimension embedding profile + min-max scale checksum ----------------
+
+
+@register(
+    "q_embedding_dim_profile",
+    oracle="""
+    WITH pts AS (SELECT list_transform(embedding, v ->
+                   CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS xe
+                 FROM embeddings),
+    ex AS (SELECT CAST(i AS INT) AS dim, xe[i + 1] AS x FROM
+            (SELECT xe, UNNEST(range(len(xe))) AS i FROM pts)),
+    st AS (SELECT dim, COUNT(*) AS n,
+                  SUM(CAST(x AS HUGEINT)) AS sx,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                  MIN(x) AS mn, MAX(x) AS mx
+           FROM ex GROUP BY dim),
+    sc AS (SELECT e.dim,
+                  CASE WHEN st.mx > st.mn
+                       THEN (e.x - st.mn) * 1000000 // (st.mx - st.mn)
+                       ELSE 0 END AS z
+           FROM ex e JOIN st ON st.dim = e.dim),
+    ss AS (SELECT dim, CAST(SUM(CAST(z AS HUGEINT)) AS BIGINT)
+                         AS sum_scaled_e6
+           FROM sc GROUP BY dim)
+    SELECT st.dim, n,
+           CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END
+                AS BIGINT) AS mean_e6,
+           CAST((n * sxx - sx * sx) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+             AS var_e12,
+           CAST(mn AS BIGINT) AS min_e6,
+           CAST(mx AS BIGINT) AS max_e6,
+           sum_scaled_e6
+    FROM st JOIN ss ON ss.dim = st.dim
+    """,
+)
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus profile of the embedding column (operators/
+    similarity.embedding_dim_profile): exact FLOOR-e6 n/mean/variance/min/
+    max per dimension plus the min-max-scaled per-dim sum — the checksum
+    that pins every element's scaled value through one order-insensitive
+    bigint aggregate (the preprocessing pass before quantizer training;
+    variance internals in DECIMAL(38,0), the kappa overflow class).
+    Output cardinality = dimensionality, never the corpus."""
+    from kafka_flow_spark.operators.similarity import embedding_dim_profile
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_dim_profile(e, "embedding")

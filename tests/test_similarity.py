@@ -722,3 +722,117 @@ def test_hamming_rerank_m_guard(spark):
     emb = load(spark, SF_SMALL, "embeddings")
     with pytest.raises(ValueError, match="must be >= k"):
         knn_hamming_rerank(emb, emb.limit(1), k=5, m=3)
+
+
+# --- mmr_rerank --------------------------------------------------------------
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+
+def test_mmr_skips_duplicate_for_diverse_pick(spark):
+    """The defining MMR property: with diversity weighted (lam=30), the
+    second pick skips an exact duplicate of pick 1 in favor of a less
+    relevant but diverse candidate; with lam=100 (pure relevance) the
+    duplicate wins.  Hand-geometry: q=[1,0.2], a=b=[1,0] (dup pair),
+    c=[0,1] (orthogonal to a, mildly relevant)."""
+    from kafka_flow_spark.operators.similarity import mmr_rerank
+
+    df = _emb_df(
+        spark,
+        [(0, [1.0, 0.2]), (1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+    )
+    qs = df.where("vec_id = 0")
+
+    def picks(lam):
+        out = mmr_rerank(df, qs, k_pool=3, k_select=2, lam_e2=lam)
+        return {r["pick_rank"]: r["neighbor_id"] for r in out.collect()}
+
+    diverse = picks(30)
+    assert diverse[1] == 1  # rel tie between 1 and 2 -> smaller id
+    assert diverse[2] == 3  # duplicate (id 2, sim=1) penalized away
+    greedy = picks(100)
+    assert greedy[1] == 1 and greedy[2] == 2  # pure relevance keeps the dup
+
+
+def test_mmr_rank1_equals_knn_top1_and_picks_distinct(spark, tmp_path):
+    from kafka_flow_spark.operators.similarity import knn_bruteforce, mmr_rerank
+    from kafka_flow_spark.session import get_spark
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = e.where("vec_id < 5")
+    out = mmr_rerank(e, qs, k_pool=6, k_select=3, lam_e2=70).collect()
+    top1 = {
+        r["q_id"]: r["neighbor_id"]
+        for r in knn_bruteforce(e, qs, k=1).collect()
+    }
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["pick_rank"], r["neighbor_id"]))
+    for qid, picks in by_q.items():
+        ids = [n for _, n in sorted(picks)]
+        assert len(ids) == 3 and len(set(ids)) == 3  # distinct picks
+        assert ids[0] == top1[qid]  # pick 1 is plain argmax relevance
+        assert qid not in ids  # self excluded
+
+
+def test_mmr_validates_args(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.similarity import mmr_rerank
+
+    df = _emb_df(spark, [(0, [1.0, 0.0])])
+    with _pytest.raises(ValueError, match="k_select"):
+        mmr_rerank(df, df, k_pool=3, k_select=4)
+    with _pytest.raises(ValueError, match="lam_e2"):
+        mmr_rerank(df, df, lam_e2=101)
+    with _pytest.raises(ValueError, match="k_pool"):
+        mmr_rerank(df, df, k_pool=0)
+
+
+# --- embedding_dim_profile / minmax_scale ------------------------------------
+
+
+def test_dim_profile_hand_checked(spark):
+    from kafka_flow_spark.operators.similarity import embedding_dim_profile
+
+    df = _emb_df(spark, [(1, [0.0, 1.0]), (2, [0.5, 3.0]), (3, [1.0, 2.0])])
+    rows = {r["dim"]: r for r in embedding_dim_profile(df).collect()}
+    d0, d1 = rows[0], rows[1]
+    assert (d0["n"], d0["mean_e6"], d0["min_e6"], d0["max_e6"]) == (3, 500_000, 0, 1_000_000)
+    # var = (3*(0 + 0.25e12 + 1e12) - (1.5e6)^2) / 9 = 1.5e12/9 (trunc)
+    assert d0["var_e12"] == 1_500_000_000_000 // 9
+    assert d0["sum_scaled_e6"] == 0 + 500_000 + 1_000_000
+    assert (d1["mean_e6"], d1["min_e6"], d1["max_e6"]) == (2_000_000, 1_000_000, 3_000_000)
+    assert d1["var_e12"] == 6_000_000_000_000 // 9
+    assert d1["sum_scaled_e6"] == 0 + 1_000_000 + 500_000
+
+
+def test_dim_profile_negative_mean_truncates_toward_zero(spark):
+    from kafka_flow_spark.operators.similarity import embedding_dim_profile
+
+    # float32-exact inputs (powers of two) so FLOOR-e6 is the literal value
+    # and the only rounding under test is the mean division
+    df = _emb_df(spark, [(1, [-0.5]), (2, [-0.25]), (3, [-0.125])])
+    r = embedding_dim_profile(df).collect()[0]
+    # sum = -875000, n=3: trunc toward zero -> -291666 (floor would -291667)
+    assert r["mean_e6"] == -291_666
+
+
+def test_dim_profile_constant_dimension_scales_to_zero(spark):
+    from kafka_flow_spark.operators.similarity import embedding_dim_profile
+
+    df = _emb_df(spark, [(1, [0.25]), (2, [0.25])])
+    r = embedding_dim_profile(df).collect()[0]
+    assert r["var_e12"] == 0 and r["sum_scaled_e6"] == 0
+
+
+def test_minmax_scale_hand_checked(spark):
+    from kafka_flow_spark.operators.similarity import minmax_scale
+
+    df = _emb_df(spark, [(1, [0.0, 1.0]), (2, [0.5, 3.0]), (3, [1.0, 2.0])])
+    got = {r["vec_id"]: r["vec_scaled"] for r in minmax_scale(df).collect()}
+    assert got[1] == [0, 0]
+    assert got[2] == [500_000, 1_000_000]
+    assert got[3] == [1_000_000, 500_000]

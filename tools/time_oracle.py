@@ -42,6 +42,13 @@ COMPARABLE = [
     # joined the bench set in r9: url canonicalization — the oracle is the
     # literal same regexp chain (RE2 vs java.util.regex), scan-speed both ways
     "q_url_canonicalize",
+    # joined in r10 (review r9 #6: bench rows with full oracles deserve
+    # oracle timings): quantized Lloyd k-means (unrolled-CTE oracle, 2.0 s
+    # at sf10), interpolated LM perplexity (6.5 s), Gopher/C4 rule gate
+    # (4.0 s) — all practical at every scale
+    "q_kmeans_cells",
+    "q_lm_perplexity_interp",
+    "q_quality_rules",
     # q_dedup_incremental (bench r5 continuation) is NOT here: like
     # minhash/cosine/knn its oracle is the quadratic brute-force pair truth.
     # q_resample_ffill_hourly is deliberately NOT here: its oracle SQL (per-key
