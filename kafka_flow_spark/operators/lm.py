@@ -26,14 +26,16 @@ Scale shape (100 TB read):
 - model fit: bigram explode over the REFERENCE slice only → ONE map-side-
   combinable groupBy(w1, w2) count; c(w1) derives from c12 by a second
   (tiny) aggregate; V is one distinct-count scalar relation (broadcast).
-- scoring: candidate bigrams collapse to DISTINCT (doc, w1, w2, n) before
-  any join (repetitive text joins once per distinct gram, not per
-  occurrence), then two hash joins keyed on (w1, w2) and (w1) — both
-  map-side-combined aggregates upstream, no text wider than two words in
-  any exchange — and one final map-combinable groupBy(doc) sum.
+- scoring, model-fits path (the common case — see MODEL_BROADCAST_ROWS):
+  every model relation broadcasts, each gram occurrence scores map-side in
+  codegen, and the ONLY exchange is the final map-combinable groupBy(doc).
+- scoring, big-model fallback: candidate bigrams collapse to DISTINCT
+  (doc, w1, w2, n) before the shuffled hash joins (repetitive text joins
+  once per distinct gram), then the final groupBy(doc) — no text wider
+  than two words in any exchange.
 - The count relations are corpus-vocabulary-sized, not corpus-sized; for
   web-scale references prune with ``min_count`` (standard KenLM practice)
-  to bound the model relation.
+  to bound the model relation (and re-enter the broadcast gate).
 
 Reference parity: the reference engine has no LM surface; this belongs to
 the training-data-pipeline family (SURVEY.md §2 LLM block).
@@ -46,6 +48,25 @@ from pyspark.sql import functions as F
 
 from kafka_flow_spark.operators.selection import LOG_SCALE
 from kafka_flow_spark.operators.text import normalize_text, tokens
+
+# Broadcast the fitted count relations when the (pruned) bigram model is
+# below this many rows (~30 B/row → ≲128 MB serialized, the _bc gate's
+# class).  A broadcastable model unlocks the FLAT scoring plan: every model
+# join goes map-side and the per-(doc, gram) pre-aggregation exchange is
+# dropped — each gram occurrence scores in codegen and the ONLY shuffle
+# left is the final map-combinable groupBy(doc) (measured at sf10:
+# 11.5 → 8.2 s on the interp bench row).  Above the gate the original
+# shape survives unchanged: distinct-gram collapse, then shuffled hash
+# joins against the vocabulary-sized model — the 100 TB web-reference path
+# (prune with min_count per KenLM practice to re-enter the gate).
+MODEL_BROADCAST_ROWS = 4_000_000
+
+
+def _model_fits(c12_persisted: DataFrame, gate_rows: int) -> bool:
+    """ONE bounded scalar gate on the persisted model's row count — the
+    touched_buckets pattern: a driver-side scalar that sizes the plan, not
+    a data materialization."""
+    return c12_persisted.count() <= gate_rows
 
 
 def _norm_tokens(text: Column) -> Column:
@@ -77,6 +98,7 @@ def bigram_lm_scores(
     text_col: str,
     is_ref: Column,
     min_count: int = 1,
+    model_broadcast_rows: int = MODEL_BROADCAST_ROWS,
 ) -> DataFrame:
     """Score every NON-reference document under the add-one bigram LM fit on
     the reference slice.
@@ -114,12 +136,42 @@ def bigram_lm_scores(
     )
     if min_count > 1:
         c12 = c12.where(F.col("_c12") >= min_count)
+    c12 = scoped_persist(c12)
     c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     vocab = (
         base.where(F.col("_ref"))
         .select(F.explode(F.col("_toks")).alias("_tok"))
         .agg(F.count_distinct(F.col("_tok")).alias("_v"))
     )
+    term = (
+        F.round(
+            F.log(
+                (F.coalesce(F.col("_c12"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v")).cast("double")
+            )
+            * LOG_SCALE
+        )
+        .cast("long")
+        .alias("_term")
+    )
+    if _model_fits(c12, model_broadcast_rows):
+        # flat plan: map-side model joins, per-occurrence codegen scoring,
+        # one exchange total (see MODEL_BROADCAST_ROWS)
+        scored = (
+            grams.where(~F.col("_ref"))
+            .select("_id", "w1", "w2")
+            .join(F.broadcast(c12), ["w1", "w2"], "left")
+            .join(F.broadcast(c1), ["w1"], "left")
+            .crossJoin(F.broadcast(vocab))
+            .select("_id", term)
+        )
+        return scored.groupBy(F.col("_id").alias(id_col)).agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.col("_term")).cast("long").alias("logprob_scaled"),
+            F.expr("CAST(sum(_term) div count(1) AS BIGINT)").alias(
+                "avg_logprob_scaled"
+            ),
+        )
     dg = (
         grams.where(~F.col("_ref"))
         .groupBy("_id", "w1", "w2")
@@ -129,21 +181,7 @@ def bigram_lm_scores(
         dg.join(c12, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
-        .select(
-            "_id",
-            "_n",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("_c12"), F.lit(0)) + 1).cast("double")
-                    / (F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v")).cast(
-                        "double"
-                    )
-                )
-                * LOG_SCALE
-            )
-            .cast("long")
-            .alias("_term"),
-        )
+        .select("_id", "_n", term)
     )
     return scored.groupBy(F.col("_id").alias(id_col)).agg(
         F.sum("_n").cast("long").alias("n_bigrams"),
@@ -162,6 +200,7 @@ def bigram_lm_scores_interp(
     lam_num: int = 7,
     lam_den: int = 10,
     min_count: int = 1,
+    model_broadcast_rows: int = MODEL_BROADCAST_ROWS,
 ) -> DataFrame:
     """Jelinek–Mercer / Stolcke-interpolated bigram LM scoring — the
     materially better CCNet filter signal with the SAME integer-provable
@@ -217,17 +256,13 @@ def bigram_lm_scores_interp(
     )
     if min_count > 1:
         c12 = c12.where(F.col("_c12") >= min_count)
+    c12 = scoped_persist(c12)
     c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     uni = base.where(F.col("_ref")).select(F.explode(F.col("_toks")).alias("_tok"))
     c2 = uni.groupBy(F.col("_tok").alias("w2")).agg(F.count(F.lit(1)).alias("_c2"))
     scal = uni.agg(
         F.count_distinct(F.col("_tok")).alias("_v"),
         F.count(F.lit(1)).alias("_ntok"),
-    )
-    dg = (
-        grams.where(~F.col("_ref"))
-        .groupBy("_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("_n"))
     )
     nv = (F.col("_ntok") + F.col("_v")).cast("decimal(38,0)")
     c12v = F.coalesce(F.col("_c12"), F.lit(0)).cast("decimal(38,0)")
@@ -239,18 +274,42 @@ def bigram_lm_scores_interp(
         F.lit(lam_num) * c12v * nv + F.lit(lam_den - lam_num) * c2p1 * c1v,
     ).otherwise(c2p1)
     den = F.when(seen_w1, F.lit(lam_den) * c1v * nv).otherwise(nv)
+    term = (
+        F.round(F.log(num.cast("double") / den.cast("double")) * LOG_SCALE)
+        .cast("long")
+        .alias("_term")
+    )
+    if _model_fits(c12, model_broadcast_rows):
+        # flat plan (see MODEL_BROADCAST_ROWS): per-occurrence codegen
+        # scoring against broadcast models, ONE exchange — measured
+        # 11.5 → 8.2 s at sf10 on this bench row
+        scored = (
+            grams.where(~F.col("_ref"))
+            .select("_id", "w1", "w2")
+            .join(F.broadcast(c12), ["w1", "w2"], "left")
+            .join(F.broadcast(c1), ["w1"], "left")
+            .join(F.broadcast(c2), ["w2"], "left")
+            .crossJoin(F.broadcast(scal))
+            .select("_id", term)
+        )
+        return scored.groupBy(F.col("_id").alias(id_col)).agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.col("_term")).cast("long").alias("logprob_scaled"),
+            F.expr("CAST(sum(_term) div count(1) AS BIGINT)").alias(
+                "avg_logprob_scaled"
+            ),
+        )
+    dg = (
+        grams.where(~F.col("_ref"))
+        .groupBy("_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     scored = (
         dg.join(c12, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")
         .join(c2, ["w2"], "left")
         .crossJoin(F.broadcast(scal))
-        .select(
-            "_id",
-            "_n",
-            F.round(F.log(num.cast("double") / den.cast("double")) * LOG_SCALE)
-            .cast("long")
-            .alias("_term"),
-        )
+        .select("_id", "_n", term)
     )
     return scored.groupBy(F.col("_id").alias(id_col)).agg(
         F.sum("_n").cast("long").alias("n_bigrams"),
@@ -330,6 +389,7 @@ def trigram_lm_scores_interp(
     l2: int = 3,
     l1: int = 2,
     min_count: int = 1,
+    model_broadcast_rows: int = MODEL_BROADCAST_ROWS,
 ) -> DataFrame:
     """Trigram LM with fixed-weight interpolation down the full backoff
     ladder — the last SQL-provable rung of the KenLM family (bigram add-one
@@ -385,6 +445,7 @@ def trigram_lm_scores_interp(
     )
     if min_count > 1:
         c123 = c123.where(F.col("_c123") >= min_count)
+    c123 = scoped_persist(c123)
     c12 = c123.groupBy("w1", "w2").agg(F.sum("_c123").alias("_c12"))
     bi = _bigram_rows(base)
     c23 = (
@@ -398,11 +459,6 @@ def trigram_lm_scores_interp(
     scal = uni.agg(
         F.count_distinct(F.col("_tok")).alias("_v"),
         F.count(F.lit(1)).alias("_ntok"),
-    )
-    dg = (
-        tri.where(~F.col("_ref"))
-        .groupBy("_id", "w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("_n"))
     )
     dec = lambda c: F.coalesce(c, F.lit(0)).cast("decimal(38,0)")  # noqa: E731
     nv = (F.col("_ntok") + F.col("_v")).cast("decimal(38,0)")
@@ -426,6 +482,38 @@ def trigram_lm_scores_interp(
         .when(seen2, F.lit(l2 + l1) * v2 * nv)
         .otherwise(nv)
     )
+    term = (
+        F.round(F.log(num.cast("double") / den.cast("double")) * LOG_SCALE)
+        .cast("long")
+        .alias("_term")
+    )
+    if _model_fits(c123, model_broadcast_rows):
+        # flat plan (see MODEL_BROADCAST_ROWS): all five model joins go
+        # map-side, ONE exchange — gated on the trigram table, the largest
+        # of the model relations
+        scored = (
+            tri.where(~F.col("_ref"))
+            .select("_id", "w1", "w2", "w3")
+            .join(F.broadcast(c123), ["w1", "w2", "w3"], "left")
+            .join(F.broadcast(c12), ["w1", "w2"], "left")
+            .join(F.broadcast(c23), ["w2", "w3"], "left")
+            .join(F.broadcast(c2), ["w2"], "left")
+            .join(F.broadcast(c3), ["w3"], "left")
+            .crossJoin(F.broadcast(scal))
+            .select("_id", term)
+        )
+        return scored.groupBy(F.col("_id").alias(id_col)).agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum(F.col("_term")).cast("long").alias("logprob_scaled"),
+            F.expr("CAST(sum(_term) div count(1) AS BIGINT)").alias(
+                "avg_logprob_scaled"
+            ),
+        )
+    dg = (
+        tri.where(~F.col("_ref"))
+        .groupBy("_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     scored = (
         dg.join(c123, ["w1", "w2", "w3"], "left")
         .join(c12, ["w1", "w2"], "left")
@@ -433,13 +521,7 @@ def trigram_lm_scores_interp(
         .join(c2, ["w2"], "left")
         .join(c3, ["w3"], "left")
         .crossJoin(F.broadcast(scal))
-        .select(
-            "_id",
-            "_n",
-            F.round(F.log(num.cast("double") / den.cast("double")) * LOG_SCALE)
-            .cast("long")
-            .alias("_term"),
-        )
+        .select("_id", "_n", term)
     )
     return scored.groupBy(F.col("_id").alias(id_col)).agg(
         F.sum("_n").cast("long").alias("n_trigrams"),

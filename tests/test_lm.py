@@ -351,3 +351,26 @@ def test_trigram_weights_guard(spark):
     df = _mk(spark, [(1, "a b c", "ref")])
     with _pytest.raises(ValueError, match="weights"):
         trigram_lm_scores_interp(df, "doc_id", "text", F.col("grp") == "ref", l3=0)
+
+
+def test_flat_broadcast_plan_equals_big_model_fallback(spark):
+    """The size-gated flat plan (broadcast models, per-occurrence scoring,
+    one exchange) must produce BIT-identical output to the big-model
+    fallback (distinct-gram collapse + shuffled joins) — forced via
+    model_broadcast_rows=0 — for all three scorers on the real corpus."""
+    from kafka_flow_spark.cache import release_all
+    from kafka_flow_spark.operators.lm import trigram_lm_scores_interp
+
+    docs = load(spark, SF_SMALL, "documents")
+    ref = F.col("source") == "src0"
+    for fn in (bigram_lm_scores, bigram_lm_scores_interp, trigram_lm_scores_interp):
+        flat = sorted(tuple(r) for r in fn(docs, "doc_id", "text", ref).collect())
+        release_all()
+        fallback = sorted(
+            tuple(r)
+            for r in fn(
+                docs, "doc_id", "text", ref, model_broadcast_rows=0
+            ).collect()
+        )
+        release_all()
+        assert flat == fallback, fn.__name__
