@@ -2045,7 +2045,7 @@ def _mmr_oracle() -> str:
     """
 
 
-@register("q_mmr_rerank", oracle=_mmr_oracle())
+@register("q_mmr_rerank", oracle=_mmr_oracle(), bench=True)
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance diversity re-ranking over the embedding
     corpus (operators/similarity.mmr_rerank — Carbonell & Goldstein '98):

@@ -49,6 +49,10 @@ COMPARABLE = [
     "q_kmeans_cells",
     "q_lm_perplexity_interp",
     "q_quality_rules",
+    # joined in r10: MMR diversity re-ranking — its oracle is the full
+    # 3-round greedy CTE mirror (~36 s at sf10: the 20-query × corpus
+    # cosine pool, linear not quadratic, so it stays re-runnable)
+    "q_mmr_rerank",
     # q_dedup_incremental (bench r5 continuation) is NOT here: like
     # minhash/cosine/knn its oracle is the quadratic brute-force pair truth.
     # q_resample_ffill_hourly is deliberately NOT here: its oracle SQL (per-key
