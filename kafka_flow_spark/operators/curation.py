@@ -760,3 +760,76 @@ def boilerplate_by_source(
             "n_removed",
         )
     )
+
+
+# --- temporal split with embargo (purged time-based eval split) --------------
+
+
+def temporal_split_embargo(
+    df: DataFrame,
+    ts_col: str,
+    train_end: str,
+    test_start: str,
+) -> DataFrame:
+    """Time-ordered train/test split with an EMBARGO gap — the leakage-safe
+    eval split for temporal data (the "purged" split of López de Prado's
+    backtesting chapter, and the standard freshness-eval cut for a training
+    corpus with timestamps): ``train`` is strictly before ``train_end``,
+    ``test`` is at/after ``test_start``, and rows in between are
+    ``embargo`` — excluded from both so near-boundary correlation (a
+    session straddling the cut, a document revised hours later) can't leak
+    supervised signal across it.
+
+    Pure scan predicate (one codegen CASE — zero shuffle, stacks with
+    parquet pushdown exactly like hash_split).  ``train_end <= test_start``
+    required; equality means no embargo (a plain temporal cut).  Output:
+    input columns + ``split``.
+    """
+    if train_end > test_start:
+        raise ValueError(
+            f"train_end must be <= test_start, got {train_end!r} > {test_start!r}"
+        )
+    ts = F.col(ts_col)
+    return df.withColumn(
+        "split",
+        F.when(ts < F.lit(train_end).cast("timestamp"), F.lit("train"))
+        .when(ts >= F.lit(test_start).cast("timestamp"), F.lit("test"))
+        .otherwise(F.lit("embargo")),
+    )
+
+
+def temporal_leakage_report(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    train_end: str,
+    test_start: str,
+) -> DataFrame:
+    """ONE-row audit of a temporal split: row counts per side plus the
+    ENTITY overlap — how many entities (users, domains, documents) appear
+    on both sides of the cut.  A time split never isolates entities (that
+    is what hash_split by entity does); this report quantifies the overlap
+    so the pipeline can alert when entity-level leakage matters for the
+    task at hand.
+
+    Scale shape: one map-combinable (entity) aggregate collapsing each
+    entity to two booleans, then one global aggregate — the same two-pass
+    class as gate_agreement_kappa.  Output: (n_train, n_embargo, n_test,
+    entities_train, entities_test, entities_both).
+    """
+    split = temporal_split_embargo(df, ts_col, train_end, test_start)
+    per_entity = split.groupBy(F.col(entity_col).alias("_e")).agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("_tr"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("_te"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("_ntr"),
+        F.sum(F.when(F.col("split") == "embargo", 1).otherwise(0)).alias("_nem"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("_nte"),
+    )
+    return per_entity.agg(
+        F.sum("_ntr").cast("long").alias("n_train"),
+        F.sum("_nem").cast("long").alias("n_embargo"),
+        F.sum("_nte").cast("long").alias("n_test"),
+        F.sum("_tr").cast("long").alias("entities_train"),
+        F.sum("_te").cast("long").alias("entities_test"),
+        F.sum(F.col("_tr") * F.col("_te")).cast("long").alias("entities_both"),
+    )

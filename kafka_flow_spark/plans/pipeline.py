@@ -1808,3 +1808,48 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
     return compaction_plan(docs, ["source"], "n_chars", 50_000)
+
+
+# --- temporal split with embargo (purged time-based eval) --------------------
+
+_TSE_TRAIN_END, _TSE_TEST_START = "2024-01-15 00:00:00", "2024-01-18 00:00:00"
+
+
+@register(
+    "q_temporal_split_embargo",
+    oracle=f"""
+    WITH s AS (SELECT user_id,
+                 CASE WHEN ts < TIMESTAMP '{_TSE_TRAIN_END}' THEN 'train'
+                      WHEN ts >= TIMESTAMP '{_TSE_TEST_START}' THEN 'test'
+                      ELSE 'embargo' END AS split
+               FROM events),
+    pe AS (SELECT user_id,
+                  MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+                  MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te,
+                  SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ntr,
+                  SUM(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS nem,
+                  SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS nte
+           FROM s GROUP BY user_id)
+    SELECT CAST(SUM(ntr) AS BIGINT) AS n_train,
+           CAST(SUM(nem) AS BIGINT) AS n_embargo,
+           CAST(SUM(nte) AS BIGINT) AS n_test,
+           CAST(SUM(tr) AS BIGINT) AS entities_train,
+           CAST(SUM(te) AS BIGINT) AS entities_test,
+           CAST(SUM(tr * te) AS BIGINT) AS entities_both
+    FROM pe
+    """,
+)
+def q_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage audit of a purged temporal split over the event stream
+    (operators/curation.temporal_split_embargo / temporal_leakage_report):
+    train before Jan 15, a 3-day embargo, test from Jan 18 — row counts per
+    side plus the user-entity overlap across the cut (a time split never
+    isolates entities; the report is what a pipeline alerts on when
+    entity-level leakage matters).  Pure scan predicate + two
+    map-combinable aggregates; ONE output row."""
+    from kafka_flow_spark.operators.curation import temporal_leakage_report
+
+    events = load(spark, sf_dir, "events")
+    return temporal_leakage_report(
+        events, "ts", "user_id", _TSE_TRAIN_END, _TSE_TEST_START
+    )

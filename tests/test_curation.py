@@ -1125,3 +1125,63 @@ def test_bps_validates_args(spark):
         boilerplate_by_source(df, "id", "src", "text", min_frac_pct=0)
     with _pytest.raises(ValueError, match="min_doc_count"):
         boilerplate_by_source(df, "id", "src", "text", min_doc_count=0)
+
+
+# --- temporal_split_embargo / temporal_leakage_report ---
+
+
+def test_temporal_split_boundaries_and_embargo(spark):
+    from kafka_flow_spark.operators.curation import temporal_split_embargo
+
+    rows = [
+        (1, "2024-01-14 23:59:59"),  # train (strictly before train_end)
+        (2, "2024-01-15 00:00:00"),  # embargo (at train_end)
+        (3, "2024-01-17 23:59:59"),  # embargo
+        (4, "2024-01-18 00:00:00"),  # test (at test_start, inclusive)
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, t STRING").select(
+        "id", F.col("t").cast("timestamp").alias("t")
+    )
+    got = {
+        r["id"]: r["split"]
+        for r in temporal_split_embargo(
+            df, "t", "2024-01-15 00:00:00", "2024-01-18 00:00:00"
+        ).collect()
+    }
+    assert got == {1: "train", 2: "embargo", 3: "embargo", 4: "test"}
+
+
+def test_temporal_split_no_embargo_when_equal_and_validates(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.curation import temporal_split_embargo
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-15 00:00:00")], "id BIGINT, t STRING"
+    ).select("id", F.col("t").cast("timestamp").alias("t"))
+    got = temporal_split_embargo(
+        df, "t", "2024-01-15 00:00:00", "2024-01-15 00:00:00"
+    ).collect()[0]
+    assert got["split"] == "test"  # plain cut: nothing can be 'embargo'
+    with _pytest.raises(ValueError, match="train_end"):
+        temporal_split_embargo(df, "t", "2024-02-01", "2024-01-01")
+
+
+def test_temporal_leakage_report_hand_checked(spark):
+    from kafka_flow_spark.operators.curation import temporal_leakage_report
+
+    rows = [
+        ("u1", "2024-01-10 00:00:00"),  # u1 train
+        ("u1", "2024-01-20 00:00:00"),  # u1 test  -> u1 in BOTH
+        ("u2", "2024-01-11 00:00:00"),  # u2 train only
+        ("u3", "2024-01-21 00:00:00"),  # u3 test only
+        ("u3", "2024-01-16 00:00:00"),  # u3 embargo row (not 'both')
+    ]
+    df = spark.createDataFrame(rows, "u STRING, t STRING").select(
+        "u", F.col("t").cast("timestamp").alias("t")
+    )
+    r = temporal_leakage_report(
+        df, "t", "u", "2024-01-15 00:00:00", "2024-01-18 00:00:00"
+    ).collect()[0]
+    assert (r["n_train"], r["n_embargo"], r["n_test"]) == (2, 1, 2)
+    assert (r["entities_train"], r["entities_test"], r["entities_both"]) == (2, 2, 1)

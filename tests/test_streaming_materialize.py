@@ -786,3 +786,90 @@ def test_cms_view_replay_idempotent(spark, tmp_path):
     sink(b0, 0)  # replay of the same epoch
     after = {(r["r"], r["b"]): r["cnt"] for r in sink.cells(spark).collect()}
     assert before == after
+
+
+def test_changes_between_is_cdf_and_bucket_bounded(spark, tmp_path):
+    """CDF read: changes_between(v_a, v_b) returns the row-level changeset
+    keyed by the table's pk, reads ONLY buckets whose manifest pointers
+    differ, and replays: apply_changeset(old, changes) == new."""
+    from kafka_flow_spark.operators.incremental import apply_changeset
+
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=32)
+    rows0 = [(i, f"g{i % 5}", float(i), "added") for i in range(2000)]
+    sink(spark.createDataFrame(rows0, CDC_SCHEMA), 0)
+    sink(
+        spark.createDataFrame(
+            [(7, "gX", 999.0, "changed"), (11, None, None, "deleted")], CDC_SCHEMA
+        ),
+        1,
+    )
+    sink(spark.createDataFrame([(5000, "gN", 1.5, "added")], CDC_SCHEMA), 2)
+
+    ch = sink.changes_between(spark, 0, 2, table="base")
+    got = {(r["pk"], r["k"], r["v"], r["status"]) for r in ch.collect()}
+    assert got == {
+        (7, "gX", 999.0, "changed"),
+        (11, None, None, "deleted"),
+        (5000, "gN", 1.5, "added"),
+    }
+    # bucket-bounded: only the <=3 delta-touched buckets' dirs are read
+    dirs = {f.split("/_bkt=")[1].split("/")[0] for f in ch.inputFiles()}
+    assert len(dirs) <= 3
+    # replay law: old + changes == new
+    old = sink._read(spark, 0, "base")
+    new = {tuple(r) for r in sink._read(spark, 2, "base").collect()}
+    replayed = {tuple(r) for r in apply_changeset(old, ch, ["pk"]).collect()}
+    assert replayed == new
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="older than"):
+        sink.changes_between(spark, 2, 0, table="base")
+    with _pytest.raises(ValueError, match="pk-bucketed"):
+        sink.changes_between(spark, 0, 2, table="state")
+
+
+def test_changes_between_default_table_on_join_view(spark, tmp_path):
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame([(10, "red")], "b_pk BIGINT, color STRING").write.parquet(
+        dim_path
+    )
+    sink = MaterializedJoinView(
+        str(tmp_path / "view"), dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk",
+        n_buckets=8,
+    )
+    sink(spark.createDataFrame([(1, 10, 5.0, "added")], FACT_CDC_SCHEMA), 0)
+    sink(spark.createDataFrame([(2, 10, 6.0, "added")], FACT_CDC_SCHEMA), 1)
+    ch = {  # default table resolves to 'view' (ambiguous among view/fact/dim)
+        (r["pk"], r["status"])
+        for r in sink.changes_between(spark, 0, 1).collect()
+    }
+    assert ch == {(2, "added")}
+
+
+def test_bucketed_patch_refuses_schema_drift(spark, tmp_path):
+    """Reads resolve through the manifest's PINNED schema, so a patch whose
+    rows carry different columns would have them silently dropped or nulled
+    on every later read — the patch writer must refuse before writing.
+    (The view subclasses' own maintenance usually fails upstream on a
+    drifted batch; this guards the write layer itself — e.g. a type change
+    that survives the joins.)"""
+    import pytest as _pytest
+
+    from kafka_flow_spark.streaming.materialize import BucketPatch
+
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    sink(spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0)
+    extra_col = spark.createDataFrame(
+        [(2, "b", 2.0, "x")], "pk BIGINT, k STRING, v DOUBLE, surprise STRING"
+    )
+    with _pytest.raises(ValueError, match="pinned schema"):
+        sink._write_bucketed_patch(spark, 1, 0, "base", BucketPatch([0], extra_col))
+    type_drift = spark.createDataFrame(
+        [(2, "b", 2)], "pk BIGINT, k STRING, v BIGINT"  # v was DOUBLE
+    )
+    with _pytest.raises(ValueError, match="pinned schema"):
+        sink._write_bucketed_patch(spark, 1, 0, "base", BucketPatch([0], type_drift))
+    assert sink.last_committed(spark) == 0  # nothing was written
