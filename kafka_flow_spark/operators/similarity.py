@@ -1824,7 +1824,13 @@ def embedding_dim_profile(
             "dim",
             F.when(
                 F.col("max_e6") > F.col("min_e6"),
-                F.expr("(x - min_e6) * 1000000 div (max_e6 - min_e6)"),
+                # DECIMAL product: (x-min)*1e6 passes int64 once components
+                # exceed ~4.6e6 e6-units (|v| > ~4.6) — same hardening class
+                # as the kappa rationals; div still returns BIGINT
+                F.expr(
+                    "CAST((x - min_e6) AS decimal(38,0)) * 1000000"
+                    " div CAST(max_e6 - min_e6 AS decimal(38,0))"
+                ),
             )
             .otherwise(F.lit(0))
             .alias("z"),
@@ -1864,7 +1870,10 @@ def minmax_scale(
     )
     z = F.when(
         F.col("_mx") > F.col("_mn"),
-        F.expr("(x - _mn) * 1000000 div (_mx - _mn)"),
+        F.expr(
+            "CAST((x - _mn) AS decimal(38,0)) * 1000000"
+            " div CAST(_mx - _mn AS decimal(38,0))"
+        ),
     ).otherwise(F.lit(0))
     return (
         ex.join(F.broadcast(stats), "dim")

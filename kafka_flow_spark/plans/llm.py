@@ -2082,7 +2082,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM ex GROUP BY dim),
     sc AS (SELECT e.dim,
                   CASE WHEN st.mx > st.mn
-                       THEN (e.x - st.mn) * 1000000 // (st.mx - st.mn)
+                       THEN CAST((e.x - st.mn) AS HUGEINT) * 1000000
+                            // (st.mx - st.mn)
                        ELSE 0 END AS z
            FROM ex e JOIN st ON st.dim = e.dim),
     ss AS (SELECT dim, CAST(SUM(CAST(z AS HUGEINT)) AS BIGINT)

@@ -567,7 +567,9 @@ class _VersionedView:
         added/deleted/changed, keyed by the table's bucketing pk, suitable
         for feeding a DOWNSTREAM incremental consumer exactly as the fact
         stream feeds this view (``apply_changeset(old, changes) == new`` —
-        pinned by test).
+        pinned by test; views CASCADE — a second sink maintained purely
+        from this one's CDF reads equals the direct recompute at every
+        step, test_view_cascade_via_cdf_reads).
 
         Bucket-aware, the reason it scales: a bucket whose manifest POINTER
         is identical in both versions holds byte-identical data (pointers

@@ -873,3 +873,48 @@ def test_bucketed_patch_refuses_schema_drift(spark, tmp_path):
     with _pytest.raises(ValueError, match="pinned schema"):
         sink._write_bucketed_patch(spark, 1, 0, "base", BucketPatch([0], type_drift))
     assert sink.last_committed(spark) == 0  # nothing was written
+
+
+def test_view_cascade_via_cdf_reads(spark, tmp_path):
+    """Derived-view composability: a DOWNSTREAM MaterializedAggView is
+    maintained ONLY from the upstream view's changes_between() outputs —
+    the CDF read is a changeset in exactly the shape the sinks consume, so
+    views cascade without re-reading the upstream's inputs, each hop
+    delta-proportional.  The cascade must equal a direct aggregate over the
+    upstream's final base at every step."""
+    up_path, down_path = str(tmp_path / "up"), str(tmp_path / "down")
+    up = MaterializedAggView(up_path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    down = MaterializedAggView(down_path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+
+    batches = [
+        [(i, f"g{i % 3}", float(i), "added") for i in range(30)],
+        [(7, "gX", 100.0, "changed"), (11, None, None, "deleted")],
+        [(99, "g0", 5.0, "added"), (7, None, None, "deleted")],
+    ]
+    prev_head = None
+    for bid, rows in enumerate(batches):
+        up(spark.createDataFrame(rows, CDC_SCHEMA), bid)
+        head = up.last_committed(spark)
+        if prev_head is None:
+            # bootstrap: the initial snapshot IS the first changeset
+            first = up._read(spark, head, "base").withColumn(
+                "status", F.lit("added")
+            )
+            down(first, bid)
+        else:
+            down(up.changes_between(spark, prev_head, head, table="base"), bid)
+        prev_head = head
+        # cascade invariant: downstream result == direct agg over upstream base
+        truth = {
+            tuple(r)
+            for r in up._read(spark, head, "base")
+            .groupBy("k")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(F.sum("v"), 2).cast("double").alias("sum_v"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            )
+            .collect()
+        }
+        assert _result_rows(down, spark) == truth, f"diverged at batch {bid}"
