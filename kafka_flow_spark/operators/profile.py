@@ -863,3 +863,116 @@ def embedding_drift(
             F.sum(term).cast("long").alias("drift_l1_scaled"),
         )
     )
+
+
+# --- referential-integrity audit ---------------------------------------------
+
+
+def fk_integrity_report(
+    fact: DataFrame,
+    dim: DataFrame,
+    fk_col: str,
+    pk_col: str,
+) -> DataFrame:
+    """ONE-row referential-integrity audit of a fact→dim key — the check a
+    100 TB pipeline runs BEFORE a join ships garbage: an inner join silently
+    DROPS orphan fact rows and a duplicated dim pk silently MULTIPLIES
+    them, and neither failure is visible in the join's own output.
+
+    Output: (n_fact, n_null_fk, n_orphans, orphan_rate_e6, n_dim,
+    n_dup_pk_values, n_dup_pk_rows) — orphans are non-null fks with no dim
+    match; dup columns count pk values with >1 dim row and the total rows
+    in such groups (join multiplication factor = n_dup_pk_rows rows landing
+    where n_dup_pk_values were expected).
+
+    Scale shape: one left-anti join on the key (Catalyst broadcasts the dim
+    side when it fits, exactly as the production join would) + one
+    map-combinable dim aggregate + two global aggregates.  The rate is a
+    truncating e6 division in DECIMAL(38,0) (row counts × 1e6 pass int64
+    past ~9e12 rows — the kappa class).
+    """
+    fk, pk = F.col(fk_col), F.col(pk_col)
+    fact_stats = fact.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.when(fk.isNull(), 1).otherwise(0)).cast("long").alias("n_null_fk"),
+    )
+    orphans = (
+        fact.where(fk.isNotNull())
+        .join(dim.select(pk.alias(fk_col)), [fk_col], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    dim_stats = (
+        dim.groupBy(pk.alias("_pk"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dim"),
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_pk_values"),
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_pk_rows"),
+        )
+    )
+    return (
+        fact_stats.crossJoin(orphans)
+        .crossJoin(dim_stats)
+        .select(
+            "n_fact",
+            "n_null_fk",
+            "n_orphans",
+            F.expr(
+                "CAST(n_orphans AS decimal(38,0)) * 1000000"
+                " div CAST(n_fact AS decimal(38,0))"
+            ).alias("orphan_rate_e6"),
+            "n_dim",
+            "n_dup_pk_values",
+            "n_dup_pk_rows",
+        )
+    )
+
+
+def event_order_audit(
+    events: DataFrame,
+    key_col: str,
+    seq_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-key event-time ordering audit: within each key, ordered by the
+    SEQUENCE column (offset / event id — the transport order), how often
+    does the embedded timestamp step BACKWARDS, and by how much?  The
+    out-of-orderness number that sizes a watermark: `withWatermark(delay)`
+    drops events later than the delay, so `max_backstep_us` IS the minimum
+    safe delay and `n_backwards / n` the damage of choosing less.
+
+    Exact integers: timestamps compare as epoch microseconds
+    (``unix_micros`` here, ``epoch_us`` in the DuckDB mirror).  Output one
+    row per key: (key, n_events, n_backwards, max_backstep_us,
+    backwards_rate_e6).  Keys with one event report zeros.
+
+    Scale shape: ONE window exchange on the key (the sessionization class)
+    + one map-combinable aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(seq_col)
+    # NTZ-tolerant: the events table reads as TIMESTAMP_NTZ on Spark 4 and
+    # unix_micros requires TIMESTAMP; the session tz is pinned UTC
+    # (kafka_flow_spark.session), so the cast reinterprets the same
+    # wall-clock instant DuckDB's epoch_us reads — bit-identical µs.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    step = us - F.lag(us).over(w)
+    flagged = events.select(
+        F.col(key_col),
+        F.when(step < 0, 1).otherwise(0).alias("_back"),
+        F.when(step < 0, -step).otherwise(0).cast("long").alias("_mag"),
+    )
+    return flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("_back").cast("long").alias("n_backwards"),
+        F.max("_mag").alias("max_backstep_us"),
+        F.expr(
+            "CAST(sum(_back) AS decimal(38,0)) * 1000000"
+            " div CAST(count(1) AS decimal(38,0))"
+        ).alias("backwards_rate_e6"),
+    )

@@ -1120,3 +1120,77 @@ def q_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("keep").alias("keep_b")
     )
     return gate_agreement_kappa(gate_a.join(gate_b, "doc_id"), "keep_a", "keep_b")
+
+
+# --- referential-integrity + event-order audits -------------------------------
+
+
+@register(
+    "q_fk_integrity_audit",
+    oracle="""
+    WITH dimf AS (SELECT p_partkey FROM part WHERE p_partkey % 7 != 0),
+    fs AS (SELECT COUNT(*) AS n_fact,
+                  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_null_fk
+           FROM lineitem),
+    orph AS (SELECT COUNT(*) AS n_orphans
+             FROM lineitem l LEFT JOIN dimf p ON l.l_partkey = p.p_partkey
+             WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL),
+    ds AS (SELECT COUNT(*) AS n_dim,
+                  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_dup_pk_values,
+                  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                    AS n_dup_pk_rows
+           FROM (SELECT p_partkey, COUNT(*) AS c FROM dimf GROUP BY 1))
+    SELECT n_fact, n_null_fk, n_orphans,
+           CAST(CAST(n_orphans AS HUGEINT) * 1000000 // n_fact AS BIGINT)
+             AS orphan_rate_e6,
+           n_dim, n_dup_pk_values, n_dup_pk_rows
+    FROM fs CROSS JOIN orph CROSS JOIN ds
+    """,
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of lineitem→part against a DAMAGED dim
+    (every 7th part dropped — the fixture that makes the orphan path carry
+    real rows; operators/profile.fk_integrity_report): orphan counts and
+    rate, null fks, duplicated-pk join-multiplication counts — the ONE-row
+    report a pipeline checks before an inner join silently drops or
+    multiplies fact rows.  One anti-join + bounded aggregates."""
+    from kafka_flow_spark.operators.profile import fk_integrity_report
+
+    fact = load(spark, sf_dir, "lineitem")
+    dim = load(spark, sf_dir, "part").where(F.col("p_partkey") % 7 != 0)
+    return fk_integrity_report(fact, dim, "l_partkey", "p_partkey")
+
+
+@register(
+    "q_event_order_audit",
+    oracle="""
+    WITH d AS (SELECT user_id,
+                      epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY event_id) AS step
+               FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN step < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backwards,
+           CAST(MAX(CASE WHEN step < 0 THEN -step ELSE 0 END) AS BIGINT)
+             AS max_backstep_us,
+           CAST(CAST(SUM(CASE WHEN step < 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                * 1000000 // COUNT(*) AS BIGINT) AS backwards_rate_e6
+    FROM d GROUP BY user_id
+    """,
+)
+def q_event_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-time ordering audit over the event stream (operators/
+    profile.event_order_audit): within each user, ordered by event_id (the
+    transport order), how often does the embedded timestamp step backwards
+    and by at most how much — max_backstep_us IS the minimum safe watermark
+    delay, backwards_rate_e6 the damage of choosing less.  ONE window
+    exchange + one map-combinable aggregate, exact epoch-microsecond
+    integers."""
+    from kafka_flow_spark.operators.profile import event_order_audit
+
+    return event_order_audit(
+        load(spark, sf_dir, "events"), "user_id", "event_id", "ts"
+    )

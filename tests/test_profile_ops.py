@@ -158,3 +158,54 @@ def test_embedding_drift_scale_guard(spark):
     df = spark.createDataFrame([("a", [1.0])], "label STRING, embedding ARRAY<DOUBLE>")
     with _pytest.raises(ValueError, match="scale"):
         embedding_drift(df, df, "embedding", "label", scale=0)
+
+
+# --- fk_integrity_report / event_order_audit ---
+
+
+def test_fk_integrity_hand_checked(spark):
+    from kafka_flow_spark.operators.profile import fk_integrity_report
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None), (5, 10)], "id BIGINT, fk BIGINT"
+    )
+    dim = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (20, "b2"), (30, "c")], "pk BIGINT, val STRING"
+    )
+    r = fk_integrity_report(fact, dim, "fk", "pk").collect()[0]
+    assert (r["n_fact"], r["n_null_fk"], r["n_orphans"]) == (5, 1, 1)  # fk=99
+    assert r["orphan_rate_e6"] == 1 * 10**6 // 5
+    # pk 20 duplicated: 1 value, 2 rows (join multiplication evidence)
+    assert (r["n_dim"], r["n_dup_pk_values"], r["n_dup_pk_rows"]) == (3, 1, 2)
+
+
+def test_fk_integrity_clean_reference_is_all_zero(spark):
+    from kafka_flow_spark.operators.profile import fk_integrity_report
+
+    fact = spark.createDataFrame([(1, 10), (2, 20)], "id BIGINT, fk BIGINT")
+    dim = spark.createDataFrame([(10,), (20,)], "pk BIGINT")
+    r = fk_integrity_report(fact, dim, "fk", "pk").collect()[0]
+    assert (r["n_null_fk"], r["n_orphans"], r["orphan_rate_e6"],
+            r["n_dup_pk_values"], r["n_dup_pk_rows"]) == (0, 0, 0, 0, 0)
+
+
+def test_event_order_audit_hand_checked(spark):
+    from kafka_flow_spark.operators.profile import event_order_audit
+
+    rows = [
+        ("a", 1, "2024-01-01 00:00:10"),
+        ("a", 2, "2024-01-01 00:00:05"),   # 5s backwards
+        ("a", 3, "2024-01-01 00:00:20"),
+        ("a", 4, "2024-01-01 00:00:19.5"), # 0.5s backwards
+        ("b", 1, "2024-01-01 00:00:01"),   # single predecessor-less key
+    ]
+    df = spark.createDataFrame(rows, "k STRING, seq BIGINT, t STRING").select(
+        "k", "seq", F.col("t").cast("timestamp_ntz").alias("t")
+    )
+    got = {r["k"]: r for r in event_order_audit(df, "k", "seq", "t").collect()}
+    a = got["a"]
+    assert (a["n_events"], a["n_backwards"]) == (4, 2)
+    assert a["max_backstep_us"] == 5_000_000
+    assert a["backwards_rate_e6"] == 2 * 10**6 // 4
+    b = got["b"]
+    assert (b["n_backwards"], b["max_backstep_us"], b["backwards_rate_e6"]) == (0, 0, 0)
