@@ -531,18 +531,31 @@ class _VersionedView:
         all_vs = _list_versions(spark, self.path)
         committed = [v for v, ok in all_vs if ok]
         keep_set = set(committed[-keep:])
-        if self.bucketed:
-            frontier = list(keep_set)
-            while frontier:
-                v = frontier.pop()
-                for t in self.bucketed:
-                    man = self._manifest(spark, v, t)
-                    if man is None:
-                        continue
-                    for ref in set(man["buckets"].values()):
-                        if ref not in keep_set:
-                            keep_set.add(ref)
-                            frontier.append(ref)
+        # the referenced closure is discovered from DISK, not from
+        # self.bucketed: a kind-agnostic caller (tools/view_admin.py, or a
+        # sink constructed with the wrong table map) must never be able to
+        # delete a version some kept manifest still points into
+        fs, jvm = _fs(spark, self.path)
+
+        def _table_dirs(version: int) -> list[str]:
+            d = jvm.org.apache.hadoop.fs.Path(f"{self.path}/v={version}")
+            return [
+                st.getPath().getName()
+                for st in fs.listStatus(d)
+                if st.isDirectory()
+            ]
+
+        frontier = list(keep_set)
+        while frontier:
+            v = frontier.pop()
+            for t in _table_dirs(v):
+                man = self._manifest(spark, v, t)
+                if man is None:
+                    continue
+                for ref in set(man["buckets"].values()):
+                    if ref not in keep_set:
+                        keep_set.add(ref)
+                        frontier.append(ref)
         head = committed[-1] if committed else None
         drop = [
             v
@@ -550,7 +563,6 @@ class _VersionedView:
             if (ok and v not in keep_set)
             or (not ok and head is not None and v < head)
         ]
-        fs, jvm = _fs(spark, self.path)
         for v in drop:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/v={v}"), True)
         return drop

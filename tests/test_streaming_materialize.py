@@ -918,3 +918,29 @@ def test_view_cascade_via_cdf_reads(spark, tmp_path):
             .collect()
         }
         assert _result_rows(down, spark) == truth, f"diverged at batch {bid}"
+
+
+def test_vacuum_closure_discovered_from_disk(spark, tmp_path):
+    """The referenced-closure protection must come from the on-disk
+    manifests, not the sink's configured table map: a kind-agnostic admin
+    handle (tools/view_admin.py pattern — no bucketed map at all) running
+    vacuum on a bucketed view must keep every version the head's manifests
+    point into."""
+    from kafka_flow_spark.streaming.materialize import _VersionedView
+
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    sink(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", float(i), "added") for i in range(40)], CDC_SCHEMA
+        ),
+        0,
+    )
+    sink(spark.createDataFrame([(1, "gX", 9.0, "changed")], CDC_SCHEMA), 1)
+    before = {tuple(r) for r in sink._read(spark, 1, "base").collect()}
+
+    blind = _VersionedView(path, 8)  # no tables, no bucketed map
+    dropped = blind.vacuum(spark, keep=1)
+    assert dropped == []  # v=1's manifest points into v=0: both survive
+    after = {tuple(r) for r in sink._read(spark, 1, "base").collect()}
+    assert after == before  # head still fully readable
