@@ -944,3 +944,58 @@ def test_vacuum_closure_discovered_from_disk(spark, tmp_path):
     assert dropped == []  # v=1's manifest points into v=0: both survive
     after = {tuple(r) for r in sink._read(spark, 1, "base").collect()}
     assert after == before  # head still fully readable
+
+
+def test_changes_between_replay_property_random_cdc(spark, tmp_path):
+    """Property over seeded-random CDC histories: for EVERY committed pair
+    (i < j), apply_changeset(base_i, changes_between(i, j)) == base_j —
+    the CDF read is exact regardless of how adds/changes/deletes interleave
+    or how many versions apart the endpoints are."""
+    import random
+
+    from kafka_flow_spark.operators.incremental import apply_changeset
+
+    rng = random.Random(20260816)
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=16)
+    live: set[int] = set()
+    for bid in range(5):
+        batch = []
+        for _ in range(rng.randint(3, 12)):
+            verb = rng.choice(["added", "changed", "deleted"])
+            if verb == "added" or not live:
+                pk = rng.randint(0, 10_000)
+                while pk in live:
+                    pk = rng.randint(0, 10_000)
+                batch.append((pk, f"g{pk % 4}", float(pk % 97), "added"))
+                live.add(pk)
+            elif verb == "changed":
+                pk = rng.choice(sorted(live))
+                batch.append((pk, f"g{(pk + 1) % 4}", float(rng.randint(0, 500)), "changed"))
+            else:
+                pk = rng.choice(sorted(live))
+                batch.append((pk, None, None, "deleted"))
+                live.discard(pk)
+            # a pk must appear at most once per changeset batch
+        dedup = {}
+        for row in batch:
+            dedup[row[0]] = row
+        sink(spark.createDataFrame(list(dedup.values()), CDC_SCHEMA), bid)
+
+    versions = sink.versions(spark)
+    snaps = {
+        v: {tuple(r) for r in sink._read(spark, v, "base").collect()}
+        for v in versions
+    }
+    for i in versions:
+        for j in versions:
+            if i >= j:
+                continue
+            ch = sink.changes_between(spark, i, j, table="base")
+            replayed = {
+                tuple(r)
+                for r in apply_changeset(
+                    sink._read(spark, i, "base"), ch, ["pk"]
+                ).collect()
+            }
+            assert replayed == snaps[j], f"replay {i}->{j} diverged"
