@@ -833,3 +833,63 @@ def temporal_leakage_report(
         F.sum("_te").cast("long").alias("entities_test"),
         F.sum(F.col("_tr") * F.col("_te")).cast("long").alias("entities_both"),
     )
+
+
+def packing_report(
+    packed: DataFrame,
+    budget: int,
+) -> DataFrame:
+    """Per-shard packing-efficiency report over ``pack_sequences`` output —
+    the table that sizes the context budget: a small ``budget`` splits many
+    documents across pack boundaries (attention sees truncated context), a
+    large one leaves the shard's TAIL pack underfilled (padded compute).
+
+    Exact integers per shard: ``n_docs``, ``n_tokens``, ``n_packs``
+    (= ceil(shard tokens / budget)), ``n_docs_split`` (documents crossing
+    ≥1 pack boundary: ``pack_offset + n_tokens > budget``),
+    ``n_boundary_crossings`` (a doc longer than several budgets crosses
+    several times: ``(pack_offset + n_tokens - 1) div budget``, 0-token
+    docs cross none), ``tail_waste_tokens`` (the final pack's padding:
+    ``(-shard_tokens) mod budget``), plus truncating e6 rates
+    (``split_rate_e6`` of docs, ``waste_rate_e6`` of the padded token
+    grid ``n_packs·budget``).
+
+    Scale shape: ONE map-combinable (shard) aggregate over the packed
+    relation — output cardinality is the shard count.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    end = F.col("pack_offset") + F.col("n_tokens")
+    crossings = F.when(
+        F.col("n_tokens") > 0,
+        F.expr(f"(pack_offset + n_tokens - 1) div {budget}"),
+    ).otherwise(F.lit(0))
+    per_shard = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.when(end > budget, 1).otherwise(0)).cast("long").alias("n_docs_split"),
+        F.sum(crossings).cast("long").alias("n_boundary_crossings"),
+    )
+    n_packs = F.expr(f"(n_tokens + {budget} - 1) div {budget}")
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        n_packs.alias("n_packs"),
+        "n_docs_split",
+        "n_boundary_crossings",
+        (n_packs * budget - F.col("n_tokens")).alias("tail_waste_tokens"),
+        F.expr(
+            "CAST(n_docs_split AS decimal(38,0)) * 1000000"
+            " div CAST(n_docs AS decimal(38,0))"
+        ).alias("split_rate_e6"),
+    ).withColumn(
+        "waste_rate_e6",
+        F.when(
+            F.col("n_packs") > 0,
+            F.expr(
+                f"CAST(tail_waste_tokens AS decimal(38,0)) * 1000000"
+                f" div CAST(n_packs * {budget} AS decimal(38,0))"
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )

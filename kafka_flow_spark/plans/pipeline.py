@@ -1853,3 +1853,58 @@ def q_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_leakage_report(
         events, "ts", "user_id", _TSE_TRAIN_END, _TSE_TEST_START
     )
+
+
+@register(
+    "q_packing_report",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS hb
+      FROM documents),
+    w AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY hb, CAST(doc_id AS VARCHAR)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM t),
+    p AS (SELECT shard, n_tokens, cum % 512 AS pack_offset FROM w),
+    s AS (SELECT shard,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN pack_offset + n_tokens > 512
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split,
+                 CAST(SUM(CASE WHEN n_tokens > 0
+                               THEN (pack_offset + n_tokens - 1) // 512
+                               ELSE 0 END) AS BIGINT) AS n_boundary_crossings
+          FROM p GROUP BY shard)
+    SELECT shard, n_docs, n_tokens,
+           CAST((n_tokens + 511) // 512 AS BIGINT) AS n_packs,
+           n_docs_split, n_boundary_crossings,
+           CAST((n_tokens + 511) // 512 * 512 - n_tokens AS BIGINT)
+             AS tail_waste_tokens,
+           CAST(CAST(n_docs_split AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+             AS split_rate_e6,
+           CASE WHEN n_tokens > 0
+                THEN CAST(CAST((n_tokens + 511) // 512 * 512 - n_tokens
+                               AS HUGEINT) * 1000000
+                          // ((n_tokens + 511) // 512 * 512) AS BIGINT)
+                ELSE 0 END AS waste_rate_e6
+    FROM s
+    """,
+)
+def q_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency table over q_pack_sequences' packs (operators/
+    curation.packing_report): per shard, how many documents a 512-token
+    budget SPLITS across pack boundaries (truncated-context damage) vs the
+    tail-pack padding waste — the two quantities a loader trades when
+    sizing the context budget.  ONE map-combinable (shard) aggregate over
+    the packed relation; output = shard count rows."""
+    from kafka_flow_spark.operators.curation import packing_report, pack_sequences
+
+    packed = pack_sequences(
+        load(spark, sf_dir, "documents"), "doc_id", "text", budget=512, n_shards=8
+    )
+    return packing_report(packed, budget=512)

@@ -1185,3 +1185,43 @@ def test_temporal_leakage_report_hand_checked(spark):
     ).collect()[0]
     assert (r["n_train"], r["n_embargo"], r["n_test"]) == (2, 1, 2)
     assert (r["entities_train"], r["entities_test"], r["entities_both"]) == (2, 2, 1)
+
+
+# --- packing_report ---
+
+
+def test_packing_report_hand_checked(spark):
+    from kafka_flow_spark.operators.curation import packing_report
+
+    # one shard, budget 10: docs of 4, 8, 5, 0, 12 tokens at cumulative
+    # offsets 0, 4, 12%10=2... build the packed relation directly
+    packed = spark.createDataFrame(
+        [
+            (1, 0, 0, 0, 4),    # [0,4)   in pack 0 — no split
+            (2, 0, 0, 4, 8),    # [4,12)  crosses 1 boundary
+            (3, 0, 1, 2, 5),    # [12,17) in pack 1 — no split
+            (4, 0, 1, 7, 0),    # empty doc: no crossing
+            (5, 0, 1, 7, 12),   # [17,29) crosses packs 1→2 (offset7+12-1=18 div 10 = 1)
+        ],
+        "id BIGINT, shard INT, pack_id BIGINT, pack_offset BIGINT, n_tokens INT",
+    )
+    r = packing_report(packed, budget=10).collect()[0]
+    assert (r["n_docs"], r["n_tokens"]) == (5, 29)
+    assert r["n_packs"] == 3 and r["tail_waste_tokens"] == 1
+    assert r["n_docs_split"] == 2          # docs 2 and 5
+    assert r["n_boundary_crossings"] == 2  # one each
+    assert r["split_rate_e6"] == 2 * 10**6 // 5
+    assert r["waste_rate_e6"] == 1 * 10**6 // 30
+
+
+def test_packing_report_validates_budget(spark):
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.curation import packing_report
+
+    df = spark.createDataFrame(
+        [(1, 0, 0, 0, 1)],
+        "id BIGINT, shard INT, pack_id BIGINT, pack_offset BIGINT, n_tokens INT",
+    )
+    with _pytest.raises(ValueError, match="budget"):
+        packing_report(df, budget=0)
