@@ -2112,3 +2112,70 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return embedding_dim_profile(e, "embedding")
+
+
+# --- tokenizer fertility report ----------------------------------------------
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe,
+             CAST(strlen(text) AS BIGINT) AS nbytes
+      FROM documents),
+    s AS (SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+                 CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+                 CAST(SUM(nbytes) AS BIGINT) AS n_bytes
+          FROM t GROUP BY source)
+    SELECT source, n_docs, ws_tokens, bpe_tokens, n_bytes,
+           CASE WHEN ws_tokens > 0
+                THEN CAST(CAST(bpe_tokens AS HUGEINT) * 1000000 // ws_tokens
+                          AS BIGINT) ELSE 0 END AS fertility_e6,
+           CASE WHEN bpe_tokens > 0
+                THEN CAST(CAST(n_bytes AS HUGEINT) * 1000000 // bpe_tokens
+                          AS BIGINT) ELSE 0 END AS bytes_per_token_e6
+    FROM s
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility data card per source: sub-word tokens per
+    whitespace word (fertility — the multilingual-tokenizer health metric:
+    a tokenizer that explodes one language's words into characters starves
+    it of effective context) and bytes per sub-word token (compression),
+    both exact truncating e6 rationals with DECIMAL(38,0)/HUGEINT
+    internals (corpus-scale sums × 1e6 pass int64 past ~9e12 — the kappa
+    class).  Pure codegen counting (the BPE pre-tokenizer regex +
+    whitespace tokens + octet_length) into ONE map-combinable (source)
+    aggregate — scan speed, output = source count rows."""
+    docs = load(spark, sf_dir, "documents")
+    from kafka_flow_spark.operators import text as T
+
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.sum(T.bpe_token_count(F.col("text"))).cast("long").alias("bpe_tokens"),
+        F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+    )
+    return agg.select(
+        "source", "n_docs", "ws_tokens", "bpe_tokens", "n_bytes",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.expr(
+                "CAST(bpe_tokens AS decimal(38,0)) * 1000000"
+                " div CAST(ws_tokens AS decimal(38,0))"
+            ),
+        ).otherwise(F.lit(0).cast("long")).alias("fertility_e6"),
+        F.when(
+            F.col("bpe_tokens") > 0,
+            F.expr(
+                "CAST(n_bytes AS decimal(38,0)) * 1000000"
+                " div CAST(bpe_tokens AS decimal(38,0))"
+            ),
+        ).otherwise(F.lit(0).cast("long")).alias("bytes_per_token_e6"),
+    )
