@@ -1060,10 +1060,26 @@ def run_view_sink(
     sink: _VersionedView,
     checkpoint: str,
     available_now: bool = True,
+    refresh_dim: bool = False,
 ) -> None:
     """Drive a CDC/append stream into a materialized-view sink to backlog
     exhaustion and stop — restartable: the checkpoint replays the last
-    in-flight batch, the versioned commit makes the replay idempotent."""
+    in-flight batch, the versioned commit makes the replay idempotent.
+
+    ``refresh_dim=True`` (join-view sinks) runs ``sink.refresh()`` AFTER
+    the drain: a dim-only change is picked up in the same invocation even
+    when the fact backlog was empty — the scheduled-batch-run analog of
+    the reference's empty-poll timer tick, and single-writer safe because
+    the stream has stopped before the refresh commits.  No-op when the dim
+    is unchanged or the view has no committed head yet (nothing to refresh
+    before the first fact batch)."""
+    if refresh_dim and not hasattr(sink, "refresh"):
+        # validate BEFORE starting the stream: a post-drain failure would
+        # leave work applied under a flag the caller got wrong
+        raise ValueError(
+            f"refresh_dim=True needs a sink with refresh() — "
+            f"{type(sink).__name__} has none"
+        )
     q = (
         stream.writeStream.foreachBatch(sink)
         .outputMode("update")
@@ -1072,6 +1088,8 @@ def run_view_sink(
         .start()
     )
     q.awaitTermination()
+    if refresh_dim and sink.last_committed(stream.sparkSession) is not None:
+        sink.refresh(stream.sparkSession)
 
 
 class MaterializedSketchView(_VersionedView):

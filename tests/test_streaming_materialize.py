@@ -999,3 +999,56 @@ def test_changes_between_replay_property_random_cdc(spark, tmp_path):
                 ).collect()
             }
             assert replayed == snaps[j], f"replay {i}->{j} diverged"
+
+
+def test_run_view_sink_refresh_dim_picks_up_dim_only_drift(spark, tmp_path):
+    """refresh_dim=True: a scheduled run over an EMPTY fact backlog still
+    picks up a dim edit in the same invocation — the batch-run analog of
+    the reference's empty-poll timer tick."""
+    import pytest as _pytest
+
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(10, "red"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.parquet(dim_path)
+    sink = MaterializedJoinView(
+        str(tmp_path / "view"), dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk",
+        n_buckets=8,
+    )
+    _write(
+        spark, input_dir,
+        [(1, 10, 5.0, "added"), (2, 20, 6.0, "added")], FACT_CDC_SCHEMA,
+    )
+    stream = spark.readStream.schema(FACT_CDC_SCHEMA).parquet(input_dir)
+    run_view_sink(stream, sink, chk, refresh_dim=True)
+
+    def rows():
+        return {
+            tuple(r)
+            for r in sink.view(spark).select("pk", "fk", "qty", "color").collect()
+        }
+
+    assert rows() == {(1, 10, 5.0, "red"), (2, 20, 6.0, "blue")}
+    head = sink.last_committed(spark)
+
+    # dim-only edit, NO new fact rows: a scheduled re-run must surface it
+    spark.createDataFrame(
+        [(10, "crimson"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.mode("overwrite").parquet(dim_path)
+    stream = spark.readStream.schema(FACT_CDC_SCHEMA).parquet(input_dir)
+    run_view_sink(stream, sink, chk, refresh_dim=True)
+    assert rows() == {(1, 10, 5.0, "crimson"), (2, 20, 6.0, "blue")}
+    assert sink.last_committed(spark) == head + 1  # exactly one refresh version
+
+    # unchanged dim: another scheduled run writes nothing
+    stream = spark.readStream.schema(FACT_CDC_SCHEMA).parquet(input_dir)
+    run_view_sink(stream, sink, chk, refresh_dim=True)
+    assert sink.last_committed(spark) == head + 1
+
+    # a sink without refresh() refuses the flag
+    agg = MaterializedAggView(str(tmp_path / "agg"), ["k"], "v")
+    spark.createDataFrame([("a", 1.0)], EVENT_SCHEMA).write.parquet(input_dir + "_none")
+    s2 = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir + "_none")
+    with _pytest.raises(ValueError, match="refresh"):
+        run_view_sink(s2, agg, str(tmp_path / "chk2"), refresh_dim=True)
