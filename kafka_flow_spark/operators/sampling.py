@@ -838,3 +838,57 @@ def poisson_bootstrap(
             ).alias("mean_value"),
         )
     )
+
+
+# --- recency-weighted sampling ------------------------------------------------
+
+
+def recency_weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    anchor_ts: str,
+    half_life_weeks: int = 1,
+    max_age_weeks: int = 30,
+) -> DataFrame:
+    """Freshness-biased deterministic sampling: keep probability HALVES per
+    ``half_life_weeks`` of age — the training-mix move that over-weights
+    recent data without dropping history outright (news/web corpora decay
+    in value; uniform sampling wastes budget on stale text, a hard cutoff
+    loses the tail entirely).
+
+    Fully content-addressed, zero RNG state: ``age_weeks = datediff(anchor,
+    ts) div 7`` (rows newer than the anchor clamp to age 0 — late arrivals
+    sample at full rate rather than dodging the gate) and a row keeps iff
+    its md5 bucket clears the LITERAL hex threshold for p = 2^-(age_weeks
+    div half_life_weeks), capped at ``max_age_weeks`` (everything older
+    competes at one tiny floor probability).  Identical keys sample
+    identically across runs, engines and partitionings — the hash_sample
+    contract with a time-varying fraction.
+
+    Scale shape: a pure scan predicate (one CASE over ≤ max_age_weeks+1
+    literal thresholds — codegen, zero shuffle, stacks with parquet
+    pushdown).  Output: input columns + (age_weeks, kept).
+    """
+    if half_life_weeks < 1:
+        raise ValueError(f"half_life_weeks must be >= 1, got {half_life_weeks}")
+    if max_age_weeks < 0:
+        raise ValueError(f"max_age_weeks must be >= 0, got {max_age_weeks}")
+    age = F.greatest(
+        F.lit(0),
+        F.expr(f"datediff(timestamp '{anchor_ts}', {ts_col}) div 7"),
+    ).cast("int")
+    hb = hash_bucket(F.col(key_col).cast("string"))
+    halvings = F.least(age / F.lit(half_life_weeks), F.lit(max_age_weeks)).cast("int")
+    # literal threshold per halving count: p = 2^-k
+    kept = None
+    for k in range(max_age_weeks + 1):
+        cond = hb < F.lit(fraction_threshold(2.0 ** -k)) if k > 0 else F.lit(True)
+        kept = F.when(halvings == k, cond) if kept is None else kept.when(
+            halvings == k, cond
+        )
+    return df.select(
+        "*",
+        age.alias("age_weeks"),
+        F.coalesce(kept, F.lit(False)).alias("kept"),
+    )

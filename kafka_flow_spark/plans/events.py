@@ -1406,3 +1406,55 @@ def q_dow_volume_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resid_scaled", "rank",
         )
     )
+
+
+# --- recency-weighted sampling ------------------------------------------------
+
+_RW_ANCHOR, _RW_CAP = "2024-01-31 00:00:00", 8
+
+
+def _rw_oracle() -> str:
+    from kafka_flow_spark.operators.sampling import fraction_threshold
+
+    branches = " ".join(
+        f"WHEN {k} THEN hb < '{fraction_threshold(2.0 ** -k)}'"
+        for k in range(1, _RW_CAP + 1)
+    )
+    return f"""
+    WITH t AS (
+      SELECT event_id,
+             GREATEST(0, date_diff('day', ts, TIMESTAMP '{_RW_ANCHOR}') // 7)
+               AS age_weeks,
+             substring(md5(CAST(event_id AS VARCHAR)), 1, 6) AS hb
+      FROM events),
+    k AS (SELECT event_id, age_weeks,
+                 CASE LEAST(age_weeks, {_RW_CAP}) WHEN 0 THEN TRUE
+                      {branches} END AS kept
+          FROM t)
+    SELECT CAST(age_weeks AS INT) AS age_weeks,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM k GROUP BY age_weeks
+    """
+
+
+@register("q_recency_weighted_sample", oracle=_rw_oracle())
+def q_recency_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-biased deterministic sampling over the event stream
+    (operators/sampling.recency_weighted_sample): keep probability halves
+    per week of age from a fixed anchor — recent data over-weighted, the
+    tail kept at a decaying floor instead of cut off.  Content-addressed
+    md5 gates with literal per-age thresholds (the hash_sample contract
+    with a time-varying fraction), pure scan predicate; output aggregated
+    per age (n_total, n_kept) so the parity pins every row's gate."""
+    from kafka_flow_spark.operators.sampling import recency_weighted_sample
+
+    events = load(spark, sf_dir, "events")
+    out = recency_weighted_sample(
+        events, "event_id", "ts", _RW_ANCHOR, half_life_weeks=1,
+        max_age_weeks=_RW_CAP,
+    )
+    return out.groupBy(F.col("age_weeks").cast("int").alias("age_weeks")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+    )

@@ -692,3 +692,64 @@ def test_bootstrap_validates_replicates(spark):
     df = spark.createDataFrame([(1, 1)], "id BIGINT, x BIGINT")
     with _pytest.raises(ValueError, match="replicates"):
         poisson_bootstrap(df, "id", "x", replicates=1)
+
+
+# --- recency_weighted_sample ---
+
+
+def test_recency_sample_rates_halve_per_week(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.operators.sampling import recency_weighted_sample
+
+    # 4000 rows per age bucket 0..3 (ts stepped back a week per bucket)
+    rows = [
+        (i, f"2024-01-{28 - 7 * (i % 4):02d} 12:00:00") for i in range(16000)
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, t STRING").select(
+        "id", F.col("t").cast("timestamp").alias("t")
+    )
+    out = recency_weighted_sample(df, "id", "t", "2024-01-29 00:00:00")
+    got = {
+        r["age_weeks"]: (r["n"], r["k"])
+        for r in out.groupBy("age_weeks")
+        .agg(F.count("*").alias("n"), F.sum(F.col("kept").cast("int")).alias("k"))
+        .collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0][1] == got[0][0]  # age 0: everything kept
+    for age in (1, 2, 3):
+        n, k = got[age]
+        expect = n * 2.0 ** -age
+        assert abs(k - expect) < 4 * (expect ** 0.5) + 5, (age, k, expect)
+
+
+def test_recency_sample_deterministic_and_clamps(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.operators.sampling import recency_weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, "2024-02-05 00:00:00"), (2, "2020-01-01 00:00:00")],
+        "id BIGINT, t STRING",
+    ).select("id", F.col("t").cast("timestamp").alias("t"))
+    out = {
+        r["id"]: (r["age_weeks"], r["kept"])
+        for r in recency_weighted_sample(
+            df, "id", "t", "2024-01-29 00:00:00", max_age_weeks=5
+        ).collect()
+    }
+    assert out[1][0] == 0 and out[1][1] is True  # future row clamps to age 0
+    assert out[2][0] > 5  # raw age reported, gate capped at max_age_weeks
+    again = {
+        r["id"]: (r["age_weeks"], r["kept"])
+        for r in recency_weighted_sample(
+            df, "id", "t", "2024-01-29 00:00:00", max_age_weeks=5
+        ).collect()
+    }
+    assert again == out
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="half_life"):
+        recency_weighted_sample(df, "id", "t", "2024-01-29", half_life_weeks=0)
