@@ -784,10 +784,36 @@ def temporal_split_embargo(
     parquet pushdown exactly like hash_split).  ``train_end <= test_start``
     required; equality means no embargo (a plain temporal cut).  Output:
     input columns + ``split``.
+
+    The bound order is validated at TIMESTAMP semantics — the same cast the
+    row predicates use — not by Python string comparison: mixed literal
+    formats ('2024-1-5' vs '2024-01-15') can pass lexicographically yet
+    define an inverted or empty embargo once cast (review r10).  Bounds
+    that do not cast to a timestamp are refused too (the row predicates
+    would otherwise silently send every row to 'embargo').
     """
-    if train_end > test_start:
+    spark = df.sparkSession
+    chk = spark.range(1).select(
+        # try_cast, not cast: ANSI mode makes a failed cast THROW with a
+        # generic engine error; the refusal below names the bad bound
+        F.lit(train_end).try_cast("timestamp").alias("_a"),
+        F.lit(test_start).try_cast("timestamp").alias("_b"),
+    ).first()
+    if chk["_a"] is None or chk["_b"] is None:
+        bad = [
+            repr(s)
+            for s, v in ((train_end, chk["_a"]), (test_start, chk["_b"]))
+            if v is None
+        ]
         raise ValueError(
-            f"train_end must be <= test_start, got {train_end!r} > {test_start!r}"
+            f"temporal_split_embargo bounds must cast to timestamp, got "
+            f"{', '.join(bad)} — an uncastable bound would silently mark "
+            "every row 'embargo'"
+        )
+    if chk["_a"] > chk["_b"]:
+        raise ValueError(
+            f"train_end must be <= test_start at timestamp semantics, got "
+            f"{train_end!r} ({chk['_a']}) > {test_start!r} ({chk['_b']})"
         )
     ts = F.col(ts_col)
     return df.withColumn(

@@ -39,9 +39,6 @@ from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
 
-_checkpoint_dir_set: str | None = None
-
-
 def _truncate(
     df: DataFrame, checkpoint_dir: str | None, eager: bool = False
 ) -> DataFrame:
@@ -58,12 +55,19 @@ def _truncate(
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     # setCheckpointDir materializes a UUID subdir, so getCheckpointDir never
-    # echoes the raw path back — cache what WE set to avoid a fresh subdir
-    # (and a py4j round-trip) per truncation round
-    global _checkpoint_dir_set
-    if _checkpoint_dir_set != checkpoint_dir:
+    # echoes the raw path back — remember (requested, materialized) ON THIS
+    # SparkContext object (a module global outlives a restarted context and
+    # would skip the set on a fresh JVM — review r10) and re-set whenever
+    # the context's CURRENT dir is not the one we materialized (any other
+    # code calling setCheckpointDir in between must not silently win)
+    recorded = getattr(sc, "_kfs_checkpoint_dir", None)
+    if (
+        recorded is None
+        or recorded[0] != checkpoint_dir
+        or sc.getCheckpointDir() != recorded[1]
+    ):
         sc.setCheckpointDir(checkpoint_dir)
-        _checkpoint_dir_set = checkpoint_dir
+        sc._kfs_checkpoint_dir = (checkpoint_dir, sc.getCheckpointDir())
     return df.checkpoint(eager=eager)
 
 

@@ -18,6 +18,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _HEX_DIGITS = 6  # 16^6 buckets: fraction resolution ~6e-8, threshold fits a string compare
+# the smallest NONZERO keep probability the 16^6 = 2^24 hash space resolves is
+# 2^-24 (threshold '000001'); one more halving floors the threshold to
+# '000000' and the gate becomes EXACTLY zero — samplers that promise a
+# decaying floor instead of a cutoff must clamp their halving count here
+_MAX_HALVINGS = 4 * _HEX_DIGITS  # 24
 
 
 def hash_bucket(col: Column | str) -> Column:
@@ -866,6 +871,13 @@ def recency_weighted_sample(
     identically across runs, engines and partitionings — the hash_sample
     contract with a time-varying fraction.
 
+    Floor resolution: the md5 bucket space is 16^6 = 2^24, so the smallest
+    NONZERO keep probability it can express is 2^-24 — halvings are clamped
+    to ``min(max_age_weeks, 24)`` (``_MAX_HALVINGS``) because one more
+    halving would floor the threshold to '000000' and turn the documented
+    "tiny floor probability" into a silent hard cutoff (review r10).  The
+    effective floor is therefore p = 2^-min(max_age_weeks, 24).
+
     Scale shape: a pure scan predicate (one CASE over ≤ max_age_weeks+1
     literal thresholds — codegen, zero shuffle, stacks with parquet
     pushdown).  Output: input columns + (age_weeks, kept).
@@ -874,15 +886,16 @@ def recency_weighted_sample(
         raise ValueError(f"half_life_weeks must be >= 1, got {half_life_weeks}")
     if max_age_weeks < 0:
         raise ValueError(f"max_age_weeks must be >= 0, got {max_age_weeks}")
+    cap = min(max_age_weeks, _MAX_HALVINGS)
     age = F.greatest(
         F.lit(0),
         F.expr(f"datediff(timestamp '{anchor_ts}', {ts_col}) div 7"),
     ).cast("int")
     hb = hash_bucket(F.col(key_col).cast("string"))
-    halvings = F.least(age / F.lit(half_life_weeks), F.lit(max_age_weeks)).cast("int")
+    halvings = F.least(age / F.lit(half_life_weeks), F.lit(cap)).cast("int")
     # literal threshold per halving count: p = 2^-k
     kept = None
-    for k in range(max_age_weeks + 1):
+    for k in range(cap + 1):
         cond = hb < F.lit(fraction_threshold(2.0 ** -k)) if k > 0 else F.lit(True)
         kept = F.when(halvings == k, cond) if kept is None else kept.when(
             halvings == k, cond

@@ -1707,11 +1707,14 @@ def mmr_rerank(
         .where(F.col("_a") != F.col("_b"))
         .select("_qid", "_a", "_b", sim_e6.alias("_sim"))
     )
-    # pick 1: argmax relevance (max_by struct argmax — no window)
+    # pick 1: argmax relevance (min_by struct argmax — no window).  The
+    # ordering key negates the SCORE (always a long here), never the id, so
+    # string/any-orderable ids keep the smaller-id tie-break the docstring
+    # promises (review r10: -id fails analysis for non-numeric ids)
     selected = pool.groupBy("_qid").agg(
-        F.max_by(
+        F.min_by(
             F.struct(F.col("_nid"), F.col("_rel").alias("_score")),
-            F.struct(F.col("_rel"), (-F.col("_nid")).alias("_ni")),
+            F.struct((-F.col("_rel")).alias("_ns"), F.col("_nid")),
         ).alias("_s")
     ).select(
         "_qid",
@@ -1744,9 +1747,9 @@ def mmr_rerank(
             .alias("_score"),
         )
         pick = scored.groupBy("_qid").agg(
-            F.max_by(
+            F.min_by(
                 F.struct(F.col("_nid"), F.col("_score")),
-                F.struct(F.col("_score"), (-F.col("_nid")).alias("_ni")),
+                F.struct((-F.col("_score")).alias("_ns"), F.col("_nid")),
             ).alias("_s")
         ).select(
             "_qid",

@@ -1167,6 +1167,31 @@ def test_temporal_split_no_embargo_when_equal_and_validates(spark):
         temporal_split_embargo(df, "t", "2024-02-01", "2024-01-01")
 
 
+def test_temporal_split_validates_at_timestamp_semantics(spark):
+    """Review r10: the bound order used to be checked by Python STRING
+    comparison while the row predicates compare casted timestamps — mixed
+    literal formats ('2024-1-5' > '2024-01-15' lexicographically, yet
+    Jan 5 < Jan 15 as timestamps) falsely rejected a valid split, and the
+    inverse shape defined an inverted embargo that validation waved
+    through.  Both directions pinned, plus the uncastable-bound refusal
+    (pre-fix an uncastable bound silently sent every row to 'embargo')."""
+    import pytest as _pytest
+
+    from kafka_flow_spark.operators.curation import temporal_split_embargo
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00")], "id BIGINT, t STRING"
+    ).select("id", F.col("t").cast("timestamp").alias("t"))
+    # valid at timestamp semantics, inverted lexicographically: must pass
+    got = temporal_split_embargo(df, "t", "2024-1-5", "2024-01-15").collect()[0]
+    assert got["split"] == "embargo"
+    # inverted at timestamp semantics, ordered lexicographically: must refuse
+    with _pytest.raises(ValueError, match="timestamp semantics"):
+        temporal_split_embargo(df, "t", "2024-01-15", "2024-1-5")
+    with _pytest.raises(ValueError, match="cast to timestamp"):
+        temporal_split_embargo(df, "t", "not-a-time", "2024-01-15")
+
+
 def test_temporal_leakage_report_hand_checked(spark):
     from kafka_flow_spark.operators.curation import temporal_leakage_report
 

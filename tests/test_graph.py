@@ -656,3 +656,32 @@ def test_checkpoint_dir_is_equivalent_and_used(spark, tmp_path):
         reliable = {tuple(r) for r in build(df, checkpoint_dir=ckpt).collect()}
         assert reliable == local
     assert os.path.isdir(ckpt) and any(os.scandir(ckpt))  # actually used
+
+
+def test_truncate_recovers_from_external_checkpoint_dir_change(spark, tmp_path):
+    """Review r10: the checkpoint-dir cache was a module global keyed only
+    by the requested path — stale after any OTHER code calls
+    setCheckpointDir (writes land in the wrong directory) and wrong after a
+    context restart (fresh context never had setCheckpointDir called).  The
+    record now lives on the SparkContext object and is verified against
+    getCheckpointDir before skipping the set."""
+    import os
+
+    from kafka_flow_spark.operators.graph import _truncate
+
+    ours = str(tmp_path / "ours")
+    theirs = str(tmp_path / "theirs")
+    sc = spark.sparkContext
+    df = spark.range(5)
+    _truncate(df, ours, eager=True)
+    assert os.path.isdir(ours) and any(os.scandir(ours))
+    # another component moves the context's checkpoint dir out from under us
+    sc.setCheckpointDir(theirs)
+    before = sum(len(fs) for _, _, fs in os.walk(ours))
+    _truncate(df, ours, eager=True)  # must detect the move and re-set
+    after = sum(len(fs) for _, _, fs in os.walk(ours))
+    assert after > before, "checkpoint blocks landed outside the requested dir"
+    # and a fresh context attribute (simulating a restarted context) re-sets
+    del sc._kfs_checkpoint_dir
+    _truncate(df, ours, eager=True)
+    assert sc._kfs_checkpoint_dir[0] == ours

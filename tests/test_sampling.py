@@ -753,3 +753,38 @@ def test_recency_sample_deterministic_and_clamps(spark):
 
     with _pytest.raises(ValueError, match="half_life"):
         recency_weighted_sample(df, "id", "t", "2024-01-29", half_life_weeks=0)
+
+
+def test_recency_sample_floor_is_nonzero_beyond_hash_resolution(spark):
+    """Review r10: the md5 bucket space is 16^6 = 2^24, so 2^-k floors to a
+    '000000' threshold (P = exactly 0) for k >= 25 — with the default
+    max_age_weeks=30 every row older than 24 halvings was silently HARD-CUT,
+    the exact behavior the docstring promises not to have.  Halvings now
+    clamp at _MAX_HALVINGS=24; the effective floor is 2^-24, pinned here with
+    a key whose md5 prefix is '000000' (md5('20412333') — kept at ANY age)
+    and one at '000001' (md5('78337636') — just above the floor threshold,
+    dropped)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flow_spark.operators.sampling import (
+        _MAX_HALVINGS,
+        fraction_threshold,
+        recency_weighted_sample,
+    )
+
+    assert _MAX_HALVINGS == 24
+    assert fraction_threshold(2.0 ** -24) == "000001"  # smallest nonzero gate
+    df = spark.createDataFrame(
+        [(20412333, "1990-01-01 00:00:00"), (78337636, "1990-01-01 00:00:00")],
+        "id BIGINT, t STRING",
+    ).select("id", F.col("t").cast("timestamp").alias("t"))
+    out = {
+        r["id"]: r["kept"]
+        for r in recency_weighted_sample(
+            df, "id", "t", "2024-01-29 00:00:00", max_age_weeks=30
+        ).collect()
+    }
+    # pre-fix both were False (threshold '000000' is never cleared); the
+    # decaying floor keeps the 1-in-2^24 key and drops its neighbor
+    assert out[20412333] is True
+    assert out[78337636] is False

@@ -777,6 +777,26 @@ def test_mmr_rank1_equals_knn_top1_and_picks_distinct(spark, tmp_path):
         assert qid not in ids  # self excluded
 
 
+def test_mmr_string_ids(spark):
+    """Review r10: the tie-break used to negate the id column (max_by over
+    struct(score, -id)), which fails analysis for non-numeric ids while the
+    sibling knn_* operators accept string ids.  The min_by(-score, id)
+    formulation must give the SAME trajectory for string ids — same
+    geometry as test_mmr_skips_duplicate_for_diverse_pick, ids renamed to
+    strings whose lexicographic order matches ('a'<'b'<'c'<'d')."""
+    from kafka_flow_spark.operators.similarity import mmr_rerank
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.2]), ("b", [1.0, 0.0]), ("c", [1.0, 0.0]), ("d", [0.0, 1.0])],
+        "vec_id STRING, embedding ARRAY<FLOAT>",
+    )
+    qs = df.where("vec_id = 'a'")
+    out = mmr_rerank(df, qs, k_pool=3, k_select=2, lam_e2=30)
+    picks = {r["pick_rank"]: r["neighbor_id"] for r in out.collect()}
+    assert picks[1] == "b"  # rel tie between b and c -> smaller id
+    assert picks[2] == "d"  # duplicate (c, sim=1) penalized away
+
+
 def test_mmr_validates_args(spark):
     import pytest as _pytest
 
