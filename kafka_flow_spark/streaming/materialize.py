@@ -97,6 +97,8 @@ from kafka_flow_spark.operators.incremental import (
 _VIEW_COMMIT = "_VIEW_COMMIT"
 _MANIFEST = "_BUCKET_MANIFEST.json"
 _BATCH_META = "_BATCH_META.json"
+_VIEW_META = "_VIEW_META.json"
+_CURSOR_META = "_CURSOR_META.json"
 
 
 @dataclass
@@ -187,6 +189,39 @@ def _read_batch_meta(spark: SparkSession, root: str, version: int) -> int:
         stream.close()
 
 
+def _read_json_file(spark: SparkSession, path: str) -> dict | None:
+    fs, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return json.loads(
+            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        )
+    finally:
+        stream.close()
+
+
+def _write_json_file(spark: SparkSession, path: str, obj: dict) -> None:
+    fs, jvm = _fs(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_view_meta(spark: SparkSession, root: str) -> dict | None:
+    """The root-level ``_VIEW_META.json`` a sink writes at every commit —
+    kind + constructor arguments, the self-describing record that lets
+    ``open_view`` / tools/view_admin.py reconstruct the REAL sink instead
+    of trusting caller-supplied flags (a wrong ``--pk`` on a CDF read
+    produced a wrong changeset silently; review r10).  None for a legacy
+    root that predates the meta (or was never sink-written)."""
+    return _read_json_file(spark, f"{root}/{_VIEW_META}")
+
+
 class _VersionedView:
     """Shared versioned-commit machinery: a view root holding
     ``v=<batch_id>/<table>/`` parquet directories plus a commit marker per
@@ -254,6 +289,33 @@ class _VersionedView:
             out.write(bytearray(json.dumps(man).encode("utf-8")))
         finally:
             out.close()
+
+    def _table_dirs_on_disk(self, spark: SparkSession, version: int) -> list[str]:
+        """Table directory names actually present under ``v=<version>`` —
+        the on-disk truth, independent of how this handle was configured."""
+        fs, jvm = _fs(spark, self.path)
+        d = jvm.org.apache.hadoop.fs.Path(f"{self.path}/v={version}")
+        return sorted(
+            st.getPath().getName() for st in fs.listStatus(d) if st.isDirectory()
+        )
+
+    def _refuse_uncovered_tables(self, spark: SparkSession, version: int, op: str) -> None:
+        """A full-rewrite op (rebucket/evolve) commits a new HEAD containing
+        ONLY self.tables — if the on-disk head holds table dirs this handle
+        does not cover, the new head would drop them: the next stream
+        advance crashes reading them, and a later vacuum (closure from the
+        new head) can delete the last versions holding them — permanent
+        data loss (review r10, the view_admin rebucket defect).  Refuse."""
+        uncovered = set(self._table_dirs_on_disk(spark, version)) - set(self.tables)
+        if uncovered:
+            raise ValueError(
+                f"{op} on {self.path} would drop table dirs "
+                f"{sorted(uncovered)}: the head version holds them but this "
+                f"handle only covers {sorted(self.tables)} — reconstruct the "
+                "real sink (open_view / the documented constructor) instead "
+                "of a partial handle; a head committed without them breaks "
+                "the stream's next advance and exposes them to vacuum"
+            )
 
     def _list_bucket_dirs(self, spark: SparkSession, version: int, table: str) -> list[int]:
         fs, jvm = _fs(spark, self.path)
@@ -378,8 +440,10 @@ class _VersionedView:
                 f"view's pinned schema {sorted(n for n, _ in pinned)} — "
                 "reads resolve through the manifest schema, so a mismatched "
                 "write would silently drop or null the divergent columns; "
-                "evolve the schema by rebuilding the view under a new root "
-                "(or rebucket() after an offline full rewrite)"
+                "for ADDED columns run evolve(spark, add_columns={name: "
+                "backfill_expr}) once (offline, between batches) to extend "
+                "the pinned schema with one full rewrite; for renames/type "
+                "changes rebuild the view under a new root"
             )
         schema_json = prev_man["schema"]
         pk = self.bucketed[table]
@@ -416,6 +480,49 @@ class _VersionedView:
             },
         )
 
+    # -- self-describing root metadata ---------------------------------------
+    _KIND: str | None = None  # concrete sinks override; None = generic handle
+
+    def _meta(self) -> dict | None:
+        """Constructor-argument record written to the root-level
+        ``_VIEW_META.json`` at every commit — enough for ``open_view`` to
+        reconstruct THIS sink (kind + n_buckets + the subclass fields).
+        None (the generic-handle default) writes nothing."""
+        if self._KIND is None:
+            return None
+        return {"kind": self._KIND, "n_buckets": self.n_buckets}
+
+    def _check_meta(self, spark: SparkSession) -> None:
+        """Refuse when the root's stored meta disagrees with this sink's
+        constructor arguments on anything bucketing/grouping-critical — a
+        sink built with the wrong pk/keys pointed at an existing root would
+        corrupt it silently.  ``dim_path`` is excluded (an input LOCATION
+        may legitimately move; the next commit records the new one).
+        Legacy roots (no meta) pass — their first commit writes one."""
+        mine = self._meta()
+        if mine is None:
+            return
+        stored = read_view_meta(spark, self.path)
+        if stored is None:
+            return
+        volatile = {"dim_path"}
+        a = {k: v for k, v in stored.items() if k not in volatile}
+        b = {k: v for k, v in mine.items() if k not in volatile}
+        if a != b:
+            raise ValueError(
+                f"materialized view at {self.path} was created as {a} but "
+                f"this sink is configured as {b} — a mismatched writer "
+                "would corrupt the view; fix the constructor arguments (or "
+                "rebuild under a fresh root if the change is intentional)"
+            )
+
+    def _sync_meta(self, spark: SparkSession) -> None:
+        mine = self._meta()
+        if mine is None:
+            return
+        if read_view_meta(spark, self.path) != mine:
+            _write_json_file(spark, f"{self.path}/{_VIEW_META}", mine)
+
     def _write_all(
         self,
         spark: SparkSession,
@@ -423,6 +530,7 @@ class _VersionedView:
         frames: dict[str, DataFrame | BucketPatch],
         prev: int | None = None,
         batch_id: int | None = None,
+        extras: dict[str, dict] | None = None,
     ) -> None:
         assert set(frames) == set(self.tables)
         for t in self.tables:
@@ -438,11 +546,29 @@ class _VersionedView:
                 f.write.mode("overwrite").parquet(f"{self.path}/v={version}/{t}")
         if batch_id is not None:
             _write_batch_meta(spark, self.path, version, batch_id)
+        for fname, obj in (extras or {}).items():
+            # pre-commit sidecar metadata (e.g. a subscription's upstream
+            # cursor): lives INSIDE the version dir, so it is atomic with
+            # the version — readable only once the commit marker lands
+            _write_json_file(spark, f"{self.path}/v={version}/{fname}", obj)
+        self._sync_meta(spark)
         _commit_version(spark, self.path, version)  # commit point, written last
 
     # -- the foreachBatch hook ---------------------------------------------
+    def _skip_quiet_batch(
+        self, spark: SparkSession, last: int, batch: DataFrame
+    ) -> bool:
+        """Subclass hook: True when an (empty) micro-batch changes nothing
+        and should commit NO version — the heartbeat path (run_view_sink
+        dim heartbeats fire batches with zero rows so continuous streams
+        get bounded dim freshness; an unchanged-world heartbeat must not
+        churn a version every interval).  Skipping records no batch id:
+        a crash-replay of the skipped batch re-evaluates to the same skip."""
+        return False
+
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        self._check_meta(spark)
         last = self.last_committed(spark)
         # replay idempotence compares STREAM batch ids, not version numbers:
         # a refresh() admin advance creates versions with no new batch, so
@@ -469,6 +595,8 @@ class _VersionedView:
                 "cleared or relocated?); keep checkpoint and view together, "
                 "or point the new stream at a fresh view path"
             )
+        if last is not None and self._skip_quiet_batch(spark, last, batch):
+            return
         from kafka_flow_spark.cache import mark, release_since
 
         pos = mark()  # scope any _advance persist to THIS micro-batch
@@ -678,6 +806,8 @@ class _VersionedView:
                 f"materialized view at {self.path} has no committed version "
                 "to rebucket"
             )
+        self._check_meta(spark)
+        self._refuse_uncovered_tables(spark, last, "rebucket")
         committed = {t: self._read(spark, last, t) for t in self.tables}
         self.n_buckets = n_new
         version = last + 1
@@ -691,6 +821,89 @@ class _VersionedView:
             batch_id=_read_batch_meta(spark, self.path, last),
         )
         return version
+
+    def evolve(
+        self,
+        spark: SparkSession,
+        add_columns: dict[str, str],
+        tables: list[str] | None = None,
+    ) -> int:
+        """Additive schema evolution: ONE offline full rewrite (the
+        ``rebucket`` pattern) committing a new version whose row-shaped
+        tables carry the new columns, each backfilled for EXISTING rows by
+        its SQL expression (evaluated over the table's current columns —
+        ``"NULL"``, a literal, or an expression like ``upper(k)``).  The
+        schema-drift refusal in ``_write_bucketed_patch`` is correct
+        (silent column dropping was the alternative) but its only remedy
+        used to be a full REPROCESS under a new root; this makes the common
+        evolution — the stream gains a column — one full rewrite of current
+        state instead.
+
+        After it returns, the manifests pin the EXTENDED schema: subsequent
+        micro-batches must carry the new columns (a stream still producing
+        the old shape refuses loudly, as ever).  ``tables`` defaults to the
+        sink's stream-row-shaped set (``evolve_tables``: the agg view's
+        ``base``; the join view's ``fact`` and ``view`` — the dim evolves
+        with its source and is refused here).  Group-bounded tables
+        (``state``/``sketch``/``cells``) never evolve this way — their
+        columns are derived, not stored rows.
+
+        CDF reads ACROSS the evolution boundary resolve old-side rows with
+        NULL in the added columns (both sides read under the newer
+        manifest's schema; parquet fills absent columns with null), so
+        every row reports ``changed`` — semantically true, the rows gained
+        a column — pinned by test_evolve_cdf_across_boundary.
+
+        Cost: one |tables| full rewrite; subsequent micro-batches are
+        delta-proportional again under the extended schema.  Run from the
+        single-writer context, between batches.
+        """
+        if not add_columns:
+            raise ValueError("evolve needs at least one column to add")
+        targets = list(tables) if tables is not None else list(self.evolve_tables)
+        if not targets:
+            raise ValueError(
+                f"{type(self).__name__} has no evolvable (stream-row-shaped) "
+                "tables — pass tables= explicitly if you know better"
+            )
+        bad = [t for t in targets if t not in self.tables]
+        if bad:
+            raise ValueError(f"unknown tables {bad} (have {sorted(self.tables)})")
+        last = self.last_committed(spark)
+        if last is None:
+            raise ValueError(
+                f"materialized view at {self.path} has no committed version "
+                "to evolve"
+            )
+        self._check_meta(spark)
+        self._refuse_uncovered_tables(spark, last, "evolve")
+        committed = {t: self._read(spark, last, t) for t in self.tables}
+        for t in targets:
+            cur = committed[t]
+            clash = [c for c in add_columns if c in cur.columns]
+            if clash:
+                raise ValueError(
+                    f"evolve: columns {clash} already exist on table {t!r}"
+                )
+            for name, expr in add_columns.items():
+                cur = cur.withColumn(name, F.expr(expr))
+            committed[t] = cur
+        version = last + 1
+        # full frames: _write_all routes bucketed tables through
+        # _write_bucketed_full → fresh manifests pinning the extended schema
+        self._write_all(
+            spark,
+            version,
+            committed,
+            prev=last,
+            batch_id=_read_batch_meta(spark, self.path, last),
+        )
+        return version
+
+    @property
+    def evolve_tables(self) -> list[str]:
+        """The stream-row-shaped tables ``evolve`` extends by default."""
+        return sorted(self.bucketed)
 
     # -- subclass contract ---------------------------------------------------
     def _initial(self, batch: DataFrame) -> dict[str, DataFrame]:
@@ -729,6 +942,8 @@ class MaterializedAggView(_VersionedView):
     across a stop/start boundary).
     """
 
+    _KIND = "agg"
+
     def __init__(
         self,
         path: str,
@@ -741,6 +956,25 @@ class MaterializedAggView(_VersionedView):
         self.keys, self.value_col, self.row_pk = list(keys), value_col, row_pk
         self.tables = ["state"] + (["base"] if row_pk is not None else [])
         self.bucketed = {"base": list(row_pk)} if row_pk is not None else {}
+
+    def _meta(self) -> dict:
+        return {
+            "kind": self._KIND,
+            "n_buckets": self.n_buckets,
+            "keys": self.keys,
+            "value_col": self.value_col,
+            "row_pk": self.row_pk,
+        }
+
+    @classmethod
+    def _from_meta(cls, root: str, meta: dict) -> "MaterializedAggView":
+        return cls(
+            root,
+            meta["keys"],
+            meta["value_col"],
+            row_pk=meta["row_pk"],
+            n_buckets=meta["n_buckets"],
+        )
 
     def _initial(self, batch: DataFrame) -> dict[str, DataFrame]:
         if self.row_pk is None:
@@ -837,6 +1071,8 @@ class MaterializedJoinView(_VersionedView):
     joins over the view/fact/dim scans, plus the dim-sized diff.
     """
 
+    _KIND = "join"
+
     def __init__(
         self,
         path: str,
@@ -855,8 +1091,52 @@ class MaterializedJoinView(_VersionedView):
             "dim": [b_pk],
         }
 
+    def _meta(self) -> dict:
+        return {
+            "kind": self._KIND,
+            "n_buckets": self.n_buckets,
+            "dim_path": self.dim_path,
+            "a_pk": self.a_pk,
+            "fk": self.fk,
+            "b_pk": self.b_pk,
+        }
+
+    @classmethod
+    def _from_meta(cls, root: str, meta: dict) -> "MaterializedJoinView":
+        return cls(
+            root,
+            meta["dim_path"],
+            a_pk=meta["a_pk"],
+            fk=meta["fk"],
+            b_pk=meta["b_pk"],
+            n_buckets=meta["n_buckets"],
+        )
+
+    @property
+    def evolve_tables(self) -> list[str]:
+        # the dim snapshot evolves with its SOURCE (the diff would see the
+        # new column as a change on every row anyway); evolve() extends the
+        # stream-derived fact rows and the view rows built from them
+        return ["fact", "view"]
+
     def _dim(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.dim_path)
+
+    def _skip_quiet_batch(
+        self, spark: SparkSession, last: int, batch: DataFrame
+    ) -> bool:
+        """Heartbeat batches (zero fact rows — the run_view_sink dim
+        heartbeat, or a genuinely empty replayed batch) commit a version
+        ONLY when the dim actually changed: an unchanged-world heartbeat
+        every interval must not churn the version log.  Cost of the check
+        on a quiet heartbeat: one bounded fact-batch probe + the dim-sized
+        diff (the price of dim freshness, paid per heartbeat — size the
+        heartbeat interval accordingly)."""
+        if batch.limit(1).count() > 0:
+            return False
+        dim_old = self._read(spark, last, "dim")
+        delta = changeset(dim_old, self._dim(spark), [self.b_pk])
+        return delta.limit(1).count() == 0
 
     def _read(self, spark: SparkSession, version: int, table: str) -> DataFrame:
         if table == "dim":
@@ -1016,10 +1296,27 @@ class MaterializedCmsView(_VersionedView):
     cell addressing by construction).
     """
 
+    _KIND = "cms"
+
     def __init__(self, path: str, value_col: str, depth: int = 4, width: int = 1024):
         super().__init__(path)
         self.value_col, self.depth, self.width = value_col, depth, width
         self.tables = ["cells"]
+
+    def _meta(self) -> dict:
+        return {
+            "kind": self._KIND,
+            "n_buckets": self.n_buckets,
+            "value_col": self.value_col,
+            "depth": self.depth,
+            "width": self.width,
+        }
+
+    @classmethod
+    def _from_meta(cls, root: str, meta: dict) -> "MaterializedCmsView":
+        v = cls(root, meta["value_col"], depth=meta["depth"], width=meta["width"])
+        v.n_buckets = meta["n_buckets"]
+        return v
 
     def _cells(self, batch: DataFrame) -> DataFrame:
         from kafka_flow_spark.operators.sketches import cms_build
@@ -1055,24 +1352,66 @@ class MaterializedCmsView(_VersionedView):
         )
 
 
+def with_dim_heartbeat(stream: DataFrame, rows_per_second: int = 1) -> DataFrame:
+    """Union a rate-source heartbeat (mapped to the stream's schema and
+    filtered to ZERO rows) into a streaming DataFrame: the micro-batch
+    planner triggers on SOURCE offsets, so every interval a batch fires
+    even when the real source is quiet — the foreachBatch sink then runs
+    its dim diff with zero fact rows, exactly the reference's empty-poll
+    timer tick (core/.../ConsumerFlow.scala:103-104: empty polls still
+    drive state transitions; Tick.scala:7-31) rebuilt on Spark's trigger
+    machinery.  Paired with ``_skip_quiet_batch`` so an unchanged world
+    commits nothing.
+
+    Checkpoint caveat: adding a source changes the query's source list —
+    enable the heartbeat from the stream's FIRST run (or start a fresh
+    checkpoint), as with any Structured Streaming source change."""
+    if rows_per_second < 1:
+        raise ValueError(f"rows_per_second must be >= 1, got {rows_per_second}")
+    spark = stream.sparkSession
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    empty = rate.select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in stream.schema.fields]
+    ).where(F.lit(False))
+    return stream.unionByName(empty)
+
+
 def run_view_sink(
     stream: DataFrame,
     sink: _VersionedView,
     checkpoint: str,
     available_now: bool = True,
     refresh_dim: bool = False,
+    dim_heartbeat_rps: int | None = None,
 ) -> None:
-    """Drive a CDC/append stream into a materialized-view sink to backlog
-    exhaustion and stop — restartable: the checkpoint replays the last
-    in-flight batch, the versioned commit makes the replay idempotent.
+    """Drive a CDC/append stream into a materialized-view sink — with
+    ``available_now=True`` (the scheduled-run shape) to backlog exhaustion
+    and stop, restartable: the checkpoint replays the last in-flight batch,
+    the versioned commit makes the replay idempotent.
 
-    ``refresh_dim=True`` (join-view sinks) runs ``sink.refresh()`` AFTER
-    the drain: a dim-only change is picked up in the same invocation even
-    when the fact backlog was empty — the scheduled-batch-run analog of
-    the reference's empty-poll timer tick, and single-writer safe because
-    the stream has stopped before the refresh commits.  No-op when the dim
-    is unchanged or the view has no committed head yet (nothing to refresh
-    before the first fact batch)."""
+    ``refresh_dim=True`` (join-view sinks) keeps the dim fresh without fact
+    traffic, per trigger mode:
+
+    - ``available_now=True``: runs ``sink.refresh()`` AFTER the drain — a
+      dim-only change is picked up in the same invocation even when the
+      fact backlog was empty, single-writer safe because the stream has
+      stopped before the refresh commits.
+    - ``available_now=False`` (long-lived continuous stream): the post-drain
+      refresh would only fire at run END — silently stale dims for the
+      run's lifetime, so this combination REFUSES unless
+      ``dim_heartbeat_rps`` is set (review r10): the heartbeat unions a
+      rate source into the stream (``with_dim_heartbeat``) so a micro-batch
+      fires every interval even on a quiet fact source; the sink's own
+      per-batch dim diff then picks the change up IN-LOOP (same
+      single-writer foreachBatch — no out-of-band writer), and
+      ``_skip_quiet_batch`` keeps unchanged-world heartbeats from churning
+      versions.  Dim freshness bound: ~the trigger interval.
+
+    No-op when the dim is unchanged or the view has no committed head yet."""
     if refresh_dim and not hasattr(sink, "refresh"):
         # validate BEFORE starting the stream: a post-drain failure would
         # leave work applied under a flag the caller got wrong
@@ -1080,6 +1419,16 @@ def run_view_sink(
             f"refresh_dim=True needs a sink with refresh() — "
             f"{type(sink).__name__} has none"
         )
+    if refresh_dim and not available_now and dim_heartbeat_rps is None:
+        raise ValueError(
+            "refresh_dim=True with a continuous trigger would defer the dim "
+            "refresh to run END (silently stale dims for the run's "
+            "lifetime) — pass dim_heartbeat_rps=N for in-loop dim freshness "
+            "(a heartbeat batch every ~1/N s runs the dim diff with zero "
+            "fact rows), or use available_now=True scheduled runs"
+        )
+    if dim_heartbeat_rps is not None and not available_now:
+        stream = with_dim_heartbeat(stream, dim_heartbeat_rps)
     q = (
         stream.writeStream.foreachBatch(sink)
         .outputMode("update")
@@ -1107,10 +1456,27 @@ class MaterializedSketchView(_VersionedView):
     the stream (same FLOOR-e6 contract as q_approx_distinct_linear).
     """
 
+    _KIND = "sketch"
+
     def __init__(self, path: str, group_cols: list[str], value_col: str, m: int = 4096):
         super().__init__(path)
         self.group_cols, self.value_col, self.m = list(group_cols), value_col, m
         self.tables = ["sketch"]
+
+    def _meta(self) -> dict:
+        return {
+            "kind": self._KIND,
+            "n_buckets": self.n_buckets,
+            "group_cols": self.group_cols,
+            "value_col": self.value_col,
+            "m": self.m,
+        }
+
+    @classmethod
+    def _from_meta(cls, root: str, meta: dict) -> "MaterializedSketchView":
+        v = cls(root, meta["group_cols"], meta["value_col"], m=meta["m"])
+        v.n_buckets = meta["n_buckets"]
+        return v
 
     def _sketch(self, batch: DataFrame) -> DataFrame:
         from kafka_flow_spark.operators.sketches import linear_counting_sketch
@@ -1136,3 +1502,191 @@ class MaterializedSketchView(_VersionedView):
         return linear_counting_estimate(
             self.sketch(spark, version), self.group_cols, self.m
         )
+
+
+_KINDS: dict[str, type] = {}
+
+
+def _register_kinds() -> dict[str, type]:
+    if not _KINDS:
+        _KINDS.update(
+            {
+                MaterializedAggView._KIND: MaterializedAggView,
+                MaterializedJoinView._KIND: MaterializedJoinView,
+                MaterializedCmsView._KIND: MaterializedCmsView,
+                MaterializedSketchView._KIND: MaterializedSketchView,
+            }
+        )
+    return _KINDS
+
+
+def open_view(spark: SparkSession, root: str) -> _VersionedView:
+    """Reconstruct the REAL sink for an existing view root from its
+    ``_VIEW_META.json`` — the self-describing entry point admin ops and
+    subscriptions use so nothing trusts caller-supplied bucketing flags
+    (review r10: a wrong ``--pk`` on a CDF read produced a wrong changeset
+    silently; a partial rebucket handle could lose tables).  Refuses on a
+    root with no meta: legacy roots are adopted by their owning sink's next
+    commit (every ``_write_all`` syncs the meta), or by constructing the
+    documented sink class directly."""
+    meta = read_view_meta(spark, root)
+    if meta is None:
+        raise ValueError(
+            f"no {_VIEW_META} under {root} — the root predates self-"
+            "describing metadata (any commit by the owning sink writes it) "
+            "or is not a materialized-view root; construct the concrete "
+            "sink class with its documented arguments instead"
+        )
+    kinds = _register_kinds()
+    kind = meta.get("kind")
+    if kind not in kinds:
+        raise ValueError(f"unknown view kind {kind!r} at {root} (have {sorted(kinds)})")
+    return kinds[kind]._from_meta(root, meta)
+
+
+class ViewSubscription:
+    """The restart-safe subscription primitive for VIEW CASCADES: maintain a
+    ``downstream`` sink purely from an ``upstream`` view's CDF reads
+    (``changes_between``), with the upstream cursor committed INSIDE the
+    downstream's own versioned commit — each hop is exactly-once with zero
+    orchestration code (the r10 cascade golden drove the cursor by hand;
+    every consumer re-implemented cursor management).
+
+    Mechanism, mirroring the reference's read-log-to-recorded-position
+    recovery (persistence-kafka/.../KafkaPartitionPersistence.scala:124-210
+    — recover by reading the journal from the snapshot's recorded offset):
+
+    - the downstream's committed head records the upstream version it has
+      applied, in a ``_CURSOR_META.json`` sidecar written BEFORE the commit
+      marker (atomic with the version: a torn advance leaves an uncommitted
+      dir whose cursor is invisible);
+    - ``advance()`` reads the cursor off the committed head, CDF-reads
+      ``upstream.changes_between(cursor, up_head)`` (bucket-pointer-bounded
+      — cost ∝ touched buckets, never |table|), feeds it through the
+      downstream's normal ``_advance``, and commits the new cursor with the
+      new version;
+    - a crash anywhere re-runs from the committed cursor: nothing is lost
+      (the cursor only moves inside a commit) and nothing double-applies
+      (the torn version has no marker and is overwritten).
+
+    First ``advance()`` on an empty downstream initializes it from the
+    upstream head SNAPSHOT (status='added' changeset — the bootstrap the
+    golden used to hand-roll).  Scale shape per hop: one bucket-bounded CDF
+    read + the downstream's own delta-proportional maintenance.  Run from
+    the downstream's single-writer context; the downstream must not also be
+    stream-fed."""
+
+    def __init__(
+        self,
+        upstream: _VersionedView,
+        downstream: _VersionedView,
+        table: str | None = None,
+    ):
+        self.upstream, self.downstream, self.table = upstream, downstream, table
+
+    def cursor(self, spark: SparkSession) -> int | None:
+        """The upstream version the downstream's committed head has applied
+        (None: downstream uninitialized)."""
+        head = self.downstream.last_committed(spark)
+        if head is None:
+            return None
+        meta = _read_json_file(
+            spark, f"{self.downstream.path}/v={head}/{_CURSOR_META}"
+        )
+        if meta is None:
+            raise ValueError(
+                f"downstream view at {self.downstream.path} has a committed "
+                "head with no subscription cursor — it was not maintained "
+                "by ViewSubscription (mixing writers breaks exactly-once); "
+                "start the subscription on a fresh downstream root"
+            )
+        if meta.get("upstream_root") != self.upstream.path:
+            raise ValueError(
+                f"downstream at {self.downstream.path} follows "
+                f"{meta.get('upstream_root')!r}, not {self.upstream.path!r} "
+                "— one subscription per downstream root"
+            )
+        return int(meta["upstream_version"])
+
+    def advance(self, spark: SparkSession) -> int | None:
+        """Apply everything the upstream committed since the cursor; commit
+        ONE downstream version recording the new cursor.  Returns the
+        committed downstream version, or None when already caught up (safe
+        on a schedule).  Upstream versions between cursor and head are
+        COALESCED into one CDF read (changes_between spans versions), so a
+        lagging subscriber catches up in one delta-proportional hop."""
+        up_head = self.upstream.last_committed(spark)
+        if up_head is None:
+            return None  # upstream not initialized yet: nothing to follow
+        cur = self.cursor(spark)
+        if cur is not None and cur == up_head:
+            return None  # caught up
+        if cur is not None and cur > up_head:
+            raise ValueError(
+                f"subscription cursor {cur} is AHEAD of upstream head "
+                f"{up_head} at {self.upstream.path} — the upstream was "
+                "rebuilt or rolled back; rebuild the downstream too"
+            )
+        from kafka_flow_spark.cache import mark, release_since
+
+        down = self.downstream
+        pos = mark()
+        try:
+            if cur is None:
+                table = self.table
+                if table is None:
+                    if len(self.upstream.bucketed) == 1:
+                        table = next(iter(self.upstream.bucketed))
+                    elif "view" in self.upstream.bucketed:
+                        table = "view"
+                    else:
+                        raise ValueError(
+                            "ambiguous upstream table — pass table= "
+                            f"(one of {sorted(self.upstream.bucketed)})"
+                        )
+                snapshot = self.upstream._read(spark, up_head, table)
+                batch = snapshot.withColumn("status", F.lit("added"))
+                frames = down._initial(batch)
+                version, prev, bid = 0, None, 0
+            else:
+                ch = self.upstream.changes_between(
+                    spark, cur, up_head, table=self.table
+                )
+                prev = down.last_committed(spark)
+                committed = {t: down._read(spark, prev, t) for t in down.tables}
+                frames = down._advance(committed, ch)
+                version = prev + 1
+                bid = _read_batch_meta(spark, down.path, prev)
+            down._write_all(
+                spark,
+                version,
+                frames,
+                prev=prev,
+                batch_id=bid,
+                extras={
+                    _CURSOR_META: {
+                        "upstream_version": up_head,
+                        "upstream_root": self.upstream.path,
+                    }
+                },
+            )
+            return version
+        finally:
+            release_since(pos)
+
+
+def follow(
+    spark: SparkSession,
+    upstream_root: str,
+    downstream: _VersionedView,
+    table: str | None = None,
+) -> int | None:
+    """One-call subscription advance: open the upstream by root (its
+    ``_VIEW_META.json``), CDF-read since the downstream's recorded cursor,
+    commit one downstream version carrying the new cursor.  Returns the
+    committed version or None when caught up — idempotent, restart-safe,
+    schedule-friendly (the cron shape: ``follow(spark, up_root, down)``
+    after every upstream drain)."""
+    return ViewSubscription(open_view(spark, upstream_root), downstream, table).advance(
+        spark
+    )

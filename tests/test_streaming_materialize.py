@@ -875,13 +875,16 @@ def test_bucketed_patch_refuses_schema_drift(spark, tmp_path):
     assert sink.last_committed(spark) == 0  # nothing was written
 
 
-def test_view_cascade_via_cdf_reads(spark, tmp_path):
-    """Derived-view composability: a DOWNSTREAM MaterializedAggView is
-    maintained ONLY from the upstream view's changes_between() outputs —
-    the CDF read is a changeset in exactly the shape the sinks consume, so
-    views cascade without re-reading the upstream's inputs, each hop
-    delta-proportional.  The cascade must equal a direct aggregate over the
-    upstream's final base at every step."""
+def test_view_cascade_via_subscription(spark, tmp_path):
+    """Derived-view composability, driven by the SUBSCRIPTION primitive (r10
+    drove the cursor by hand): a DOWNSTREAM MaterializedAggView follows the
+    upstream's CDF via ``follow()`` — cursor management, bootstrap and
+    exactly-once all live in the primitive, the consumer writes zero
+    orchestration code.  The cascade must equal a direct aggregate over the
+    upstream's final base at every step, and a caught-up follow() is a
+    no-op."""
+    from kafka_flow_spark.streaming.materialize import follow
+
     up_path, down_path = str(tmp_path / "up"), str(tmp_path / "down")
     up = MaterializedAggView(up_path, ["k"], "v", row_pk=["pk"], n_buckets=8)
     down = MaterializedAggView(down_path, ["k"], "v", row_pk=["pk"], n_buckets=8)
@@ -891,20 +894,12 @@ def test_view_cascade_via_cdf_reads(spark, tmp_path):
         [(7, "gX", 100.0, "changed"), (11, None, None, "deleted")],
         [(99, "g0", 5.0, "added"), (7, None, None, "deleted")],
     ]
-    prev_head = None
     for bid, rows in enumerate(batches):
         up(spark.createDataFrame(rows, CDC_SCHEMA), bid)
-        head = up.last_committed(spark)
-        if prev_head is None:
-            # bootstrap: the initial snapshot IS the first changeset
-            first = up._read(spark, head, "base").withColumn(
-                "status", F.lit("added")
-            )
-            down(first, bid)
-        else:
-            down(up.changes_between(spark, prev_head, head, table="base"), bid)
-        prev_head = head
+        committed = follow(spark, up_path, down, table="base")
+        assert committed is not None
         # cascade invariant: downstream result == direct agg over upstream base
+        head = up.last_committed(spark)
         truth = {
             tuple(r)
             for r in up._read(spark, head, "base")
@@ -918,6 +913,27 @@ def test_view_cascade_via_cdf_reads(spark, tmp_path):
             .collect()
         }
         assert _result_rows(down, spark) == truth, f"diverged at batch {bid}"
+    assert follow(spark, up_path, down, table="base") is None  # caught up
+    # a lagging subscriber coalesces multiple upstream versions in ONE hop
+    late_path = str(tmp_path / "late")
+    late = MaterializedAggView(late_path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    assert follow(spark, up_path, late, table="base") == 0  # bootstrap at head
+    up(spark.createDataFrame([(5, "gY", 50.0, "changed")], CDC_SCHEMA), 3)
+    up(spark.createDataFrame([(6, None, None, "deleted")], CDC_SCHEMA), 4)
+    assert follow(spark, up_path, late, table="base") == 1  # two versions, one hop
+    final_truth = {
+        tuple(r)
+        for r in up._read(spark, up.last_committed(spark), "base")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("v"), 2).cast("double").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    assert _result_rows(late, spark) == final_truth
 
 
 def test_vacuum_closure_discovered_from_disk(spark, tmp_path):
@@ -1052,3 +1068,556 @@ def test_run_view_sink_refresh_dim_picks_up_dim_only_drift(spark, tmp_path):
     s2 = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir + "_none")
     with _pytest.raises(ValueError, match="refresh"):
         run_view_sink(s2, agg, str(tmp_path / "chk2"), refresh_dim=True)
+
+
+# --- self-describing roots (_VIEW_META.json) + open_view (review r10) --------
+
+
+def test_view_meta_written_and_open_view_roundtrip(spark, tmp_path):
+    """Every commit writes the root-level _VIEW_META.json; open_view
+    reconstructs the REAL sink from it (kind, bucketing, constructor args)
+    so admin ops never trust caller flags."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from kafka_flow_spark.streaming.materialize import open_view
+
+    agg_path = str(tmp_path / "agg")
+    agg = MaterializedAggView(agg_path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    agg(spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0)
+    assert _os.path.exists(agg_path + "/_VIEW_META.json")
+    got = open_view(spark, agg_path)
+    assert isinstance(got, MaterializedAggView)
+    assert (got.keys, got.value_col, got.row_pk, got.n_buckets) == (
+        ["k"], "v", ["pk"], 8
+    )
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame([(10, "red")], "b_pk BIGINT, color STRING").write.parquet(
+        dim_path
+    )
+    join_path = str(tmp_path / "join")
+    jv = MaterializedJoinView(
+        join_path, dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk", n_buckets=4
+    )
+    jv(spark.createDataFrame([(1, 10, 5.0, "added")], FACT_CDC_SCHEMA), 0)
+    got_j = open_view(spark, join_path)
+    assert isinstance(got_j, MaterializedJoinView)
+    assert (got_j.a_pk, got_j.fk, got_j.b_pk, got_j.n_buckets, got_j.dim_path) == (
+        ["pk"], "fk", "b_pk", 4, dim_path
+    )
+
+    with _pytest.raises(ValueError, match="_VIEW_META"):
+        open_view(spark, str(tmp_path / "nothing"))
+
+
+def test_meta_mismatch_refuses_wrong_writer(spark, tmp_path):
+    """A sink constructed with DIFFERENT bucketing/grouping args pointed at
+    an existing root must refuse before writing anything — a wrong-pk
+    writer corrupts the view silently otherwise."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    sink(spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0)
+
+    wrong_pk = MaterializedAggView(path, ["k"], "v", row_pk=["k"], n_buckets=8)
+    with _pytest.raises(ValueError, match="created as"):
+        wrong_pk(spark.createDataFrame([(2, "b", 2.0, "added")], CDC_SCHEMA), 1)
+    wrong_keys = MaterializedAggView(path, ["v"], "v", row_pk=["pk"], n_buckets=8)
+    with _pytest.raises(ValueError, match="created as"):
+        wrong_keys(spark.createDataFrame([(2, "b", 2.0, "added")], CDC_SCHEMA), 1)
+    assert sink.last_committed(spark) == 0  # nothing was written
+    # the true writer continues unharmed
+    sink(spark.createDataFrame([(2, "b", 2.0, "added")], CDC_SCHEMA), 1)
+    assert sink.last_committed(spark) == 1
+
+
+def test_rebucket_partial_handle_refuses_uncovered_tables(spark, tmp_path):
+    """Review r10 HIGH: a rebucket through a handle covering only SOME of
+    the head's table dirs would commit a new HEAD missing the others — the
+    stream's next advance crashes on them and vacuum can then delete their
+    last versions (permanent data loss).  The library now refuses; the CLI
+    reconstructs the real sink from _VIEW_META.json (see the CLI test)."""
+    import pytest as _pytest
+
+    from kafka_flow_spark.streaming.materialize import _VersionedView
+
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    sink(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", float(i), "added") for i in range(20)], CDC_SCHEMA
+        ),
+        0,
+    )
+    partial = _VersionedView(path, 8)  # the old CLI shape: one table only
+    partial.tables = ["base"]
+    partial.bucketed = {"base": ["pk"]}
+    with _pytest.raises(ValueError, match="would drop table dirs"):
+        partial.rebucket(spark, 4)
+    # evolve is guarded by the same check
+    with _pytest.raises(ValueError, match="would drop table dirs"):
+        partial.evolve(spark, {"extra": "CAST(NULL AS STRING)"})
+    assert sink.last_committed(spark) == 0  # nothing was committed
+
+    # the REAL sink migrates all tables and the stream continues under n_new
+    v = sink.rebucket(spark, 4)
+    assert set(sink._table_dirs_on_disk(spark, v)) >= {"state", "base"}
+    sink(spark.createDataFrame([(99, "gX", 7.0, "added")], CDC_SCHEMA), 1)
+    assert _result_rows(sink, spark) == _recompute_rows(
+        sink._read(spark, sink.last_committed(spark), "base")
+    )
+
+
+def test_view_admin_cli_is_meta_driven(spark, tmp_path, monkeypatch, capsys):
+    """The CLI reconstructs the real sink from _VIEW_META.json: rebucket on
+    a 3-table join view migrates ALL tables (the r10 defect committed a
+    head with one), flags contradicting the meta refuse, flag-free changes
+    works."""
+    import sys as _sys
+
+    import pytest as _pytest
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import view_admin
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(10, "red"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.parquet(dim_path)
+    path = str(tmp_path / "view")
+    sink = MaterializedJoinView(
+        path, dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk", n_buckets=8
+    )
+    sink(spark.createDataFrame([(1, 10, 5.0, "added")], FACT_CDC_SCHEMA), 0)
+    sink(spark.createDataFrame([(2, 20, 6.0, "added")], FACT_CDC_SCHEMA), 1)
+
+    monkeypatch.setattr(
+        _sys, "argv", ["view_admin.py", "rebucket", path, "--n-new", "4"]
+    )
+    view_admin.main()
+    from kafka_flow_spark.streaming.materialize import open_view
+
+    migrated = open_view(spark, path)
+    head = migrated.last_committed(spark)
+    assert migrated.n_buckets == 4
+    # ALL tables rode the migration — the defect left only one
+    assert set(migrated._table_dirs_on_disk(spark, head)) >= {
+        "view", "fact", "dim"
+    }
+    # the stream continues under the new count
+    migrated(spark.createDataFrame([(3, 10, 7.0, "added")], FACT_CDC_SCHEMA), 2)
+    got = {
+        tuple(r)
+        for r in migrated.view(spark).select("pk", "fk", "qty", "color").collect()
+    }
+    assert got == {(1, 10, 5.0, "red"), (2, 20, 6.0, "blue"), (3, 10, 7.0, "red")}
+
+    # changes: flag-free works off the meta; a contradicting --pk refuses
+    monkeypatch.setattr(
+        _sys,
+        "argv",
+        ["view_admin.py", "changes", path, "--from", "0", "--to", "1"],
+    )
+    view_admin.main()
+    assert "added" in capsys.readouterr().out
+    monkeypatch.setattr(
+        _sys,
+        "argv",
+        [
+            "view_admin.py", "changes", path,
+            "--from", "0", "--to", "1", "--pk", "wrong",
+        ],
+    )
+    with _pytest.raises(SystemExit, match="contradicts"):
+        view_admin.main()
+
+
+# --- additive schema evolution (evolve) ---------------------------------------
+
+
+def test_evolve_agg_view_then_deltas_continue(spark, tmp_path):
+    """evolve() extends the pinned schema with ONE full rewrite: existing
+    rows carry the backfill, subsequent micro-batches must bring the new
+    column and advance delta-proportionally again."""
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    sink(
+        spark.createDataFrame(
+            [(i, f"g{i % 2}", float(i), "added") for i in range(10)], CDC_SCHEMA
+        ),
+        0,
+    )
+    v = sink.evolve(spark, {"src": "CAST(NULL AS STRING)"})
+    assert v == 1
+    base = sink._read(spark, v, "base")
+    assert "src" in base.columns
+    assert base.where(F.col("src").isNotNull()).count() == 0  # backfilled
+
+    # the evolved stream advances normally
+    CDC2 = "pk BIGINT, k STRING, v DOUBLE, src STRING, status STRING"
+    sink(
+        spark.createDataFrame(
+            [(50, "g0", 5.5, "web", "added"), (1, None, None, None, "deleted")],
+            CDC2,
+        ),
+        1,
+    )
+    final = sink._read(spark, sink.last_committed(spark), "base")
+    assert final.count() == 10  # 10 - 1 deleted + 1 added
+    assert {r["src"] for r in final.collect()} == {None, "web"}
+    assert _result_rows(sink, spark) == _recompute_rows(final)
+
+    # a batch still producing the OLD shape refuses loudly, pointing at evolve
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sink(spark.createDataFrame([(60, "g1", 9.0, "added")], CDC_SCHEMA), 2)
+
+
+def test_evolve_join_view_extends_fact_and_view(spark, tmp_path):
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(10, "red"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.parquet(dim_path)
+    path = str(tmp_path / "view")
+    sink = MaterializedJoinView(
+        path, dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk", n_buckets=4
+    )
+    sink(
+        spark.createDataFrame(
+            [(1, 10, 5.0, "added"), (2, 20, 6.0, "added")], FACT_CDC_SCHEMA
+        ),
+        0,
+    )
+    v = sink.evolve(spark, {"discount": "qty / 2"})
+    view_rows = {
+        tuple(r)
+        for r in sink.view(spark, v).select("pk", "discount").collect()
+    }
+    assert view_rows == {(1, 2.5), (2, 3.0)}  # backfill over EXISTING rows
+    # dim snapshot untouched (evolve_tables excludes it)
+    assert "discount" not in sink._read(spark, v, "dim").columns
+
+    FACT2 = "pk BIGINT, fk BIGINT, qty DOUBLE, discount DOUBLE, status STRING"
+    sink(spark.createDataFrame([(3, 10, 8.0, 0.0, "added")], FACT2), 1)
+    got = {
+        tuple(r)
+        for r in sink.view(spark)
+        .select("pk", "fk", "qty", "discount", "color")
+        .collect()
+    }
+    assert got == {
+        (1, 10, 5.0, 2.5, "red"),
+        (2, 20, 6.0, 3.0, "blue"),
+        (3, 10, 8.0, 0.0, "red"),
+    }
+
+
+def test_evolve_cdf_across_boundary_resolves_with_nulls(spark, tmp_path):
+    """Pinned semantics for CDF reads spanning an evolution: both sides read
+    under the NEWER manifest's schema, so old-side rows fill the added
+    column with NULL.  A NULL backfill therefore reports NO change (null
+    <=> null); a non-null backfill reports every row 'changed' — both are
+    the semantic truth."""
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    sink(
+        spark.createDataFrame(
+            [(1, "a", 1.0, "added"), (2, "b", 2.0, "added")], CDC_SCHEMA
+        ),
+        0,
+    )
+    v_null = sink.evolve(spark, {"src": "CAST(NULL AS STRING)"})
+    assert sink.changes_between(spark, 0, v_null, table="base").count() == 0
+    v_lit = sink.evolve(spark, {"origin": "'backfilled'"})
+    ch = sink.changes_between(spark, v_null, v_lit, table="base")
+    got = {(r["pk"], r["status"], r["origin"]) for r in ch.collect()}
+    assert got == {(1, "changed", "backfilled"), (2, "changed", "backfilled")}
+
+
+def test_evolve_refusals(spark, tmp_path):
+    import pytest as _pytest
+
+    from kafka_flow_spark.streaming.materialize import MaterializedCmsView
+
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    with _pytest.raises(ValueError, match="no committed version"):
+        sink.evolve(spark, {"x": "1"})
+    sink(spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0)
+    with _pytest.raises(ValueError, match="already exist"):
+        sink.evolve(spark, {"v": "0.0"})
+    with _pytest.raises(ValueError, match="at least one column"):
+        sink.evolve(spark, {})
+    with _pytest.raises(ValueError, match="unknown tables"):
+        sink.evolve(spark, {"x": "1"}, tables=["nope"])
+    cms = MaterializedCmsView(str(tmp_path / "cms"), "k")
+    cms(spark.createDataFrame([("a", 1.0)], EVENT_SCHEMA), 0)
+    with _pytest.raises(ValueError, match="no evolvable"):
+        cms.evolve(spark, {"x": "1"})
+
+
+# --- ViewSubscription: two-hop DAG + exactly-once restart ---------------------
+
+
+def test_subscription_two_hop_agg_over_join(spark, tmp_path):
+    """A two-hop DAG — stream → JOIN view → (subscription) → AGG view — must
+    equal the direct recompute (fact⋈dim grouped) at every step, including
+    an upstream version produced by a dim-only refresh()."""
+    from kafka_flow_spark.streaming.materialize import ViewSubscription, open_view
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(10, "red"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.parquet(dim_path)
+    up_path, down_path = str(tmp_path / "up"), str(tmp_path / "down")
+    up = MaterializedJoinView(
+        up_path, dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk", n_buckets=4
+    )
+    down = MaterializedAggView(
+        down_path, ["color"], "qty", row_pk=["pk"], n_buckets=4
+    )
+
+    def down_rows():
+        return {
+            tuple(r)
+            for r in down.result(spark)
+            .select("color", "n_rows", "sum_v", "min_v", "max_v")
+            .collect()
+        }
+
+    def truth():
+        return {
+            tuple(r)
+            for r in up.view(spark)
+            .groupBy("color")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(F.sum("qty"), 2).cast("double").alias("sum_v"),
+                F.min("qty").alias("min_v"),
+                F.max("qty").alias("max_v"),
+            )
+            .collect()
+        }
+
+    batches = [
+        [(1, 10, 5.0, "added"), (2, 20, 6.0, "added"), (3, 10, 2.0, "added")],
+        [(1, 20, 5.0, "changed"), (3, None, None, "deleted")],
+        [(4, 10, 9.0, "added")],
+    ]
+    sub = None
+    for bid, rows in enumerate(batches):
+        up(spark.createDataFrame(rows, FACT_CDC_SCHEMA), bid)
+        if sub is None:  # table auto-resolves to 'view' for a join upstream
+            sub = ViewSubscription(open_view(spark, up_path), down)
+        assert sub.advance(spark) is not None
+        assert down_rows() == truth(), f"diverged at batch {bid}"
+
+    # a dim-only refresh version flows through the subscription too
+    spark.createDataFrame(
+        [(10, "crimson"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.mode("overwrite").parquet(dim_path)
+    assert up.refresh(spark) is not None
+    assert sub.advance(spark) is not None
+    assert down_rows() == truth()
+    assert sub.advance(spark) is None  # caught up
+
+
+def test_subscription_crash_between_write_and_commit_is_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Kill/restart golden: a crash AFTER the downstream tables are written
+    but BEFORE the commit marker must lose nothing and double-apply nothing
+    — the cursor only moves inside a commit, so the retry re-reads the same
+    CDF window and overwrites the torn version."""
+    import pytest as _pytest
+
+    import kafka_flow_spark.streaming.materialize as M
+
+    up_path, down_path = str(tmp_path / "up"), str(tmp_path / "down")
+    up = MaterializedAggView(up_path, ["k"], "v", row_pk=["pk"], n_buckets=4)
+    down = MaterializedAggView(down_path, ["k"], "v", row_pk=["pk"], n_buckets=4)
+    up(
+        spark.createDataFrame(
+            [(i, f"g{i % 2}", float(i), "added") for i in range(8)], CDC_SCHEMA
+        ),
+        0,
+    )
+    sub = M.ViewSubscription(up, down, table="base")
+    assert sub.advance(spark) == 0  # bootstrap
+    up(
+        spark.createDataFrame(
+            [(0, "gX", 100.0, "changed"), (7, None, None, "deleted")], CDC_SCHEMA
+        ),
+        1,
+    )
+
+    real = M._commit_version
+    state = {"crashed": False}
+
+    def boom(s, root, version):
+        if root == down_path and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash before commit")
+        return real(s, root, version)
+
+    monkeypatch.setattr(M, "_commit_version", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        sub.advance(spark)
+    # torn: no new committed version, cursor still at the old upstream head
+    assert down.last_committed(spark) == 0
+    assert sub.cursor(spark) == 0
+
+    v = sub.advance(spark)  # the restart
+    assert v == 1 and sub.cursor(spark) == 1
+    truth = _recompute_rows(up._read(spark, 1, "base"))
+    assert _result_rows(down, spark) == truth
+    assert sub.advance(spark) is None  # nothing double-applies
+
+
+def test_subscription_refuses_foreign_or_rolled_back_upstream(spark, tmp_path):
+    import pytest as _pytest
+
+    from kafka_flow_spark.streaming.materialize import ViewSubscription
+
+    up_path, down_path = str(tmp_path / "up"), str(tmp_path / "down")
+    up = MaterializedAggView(up_path, ["k"], "v", row_pk=["pk"], n_buckets=4)
+    down = MaterializedAggView(down_path, ["k"], "v", row_pk=["pk"], n_buckets=4)
+    up(spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0)
+    sub = ViewSubscription(up, down, table="base")
+    assert sub.advance(spark) == 0
+    # a downstream head with no cursor (stream-written) refuses
+    other = MaterializedAggView(
+        str(tmp_path / "plain"), ["k"], "v", row_pk=["pk"], n_buckets=4
+    )
+    other(spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0)
+    sub2 = ViewSubscription(up, other, table="base")
+    with _pytest.raises(ValueError, match="no subscription cursor"):
+        sub2.advance(spark)
+    # a different upstream root for the same downstream refuses
+    up_b = MaterializedAggView(
+        str(tmp_path / "up_b"), ["k"], "v", row_pk=["pk"], n_buckets=4
+    )
+    up_b(spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0)
+    sub3 = ViewSubscription(up_b, down, table="base")
+    with _pytest.raises(ValueError, match="one subscription per downstream"):
+        sub3.advance(spark)
+
+
+# --- continuous-trigger dim freshness (review r10: refresh_dim guard) --------
+
+
+def test_run_view_sink_refuses_continuous_refresh_without_heartbeat(
+    spark, tmp_path
+):
+    """refresh_dim=True + a continuous trigger used to DEFER the dim refresh
+    to run end silently — now it refuses up front unless the in-loop
+    heartbeat is requested."""
+    import pytest as _pytest
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame([(10, "red")], "b_pk BIGINT, color STRING").write.parquet(
+        dim_path
+    )
+    sink = MaterializedJoinView(
+        str(tmp_path / "view"), dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk"
+    )
+    input_dir = str(tmp_path / "in")
+    _write(spark, input_dir, [(1, 10, 5.0, "added")], FACT_CDC_SCHEMA)
+    stream = spark.readStream.schema(FACT_CDC_SCHEMA).parquet(input_dir)
+    with _pytest.raises(ValueError, match="dim_heartbeat_rps"):
+        run_view_sink(
+            stream, sink, str(tmp_path / "chk"),
+            available_now=False, refresh_dim=True,
+        )
+
+
+def test_dim_heartbeat_picks_up_dim_edit_with_zero_fact_rows(spark, tmp_path):
+    """The continuous-trigger freshness golden: with the rate-source
+    heartbeat unioned in, a dim-only edit lands IN-LOOP (same single-writer
+    foreachBatch) within a couple of trigger intervals, with zero fact rows
+    — and unchanged-world heartbeats commit NO versions (no churn)."""
+    import time
+
+    from kafka_flow_spark.streaming.materialize import with_dim_heartbeat
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(10, "red"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.parquet(dim_path)
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    _write(
+        spark, input_dir,
+        [(1, 10, 5.0, "added"), (2, 20, 6.0, "added")],
+        FACT_CDC_SCHEMA,
+    )
+    sink = MaterializedJoinView(
+        str(tmp_path / "view"), dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk",
+        n_buckets=4,
+    )
+    def start_q():
+        stream = with_dim_heartbeat(
+            spark.readStream.schema(FACT_CDC_SCHEMA).parquet(input_dir),
+            rows_per_second=5,
+        )
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    qbox = [start_q()]
+
+    def wait_for(pred, timeout=60.0):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            if pred():
+                return True
+            if not qbox[0].isActive:
+                # a heartbeat dim diff can race the test's non-atomic dim
+                # overwrite (parquet files vanish mid-read) and kill the
+                # query; the sink is restart-safe by design — restart and
+                # keep going (which also exercises exactly that contract)
+                qbox[0] = start_q()
+            time.sleep(0.3)
+        return False
+
+    def view_rows():
+        head = sink.last_committed(spark)
+        if head is None:
+            return set()
+        return {
+            tuple(r)
+            for r in sink._read(spark, head, "view")
+            .select("pk", "qty", "color")
+            .collect()
+        }
+
+    try:
+        assert wait_for(
+            lambda: view_rows() == {(1, 5.0, "red"), (2, 6.0, "blue")}
+        ), "fact batch never landed"
+        head0 = sink.last_committed(spark)
+        time.sleep(2.0)  # many heartbeats with nothing to do...
+        assert sink.last_committed(spark) == head0  # ...commit NOTHING
+
+        fact_before = {
+            tuple(r) for r in sink._read(spark, head0, "fact").collect()
+        }
+        # dim-only edit: NO fact rows accompany it
+        spark.createDataFrame(
+            [(10, "crimson"), (20, "blue")], "b_pk BIGINT, color STRING"
+        ).write.mode("overwrite").parquet(dim_path)
+        assert wait_for(
+            lambda: view_rows() == {(1, 5.0, "crimson"), (2, 6.0, "blue")}
+        ), "dim edit never picked up in-loop"
+    finally:
+        qbox[0].stop()
+    head1 = sink.last_committed(spark)
+    fact_after = {tuple(r) for r in sink._read(spark, head1, "fact").collect()}
+    assert fact_after == fact_before  # the freshness hop carried ZERO fact rows
