@@ -1640,6 +1640,10 @@ def mmr_rerank(
     k_pool: int = 10,
     k_select: int = 3,
     lam_e2: int = 70,
+    retrieve: str = "exact",
+    n_cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversity re-ranking (Carbonell &
     Goldstein, SIGIR'98) in EXACT integers — the step between "top-k most
@@ -1659,14 +1663,25 @@ def mmr_rerank(
     pattern).  The truncating div-by-100 is negative-safe (explicit sign
     split — cosines can be negative).
 
-    Scale shape: the candidate pool is ``k_pool`` rows per query (one
-    broadcast-query cross join + WindowGroupLimit top-k — the
-    knn_bruteforce plan), pairwise sims are k_pool² per query (bounded by
-    construction, an equi-join on the query id, never corpus-quadratic),
-    and each of the k_select−1 greedy rounds is one anti-join + one
-    max-aggregate + one argmax on those bounded relations, all keyed on the
-    query id.  At 100 TB the corpus appears ONLY in the initial top-k_pool
-    retrieval; everything after is O(|queries|·k_pool²).
+    Retrieval modes (``retrieve``): ``"exact"`` scans the corpus once per
+    query batch (broadcast-query cross join + WindowGroupLimit top-k_pool —
+    the knn_bruteforce plan); ``"ivf"`` is the PRODUCTION 100 TB shape —
+    train ``n_cells`` quantized-Lloyd cells (operators/clustering.
+    kmeans_quantized, value-exact), probe each query's ``nprobe`` nearest
+    centroids, and pool only within probed cells, bounding the corpus scan
+    to |probed cells| exactly like ivf_exact_knn.  Recall is cell-bounded
+    and DETERMINISTIC (a true pool member in an unprobed cell is missed
+    oracle-visibly, not seed-luckily); ``nprobe == n_cells`` degrades to
+    the exact pool bit-identically (pinned by test).  Everything after the
+    pool — pairwise sims, greedy rounds — is mode-independent.
+
+    Scale shape: the candidate pool is ``k_pool`` rows per query, pairwise
+    sims are k_pool² per query (bounded by construction, an equi-join on
+    the query id, never corpus-quadratic), and each of the k_select−1
+    greedy rounds is one anti-join + one max-aggregate + one argmax on
+    those bounded relations, all keyed on the query id.  At 100 TB the
+    corpus appears ONLY in the initial retrieval — and under ``"ivf"``
+    only its probed cells do.
 
     Output: (query_id, pick_rank, neighbor_id, mmr_e6).
     """
@@ -1678,10 +1693,9 @@ def mmr_rerank(
         )
     if not 0 <= lam_e2 <= 100:
         raise ValueError(f"lam_e2 must be in [0, 100], got {lam_e2}")
+    if retrieve not in ("exact", "ivf"):
+        raise ValueError(f"retrieve must be 'exact' or 'ivf', got {retrieve!r}")
     E6 = 1_000_000
-    q = queries.select(
-        F.col(id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
-    )
     v = vectors.select(
         F.col(id_col).alias("_nid"), _as_double(F.col(vec_col)).alias("_nv")
     )
@@ -1689,10 +1703,49 @@ def mmr_rerank(
         "long"
     )
     wp = Window.partitionBy("_qid").orderBy(F.desc("_rel"), F.asc("_nid"))
+    if retrieve == "exact":
+        q = queries.select(
+            F.col(id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+        )
+        cand = v.crossJoin(F.broadcast(q)).where(F.col("_nid") != F.col("_qid"))
+    else:
+        from kafka_flow_spark.operators.clustering import (
+            _sq_dist,
+            kmeans_quantized,
+            quantize_e6,
+        )
+
+        cents, assigned = kmeans_quantized(
+            vectors, id_col, vec_col, n_cells, iters
+        )
+        corpus = v.join(
+            assigned.select(F.col(id_col).alias("_nid"), "cid"), "_nid"
+        )
+        qpts = queries.select(
+            F.col(id_col).alias("_qid"),
+            _as_double(F.col(vec_col)).alias("_qv"),
+            quantize_e6(F.col(vec_col)).alias("_qxe"),
+        )
+        wc = Window.partitionBy("_qid").orderBy(F.asc("_cd"), F.asc("cid"))
+        shortlist = (
+            qpts.crossJoin(F.broadcast(cents))
+            .select(
+                "_qid",
+                "_qv",
+                "cid",
+                _sq_dist(F.col("_qxe"), F.col("centroid_e6")).alias("_cd"),
+            )
+            .withColumn("_cr", F.row_number().over(wc))
+            .where(F.col("_cr") <= nprobe)
+            .select("_qid", "_qv", "cid")
+        )
+        # the corpus scan is bounded to probed cells: an equi-join on cid,
+        # never a per-query full pass
+        cand = shortlist.join(corpus, "cid").where(
+            F.col("_nid") != F.col("_qid")
+        )
     pool = scoped_persist(
-        v.crossJoin(F.broadcast(q))
-        .where(F.col("_nid") != F.col("_qid"))
-        .select("_qid", "_nid", "_nv", rel_e6.alias("_rel"))
+        cand.select("_qid", "_nid", "_nv", rel_e6.alias("_rel"))
         .withColumn("_pr", F.row_number().over(wp))
         .where(F.col("_pr") <= k_pool)
         .drop("_pr")

@@ -1988,13 +1988,57 @@ def _mmr_cos(a: str, b: str) -> str:
     )
 
 
-def _mmr_oracle() -> str:
+def _mmr_greedy_sql() -> str:
+    """The 3-round unrolled greedy chain + final SELECT — expects a CTE
+    ``pool(qid, nid, nv, rel)`` upstream, so the exact and IVF retrieval
+    oracles share the MMR program verbatim."""
     lam, mu = _MMR_LAM, 100 - _MMR_LAM
     score = (
         f"CASE WHEN {lam} * rel - {mu} * ms >= 0"
         f" THEN ({lam} * rel - {mu} * ms) // 100"
         f" ELSE -((-({lam} * rel - {mu} * ms)) // 100) END"
     )
+    return f"""
+    gps AS (SELECT a.qid, a.nid AS an, b.nid AS bn,
+                  {_mmr_cos('a.nv', 'b.nv')} AS sim
+           FROM pool a JOIN pool b ON a.qid = b.qid AND a.nid != b.nid),
+    g1 AS (SELECT qid, nid, rel AS score FROM
+            (SELECT qid, nid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY rel DESC, nid) AS rn FROM pool)
+           WHERE rn = 1),
+    gm2 AS (SELECT p.qid, p.nid, p.rel, MAX(gps.sim) AS ms
+           FROM pool p
+           JOIN g1 ON g1.qid = p.qid AND p.nid != g1.nid
+           JOIN gps ON gps.qid = p.qid AND gps.an = p.nid AND gps.bn = g1.nid
+           GROUP BY p.qid, p.nid, p.rel),
+    gsc2 AS (SELECT qid, nid, {score} AS score FROM gm2),
+    g2 AS (SELECT qid, nid, score FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid) AS rn FROM gsc2)
+           WHERE rn = 1),
+    gsel2 AS (SELECT qid, nid FROM g1 UNION ALL SELECT qid, nid FROM g2),
+    gm3 AS (SELECT p.qid, p.nid, p.rel, MAX(gps.sim) AS ms
+           FROM pool p
+           LEFT JOIN gsel2 x ON x.qid = p.qid AND x.nid = p.nid
+           JOIN gps ON gps.qid = p.qid AND gps.an = p.nid
+           JOIN gsel2 s ON s.qid = gps.qid AND s.nid = gps.bn
+           WHERE x.nid IS NULL
+           GROUP BY p.qid, p.nid, p.rel),
+    gsc3 AS (SELECT qid, nid, {score} AS score FROM gm3),
+    g3 AS (SELECT qid, nid, score FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid) AS rn FROM gsc3)
+           WHERE rn = 1)
+    SELECT qid AS query_id, CAST(1 AS INT) AS pick_rank,
+           nid AS neighbor_id, score AS mmr_e6 FROM g1
+    UNION ALL
+    SELECT qid, CAST(2 AS INT), nid, score FROM g2
+    UNION ALL
+    SELECT qid, CAST(3 AS INT), nid, score FROM g3
+    """
+
+
+def _mmr_oracle() -> str:
     return f"""
     WITH v AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2006,43 +2050,41 @@ def _mmr_oracle() -> str:
               (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                  ORDER BY rel DESC, nid) AS rn FROM rels)
              WHERE rn <= {_MMR_POOL}),
-    ps AS (SELECT a.qid, a.nid AS an, b.nid AS bn,
-                  {_mmr_cos('a.nv', 'b.nv')} AS sim
-           FROM pool a JOIN pool b ON a.qid = b.qid AND a.nid != b.nid),
-    s1 AS (SELECT qid, nid, rel AS score FROM
-            (SELECT qid, nid, rel, ROW_NUMBER() OVER (PARTITION BY qid
-               ORDER BY rel DESC, nid) AS rn FROM pool)
-           WHERE rn = 1),
-    m2 AS (SELECT p.qid, p.nid, p.rel, MAX(ps.sim) AS ms
-           FROM pool p
-           JOIN s1 ON s1.qid = p.qid AND p.nid != s1.nid
-           JOIN ps ON ps.qid = p.qid AND ps.an = p.nid AND ps.bn = s1.nid
-           GROUP BY p.qid, p.nid, p.rel),
-    sc2 AS (SELECT qid, nid, {score} AS score FROM m2),
-    s2 AS (SELECT qid, nid, score FROM
-            (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-               ORDER BY score DESC, nid) AS rn FROM sc2)
-           WHERE rn = 1),
-    sel2 AS (SELECT qid, nid FROM s1 UNION ALL SELECT qid, nid FROM s2),
-    m3 AS (SELECT p.qid, p.nid, p.rel, MAX(ps.sim) AS ms
-           FROM pool p
-           LEFT JOIN sel2 x ON x.qid = p.qid AND x.nid = p.nid
-           JOIN ps ON ps.qid = p.qid AND ps.an = p.nid
-           JOIN sel2 s ON s.qid = ps.qid AND s.nid = ps.bn
-           WHERE x.nid IS NULL
-           GROUP BY p.qid, p.nid, p.rel),
-    sc3 AS (SELECT qid, nid, {score} AS score FROM m3),
-    s3 AS (SELECT qid, nid, score FROM
-            (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-               ORDER BY score DESC, nid) AS rn FROM sc3)
-           WHERE rn = 1)
-    SELECT qid AS query_id, CAST(1 AS INT) AS pick_rank,
-           nid AS neighbor_id, score AS mmr_e6 FROM s1
-    UNION ALL
-    SELECT qid, CAST(2 AS INT), nid, score FROM s2
-    UNION ALL
-    SELECT qid, CAST(3 AS INT), nid, score FROM s3
-    """
+    {_mmr_greedy_sql()}"""
+
+
+def _mmr_ivf_oracle() -> str:
+    """train → probe → MMR, all in one unrolled oracle (the q_knn_ivf_exact
+    pattern composed with the MMR greedy chain): kmeans CTEs give the final
+    cells, queries probe their nprobe nearest centroids, the pool is the
+    top-k_pool by FLOOR-e6 cosine WITHIN probed cells, then the shared
+    3-round greedy."""
+    ctes, fin = _kmeans_ctes(_KM_K, _KM_ITERS)
+    cfin = f"c{_KM_ITERS - 1}"
+    return f"""
+    WITH {ctes},
+    q AS (SELECT vec_id AS qid, {_QUANT} AS qxe,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < {_MMR_Q}),
+    pq AS (SELECT qid, qv, cid FROM
+            (SELECT q.qid, q.qv, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                      CAST(list_sum(list_transform(list_zip(q.qxe, c.ce),
+                        z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), c.cid) AS pr
+             FROM q CROSS JOIN {cfin} c)
+           WHERE pr <= {_KM_NPROBE}),
+    corp AS (SELECT a.vec_id AS nid, a.cid,
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS nv
+             FROM {fin} a JOIN embeddings e ON e.vec_id = a.vec_id),
+    rels AS (SELECT pq.qid, corp.nid, corp.nv,
+                    {_mmr_cos('pq.qv', 'corp.nv')} AS rel
+             FROM pq JOIN corp ON corp.cid = pq.cid
+             WHERE corp.nid != pq.qid),
+    pool AS (SELECT qid, nid, nv, rel FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY rel DESC, nid) AS rn FROM rels)
+             WHERE rn <= {_MMR_POOL}),
+    {_mmr_greedy_sql()}"""
 
 
 @register("q_mmr_rerank", oracle=_mmr_oracle(), bench=True)
@@ -2061,6 +2103,29 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         e, e.where(F.col("vec_id") < _MMR_Q),
         k_pool=_MMR_POOL, k_select=_MMR_K, lam_e2=_MMR_LAM,
+    )
+
+
+@register("q_mmr_rerank_ivf", oracle=_mmr_ivf_oracle(), bench=True)
+def q_mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION retrieval composition (review r10 #3): MMR diversity
+    re-ranking over the IVF-PROBED pool instead of the brute-force scan —
+    train the quantized-Lloyd cells (q_kmeans_cells' training, value-exact),
+    probe each query's 2 nearest centroids, pool the top-10 FLOOR-e6
+    cosines WITHIN probed cells, then the same 3-round greedy as
+    q_mmr_rerank.  The corpus scan is bounded to probed cells (an equi-join
+    on cid — at 100 TB only |probed cells| of the corpus is touched);
+    recall loss is deterministic and oracle-visible (train → probe → MMR
+    all hash-match one unrolled DuckDB CTE program), and nprobe == n_cells
+    degrades to q_mmr_rerank bit-identically (pinned in
+    tests/test_similarity.py)."""
+    from kafka_flow_spark.operators.similarity import mmr_rerank
+
+    e = load(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        e, e.where(F.col("vec_id") < _MMR_Q),
+        k_pool=_MMR_POOL, k_select=_MMR_K, lam_e2=_MMR_LAM,
+        retrieve="ivf", n_cells=_KM_K, iters=_KM_ITERS, nprobe=_KM_NPROBE,
     )
 
 
