@@ -260,3 +260,67 @@ def bpe_segment(
         f"{id_col} {id_t}, n_tokens long, n_pieces long, pieces array<string>"
     )
     return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def bpe_fertility_card(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenizer-fertility data card per source under a TRAINED merge table
+    — the real-tokenizer sibling of the regex-proxy card (plans/llm.py
+    q_tokenizer_fertility): sub-word pieces per whitespace word and bytes
+    per piece, computed from ``bpe_segment``'s actual segmentation instead
+    of the pre-tokenizer regex.  Same output columns and the same
+    DECIMAL(38,0) e6 rationals, so the two cards are directly comparable —
+    and the differential that makes the card worth publishing holds by BPE
+    construction: a longer merge-table PREFIX can only merge further, so
+    ``fertility_e6`` is monotonically non-increasing in n_merges (pinned in
+    tests/test_bpe.py), with the zero-merge card degenerating to
+    characters-per-word.
+
+    Scale shape: ONE Arrow-batched segmentation pass (per-word memoized
+    merge loop — the bpe_segment plan) into one map-combinable (source)
+    aggregate; the merge table broadcasts inside the closure.  Output:
+    (source, n_docs, ws_tokens, bpe_tokens, n_bytes, fertility_e6,
+    bytes_per_token_e6).
+    """
+    from pyspark.sql import functions as F
+
+    seg = bpe_segment(df, id_col, text_col, merges)
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.octet_length(text_col).cast("long").alias("_nb"),
+    )
+    agg = (
+        base.join(seg.select(id_col, "n_tokens", "n_pieces"), id_col)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("ws_tokens"),
+            F.sum("n_pieces").cast("long").alias("bpe_tokens"),
+            F.sum("_nb").cast("long").alias("n_bytes"),
+        )
+    )
+    # the kappa-class guard: corpus-scale sums × 1e6 overflow int64 past
+    # ~9e12, so the rationals ride DECIMAL(38,0) and return to bigint
+    return agg.select(
+        "source", "n_docs", "ws_tokens", "bpe_tokens", "n_bytes",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.expr(
+                "CAST(bpe_tokens AS decimal(38,0)) * 1000000"
+                " div CAST(ws_tokens AS decimal(38,0))"
+            ),
+        ).otherwise(F.lit(0).cast("long")).alias("fertility_e6"),
+        F.when(
+            F.col("bpe_tokens") > 0,
+            F.expr(
+                "CAST(n_bytes AS decimal(38,0)) * 1000000"
+                " div CAST(bpe_tokens AS decimal(38,0))"
+            ),
+        ).otherwise(F.lit(0).cast("long")).alias("bytes_per_token_e6"),
+    )

@@ -699,6 +699,25 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_bpe_fertility")
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility data card per source under the corpus-TRAINED 50-rule BPE
+    (operators/bpe.bpe_fertility_card) — the real-tokenizer sibling of the
+    regex-proxy q_tokenizer_fertility (review r10 #6): same columns, same
+    e6 rationals, but bpe_tokens counts the trained segmentation's pieces.
+    Rows-only like the other trained-BPE queries (the merge loop is not
+    SQL-expressible); differential-tied to the proxy card in
+    tests/test_bpe.py — ws_tokens matches the oracle-gated proxy card
+    EXACTLY (shared tokenization contract) and fertility_e6 is
+    monotonically non-increasing in n_merges."""
+    from kafka_flow_spark.operators.bpe import bpe_fertility_card, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    mt = bpe_train(docs, "text", n_merges=50)
+    merges = [(r["left"], r["right"]) for r in mt.orderBy("rank").collect()]
+    return bpe_fertility_card(docs, "source", "doc_id", "text", merges)
+
+
 @register(
     "q_zipf_alpha",
     oracle=f"""

@@ -111,3 +111,68 @@ def test_bpe_segment_null_text_propagates(spark):
     }
     assert rows[1]["pieces"] == ["aa", "bb"]
     assert rows[2]["pieces"] is None and rows[2]["n_tokens"] is None
+
+
+def test_bpe_fertility_card_differential_vs_proxy_and_monotone(spark):
+    """The r10 #6 differential: (a) the trained-BPE card's ws_tokens equals
+    the oracle-gated regex-proxy card's EXACTLY (shared tokenization
+    contract — ties the rows-only card to a value-exact twin); (b)
+    fertility_e6 is monotonically NON-INCREASING as the merge table grows
+    (each extra merge can only merge further — the property that makes the
+    card worth publishing), strictly dropping somewhere on real text; (c)
+    the zero-proxy: an empty merge table degenerates to characters-per-word
+    exactly."""
+    from kafka_flow_spark.operators.bpe import bpe_fertility_card
+    from kafka_flow_spark.plans.registry import all_queries, load_all_plans
+
+    docs = load(spark, SF_SMALL, "documents")
+    mt = bpe_train(docs, "text", n_merges=100)
+    ranked = [(r["left"], r["right"]) for r in mt.orderBy("rank").collect()]
+
+    def card(merges):
+        return {
+            r["source"]: r
+            for r in bpe_fertility_card(
+                docs, "source", "doc_id", "text", merges
+            ).collect()
+        }
+
+    load_all_plans()
+    proxy = {
+        r["source"]: r
+        for r in all_queries()["q_tokenizer_fertility"](spark, SF_SMALL).collect()
+    }
+    c0, c10, c100 = card([]), card(ranked[:10]), card(ranked)
+    assert set(c100) == set(proxy)
+    ferts = []
+    for src in c100:
+        # (a) same whitespace-token denominator as the value-exact proxy
+        assert c100[src]["ws_tokens"] == proxy[src]["ws_tokens"]
+        assert c100[src]["n_bytes"] == proxy[src]["n_bytes"]
+        # (b) monotone: more merges never raises fertility
+        f0, f10, f100 = (
+            c["fertility_e6"] for c in (c0[src], c10[src], c100[src])
+        )
+        assert f0 >= f10 >= f100, (src, f0, f10, f100)
+        ferts.append((f0, f100))
+        # (c) zero merges == characters per word: pieces are single chars
+        chars = (
+            docs.where(F.col("source") == src)
+            .select(
+                F.sum(
+                    F.length(
+                        F.regexp_replace(
+                            F.trim(
+                                F.regexp_replace(F.lower("text"), "\\s+", " ")
+                            ),
+                            " ",
+                            "",
+                        )
+                    )
+                ).alias("c")
+            )
+            .collect()[0]["c"]
+        )
+        assert c0[src]["bpe_tokens"] == chars
+    # strictly dropped overall (real text always has mergeable pairs)
+    assert any(f100 < f0 for f0, f100 in ferts)
