@@ -53,6 +53,9 @@ COMPARABLE = [
     # 3-round greedy CTE mirror (~36 s at sf10: the 20-query × corpus
     # cosine pool, linear not quadratic, so it stays re-runnable)
     "q_mmr_rerank",
+    # joined in r11: MMR over the IVF-probed pool — oracle = kmeans CTEs +
+    # probe shortlist + the shared greedy chain, practical at every scale
+    "q_mmr_rerank_ivf",
     # q_dedup_incremental (bench r5 continuation) is NOT here: like
     # minhash/cosine/knn its oracle is the quadratic brute-force pair truth.
     # q_resample_ffill_hourly is deliberately NOT here: its oracle SQL (per-key
