@@ -74,6 +74,29 @@ Scale shape: each micro-batch costs |Δ| + |touched groups| compute (agg) or
 view) — never a recompute over history — and writes only delta-touched
 buckets.  Old versions are retained for time travel / debugging;
 ``vacuum(keep=n)`` prunes them.
+
+The operations surface around the store (r10–r11):
+
+- **Self-describing roots**: every commit writes ``_VIEW_META.json`` (kind +
+  constructor args); ``open_view(root)`` reconstructs the real sink, admin
+  ops never trust caller flags, and a sink whose args contradict the stored
+  meta refuses before writing.
+- **``rebucket(n_new)``** / **``evolve(add_columns)``**: the two offline
+  full-rewrite migrations (bucket-count growth; additive schema evolution
+  with per-row backfill) — both refuse through a handle that does not cover
+  every on-disk table at the head (a partial head loses tables to the next
+  vacuum).
+- **CDF + subscriptions**: ``changes_between`` is the bucket-pointer-bounded
+  change feed; ``ViewSubscription``/``follow`` maintain a DOWNSTREAM view
+  from it with the upstream cursor committed inside the downstream's own
+  versioned commit — multi-hop view DAGs are exactly-once and restart-safe
+  with zero orchestration code (the reference's read-log-to-recorded-
+  position recovery, KafkaPartitionPersistence.scala:124-210).
+- **Dim freshness**: ``refresh()`` (admin advance, zero fact rows) for
+  scheduled runs; ``with_dim_heartbeat`` + ``_skip_quiet_batch`` for
+  continuous triggers (a rate-source union fires micro-batches on a quiet
+  fact source — the reference's empty-poll timer tick on Spark's trigger
+  machinery — and unchanged-world heartbeats commit nothing).
 """
 
 from __future__ import annotations
