@@ -1621,3 +1621,75 @@ def test_dim_heartbeat_picks_up_dim_edit_with_zero_fact_rows(spark, tmp_path):
     head1 = sink.last_committed(spark)
     fact_after = {tuple(r) for r in sink._read(spark, head1, "fact").collect()}
     assert fact_after == fact_before  # the freshness hop carried ZERO fact rows
+
+
+def test_subscription_exactly_once_under_random_crashes(spark, tmp_path, monkeypatch):
+    """Property over a seeded-random CDC history with randomly injected
+    crashes: the subscription is advanced at random points, each advance
+    crashing (between table writes and the commit marker) with probability
+    1/3 — after final recovery the downstream must equal the direct
+    recompute over the upstream head, the cursor must equal the upstream
+    head, and a further advance must be a no-op.  The lagging windows also
+    exercise multi-version CDF coalescing."""
+    import random
+
+    import pytest as _pytest
+
+    import kafka_flow_spark.streaming.materialize as M
+
+    rng = random.Random(20260817)
+    up_path, down_path = str(tmp_path / "up"), str(tmp_path / "down")
+    up = MaterializedAggView(up_path, ["k"], "v", row_pk=["pk"], n_buckets=16)
+    down = MaterializedAggView(down_path, ["k"], "v", row_pk=["pk"], n_buckets=16)
+    sub = M.ViewSubscription(up, down, table="base")
+
+    real = M._commit_version
+    crash_next = {"armed": False}
+
+    def maybe_boom(s, root, version):
+        if root == down_path and crash_next["armed"]:
+            crash_next["armed"] = False
+            raise RuntimeError("injected crash")
+        return real(s, root, version)
+
+    monkeypatch.setattr(M, "_commit_version", maybe_boom)
+
+    live: set[int] = set()
+    for bid in range(6):
+        batch = {}
+        for _ in range(rng.randint(3, 10)):
+            verb = rng.choice(["added", "changed", "deleted"])
+            if verb == "added" or not live:
+                pk = rng.randint(0, 10_000)
+                while pk in live:
+                    pk = rng.randint(0, 10_000)
+                batch[pk] = (pk, f"g{pk % 3}", float(pk % 89), "added")
+                live.add(pk)
+            elif verb == "changed":
+                pk = rng.choice(sorted(live))
+                batch[pk] = (pk, f"g{(pk + 1) % 3}", float(rng.randint(0, 400)), "changed")
+            else:
+                pk = rng.choice(sorted(live))
+                batch[pk] = (pk, None, None, "deleted")
+                live.discard(pk)
+        up(spark.createDataFrame(list(batch.values()), CDC_SCHEMA), bid)
+        if rng.random() < 0.6:  # sometimes lag, coalescing versions
+            continue
+        if rng.random() < 0.5:
+            crash_next["armed"] = True
+            with _pytest.raises(RuntimeError, match="injected crash"):
+                sub.advance(spark)
+        sub.advance(spark)  # recovery (or the plain advance)
+
+    # final recovery: catch up whatever is left, possibly through one more crash
+    crash_next["armed"] = True
+    try:
+        sub.advance(spark)
+    except RuntimeError:
+        pass
+    sub.advance(spark)
+    head = up.last_committed(spark)
+    assert sub.cursor(spark) == head
+    assert sub.advance(spark) is None
+    truth = _recompute_rows(up._read(spark, head, "base"))
+    assert _result_rows(down, spark) == truth
