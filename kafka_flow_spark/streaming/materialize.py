@@ -546,6 +546,18 @@ class _VersionedView:
         if read_view_meta(spark, self.path) != mine:
             _write_json_file(spark, f"{self.path}/{_VIEW_META}", mine)
 
+    def _carry_extras(self, spark: SparkSession, version: int) -> dict[str, dict]:
+        """Version-scoped sidecar metadata to CARRY FORWARD across an admin
+        full-rewrite (rebucket/evolve/refresh) — like the batch id, the
+        subscription cursor lives inside the version dir, so a rewrite that
+        drops it orphans a subscription-managed downstream (its next
+        advance refuses on the missing cursor)."""
+        out = {}
+        cur = _read_json_file(spark, f"{self.path}/v={version}/{_CURSOR_META}")
+        if cur is not None:
+            out[_CURSOR_META] = cur
+        return out
+
     def _write_all(
         self,
         spark: SparkSession,
@@ -842,6 +854,7 @@ class _VersionedView:
             committed,
             prev=last,
             batch_id=_read_batch_meta(spark, self.path, last),
+            extras=self._carry_extras(spark, last),
         )
         return version
 
@@ -873,9 +886,18 @@ class _VersionedView:
 
         CDF reads ACROSS the evolution boundary resolve old-side rows with
         NULL in the added columns (both sides read under the newer
-        manifest's schema; parquet fills absent columns with null), so
-        every row reports ``changed`` — semantically true, the rows gained
-        a column — pinned by test_evolve_cdf_across_boundary.
+        manifest's schema; parquet fills absent columns with null), so a
+        NULL backfill diffs EMPTY and a literal backfill reports every row
+        ``changed`` — both semantically true, pinned by
+        test_evolve_cdf_across_boundary.
+
+        Evolving inside a CASCADE (subscription-managed downstream), the
+        pinned recipe: evolve the UPSTREAM with a NULL backfill first (its
+        CDF across the boundary is empty, nothing flows), then evolve the
+        DOWNSTREAM with the same column, then resume advancing — the
+        subscription cursor is carried through the rewrite.  Both wrong
+        orders refuse loudly instead of corrupting
+        (test_subscription_across_evolution_boundary).
 
         Cost: one |tables| full rewrite; subsequent micro-batches are
         delta-proportional again under the extended schema.  Run from the
@@ -920,6 +942,7 @@ class _VersionedView:
             committed,
             prev=last,
             batch_id=_read_batch_meta(spark, self.path, last),
+            extras=self._carry_extras(spark, last),
         )
         return version
 
@@ -1299,6 +1322,7 @@ class MaterializedJoinView(_VersionedView):
                 frames,
                 prev=last,
                 batch_id=_read_batch_meta(spark, self.path, last),
+                extras=self._carry_extras(spark, last),
             )
             return version
         finally:

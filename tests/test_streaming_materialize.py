@@ -1693,3 +1693,76 @@ def test_subscription_exactly_once_under_random_crashes(spark, tmp_path, monkeyp
     assert sub.advance(spark) is None
     truth = _recompute_rows(up._read(spark, head, "base"))
     assert _result_rows(down, spark) == truth
+
+
+def test_subscription_across_evolution_boundary(spark, tmp_path):
+    """The operational recipe for evolving a view INSIDE a cascade, pinned:
+    (1) evolve the UPSTREAM with a NULL backfill (its CDF across the
+    boundary is then empty — nothing flows), (2) evolve the DOWNSTREAM with
+    the same column, (3) resume — subsequent deltas carry the column end to
+    end and the cascade still equals direct recompute.  The refuse-don't-
+    corrupt guards hold in both wrong orders: a non-evolved downstream
+    refuses a column-bearing changeset at the patch layer, and a downstream
+    evolved FIRST refuses the next column-less changeset at apply time."""
+    import pytest as _pytest
+
+    from kafka_flow_spark.streaming.materialize import ViewSubscription
+
+    CDC2 = "pk BIGINT, k STRING, v DOUBLE, src STRING, status STRING"
+    up_path, down_path = str(tmp_path / "up"), str(tmp_path / "down")
+    up = MaterializedAggView(up_path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    down = MaterializedAggView(down_path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    sub = ViewSubscription(up, down, table="base")
+    up(
+        spark.createDataFrame(
+            [(i, f"g{i % 2}", float(i), "added") for i in range(10)], CDC_SCHEMA
+        ),
+        0,
+    )
+    assert sub.advance(spark) == 0
+
+    # wrong order A: downstream evolves first -> the next column-less
+    # upstream delta refuses at apply time (changeset missing the column)
+    down_early = MaterializedAggView(
+        str(tmp_path / "down_early"), ["k"], "v", row_pk=["pk"], n_buckets=8
+    )
+    sub_early = ViewSubscription(up, down_early, table="base")
+    assert sub_early.advance(spark) == 0
+    down_early.evolve(spark, {"src": "CAST(NULL AS STRING)"})
+    up(spark.createDataFrame([(50, "g0", 5.0, "added")], CDC_SCHEMA), 1)
+    with _pytest.raises(Exception, match="src"):
+        sub_early.advance(spark)
+
+    # the pinned recipe: upstream NULL-backfill evolve (empty CDF across
+    # the boundary), downstream same evolve, resume
+    v_up = up.evolve(spark, {"src": "CAST(NULL AS STRING)"})
+    down.evolve(spark, {"src": "CAST(NULL AS STRING)"})
+    assert sub.advance(spark) is not None  # batch 1 + the empty-CDF evolve hop
+    up(
+        spark.createDataFrame(
+            [(60, "g1", 7.0, "web", "added"), (0, None, None, None, "deleted")],
+            CDC2,
+        ),
+        2,
+    )
+    assert sub.advance(spark) is not None
+    head = up.last_committed(spark)
+    truth = _recompute_rows(up._read(spark, head, "base"))
+    assert _result_rows(down, spark) == truth
+    # the evolved column flowed end to end into the downstream base
+    got_src = {
+        r["src"] for r in down._read(spark, down.last_committed(spark), "base").collect()
+    }
+    assert got_src == {None, "web"}
+
+    # wrong order B: a LITERAL-backfill upstream evolve makes every row
+    # 'changed' with the new column; a non-evolved downstream refuses at
+    # the patch layer instead of silently dropping it
+    down_b = MaterializedAggView(
+        str(tmp_path / "down_b"), ["k"], "v", row_pk=["pk"], n_buckets=8
+    )
+    sub_b = ViewSubscription(up, down_b, table="base")
+    assert sub_b.advance(spark) == 0
+    up.evolve(spark, {"origin": "'bulk'"})
+    with _pytest.raises(Exception, match="origin"):
+        sub_b.advance(spark)
