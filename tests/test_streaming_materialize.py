@@ -1766,3 +1766,55 @@ def test_subscription_across_evolution_boundary(spark, tmp_path):
     up.evolve(spark, {"origin": "'bulk'"})
     with _pytest.raises(Exception, match="origin"):
         sub_b.advance(spark)
+
+
+def test_subscription_across_upstream_rebucket_and_vacuum(spark, tmp_path):
+    """Two more cascade × admin-op interactions, pinned: (a) an upstream
+    rebucket commits a version whose content is UNCHANGED — the cross-
+    bucket-count CDF read degrades to a full diff (bucket ids no longer
+    correspond) but stays CORRECT (empty changeset), and the subscription
+    advances through it; (b) an upstream vacuum that outruns the
+    subscriber's cursor makes the next advance refuse LOUDLY (the cursor
+    version is gone) instead of silently skipping history."""
+    import pytest as _pytest
+
+    from kafka_flow_spark.streaming.materialize import ViewSubscription
+
+    up_path, down_path = str(tmp_path / "up"), str(tmp_path / "down")
+    up = MaterializedAggView(up_path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    down = MaterializedAggView(down_path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    sub = ViewSubscription(up, down, table="base")
+    up(
+        spark.createDataFrame(
+            [(i, f"g{i % 2}", float(i), "added") for i in range(12)], CDC_SCHEMA
+        ),
+        0,
+    )
+    assert sub.advance(spark) == 0
+    # a second subscriber stays parked at the bootstrap cursor (v0) — the
+    # one version the rebucket's FRESH manifests cut out of the closure
+    stale = MaterializedAggView(
+        str(tmp_path / "stale"), ["k"], "v", row_pk=["pk"], n_buckets=8
+    )
+    sub_stale = ViewSubscription(up, stale, table="base")
+    assert sub_stale.advance(spark) == 0
+
+    # (a) rebucket upstream: content identical, cursor behind the new head
+    up.rebucket(spark, 16)
+    assert sub.advance(spark) is not None  # advances through the boundary
+    up(spark.createDataFrame([(99, "g0", 9.0, "added")], CDC_SCHEMA), 1)
+    assert sub.advance(spark) is not None
+    head = up.last_committed(spark)
+    assert _result_rows(down, spark) == _recompute_rows(
+        up._read(spark, head, "base")
+    )
+
+    # (b) vacuum: manifest-closure protection keeps every version the head
+    # still points into — only the pre-rebucket v0 (the stale subscriber's
+    # cursor) is droppable.  The caught-up subscriber is untouched; the
+    # stale one refuses LOUDLY instead of silently skipping history.
+    dropped = up.vacuum(spark, keep=1)
+    assert dropped == [0]
+    assert sub.advance(spark) is None  # caught up, unharmed
+    with _pytest.raises(ValueError, match="not committed"):
+        sub_stale.advance(spark)
