@@ -1674,7 +1674,7 @@ class ViewSubscription:
                 f"{up_head} at {self.upstream.path} — the upstream was "
                 "rebuilt or rolled back; rebuild the downstream too"
             )
-        from kafka_flow_spark.cache import mark, release_since
+        from kafka_flow_spark.cache import mark, release_since, scoped_persist
 
         down = self.downstream
         pos = mark()
@@ -1696,8 +1696,19 @@ class ViewSubscription:
                 frames = down._initial(batch)
                 version, prev, bid = 0, None, 0
             else:
-                ch = self.upstream.changes_between(
-                    spark, cur, up_head, table=self.table
+                # persisted: the CDF read is a full-outer key join over the
+                # differing buckets, and the downstream's _advance consumes
+                # the changeset several times (touched-bucket planning,
+                # retraction, recompute, apply) — recomputing it per
+                # consumer turned a delta advance into N changeset joins.
+                # Measured on a 2M-row upstream, 200-row delta: 14.6 →
+                # 9.6 s, on par with the direct sink's own delta advance
+                # (9.0 s) — the remainder is the downstream's documented
+                # scan-cost maintain read, not the subscription.
+                ch = scoped_persist(
+                    self.upstream.changes_between(
+                        spark, cur, up_head, table=self.table
+                    )
                 )
                 prev = down.last_committed(spark)
                 committed = {t: down._read(spark, prev, t) for t in down.tables}
