@@ -1160,9 +1160,14 @@ class MaterializedJoinView(_VersionedView):
 
     @property
     def evolve_tables(self) -> list[str]:
-        # the dim snapshot evolves with its SOURCE (the diff would see the
-        # new column as a change on every row anyway); evolve() extends the
-        # stream-derived fact rows and the view rows built from them
+        # DEFAULT = the fact-evolution case (stream gains a column): the
+        # stream-derived fact rows and the view rows built from them.  When
+        # the DIM SOURCE gains a column instead, the next dim diff refuses
+        # loudly (stored snapshot lacks the compare column) and the remedy
+        # is evolve(add_columns, tables=["dim", "view"]) — snapshot and
+        # view extend together, the diff resumes, and the NULL→value
+        # transition propagates the live values to every view row
+        # (test_evolve_dim_side_recipe).
         return ["fact", "view"]
 
     def _dim(self, spark: SparkSession) -> DataFrame:

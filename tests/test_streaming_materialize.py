@@ -1818,3 +1818,48 @@ def test_subscription_across_upstream_rebucket_and_vacuum(spark, tmp_path):
     assert sub.advance(spark) is None  # caught up, unharmed
     with _pytest.raises(ValueError, match="not committed"):
         sub_stale.advance(spark)
+
+
+def test_evolve_dim_side_recipe(spark, tmp_path):
+    """The DIM-side evolution story, pinned: when the dim SOURCE gains a
+    column, the next dim diff refuses loudly (the stored snapshot lacks the
+    compare column — changeset's absent-side guard), and the remedy is
+    evolve(add_columns, tables=['dim', 'view']) — the dim snapshot and the
+    view rows (which carry dim columns) extend together, after which the
+    diff resumes and new dim values flow through maintenance."""
+    import pytest as _pytest
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(10, "red"), (20, "blue")], "b_pk BIGINT, color STRING"
+    ).write.parquet(dim_path)
+    path = str(tmp_path / "view")
+    sink = MaterializedJoinView(
+        path, dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk", n_buckets=4
+    )
+    sink(
+        spark.createDataFrame(
+            [(1, 10, 5.0, "added"), (2, 20, 6.0, "added")], FACT_CDC_SCHEMA
+        ),
+        0,
+    )
+    # dim source gains a column: the next advance refuses loudly
+    spark.createDataFrame(
+        [(10, "red", "EU"), (20, "blue", "US")],
+        "b_pk BIGINT, color STRING, region STRING",
+    ).write.mode("overwrite").parquet(dim_path)
+    with _pytest.raises(Exception, match="region|absent"):
+        sink(spark.createDataFrame([(3, 10, 7.0, "added")], FACT_CDC_SCHEMA), 1)
+
+    # the remedy: extend the stored dim snapshot AND the view rows together
+    sink.evolve(spark, {"region": "CAST(NULL AS STRING)"}, tables=["dim", "view"])
+    sink(spark.createDataFrame([(3, 10, 7.0, "added")], FACT_CDC_SCHEMA), 1)
+    got = {
+        tuple(r)
+        for r in sink.view(spark)
+        .select("pk", "color", "region")
+        .collect()
+    }
+    # the diff resumed: every dim row's region changed NULL -> value, so
+    # ALL view rows carry the live region (not just the new fact row)
+    assert got == {(1, "red", "EU"), (2, "blue", "US"), (3, "red", "EU")}
