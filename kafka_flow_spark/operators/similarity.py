@@ -1695,6 +1695,10 @@ def mmr_rerank(
         raise ValueError(f"lam_e2 must be in [0, 100], got {lam_e2}")
     if retrieve not in ("exact", "ivf"):
         raise ValueError(f"retrieve must be 'exact' or 'ivf', got {retrieve!r}")
+    if retrieve == "ivf" and nprobe < 1:
+        # mirror ivf_exact_knn's guard (review r11): nprobe=0 produced an
+        # empty shortlist and a silently empty result
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     E6 = 1_000_000
     v = vectors.select(
         F.col(id_col).alias("_nid"), _as_double(F.col(vec_col)).alias("_nv")

@@ -219,29 +219,64 @@ def _read_json_file(spark: SparkSession, path: str) -> dict | None:
         return None
     stream = fs.open(p)
     try:
-        return json.loads(
-            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        )
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
+    try:
+        return json.loads(text)
+    except ValueError as e:
+        # a torn write (crash mid-create on a pre-atomic-writer layout, or a
+        # filesystem without atomic rename) must not wedge every subsequent
+        # micro-batch and admin op behind a bare JSONDecodeError — name the
+        # file and the remedy (review r11)
+        raise ValueError(
+            f"corrupt JSON metadata at {path} ({e}) — a crash tore the "
+            "write; delete the file (the owning sink's next commit rewrites "
+            "it; version-scoped copies under committed v=<n>/ dirs remain "
+            "authoritative)"
+        ) from e
 
 
 def _write_json_file(spark: SparkSession, path: str, obj: dict) -> None:
+    """Write JSON via temp + rename so a crash can never leave a TRUNCATED
+    file at ``path`` (rename is atomic on HDFS/local; object stores get a
+    copy, whose failure leaves the old file intact).  A crash between the
+    delete and the rename leaves the file ABSENT — every reader treats an
+    absent metadata file as a defined state (legacy root / no cursor),
+    unlike torn JSON which used to wedge the stream (review r11)."""
     fs, jvm = _fs(spark, path)
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.__tmp__")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(obj).encode("utf-8")))
     finally:
         out.close()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"rename {path}.__tmp__ -> {path} failed")
 
 
 def read_view_meta(spark: SparkSession, root: str) -> dict | None:
-    """The root-level ``_VIEW_META.json`` a sink writes at every commit —
-    kind + constructor arguments, the self-describing record that lets
-    ``open_view`` / tools/view_admin.py reconstruct the REAL sink instead
-    of trusting caller-supplied flags (a wrong ``--pk`` on a CDF read
-    produced a wrong changeset silently; review r10).  None for a legacy
-    root that predates the meta (or was never sink-written)."""
+    """The view's self-describing metadata — kind + constructor arguments,
+    the record that lets ``open_view`` / tools/view_admin.py reconstruct the
+    REAL sink instead of trusting caller-supplied flags (a wrong ``--pk`` on
+    a CDF read produced a wrong changeset silently; review r10).
+
+    AUTHORITATIVE copy: ``v=<head>/_VIEW_META.json`` inside the newest
+    COMMITTED version dir — written before the commit marker, so it flips
+    atomically with the head (a rebucket crash between meta write and
+    commit can no longer leave root meta claiming the NEW bucket count over
+    an OLD committed head; review r11).  The root-level file is a discovery
+    cache synced after each commit; it is read only for legacy roots whose
+    head predates version-scoped meta.  None for a root with neither."""
+    vs = _committed_versions(spark, root)
+    if vs:
+        m = _read_json_file(spark, f"{root}/v={vs[-1]}/{_VIEW_META}")
+        if m is not None:
+            return m
+        # committed head has no version-scoped meta: legacy root, fall back
     return _read_json_file(spark, f"{root}/{_VIEW_META}")
 
 
@@ -540,10 +575,20 @@ class _VersionedView:
             )
 
     def _sync_meta(self, spark: SparkSession) -> None:
+        """Sync the ROOT-LEVEL discovery cache of ``_VIEW_META.json`` (run
+        after the commit marker; the version-scoped copy written inside the
+        version dir is the authoritative one — see ``read_view_meta``)."""
         mine = self._meta()
         if mine is None:
             return
-        if read_view_meta(spark, self.path) != mine:
+        try:
+            stored = _read_json_file(spark, f"{self.path}/{_VIEW_META}")
+        except Exception:
+            # ANY unreadable cache (torn JSON, checksum mismatch from an
+            # out-of-band edit) self-heals on this rewrite — it is only a
+            # discovery convenience, never the authoritative copy
+            stored = None
+        if stored != mine:
             _write_json_file(spark, f"{self.path}/{_VIEW_META}", mine)
 
     def _carry_extras(self, spark: SparkSession, version: int) -> dict[str, dict]:
@@ -586,8 +631,14 @@ class _VersionedView:
             # cursor): lives INSIDE the version dir, so it is atomic with
             # the version — readable only once the commit marker lands
             _write_json_file(spark, f"{self.path}/v={version}/{fname}", obj)
-        self._sync_meta(spark)
-        _commit_version(spark, self.path, version)  # commit point, written last
+        mine = self._meta()
+        if mine is not None:
+            # authoritative meta is version-scoped (atomic with the commit
+            # marker — a rebucket crash here leaves the OLD head and its OLD
+            # meta in agreement; review r11); root-level copy is a cache
+            _write_json_file(spark, f"{self.path}/v={version}/{_VIEW_META}", mine)
+        _commit_version(spark, self.path, version)  # commit point
+        self._sync_meta(spark)  # refresh the root-level discovery cache
 
     # -- the foreachBatch hook ---------------------------------------------
     def _skip_quiet_batch(
@@ -1479,7 +1530,24 @@ def run_view_sink(
             "(a heartbeat batch every ~1/N s runs the dim diff with zero "
             "fact rows), or use available_now=True scheduled runs"
         )
-    if dim_heartbeat_rps is not None and not available_now:
+    if dim_heartbeat_rps is not None:
+        # validate BEFORE starting the stream, like refresh_dim above
+        if available_now:
+            raise ValueError(
+                "dim_heartbeat_rps only applies to continuous triggers — "
+                "with available_now=True it would be silently ignored (the "
+                "post-drain refresh() already covers dim freshness there); "
+                "drop the flag, or pass available_now=False"
+            )
+        if not refresh_dim:
+            raise ValueError(
+                "dim_heartbeat_rps without refresh_dim=True would fire "
+                "heartbeat batches into a sink with no dim to refresh — "
+                "only the join view's quiet-batch skip keeps unchanged-"
+                "world heartbeats from committing a version per trigger "
+                "interval; pass refresh_dim=True on a join-view sink, or "
+                "drop the flag"
+            )
         stream = with_dim_heartbeat(stream, dim_heartbeat_rps)
     q = (
         stream.writeStream.foreachBatch(sink)

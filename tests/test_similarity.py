@@ -811,6 +811,10 @@ def test_mmr_validates_args(spark):
         mmr_rerank(df, df, k_pool=0)
     with _pytest.raises(ValueError, match="retrieve"):
         mmr_rerank(df, df, retrieve="magic")
+    # r11 advice: nprobe=0 under retrieve='ivf' produced an empty shortlist
+    # and a silently empty result — now refused, mirroring ivf_exact_knn
+    with _pytest.raises(ValueError, match="nprobe"):
+        mmr_rerank(df, df, retrieve="ivf", nprobe=0)
 
 
 def test_mmr_ivf_full_probe_equals_exact_and_recall_bounded(spark):

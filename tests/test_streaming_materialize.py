@@ -1863,3 +1863,151 @@ def test_evolve_dim_side_recipe(spark, tmp_path):
     # the diff resumed: every dim row's region changed NULL -> value, so
     # ALL view rows carry the live region (not just the new fact row)
     assert got == {(1, "red", "EU"), (2, "blue", "US"), (3, "red", "EU")}
+
+
+# --- r11 advice: metadata torn-write hardening --------------------------------
+
+
+def test_corrupt_root_meta_cache_does_not_wedge_committed_view(spark, tmp_path):
+    """The root-level _VIEW_META.json is a discovery CACHE; the authoritative
+    copy is version-scoped inside the committed head (atomic with the commit
+    marker).  Garbage in the root file — the torn-write the old in-place
+    rewrite could leave — must neither wedge reads nor admin ops, and the
+    next commit self-heals the cache (review r11)."""
+    import kafka_flow_spark.streaming.materialize as M
+
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", n_buckets=4)
+    sink(spark.createDataFrame([("a", 1.0)], EVENT_SCHEMA), 0)
+
+    with open(f"{path}/{M._VIEW_META}", "w") as f:
+        f.write('{"kind": "agg", "n_bu')  # truncated mid-write
+    crc = f"{path}/.{M._VIEW_META}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)  # out-of-band edit: drop the local-FS checksum sidecar
+
+    # reads resolve through the committed head's version-scoped copy
+    assert M.read_view_meta(spark, path)["kind"] == "agg"
+    assert isinstance(M.open_view(spark, path), MaterializedAggView)
+    # the stream is not wedged: _check_meta passes, the advance commits
+    sink(spark.createDataFrame([("b", 2.0)], EVENT_SCHEMA), 1)
+    # ... and the commit self-healed the root cache
+    import json as _json
+
+    with open(f"{path}/{M._VIEW_META}") as f:
+        assert _json.load(f)["kind"] == "agg"
+
+
+def test_corrupt_meta_on_headless_root_names_file_and_remedy(spark, tmp_path):
+    """A root with NO committed head falls back to the root-level file; if
+    THAT is torn the error must name the corrupt file and the fix, not be a
+    bare JSONDecodeError surfacing from every admin op (review r11)."""
+    import pytest as _pytest
+
+    import kafka_flow_spark.streaming.materialize as M
+
+    path = str(tmp_path / "legacyish")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/{M._VIEW_META}", "w") as f:
+        f.write("{not json")
+    crc = f"{path}/.{M._VIEW_META}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    with _pytest.raises(ValueError, match="corrupt JSON metadata.*delete"):
+        M.read_view_meta(spark, path)
+
+
+def test_json_sidecars_written_via_temp_rename(spark, tmp_path):
+    """_write_json_file goes through temp+rename: after any commit no
+    .__tmp__ debris remains and every sidecar parses (the in-place fs.create
+    overwrite could leave truncated JSON on crash; review r11)."""
+    import glob
+    import json as _json
+
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=4)
+    sink(spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0)
+    sink(spark.createDataFrame([(2, "b", 2.0, "added")], CDC_SCHEMA), 1)
+    assert glob.glob(f"{path}/**/*.__tmp__", recursive=True) == []
+    for p in glob.glob(f"{path}/**/*.json", recursive=True):
+        with open(p) as f:
+            _json.load(f)  # every sidecar is whole
+
+
+def test_rebucket_crash_before_commit_keeps_meta_and_head_consistent(
+    spark, tmp_path, monkeypatch
+):
+    """The r11-advice torn-migration case: a rebucket crash AFTER the new
+    version's tables+meta are written but BEFORE the commit marker.  The
+    authoritative meta is version-scoped, so the committed head still
+    advertises the OLD bucket count — the running stream's correctly-
+    configured sink is NOT refused, and re-running the migration succeeds."""
+    import pytest as _pytest
+
+    import kafka_flow_spark.streaming.materialize as M
+
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=4)
+    sink(
+        spark.createDataFrame(
+            [(i, f"g{i % 2}", float(i), "added") for i in range(8)], CDC_SCHEMA
+        ),
+        0,
+    )
+
+    real = M._commit_version
+    state = {"crashed": False}
+
+    def boom(s, root, version):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash before commit")
+        return real(s, root, version)
+
+    monkeypatch.setattr(M, "_commit_version", boom)
+    mig = M.open_view(spark, path)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        mig.rebucket(spark, 8)
+
+    # committed head + authoritative meta still agree on the OLD count
+    assert M.read_view_meta(spark, path)["n_buckets"] == 4
+    # the owning stream's sink (old count) advances untouched
+    sink2 = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=4)
+    sink2(spark.createDataFrame([(8, "g0", 8.0, "changed")], CDC_SCHEMA), 1)
+    # and the remedy — re-run the migration via open_view — succeeds
+    mig2 = M.open_view(spark, path)
+    v = mig2.rebucket(spark, 8)
+    assert M.read_view_meta(spark, path)["n_buckets"] == 8
+    sink3 = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=8)
+    sink3(spark.createDataFrame([(9, "g1", 9.0, "added")], CDC_SCHEMA), 2)
+    truth = {("g0", 5, 20.0, 0.0, 8.0), ("g1", 5, 25.0, 1.0, 9.0)}
+    assert _result_rows(sink3, spark) == truth
+    assert v == sink3.last_committed(spark) - 1
+
+
+def test_run_view_sink_refuses_heartbeat_misuse(spark, tmp_path):
+    """dim_heartbeat_rps was silently ignored with available_now=True and
+    version-churned with refresh_dim=False — both now refuse up front
+    (review r11)."""
+    import pytest as _pytest
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame([(10, "red")], "b_pk BIGINT, color STRING").write.parquet(
+        dim_path
+    )
+    sink = MaterializedJoinView(
+        str(tmp_path / "view"), dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk"
+    )
+    input_dir = str(tmp_path / "in")
+    _write(spark, input_dir, [(1, 10, 5.0, "added")], FACT_CDC_SCHEMA)
+    stream = spark.readStream.schema(FACT_CDC_SCHEMA).parquet(input_dir)
+    with _pytest.raises(ValueError, match="only applies to continuous"):
+        run_view_sink(
+            stream, sink, str(tmp_path / "chk"),
+            available_now=True, refresh_dim=True, dim_heartbeat_rps=5,
+        )
+    with _pytest.raises(ValueError, match="refresh_dim=True"):
+        run_view_sink(
+            stream, sink, str(tmp_path / "chk"),
+            available_now=False, refresh_dim=False, dim_heartbeat_rps=5,
+        )
