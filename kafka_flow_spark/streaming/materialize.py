@@ -1483,6 +1483,51 @@ def with_dim_heartbeat(stream: DataFrame, rows_per_second: int = 1) -> DataFrame
     return stream.unionByName(empty)
 
 
+def _validate_cascade(
+    sink: _VersionedView, cascade: "list[ViewSubscription] | None"
+) -> "list[ViewSubscription]":
+    """Topological-order validation, run BEFORE the stream starts: a hop
+    whose upstream is neither the primary sink nor an earlier entry's
+    downstream would silently lag one invocation behind (or follow a root
+    this loop never advances at all)."""
+    casc = list(cascade or [])
+    known = {sink.path}
+    for i, sub in enumerate(casc):
+        if not isinstance(sub, ViewSubscription):
+            raise ValueError(
+                f"cascade[{i}] must be a ViewSubscription, got "
+                f"{type(sub).__name__}"
+            )
+        if sub.upstream.path not in known:
+            raise ValueError(
+                f"cascade[{i}] follows {sub.upstream.path!r}, which is "
+                "neither the primary sink's root nor an earlier cascade "
+                "entry's downstream — list subscriptions in topological "
+                "order from the sink outward"
+            )
+        known.add(sub.downstream.path)
+    return casc
+
+
+def cascading_sink(
+    sink: _VersionedView, cascade: "list[ViewSubscription]"
+):
+    """The in-loop cascade wrapper ``run_view_sink`` installs for continuous
+    triggers: after the primary sink's commit, every subscription advances
+    in topological order INSIDE the same foreachBatch turn — the engine
+    only acknowledges the batch once the whole DAG has committed, so a
+    crash anywhere replays the batch, the primary sink skips the replay
+    (batch id on record) and each hop resumes from its committed cursor."""
+    casc = _validate_cascade(sink, cascade)
+
+    def fb(batch: DataFrame, batch_id: int) -> None:
+        sink(batch, batch_id)
+        for sub in casc:
+            sub.advance(batch.sparkSession)
+
+    return fb
+
+
 def run_view_sink(
     stream: DataFrame,
     sink: _VersionedView,
@@ -1490,11 +1535,36 @@ def run_view_sink(
     available_now: bool = True,
     refresh_dim: bool = False,
     dim_heartbeat_rps: int | None = None,
+    cascade: "list[ViewSubscription] | None" = None,
 ) -> None:
     """Drive a CDC/append stream into a materialized-view sink — with
     ``available_now=True`` (the scheduled-run shape) to backlog exhaustion
     and stop, restartable: the checkpoint replays the last in-flight batch,
     the versioned commit makes the replay idempotent.
+
+    ``cascade=[ViewSubscription, ...]`` drives DOWNSTREAM views IN-LOOP —
+    the reference's consumer fan-out (``TopicFlow.apply`` routes each poll
+    to every registered consumer and commits in one place,
+    core/.../TopicFlow.scala:84-104): one invocation advances the whole
+    multi-hop DAG to truth instead of the caller scheduling N ``follow()``
+    calls in topological order themselves.  Subscriptions must be listed in
+    topological order (each upstream is the primary sink or an EARLIER
+    entry's downstream — validated up front); fan-out (two subscriptions
+    off one upstream) is fine.  Per trigger mode:
+
+    - ``available_now=True``: the cascade advances once AFTER the drain
+      (and after the optional post-drain dim refresh, so a dim-only version
+      propagates too) — the scheduled-run shape.
+    - ``available_now=False``: the cascade advances after EVERY committed
+      micro-batch, inside the same foreachBatch single-writer turn —
+      heartbeat batches included, so a dim-heartbeat version propagates
+      downstream within the same trigger interval.
+
+    Exactly-once under crashes needs no new machinery: a crash mid-cascade
+    fails the batch, the stream replays it, the primary sink skips the
+    replay (batch id on record) and each subscription resumes from its
+    committed cursor — the existing protocols compose
+    (test_cascade_crash_mid_hop_recovers_exactly_once).
 
     ``refresh_dim=True`` (join-view sinks) keeps the dim fresh without fact
     traffic, per trigger mode:
@@ -1549,8 +1619,10 @@ def run_view_sink(
                 "drop the flag"
             )
         stream = with_dim_heartbeat(stream, dim_heartbeat_rps)
+    casc = _validate_cascade(sink, cascade)
+    fb = cascading_sink(sink, cascade) if casc and not available_now else sink
     q = (
-        stream.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(fb)
         .outputMode("update")
         .option("checkpointLocation", checkpoint)
         .trigger(**({"availableNow": True} if available_now else {"processingTime": "200 milliseconds"}))
@@ -1559,6 +1631,9 @@ def run_view_sink(
     q.awaitTermination()
     if refresh_dim and sink.last_committed(stream.sparkSession) is not None:
         sink.refresh(stream.sparkSession)
+    if casc and available_now:
+        for sub in casc:
+            sub.advance(stream.sparkSession)
 
 
 class MaterializedSketchView(_VersionedView):
@@ -1821,3 +1896,120 @@ def follow(
     return ViewSubscription(open_view(spark, upstream_root), downstream, table).advance(
         spark
     )
+
+
+def _follower_cursor_meta(spark: SparkSession, root: str) -> dict | None:
+    """The ``_CURSOR_META.json`` off ``root``'s committed head — None when
+    the root has no head or its head carries no cursor (not
+    subscription-managed)."""
+    vs = _committed_versions(spark, root)
+    if not vs:
+        return None
+    return _read_json_file(spark, f"{root}/v={vs[-1]}/{_CURSOR_META}")
+
+
+def follow_all(
+    spark: SparkSession, roots: list[str], table: str | None = None
+) -> dict[str, int | None]:
+    """Advance EVERY subscription-managed downstream root in ``roots`` in
+    topological order — the cron shape of ``run_view_sink``'s in-loop
+    ``cascade``: each root's upstream is read off its own committed head's
+    ``_CURSOR_META`` (the on-disk truth, never caller flags), edges among
+    the given roots are topologically sorted, and each hop advances via the
+    normal exactly-once subscription protocol.  Returns {root: committed
+    version or None (caught up)}.
+
+    Refuses a root with no committed head or no cursor (bootstrap a new
+    downstream once with ``follow(spark, upstream_root, sink)`` — its
+    upstream is unknowable from an empty directory) and a cycle among the
+    given roots (a subscription DAG cannot contain one; a cycle means the
+    cursors were hand-edited)."""
+    ups: dict[str, str] = {}
+    for root in roots:
+        meta = _follower_cursor_meta(spark, root)
+        if meta is None:
+            raise ValueError(
+                f"{root} has no committed head with a subscription cursor — "
+                "bootstrap it once with follow(spark, upstream_root, sink) "
+                "(an empty root does not record which upstream it follows)"
+            )
+        ups[root] = meta["upstream_root"]
+    ordered: list[str] = []
+    seen: set[str] = set()
+
+    def visit(root: str, path: tuple[str, ...]) -> None:
+        if root in seen:
+            return
+        if root in path:
+            raise ValueError(
+                f"cycle among subscription roots: {' -> '.join(path + (root,))}"
+            )
+        up = ups.get(root)
+        if up in ups:
+            visit(up, path + (root,))
+        seen.add(root)
+        ordered.append(root)
+
+    for root in roots:
+        visit(root, ())
+    out: dict[str, int | None] = {}
+    for root in ordered:
+        out[root] = follow(spark, ups[root], open_view(spark, root), table)
+    return out
+
+
+def view_status(
+    spark: SparkSession, root: str, downstreams: list[str] | None = None
+) -> dict:
+    """Cascade-health introspection for a view root — the store's analog of
+    the reference's registry introspection (#39,
+    core/.../EntityRegistry.scala:23-121 exposes the live entities;
+    a 100 TB view's operators need the same visibility over versions and
+    followers before they vacuum):
+
+    - ``head`` / ``head_batch_id`` / ``committed``: the version log;
+    - ``kind`` / ``n_buckets``: the head's authoritative meta (None legacy);
+    - per downstream root in ``downstreams``: its recorded cursor, whether
+      it follows THIS root, and ``versions_behind`` (committed upstream
+      versions after the cursor — 3 versions behind reports 3);
+    - ``min_follower_cursor`` / ``droppable_before``: the oldest upstream
+      version some follower still needs — ``vacuum`` must keep at least
+      back to it or a lagging follower's next CDF read refuses; versions
+      OLDER than it are safe to drop (subject to vacuum's own manifest
+      closure, which it computes itself).
+    """
+    committed = _committed_versions(spark, root)
+    head = committed[-1] if committed else None
+    meta = read_view_meta(spark, root)
+    out = {
+        "root": root,
+        "head": head,
+        "head_batch_id": (
+            _read_batch_meta(spark, root, head) if head is not None else None
+        ),
+        "committed": committed,
+        "kind": None if meta is None else meta.get("kind"),
+        "n_buckets": None if meta is None else meta.get("n_buckets"),
+        "followers": [],
+    }
+    cursors = []
+    for d in downstreams or []:
+        cmeta = _follower_cursor_meta(spark, d)
+        follows_this = cmeta is not None and cmeta.get("upstream_root") == root
+        cur = int(cmeta["upstream_version"]) if follows_this else None
+        behind = (
+            sum(1 for v in committed if cur < v) if cur is not None else None
+        )
+        out["followers"].append(
+            {
+                "root": d,
+                "follows_this_root": follows_this,
+                "cursor": cur,
+                "versions_behind": behind,
+            }
+        )
+        if cur is not None:
+            cursors.append(cur)
+    out["min_follower_cursor"] = min(cursors) if cursors else None
+    out["droppable_before"] = min(cursors) if cursors else None
+    return out

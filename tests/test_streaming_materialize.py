@@ -2011,3 +2011,272 @@ def test_run_view_sink_refuses_heartbeat_misuse(spark, tmp_path):
             stream, sink, str(tmp_path / "chk"),
             available_now=False, refresh_dim=False, dim_heartbeat_rps=5,
         )
+
+
+# --- r12: in-loop cascades (run_view_sink cascade=), follow_all, view_status --
+
+
+def _sub(up, down, table="base"):
+    from kafka_flow_spark.streaming.materialize import ViewSubscription
+
+    return ViewSubscription(up, down, table=table)
+
+
+def test_cascade_two_hop_dag_advances_in_one_invocation(spark, tmp_path):
+    """The round-11 gap closed: run_view_sink(cascade=[...]) drives a 2-hop
+    DAG to truth in ONE invocation — no external scheduler calling follow()
+    per hop (the reference's in-loop consumer fan-out,
+    core/.../TopicFlow.scala:84-104).  A second invocation over new backlog
+    rolls every hop forward from its committed cursor."""
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    up = MaterializedAggView(str(tmp_path / "up"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d1 = MaterializedAggView(str(tmp_path / "d1"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d2 = MaterializedAggView(str(tmp_path / "d2"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    casc = [_sub(up, d1), _sub(d1, d2)]
+
+    _write(
+        spark, input_dir,
+        [(i, f"g{i % 3}", float(i), "added") for i in range(9)],
+        CDC_SCHEMA,
+    )
+    stream = spark.readStream.schema(CDC_SCHEMA).parquet(input_dir)
+    run_view_sink(stream, up, chk, cascade=casc)
+    truth = _recompute_rows(up._read(spark, up.last_committed(spark), "base"))
+    assert _result_rows(d1, spark) == truth
+    assert _result_rows(d2, spark) == truth
+
+    # new backlog, same checkpoint: one invocation rolls ALL hops forward
+    _write(
+        spark, input_dir,
+        [(0, "gX", 100.0, "changed"), (8, None, None, "deleted"),
+         (9, "g0", 9.0, "added")],
+        CDC_SCHEMA,
+    )
+    stream = spark.readStream.schema(CDC_SCHEMA).parquet(input_dir)
+    run_view_sink(stream, up, chk, cascade=casc)
+    truth = _recompute_rows(up._read(spark, up.last_committed(spark), "base"))
+    assert truth == _result_rows(up, spark)
+    assert _result_rows(d1, spark) == truth
+    assert _result_rows(d2, spark) == truth
+
+
+def test_cascade_crash_mid_hop_recovers_exactly_once(spark, tmp_path, monkeypatch):
+    """A crash in a downstream hop's commit during the cascade loses nothing
+    and double-applies nothing: the next invocation (no new fact data at
+    all) resumes every hop from its committed cursor — the subscription
+    protocol composes with the in-loop wiring unchanged."""
+    import pytest as _pytest
+
+    import kafka_flow_spark.streaming.materialize as M
+
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    up = MaterializedAggView(str(tmp_path / "up"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d1 = MaterializedAggView(str(tmp_path / "d1"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d2 = MaterializedAggView(str(tmp_path / "d2"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d1_path, d2_path = d1.path, d2.path
+    casc = [_sub(up, d1), _sub(d1, d2)]
+
+    _write(
+        spark, input_dir,
+        [(i, f"g{i % 2}", float(i), "added") for i in range(6)],
+        CDC_SCHEMA,
+    )
+    real = M._commit_version
+    state = {"crashed": False}
+
+    def boom(s, root, version):
+        if root == d2_path and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash in hop 2")
+        return real(s, root, version)
+
+    monkeypatch.setattr(M, "_commit_version", boom)
+    stream = spark.readStream.schema(CDC_SCHEMA).parquet(input_dir)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        run_view_sink(stream, up, chk, cascade=casc)
+    # hop 1 committed, hop 2 torn (no marker)
+    assert d1.last_committed(spark) is not None
+    assert d2.last_committed(spark) is None
+
+    # the retry: NO new data — the drain does nothing, the cascade catches up
+    stream = spark.readStream.schema(CDC_SCHEMA).parquet(input_dir)
+    run_view_sink(stream, up, chk, cascade=casc)
+    truth = _recompute_rows(up._read(spark, up.last_committed(spark), "base"))
+    assert _result_rows(d1, spark) == truth
+    assert _result_rows(d2, spark) == truth
+    # idempotent: nothing further to apply
+    assert _sub(up, d1).advance(spark) is None
+    assert _sub(d1, d2).advance(spark) is None
+
+
+def test_cascade_validates_topology_before_starting(spark, tmp_path):
+    """Out-of-order (or disconnected) cascade entries refuse BEFORE the
+    stream starts — a hop following a root the loop never advances would
+    silently lag forever."""
+    import pytest as _pytest
+
+    input_dir = str(tmp_path / "in")
+    _write(spark, input_dir, [(1, "a", 1.0, "added")], CDC_SCHEMA)
+    up = MaterializedAggView(str(tmp_path / "up"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d1 = MaterializedAggView(str(tmp_path / "d1"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d2 = MaterializedAggView(str(tmp_path / "d2"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    stream = spark.readStream.schema(CDC_SCHEMA).parquet(input_dir)
+    # wrong order: d2's upstream (d1) is not yet a known downstream
+    with _pytest.raises(ValueError, match="topological order"):
+        run_view_sink(
+            stream, up, str(tmp_path / "chk"),
+            cascade=[_sub(d1, d2), _sub(up, d1)],
+        )
+    with _pytest.raises(ValueError, match="ViewSubscription"):
+        run_view_sink(stream, up, str(tmp_path / "chk"), cascade=[d1])
+
+
+def test_cascading_sink_continuous_advances_downstream_per_batch(spark, tmp_path):
+    """The continuous-trigger wrapper (cascading_sink — what run_view_sink
+    installs for available_now=False): every committed micro-batch advances
+    the downstream inside the SAME foreachBatch turn."""
+    import time
+
+    from kafka_flow_spark.streaming.materialize import cascading_sink
+
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    up = MaterializedAggView(str(tmp_path / "up"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d1 = MaterializedAggView(str(tmp_path / "d1"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    fb = cascading_sink(up, [_sub(up, d1)])
+
+    _write(spark, input_dir, [(1, "a", 1.0, "added"), (2, "b", 2.0, "added")], CDC_SCHEMA)
+    q = (
+        spark.readStream.schema(CDC_SCHEMA).parquet(input_dir)
+        .writeStream.foreachBatch(fb)
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def wait_for(pred, timeout=60.0):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            if pred():
+                return True
+            time.sleep(0.3)
+        return False
+
+    def d1_rows():
+        try:
+            return _result_rows(d1, spark) if d1.last_committed(spark) is not None else set()
+        except ValueError:
+            return set()
+
+    try:
+        assert wait_for(
+            lambda: d1_rows() == {("a", 1, 1.0, 1.0, 1.0), ("b", 1, 2.0, 2.0, 2.0)}
+        ), "hop never advanced in-loop"
+        # second batch while the query is live: the hop rides it too
+        _write(spark, input_dir, [(1, "a", 9.0, "changed")], CDC_SCHEMA)
+        assert wait_for(
+            lambda: d1_rows() == {("a", 1, 9.0, 9.0, 9.0), ("b", 1, 2.0, 2.0, 2.0)}
+        ), "second batch never cascaded"
+    finally:
+        q.stop()
+
+
+def test_follow_all_topo_sorts_and_refuses_uninitialized(spark, tmp_path):
+    """follow_all advances every given follower in topological order derived
+    from the on-disk cursors (roots may be passed in ANY order), and refuses
+    a root that was never bootstrapped (its upstream is unknowable)."""
+    import pytest as _pytest
+
+    from kafka_flow_spark.streaming.materialize import follow_all
+
+    up = MaterializedAggView(str(tmp_path / "up"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d1 = MaterializedAggView(str(tmp_path / "d1"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d2 = MaterializedAggView(str(tmp_path / "d2"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    up(spark.createDataFrame([(1, "a", 1.0, "added"), (2, "b", 2.0, "added")], CDC_SCHEMA), 0)
+    # bootstrap once per hop (records each downstream's upstream on disk)
+    assert _sub(up, d1).advance(spark) == 0
+    assert _sub(d1, d2).advance(spark) == 0
+
+    up(spark.createDataFrame([(3, "a", 3.0, "added")], CDC_SCHEMA), 1)
+    # reverse order given: topo sort must advance d1 BEFORE d2 anyway
+    out = follow_all(spark, [d2.path, d1.path])
+    assert out[d1.path] == 1 and out[d2.path] == 1
+    truth = _recompute_rows(up._read(spark, 1, "base"))
+    assert _result_rows(d1, spark) == truth
+    assert _result_rows(d2, spark) == truth
+    # caught up: all None
+    assert follow_all(spark, [d2.path, d1.path]) == {d1.path: None, d2.path: None}
+
+    d3 = MaterializedAggView(str(tmp_path / "d3"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    with _pytest.raises(ValueError, match="bootstrap"):
+        follow_all(spark, [d3.path])
+
+
+def test_view_status_reports_follower_lag(spark, tmp_path):
+    """The lag golden: a subscriber 3 versions behind reports 3; the
+    min-follower cursor names the oldest version vacuum must keep; a root
+    following a DIFFERENT upstream is flagged, not miscounted."""
+    from kafka_flow_spark.streaming.materialize import view_status
+
+    up = MaterializedAggView(str(tmp_path / "up"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d1 = MaterializedAggView(str(tmp_path / "d1"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    other_up = MaterializedAggView(str(tmp_path / "oup"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d_other = MaterializedAggView(str(tmp_path / "dot"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+
+    up(spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0)
+    assert _sub(up, d1).advance(spark) == 0
+    other_up(spark.createDataFrame([(9, "z", 9.0, "added")], CDC_SCHEMA), 0)
+    assert _sub(other_up, d_other).advance(spark) == 0
+
+    # upstream advances 3 more versions; d1 does not follow
+    for i in range(1, 4):
+        up(spark.createDataFrame([(1 + i, "a", float(i), "added")], CDC_SCHEMA), i)
+
+    st = view_status(spark, up.path, [d1.path, d_other.path])
+    assert st["head"] == 3 and st["kind"] == "agg" and st["n_buckets"] == 4
+    f1 = next(f for f in st["followers"] if f["root"] == d1.path)
+    assert f1["follows_this_root"] and f1["cursor"] == 0
+    assert f1["versions_behind"] == 3
+    f2 = next(f for f in st["followers"] if f["root"] == d_other.path)
+    assert not f2["follows_this_root"] and f2["cursor"] is None
+    assert st["min_follower_cursor"] == 0 and st["droppable_before"] == 0
+
+    # catch up: lag drops to zero
+    assert _sub(up, d1).advance(spark) is not None
+    st2 = view_status(spark, up.path, [d1.path])
+    assert st2["followers"][0]["versions_behind"] == 0
+    assert st2["min_follower_cursor"] == 3
+
+
+def test_view_admin_status_and_follow_all_cli(spark, tmp_path, monkeypatch, capsys):
+    """CLI smoke for the two new subcommands: status prints head + follower
+    lag; follow-all advances followers given in any order."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import view_admin
+
+    up = MaterializedAggView(str(tmp_path / "up"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d1 = MaterializedAggView(str(tmp_path / "d1"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d2 = MaterializedAggView(str(tmp_path / "d2"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    up(spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0)
+    assert _sub(up, d1).advance(spark) == 0
+    assert _sub(d1, d2).advance(spark) == 0
+    up(spark.createDataFrame([(2, "b", 2.0, "added")], CDC_SCHEMA), 1)
+
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["view_admin.py", "status", up.path, "--downstream", d1.path],
+    )
+    view_admin.main()
+    out = capsys.readouterr().out
+    assert "head=v1" in out and "versions_behind=1" in out
+
+    monkeypatch.setattr(
+        _sys, "argv", ["view_admin.py", "follow-all", d2.path, d1.path]
+    )
+    view_admin.main()
+    out = capsys.readouterr().out
+    assert "committed v=1" in out
+    truth = _recompute_rows(up._read(spark, 1, "base"))
+    assert _result_rows(d2, spark) == truth

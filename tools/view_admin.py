@@ -12,6 +12,11 @@ one entry point:
                                                        CDF read → parquet/show
   follow     <downstream_root> --upstream <root> [--table T]
                                                        subscription advance (CDF cascade)
+  follow-all <downstream_root> [...]                   advance every given follower in
+                                                       topological order (cron shape of
+                                                       run_view_sink's in-loop cascade)
+  status     <root> [--downstream R1,R2,...]           head/versions + follower lag
+                                                       (versions-behind, droppable-before)
 
 Every op reconstructs the REAL sink from the root's ``_VIEW_META.json``
 (written by the owning sink at every commit), so nothing here trusts
@@ -109,6 +114,18 @@ def main() -> None:
     p.add_argument("downstream_root")
     p.add_argument("--upstream", required=True)
     p.add_argument("--table", default=None, help="upstream CDF table (default: auto)")
+
+    p = sub.add_parser("follow-all")
+    p.add_argument("roots", nargs="+", help="subscription-managed downstream roots")
+    p.add_argument("--table", default=None, help="upstream CDF table (default: auto)")
+
+    p = sub.add_parser("status")
+    p.add_argument("root")
+    p.add_argument(
+        "--downstream",
+        default=None,
+        help="comma-separated follower roots to report lag for",
+    )
 
     args = ap.parse_args()
     from kafka_flow_spark.session import get_spark
@@ -214,6 +231,34 @@ def main() -> None:
         down = _open(spark, args.downstream_root)
         v = follow(spark, args.upstream, down, table=args.table)
         print("caught up - nothing written" if v is None else f"committed v={v}")
+    elif args.cmd == "follow-all":
+        from kafka_flow_spark.streaming.materialize import follow_all
+
+        for root, v in follow_all(spark, args.roots, table=args.table).items():
+            print(f"{root}\t{'caught up' if v is None else f'committed v={v}'}")
+    elif args.cmd == "status":
+        from kafka_flow_spark.streaming.materialize import view_status
+
+        downs = args.downstream.split(",") if args.downstream else None
+        st = view_status(spark, args.root, downs)
+        print(
+            f"root={st['root']}\nkind={st['kind']}\tn_buckets={st['n_buckets']}\n"
+            f"head=v{st['head']}\tbatch_id={st['head_batch_id']}\n"
+            f"committed={st['committed']}"
+        )
+        for f in st["followers"]:
+            if not f["follows_this_root"]:
+                print(f"follower {f['root']}: DOES NOT FOLLOW this root")
+            else:
+                print(
+                    f"follower {f['root']}: cursor=v{f['cursor']}\t"
+                    f"versions_behind={f['versions_behind']}"
+                )
+        if st["min_follower_cursor"] is not None:
+            print(
+                f"min_follower_cursor=v{st['min_follower_cursor']}\t"
+                f"(vacuum must keep back to it; older versions droppable)"
+            )
 
 
 if __name__ == "__main__":
