@@ -499,9 +499,12 @@ class _VersionedView:
                 "reads resolve through the manifest schema, so a mismatched "
                 "write would silently drop or null the divergent columns; "
                 "for ADDED columns run evolve(spark, add_columns={name: "
-                "backfill_expr}) once (offline, between batches) to extend "
-                "the pinned schema with one full rewrite; for renames/type "
-                "changes rebuild the view under a new root"
+                "backfill_expr}) once (offline, between batches); for "
+                "RENAMED payload columns run evolve_rename(spark, {old: "
+                "new}) once; for TYPE changes rebuild the view under a new "
+                "root (read the head, cast, write fresh, repoint consumers "
+                "— old parquet read under a retyped pinned schema can fail "
+                "mid-read, so there is no safe in-place retype)"
             )
         schema_json = prev_man["schema"]
         pk = self.bucketed[table]
@@ -1001,6 +1004,120 @@ class _VersionedView:
     def evolve_tables(self) -> list[str]:
         """The stream-row-shaped tables ``evolve`` extends by default."""
         return sorted(self.bucketed)
+
+    def _critical_columns(self) -> set[str]:
+        """Columns the sink's CONSTRUCTOR names — bucketing pks, grouping
+        keys, the join fk, the aggregated value column.  Renaming one of
+        these is not a schema evolution, it is a different view (the bucket
+        hash inputs and the maintenance logic change identity)."""
+        out: set[str] = set()
+        for pk in self.bucketed.values():
+            out.update(pk)
+        meta = self._meta() or {}
+        for k in ("keys", "group_cols"):
+            out.update(meta.get(k) or [])
+        for k in ("value_col", "fk", "b_pk"):
+            if meta.get(k):
+                out.add(meta[k])
+        return out
+
+    def evolve_rename(
+        self,
+        spark: SparkSession,
+        renames: dict[str, str],
+        tables: list[str] | None = None,
+    ) -> int:
+        """Rename PAYLOAD columns: one offline full rewrite (the ``evolve``
+        pattern) committing a new version whose target tables carry
+        ``renames[old] = new``, with fresh manifests pinning the renamed
+        schema.  Completes the evolution surface: ADD is ``evolve``, RENAME
+        is this, and a RETYPE stays a loud refusal with the rebuild recipe
+        (``_write_bucketed_patch``'s drift message) — old parquet read
+        under a retyped pinned schema can fail mid-read, so there is no
+        safe in-place form.
+
+        Bucketing/grouping-CRITICAL columns refuse: a pk/keys/fk/value_col
+        rename changes the sink's identity (the bucket hash inputs, the
+        maintenance logic, the stored meta), so the remedy is the
+        copy-evolve-backfill recipe — read the head, rename, write a FRESH
+        root with the renamed constructor, repoint stream + consumers.
+
+        CDF across the rename boundary (pinned by
+        test_evolve_rename_cdf_across_boundary): both sides read under the
+        NEWER manifest's schema, the old side's renamed column resolves
+        NULL (parquet fills absent columns), so every row reports
+        ``changed`` with old-side NULLs — values were preserved but the
+        pinned-schema read cannot know the mapping.  Renaming inside a
+        cascade therefore follows the evolve recipe: rename the DOWNSTREAM
+        first is not possible (its batches still carry the old name), so
+        drain the subscription to the head, rename upstream AND downstream
+        in the same maintenance window, then resume.
+
+        After it returns, subsequent micro-batches must carry the NEW name
+        (a stream still producing the old one refuses loudly, as ever).
+        """
+        if not renames:
+            raise ValueError("evolve_rename needs at least one column")
+        for old, new in renames.items():
+            if old == new:
+                raise ValueError(f"rename {old!r} -> {new!r} is a no-op")
+        if len(set(renames.values())) != len(renames):
+            raise ValueError(f"duplicate rename targets in {renames}")
+        targets = list(tables) if tables is not None else list(self.evolve_tables)
+        if not targets:
+            raise ValueError(
+                f"{type(self).__name__} has no evolvable (stream-row-shaped) "
+                "tables — pass tables= explicitly if you know better"
+            )
+        bad = [t for t in targets if t not in self.tables]
+        if bad:
+            raise ValueError(f"unknown tables {bad} (have {sorted(self.tables)})")
+        crit = sorted(set(renames) & self._critical_columns())
+        if crit:
+            raise ValueError(
+                f"evolve_rename refuses bucketing/grouping-critical columns "
+                f"{crit} — renaming them changes the view's identity (bucket "
+                "hash inputs, maintenance keys, stored meta); use the "
+                "copy-evolve-backfill recipe instead: read the head, rename, "
+                "write a FRESH root with the renamed constructor arguments, "
+                "then repoint the stream and every subscriber"
+            )
+        last = self.last_committed(spark)
+        if last is None:
+            raise ValueError(
+                f"materialized view at {self.path} has no committed version "
+                "to rename columns on"
+            )
+        self._check_meta(spark)
+        self._refuse_uncovered_tables(spark, last, "evolve_rename")
+        committed = {t: self._read(spark, last, t) for t in self.tables}
+        for t in targets:
+            cur = committed[t]
+            missing = [c for c in renames if c not in cur.columns]
+            if missing:
+                raise ValueError(
+                    f"evolve_rename: columns {missing} do not exist on "
+                    f"table {t!r} (has {cur.columns})"
+                )
+            clash = [n for n in renames.values() if n in cur.columns]
+            if clash:
+                raise ValueError(
+                    f"evolve_rename: target names {clash} already exist on "
+                    f"table {t!r}"
+                )
+            for old, new in renames.items():
+                cur = cur.withColumnRenamed(old, new)
+            committed[t] = cur
+        version = last + 1
+        self._write_all(
+            spark,
+            version,
+            committed,
+            prev=last,
+            batch_id=_read_batch_meta(spark, self.path, last),
+            extras=self._carry_extras(spark, last),
+        )
+        return version
 
     # -- subclass contract ---------------------------------------------------
     def _initial(self, batch: DataFrame) -> dict[str, DataFrame]:

@@ -2280,3 +2280,112 @@ def test_view_admin_status_and_follow_all_cli(spark, tmp_path, monkeypatch, caps
     assert "committed v=1" in out
     truth = _recompute_rows(up._read(spark, 1, "base"))
     assert _result_rows(d2, spark) == truth
+
+
+# --- r12: payload-column rename (evolve_rename) --------------------------------
+
+
+def test_evolve_rename_then_deltas_continue(spark, tmp_path):
+    """evolve_rename commits ONE full rewrite pinning the renamed schema:
+    existing rows keep their values under the new name, subsequent batches
+    must carry it (old-name batches refuse via the standing drift guard),
+    and maintained state equals the recompute."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=4)
+    sink(
+        spark.createDataFrame(
+            [(1, "a", 1.0, "added"), (2, "b", 2.0, "added")], CDC_SCHEMA
+        ),
+        0,
+    )
+    # 'k' is a grouping key and 'v' the value column — only a payload rename
+    # is possible here, so evolve a payload column first, then rename it
+    sink.evolve(spark, {"note": "upper(k)"})
+    v = sink.evolve_rename(spark, {"note": "tag"})
+    assert v == 2
+    base = {tuple(r) for r in sink._read(spark, v, "base").select("pk", "tag").collect()}
+    assert base == {(1, "A"), (2, "B")}  # values preserved under the new name
+
+    # a batch still carrying the OLD name refuses loudly
+    old_shape = spark.createDataFrame(
+        [(3, "c", 3.0, "C", "added")],
+        "pk BIGINT, k STRING, v DOUBLE, note STRING, status STRING",
+    )
+    # (the changeset coverage guard fires first — the renamed column is
+    # absent from the old-shape batch; either guard is loud, never silent)
+    with _pytest.raises(ValueError, match="tag.*missing|evolve_rename"):
+        sink(old_shape, 1)
+    # the new shape continues; state == recompute
+    sink(
+        spark.createDataFrame(
+            [(3, "c", 3.0, "C", "added")],
+            "pk BIGINT, k STRING, v DOUBLE, tag STRING, status STRING",
+        ),
+        1,
+    )
+    assert _result_rows(sink, spark) == _recompute_rows(
+        sink._read(spark, sink.last_committed(spark), "base")
+    )
+
+
+def test_evolve_rename_refusal_battery(spark, tmp_path):
+    """Critical-column renames (pk / grouping key / value col / fk) refuse
+    with the copy-evolve-backfill recipe; missing columns, clashes, no-ops
+    and duplicate targets refuse too."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=4)
+    sink(spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0)
+    for crit in ("pk", "k", "v"):
+        with _pytest.raises(ValueError, match="critical"):
+            sink.evolve_rename(spark, {crit: "renamed"})
+    with _pytest.raises(ValueError, match="do not exist"):
+        sink.evolve_rename(spark, {"ghost": "renamed"})
+    sink.evolve(spark, {"note": "upper(k)"})
+    with _pytest.raises(ValueError, match="already exist"):
+        sink.evolve_rename(spark, {"note": "k"})
+    with _pytest.raises(ValueError, match="no-op"):
+        sink.evolve_rename(spark, {"note": "note"})
+    with _pytest.raises(ValueError, match="duplicate"):
+        sink.evolve_rename(spark, {"note": "x", "k": "x"})
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame([(10, "red")], "b_pk BIGINT, color STRING").write.parquet(
+        dim_path
+    )
+    jsink = MaterializedJoinView(
+        str(tmp_path / "jview"), dim_path, a_pk=["pk"], fk="fk", b_pk="b_pk",
+        n_buckets=4,
+    )
+    jsink(spark.createDataFrame([(1, 10, 5.0, "added")], FACT_CDC_SCHEMA), 0)
+    for crit in ("pk", "fk", "b_pk"):
+        with _pytest.raises(ValueError, match="critical"):
+            jsink.evolve_rename(spark, {crit: "renamed"}, tables=["fact", "view"])
+
+
+def test_evolve_rename_cdf_across_boundary(spark, tmp_path):
+    """Pinned: a CDF read SPANNING the rename boundary resolves old-side
+    rows under the NEWER schema (renamed column NULL), so every surviving
+    row reports 'changed' — values were preserved, but the pinned-schema
+    read cannot know the mapping.  Reads on either side of the boundary
+    stay exact."""
+    path = str(tmp_path / "view")
+    sink = MaterializedAggView(path, ["k"], "v", row_pk=["pk"], n_buckets=4)
+    sink(
+        spark.createDataFrame(
+            [(1, "a", 1.0, "added"), (2, "b", 2.0, "added")], CDC_SCHEMA
+        ),
+        0,
+    )
+    sink.evolve(spark, {"note": "upper(k)"})       # v1
+    sink.evolve_rename(spark, {"note": "tag"})     # v2
+    ch = sink.changes_between(spark, 1, 2).collect()
+    by_pk = {r["pk"]: r for r in ch}
+    assert set(by_pk) == {1, 2}
+    for r in ch:
+        assert r["status"] == "changed" and r["tag"] is not None
+    # within-side reads stay exact
+    assert sink.changes_between(spark, 0, 1).count() == 2  # backfill literal

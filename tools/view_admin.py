@@ -8,6 +8,7 @@ one entry point:
   refresh    <root>                                    dim-only advance (join view)
   rebucket   <root> --n-new N                          offline bucket migration
   evolve     <root> --add name=sql_expr [...]          additive schema evolution
+  rename     <root> --map old=new [...]                payload-column rename (one rewrite)
   changes    <root> --from V --to V [--table T] [--out DIR]
                                                        CDF read → parquet/show
   follow     <downstream_root> --upstream <root> [--table T]
@@ -101,6 +102,21 @@ def main() -> None:
         help="comma-separated table names (default: the sink's evolve_tables)",
     )
 
+    p = sub.add_parser("rename")
+    p.add_argument("root")
+    p.add_argument(
+        "--map",
+        action="append",
+        required=True,
+        metavar="OLD=NEW",
+        help="payload column to rename (repeatable)",
+    )
+    p.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated table names (default: the sink's evolve_tables)",
+    )
+
     p = sub.add_parser("changes")
     p.add_argument("root")
     p.add_argument("--from", dest="v_from", type=int, required=True)
@@ -180,6 +196,17 @@ def main() -> None:
         view = _open(spark, args.root)
         v = view.evolve(spark, adds, tables=tables)
         print(f"committed v={v} with columns {sorted(adds)}")
+    elif args.cmd == "rename":
+        renames = {}
+        for spec in args.map:
+            if "=" not in spec:
+                raise SystemExit(f"--map needs OLD=NEW, got {spec!r}")
+            old, new = spec.split("=", 1)
+            renames[old.strip()] = new.strip()
+        tables = args.tables.split(",") if args.tables else None
+        view = _open(spark, args.root)
+        v = view.evolve_rename(spark, renames, tables=tables)
+        print(f"committed v={v} with renames {renames}")
     elif args.cmd == "changes":
         from kafka_flow_spark.streaming.materialize import read_view_meta
 
