@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _MAGIC = b"FAKE"
 _HEADER = ">4s3siii"  # magic, media_type, width, height, duration_ms
@@ -99,12 +100,18 @@ def decode_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
-def extract_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+def extract_features(
+    df: DataFrame, media_col: str = "media", normalize: bool = True
+) -> DataFrame:
     """Deterministic feature vector per media item (stub for a CNN/encoder).
 
     Vectorized: a rolling byte histogram folded to FEATURE_DIM floats in
     numpy — the shape (binary in, ``array<float>`` out, Arrow batches) is
     exactly what a real encoder UDF has.
+
+    ``normalize=False`` emits the RAW integer counts (exactly representable
+    in float) — the exact-arithmetic form the oracle-gated media near-dup
+    uses so Spark and DuckDB compute cosines from IDENTICAL inputs.
     """
     schema = f"media_id BIGINT, features ARRAY<FLOAT>"
 
@@ -117,11 +124,106 @@ def extract_features(df: DataFrame, media_col: str = "media") -> DataFrame:
                 hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(
                     np.float32
                 )
-                norm = np.linalg.norm(hist)
-                feats.append((hist / norm if norm else hist).tolist())
+                if normalize:
+                    norm = np.linalg.norm(hist)
+                    hist = hist / norm if norm else hist
+                feats.append(hist.tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return df.mapInPandas(run, schema=schema)
+
+
+def payload_expr(media_col: str = "media") -> F.Column:
+    """The blob's payload (container header stripped) as a COLUMN EXPRESSION
+    — the header is fixed-length, so this is a JVM-side ``substring`` on the
+    binary column, no Python in the loop.  A real container (JPEG/MP4) has a
+    variable-length header, which would make this a Pandas-UDF slice; the
+    fixed stub keeps the hot dedup path whole-stage-codegen."""
+    return F.expr(
+        f"substring({media_col}, {_HEADER_LEN + 1}, octet_length({media_col}))"
+    )
+
+
+def exact_media_duplicates(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    content_only: bool = True,
+) -> DataFrame:
+    """Exact media dedup — the ``dedup.exact_duplicates`` twin over a binary
+    column: one hash-aggregate on ``sha2`` of the blob, emitting
+    (payload_sha, canonical_id = min id, n_copies) per content group.
+
+    ``content_only=True`` (the useful default) hashes the PAYLOAD with the
+    container header stripped — content-addressed dedup that ignores
+    re-muxed metadata (two uploads of the same image with different
+    width/duration stamps are the same asset); ``False`` hashes the whole
+    blob byte-exactly.
+
+    Scale shape: pure column expressions + one partial-aggregated groupBy —
+    the shuffle carries (sha, min_id, count) triples, never blobs, so a
+    100 TB media corpus shuffles ~70 bytes per DISTINCT asset.
+    """
+    key = payload_expr(media_col) if content_only else F.col(media_col)
+    return (
+        df.select(F.col(id_col), F.sha2(key, 256).alias("payload_sha"))
+        .groupBy("payload_sha")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def media_quality_gate(
+    df: DataFrame,
+    media_col: str = "media",
+    min_w: int = 32,
+    max_w: int = 4096,
+    min_h: int = 32,
+    max_h: int = 4096,
+    max_duration_ms: int = 600_000,
+) -> DataFrame:
+    """Per-type media quality gate — the text-quality twin (quality.py's
+    flag pattern) for blobs: probe each item (``decode_metadata``'s
+    dead-letter decode: corrupt media flags, never fails the task) and
+    attach ``flags`` + ``passed``:
+
+    - ``corrupt``: the blob does not decode;
+    - ``too_small`` / ``too_large``: decoded dimensions outside
+      [min_w, max_w] × [min_h, max_h];
+    - ``overlong``: decoded duration above ``max_duration_ms`` (time-based
+      media only — the decoded-type check exempts images regardless of
+      whatever duration stamp their container carries).
+
+    Everything after the Arrow-batched probe is column expressions — the
+    gate itself never enters Python.  Output: input columns +
+    (flags ARRAY<STRING> sorted, passed BOOLEAN).
+    """
+    d = decode_metadata(df, media_col)
+    corrupt = ~F.col("valid")
+    too_small = F.col("valid") & (
+        (F.col("decoded_width") < min_w) | (F.col("decoded_height") < min_h)
+    )
+    too_large = F.col("valid") & (
+        (F.col("decoded_width") > max_w) | (F.col("decoded_height") > max_h)
+    )
+    overlong = (
+        F.col("valid")
+        & (F.col("decoded_type") == "vid")
+        & (F.col("decoded_duration_ms") > max_duration_ms)
+    )
+    flags = F.array_sort(
+        F.filter(
+            F.array(
+                F.when(corrupt, F.lit("corrupt")),
+                F.when(too_small, F.lit("too_small")),
+                F.when(too_large, F.lit("too_large")),
+                F.when(overlong, F.lit("overlong")),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return d.withColumn("flags", flags).withColumn(
+        "passed", F.size("flags") == 0
+    )
 
 
 def resize_images(

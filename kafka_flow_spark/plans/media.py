@@ -24,8 +24,15 @@ from kafka_flow_spark.plans.registry import register
 from kafka_flow_spark.tables import load
 
 
-def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → deterministic FAKE media blobs via mapInPandas."""
+def _synth_media(
+    spark: SparkSession, sf_dir: str, corrupt_mod: int | None = None
+) -> DataFrame:
+    """documents → deterministic FAKE media blobs via mapInPandas.
+
+    ``corrupt_mod=m``: items with ``doc_id % m == 5`` get a blob whose magic
+    is wrong (a truncated-upload stand-in) — the quality-gate fixture; the
+    payload and metadata columns are otherwise identical, so oracles mirror
+    the corruption with the same arithmetic."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -36,10 +43,11 @@ def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 16 + int(n) % 640, 16 + (int(n) * 7) % 480
                 dur = 1000 + (int(did) % 10) * 1000
                 mt = "vid" if did % 3 == 0 else "img"
+                blob = mm.pack_blob(mt, w, h, dur, (text or "").encode()[:4096])
+                if corrupt_mod is not None and did % corrupt_mod == 5:
+                    blob = b"JUNK" + blob[4:]  # wrong magic: decode refuses
                 out["media_id"].append(did)
-                out["media"].append(
-                    mm.pack_blob(mt, w, h, dur, (text or "").encode()[:4096])
-                )
+                out["media"].append(blob)
                 out["media_type"].append(mt)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -108,4 +116,121 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x), 4).alias(
             "sq_norm"
         ),
+    )
+
+
+# --- exact media dedup: the q_dedup_exact twin over the binary column ---------
+@register(
+    "q_media_dedup_exact",
+    oracle="""
+    SELECT sha256(substr(coalesce(text, ''), 1, 4096)) AS payload_sha,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed exact media dedup: sha2 over the PAYLOAD (container
+    header stripped — two uploads of the same asset with different metadata
+    stamps are one group), min-id survivor per group.  JVM-only after the
+    synth: payload slice + sha2 + one partial-aggregated groupBy; the
+    shuffle carries (sha, min_id, count), never blobs.  The oracle hashes
+    the same payload bytes (ASCII text, so the char/byte substr agree) with
+    DuckDB's sha256."""
+    return mm.exact_media_duplicates(_synth_media(spark, sf_dir))
+
+
+# --- per-type media quality gate ----------------------------------------------
+@register(
+    "q_media_quality_gate",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             doc_id % 23 = 5 AS corrupt,
+             CASE WHEN doc_id % 3 = 0 THEN 'vid' ELSE 'img' END AS mt,
+             16 + n_chars % 640 AS w,
+             16 + (n_chars * 7) % 480 AS h,
+             1000 + (doc_id % 10) * 1000 AS dur
+      FROM documents
+    ), f AS (
+      SELECT media_id,
+             CASE WHEN corrupt THEN ['corrupt']
+                  ELSE list_sort(list_filter([
+                         CASE WHEN w < 32 OR h < 32 THEN 'too_small' END,
+                         CASE WHEN w > 512 OR h > 512 THEN 'too_large' END,
+                         CASE WHEN mt = 'vid' AND dur > 8000 THEN 'overlong' END
+                       ], x -> x IS NOT NULL))
+             END AS flags
+      FROM m
+    )
+    SELECT media_id, len(flags) = 0 AS passed,
+           coalesce(array_to_string(flags, ','), '') AS flags_csv
+    FROM f
+    """,
+)
+def q_media_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quality gate over a corpus with deterministically planted
+    corrupt blobs (doc_id % 23 == 5 gets a wrong-magic container): corrupt /
+    too_small / too_large / overlong (videos over 8 s) flags per item, all
+    column expressions after the Arrow-batched decode probe — the media twin
+    of the text quality-flag family (operators/quality.py)."""
+    gated = mm.media_quality_gate(
+        _synth_media(spark, sf_dir, corrupt_mod=23),
+        min_w=32, max_w=512, min_h=32, max_h=512, max_duration_ms=8000,
+    )
+    return gated.select(
+        "media_id",
+        "passed",
+        F.array_join("flags", ",").alias("flags_csv"),
+    )
+
+
+# --- feature-space media near-dup (oracle = unrolled all-pairs truth) ----------
+@register(
+    "q_media_near_dup",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             ascii(substr(text, CAST(i AS INT), 1)) % 16 AS b
+      FROM documents,
+           UNNEST(range(1, CAST(LEAST(length(coalesce(text, '')), 4096) + 1 AS BIGINT))) AS t(i)
+      WHERE length(coalesce(text, '')) > 0
+    ),
+    hist AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS c FROM chars GROUP BY 1, 2
+    ),
+    norms AS (SELECT doc_id, sqrt(SUM(c * c)) AS nrm FROM hist GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.c * b.c) AS dot
+      FROM hist a JOIN hist b ON a.b = b.b AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots
+    JOIN norms na ON a_id = na.doc_id
+    JOIN norms nb ON b_id = nb.doc_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.9985
+    """,
+)
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-space media near-dup pairs: stub-encoder byte histograms
+    (``extract_features(normalize=False)`` — RAW integer counts, so Spark
+    and the oracle compute cosines from IDENTICAL exact inputs) through the
+    same block-matmul pair machinery as ``q_dedup_embedding_cosine``.  The
+    oracle unrolls the whole chain in SQL: per-byte histogram (ASCII text,
+    so char codes ARE the payload bytes) → sparse dot via a bucket join →
+    cosine ≥ 0.9985 (the synthetic histograms concentrate near 1 — shared
+    vocabulary — so the gate sits just under the exact-dup plateau).
+
+    NOT bench-flagged for the same reason as q_dedup_embedding_cosine: the
+    all-pairs truth is the correctness gate; the 100 TB path for media
+    vectors is the SAME cluster-then-prune machinery the text family uses
+    (semantic_dedup_pairs over extract_features output —
+    tests/test_multimodal.py pins the recall of that path against these
+    exact pairs)."""
+    feats = mm.extract_features(_synth_media(spark, sf_dir), normalize=False)
+    from kafka_flow_spark.operators.similarity import cosine_near_dup_pairs_matmul
+
+    return cosine_near_dup_pairs_matmul(
+        feats, id_col="media_id", vec_col="features", threshold=0.9985
     )
