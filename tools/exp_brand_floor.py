@@ -15,6 +15,14 @@ Variants measured on the Spark side:
   query      — the registered plan (broadcast join + 25-group agg)
   dict       — tinyint-dictionary broadcast payload (brand id instead of
                string; rejected alternative kept re-runnable)
+  preagg     — partial-agg lineitem by partkey before the join (rejected r11)
+  bucketed   — BOTH sides pre-bucketed+sorted by partkey (layout.py
+               write_bucketed), exchange-free zipper (sort-merge) join —
+               tests whether the broadcast hash-probe constant is avoidable
+               by LAYOUT rather than plan (r11 verdict #3, the last
+               untried alternative).  The one-time bucketed write is NOT
+               timed: it is the layout cost, amortized over every query on
+               the table.
 
 Usage: python tools/exp_brand_floor.py [sf_dir] [runs]
 (default _scaled/sf10 — generate with tools/scale_testdata.py; 5 interleaved
@@ -105,6 +113,31 @@ def main() -> None:
             F.sum("_q").alias("sum_qty"), F.sum("_n").alias("n_items")
         )
 
+    # one-time bucketed layout (NOT timed — the amortized layout cost):
+    # both sides bucketed AND sorted by partkey with the same count, so the
+    # join is a zipper merge with no exchange and no sort
+    from kafka_flow_spark.layout import read_bucketed, write_bucketed
+
+    n_bkt = 32
+    for tbl in ("exp_brand_l_bkt", "exp_brand_p_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_bucketed(
+        l.select("l_partkey", "l_quantity"),
+        "exp_brand_l_bkt", ["l_partkey"], n_bkt, sort_cols=["l_partkey"],
+    )
+    write_bucketed(
+        p.select("p_partkey", "p_brand"),
+        "exp_brand_p_bkt", ["p_partkey"], n_bkt, sort_cols=["p_partkey"],
+    )
+
+    def bucketed_variant():
+        lb = read_bucketed(spark, "exp_brand_l_bkt")
+        pb = read_bucketed(spark, "exp_brand_p_bkt")
+        j = lb.hint("merge").join(pb, lb["l_partkey"] == pb["p_partkey"])
+        return j.groupBy("p_brand").agg(
+            F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n_items")
+        )
+
     variants = {
         "scan_agg": lambda: l.agg(
             F.sum("l_quantity").alias("s"), F.count("*").alias("n")
@@ -115,6 +148,7 @@ def main() -> None:
         "query": lambda: query(spark, sf_dir),
         "dict": dict_variant,
         "preagg": preagg_variant,
+        "bucketed": bucketed_variant,
     }
 
     times: dict[str, list[float]] = {k: [] for k in variants}
