@@ -23,8 +23,14 @@ structure stays LINEAR in K instead of exploding quadratically:
 Everything is pure SQL over the source parquet (DuckDB), fully deterministic:
 same inputs → byte-identical sample/bench semantics for both engines.
 
-Usage: python tools/scale_testdata.py [K] [src_dir] [dst_dir]
-Defaults: K=10, src=/root/testdata/sf0.1, dst=_scaled/sf1 (≈K× src bytes).
+Usage: python tools/scale_testdata.py [K] [src_dir] [dst_dir] [tables_csv]
+Defaults: K=10, src=/root/testdata/sf0.1, dst=_scaled/sf1 (≈K× src bytes),
+all tables.  ``tables_csv`` (e.g. ``documents,embeddings``) generates only
+the named tables — the sf100 probe shape, where only the text/vector
+families are audited and replicating lineitem would be 14 GB of dead
+weight.  Scaling an ALREADY-SCALED dir composes: the per-replica word-tag
+bijection and vector rotation both stack (tags nest, rotations add), so
+near-dup structure stays linear through repeated application.
 """
 
 from __future__ import annotations
@@ -98,6 +104,14 @@ def main() -> None:
                    label
             FROM {t('embeddings')} {rep}""",
     }
+    only = (
+        {s.strip() for s in sys.argv[4].split(",")} if len(sys.argv) > 4 else None
+    )
+    if only is not None:
+        unknown = only - set(jobs)
+        if unknown:
+            raise SystemExit(f"unknown tables {sorted(unknown)} (have {sorted(jobs)})")
+        jobs = {k: v for k, v in jobs.items() if k in only}
     for name, sql in jobs.items():
         out = os.path.join(dst, f"{name}.parquet")
         # Small row groups: parquet splits at row-group granularity, and the
