@@ -59,6 +59,20 @@ def scoped_persist(
     return out
 
 
+def scoped_persist_corpus(df: DataFrame) -> DataFrame:
+    """``scoped_persist`` at DISK_ONLY — for DATA-SCALE (per-document /
+    per-token) relations with genuine multi-consumer reuse.  Serialized
+    blocks go straight to local disk and read back through the OS page
+    cache (warm re-reads stay memory-speed on a healthy node) WITHOUT
+    competing with task memory for unroll space: the sf100 probe OOM'd an
+    8 GB local heap unrolling a 5M-doc MEMORY_AND_DISK cache under 32
+    concurrent explode tasks (r12) — at 100 TB a memory-backed corpus cache
+    is never the right trade.  Executor-memory-BOUNDED relations (vocab
+    tables, codebooks, centroids, params rows) keep the MEMORY_AND_DISK
+    default via plain ``scoped_persist``."""
+    return scoped_persist(df, StorageLevel.DISK_ONLY)
+
+
 def mark() -> int:
     """Current tracking position ON THIS THREAD — pair with
     ``release_since`` to scope persists to one unit of work (e.g. one

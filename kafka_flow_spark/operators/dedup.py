@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_flow_spark.cache import scoped_persist
+from kafka_flow_spark.cache import scoped_persist, scoped_persist_corpus
 
 from kafka_flow_spark.operators.text import (
     fingerprint,
@@ -520,7 +520,7 @@ def minhash_lsh_pairs(
         df, id_col, text_col, k, shingle_n, with_shingle_set=verify
     )
     if verify:
-        per_doc = per_doc.transform(scoped_persist)
+        per_doc = per_doc.transform(scoped_persist_corpus)
     banded = _banded(per_doc, bands, r)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -633,7 +633,7 @@ def simhash_pairs(
     # AND both sides of the self-join — without this it is computed 3×
     keys = sh.select(
         "doc_id", "simhash", F.explode(F.array(*chunks)).alias("_c")
-    ).transform(scoped_persist)
+    ).transform(scoped_persist_corpus)
     est = (
         keys.groupBy("_c")
         .agg(F.count("*").alias("n"))
@@ -927,7 +927,7 @@ def jaccard_pairs_prefix(
     # same discipline as the MinHash per-doc shingle table
     sets = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
-    ).filter(F.size("_sh") > 0).transform(scoped_persist)
+    ).filter(F.size("_sh") > 0).transform(scoped_persist_corpus)
     tok = sets.select(
         "_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_tok")
     )
@@ -949,7 +949,7 @@ def jaccard_pairs_prefix(
     # and the candidate self-join then reads it twice from cache instead of
     # re-running the explode+join+rank chain per side
     prefix = (
-        ranked.filter(F.col("_pos") <= pref_len).select("_id", "_tok", "_sz").transform(scoped_persist)
+        ranked.filter(F.col("_pos") <= pref_len).select("_id", "_tok", "_sz").transform(scoped_persist_corpus)
     )
     est = (
         prefix.groupBy("_tok")
@@ -1045,7 +1045,7 @@ def containment_pairs_prefix(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sets = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
-    ).filter(F.size("_sh") > 0).transform(scoped_persist)
+    ).filter(F.size("_sh") > 0).transform(scoped_persist_corpus)
     tok = sets.select(
         "_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_tok")
     )
@@ -1065,7 +1065,7 @@ def containment_pairs_prefix(
             ),
         )
         .select("_id", "_tok", "_sz", "_pos")
-        .transform(scoped_persist)
+        .transform(scoped_persist_corpus)
     )
     pref_len = F.col("_sz") - _iceil(F.lit(threshold) * F.col("_sz")).cast(
         "int"
@@ -1185,10 +1185,10 @@ def minhash_lsh_pairs_incremental(
     )
     per_old = _minhash_mins(
         old_only, id_col, text_col, k, shingle_n, with_shingle_set=True
-    ).transform(scoped_persist)
+    ).transform(scoped_persist_corpus)
     per_new = _minhash_mins(
         new_df, id_col, text_col, k, shingle_n, with_shingle_set=True
-    ).transform(scoped_persist)
+    ).transform(scoped_persist_corpus)
     banded_old = _banded(per_old, bands, r)
     banded_new = _banded(per_new, bands, r)
     return _new_touching_pairs(
@@ -1325,7 +1325,7 @@ def save_minhash_index(
         params_row = (k, bands, shingle_n, sig, n_docs, _SIG_VER)
     per = _minhash_mins(
         df, id_col, text_col, k, shingle_n, with_shingle_set=True
-    ).transform(scoped_persist)
+    ).transform(scoped_persist_corpus)
     banded = _banded(per, bands, k // bands)
     banded.write.mode(mode).partitionBy("band_id").parquet(f"{path}/bands")
     per.select("doc_id", "_sh").write.mode(mode).parquet(f"{path}/shingles")
@@ -1434,7 +1434,7 @@ def minhash_lsh_pairs_indexed(
     )
     per_new = _minhash_mins(
         new_df, id_col, text_col, k, shingle_n, with_shingle_set=True
-    ).transform(scoped_persist)
+    ).transform(scoped_persist_corpus)
     banded_new = _banded(per_new, bands, r)
     return _new_touching_pairs(
         banded_new, old_bands, per_new.select("doc_id", "_sh"), old_sets, threshold

@@ -115,22 +115,22 @@ def bigram_lm_scores(
     ``min_count > 1`` prunes model bigrams with c12 < min_count (they score
     as unseen) — bounds the model relation on web-scale references.
     """
-    from kafka_flow_spark.cache import scoped_persist
+    from kafka_flow_spark.cache import scoped_persist, scoped_persist_corpus
 
-    # tokenize ONCE: base feeds the gram explode (twice — ref counts and
-    # candidate scoring) AND the vocab explode; without the persist the
-    # query re-scans and re-normalizes the corpus three times, on a plan
-    # that is gram-explode bound (review r7)
-    base = scoped_persist(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.coalesce(is_ref.cast("boolean"), F.lit(False)).alias("_ref"),
-            _norm_tokens(F.col(text_col)).alias("_toks"),
-        )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(is_ref.cast("boolean"), F.lit(False)).alias("_ref"),
+        _norm_tokens(F.col(text_col)).alias("_toks"),
     )
-    grams = _bigram_rows(base)
+    # Persist ONLY the reference-side tokens (reused by the bigram-count and
+    # vocab explodes; in the CCNet shape the reference is a bounded curated
+    # corpus).  The candidate side is tokenized exactly once, so the former
+    # FULL-corpus persist bought it nothing and cost data-scale memory —
+    # the 5M-doc sf100 probe OOM'd an 8 GB local heap unrolling that cache
+    # under 32 concurrent tokenize tasks (r12).
+    ref_toks = scoped_persist_corpus(base.where(F.col("_ref")))
     c12 = (
-        grams.where(F.col("_ref"))
+        _bigram_rows(ref_toks)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("_c12"))
     )
@@ -139,10 +139,10 @@ def bigram_lm_scores(
     c12 = scoped_persist(c12)
     c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     vocab = (
-        base.where(F.col("_ref"))
-        .select(F.explode(F.col("_toks")).alias("_tok"))
+        ref_toks.select(F.explode(F.col("_toks")).alias("_tok"))
         .agg(F.count_distinct(F.col("_tok")).alias("_v"))
     )
+    grams = _bigram_rows(base.where(~F.col("_ref")))
     term = (
         F.round(
             F.log(
@@ -158,7 +158,7 @@ def bigram_lm_scores(
         # flat plan: map-side model joins, per-occurrence codegen scoring,
         # one exchange total (see MODEL_BROADCAST_ROWS)
         scored = (
-            grams.where(~F.col("_ref"))
+            grams
             .select("_id", "w1", "w2")
             .join(F.broadcast(c12), ["w1", "w2"], "left")
             .join(F.broadcast(c1), ["w1"], "left")
@@ -173,7 +173,7 @@ def bigram_lm_scores(
             ),
         )
     dg = (
-        grams.where(~F.col("_ref"))
+        grams
         .groupBy("_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
@@ -237,20 +237,24 @@ def bigram_lm_scores_interp(
     """
     if not (0 < lam_num < lam_den):
         raise ValueError(f"need 0 < lam_num < lam_den, got {lam_num}/{lam_den}")
-    from kafka_flow_spark.cache import scoped_persist
+    from kafka_flow_spark.cache import scoped_persist, scoped_persist_corpus
 
-    # tokenize ONCE (HOF-staging rule): base feeds the gram explode twice
-    # and the unigram explode once
-    base = scoped_persist(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.coalesce(is_ref.cast("boolean"), F.lit(False)).alias("_ref"),
-            _norm_tokens(F.col(text_col)).alias("_toks"),
-        )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(is_ref.cast("boolean"), F.lit(False)).alias("_ref"),
+        _norm_tokens(F.col(text_col)).alias("_toks"),
     )
-    grams = _bigram_rows(base)
+    # Persist ONLY the reference-side tokens: the model relations reuse them
+    # (bigram + unigram explodes), and in the CCNet shape the reference is a
+    # bounded curated corpus — never the 100 TB candidate side.  The
+    # candidate side is tokenized exactly ONCE (the single scoring pass), so
+    # the former full-corpus persist bought it nothing and cost data-scale
+    # memory: the 5M-doc sf100 probe OOM'd an 8 GB local heap unrolling that
+    # cache under 32 concurrent tokenize tasks (r12).  Corpus-sized
+    # relations must never be persisted.
+    ref_toks = scoped_persist_corpus(base.where(F.col("_ref")))
     c12 = (
-        grams.where(F.col("_ref"))
+        _bigram_rows(ref_toks)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("_c12"))
     )
@@ -258,12 +262,17 @@ def bigram_lm_scores_interp(
         c12 = c12.where(F.col("_c12") >= min_count)
     c12 = scoped_persist(c12)
     c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
-    uni = base.where(F.col("_ref")).select(F.explode(F.col("_toks")).alias("_tok"))
-    c2 = uni.groupBy(F.col("_tok").alias("w2")).agg(F.count(F.lit(1)).alias("_c2"))
-    scal = uni.agg(
-        F.count_distinct(F.col("_tok")).alias("_v"),
-        F.count(F.lit(1)).alias("_ntok"),
+    c2 = scoped_persist(
+        ref_toks.select(F.explode(F.col("_toks")).alias("_tok"))
+        .groupBy(F.col("_tok").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("_c2"))
     )
+    # N and V derive from the persisted vocab-sized c2 (Σc2 = total ref
+    # tokens; |c2| = vocabulary) — no third pass over the reference
+    scal = c2.agg(
+        F.count(F.lit(1)).alias("_v"), F.sum("_c2").alias("_ntok")
+    )
+    grams = _bigram_rows(base.where(~F.col("_ref")))
     nv = (F.col("_ntok") + F.col("_v")).cast("decimal(38,0)")
     c12v = F.coalesce(F.col("_c12"), F.lit(0)).cast("decimal(38,0)")
     c1v = F.coalesce(F.col("_c1"), F.lit(0)).cast("decimal(38,0)")
@@ -284,7 +293,7 @@ def bigram_lm_scores_interp(
         # scoring against broadcast models, ONE exchange — measured
         # 11.5 → 8.2 s at sf10 on this bench row
         scored = (
-            grams.where(~F.col("_ref"))
+            grams
             .select("_id", "w1", "w2")
             .join(F.broadcast(c12), ["w1", "w2"], "left")
             .join(F.broadcast(c1), ["w1"], "left")
@@ -300,7 +309,7 @@ def bigram_lm_scores_interp(
             ),
         )
     dg = (
-        grams.where(~F.col("_ref"))
+        grams
         .groupBy("_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
@@ -427,19 +436,21 @@ def trigram_lm_scores_interp(
     """
     if min(l3, l2, l1) <= 0:
         raise ValueError(f"interpolation weights must be positive, got {(l3, l2, l1)}")
-    from kafka_flow_spark.cache import scoped_persist
+    from kafka_flow_spark.cache import scoped_persist, scoped_persist_corpus
 
     ld = l3 + l2 + l1
-    base = scoped_persist(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.coalesce(is_ref.cast("boolean"), F.lit(False)).alias("_ref"),
-            _norm_tokens(F.col(text_col)).alias("_toks"),
-        )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(is_ref.cast("boolean"), F.lit(False)).alias("_ref"),
+        _norm_tokens(F.col(text_col)).alias("_toks"),
     )
-    tri = _trigram_rows(base)
+    # ref-only persist + scal-from-c3, same rationale as
+    # bigram_lm_scores_interp: the model side reuses the reference tokens
+    # (tri/bi/uni explodes); the candidate side is scored in one pass and a
+    # full-corpus cache is data-scale memory for zero reuse (sf100 OOM, r12)
+    ref_toks = scoped_persist_corpus(base.where(F.col("_ref")))
     c123 = (
-        tri.where(F.col("_ref"))
+        _trigram_rows(ref_toks)
         .groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("_c123"))
     )
@@ -447,19 +458,23 @@ def trigram_lm_scores_interp(
         c123 = c123.where(F.col("_c123") >= min_count)
     c123 = scoped_persist(c123)
     c12 = c123.groupBy("w1", "w2").agg(F.sum("_c123").alias("_c12"))
-    bi = _bigram_rows(base)
     c23 = (
-        bi.where(F.col("_ref"))
+        _bigram_rows(ref_toks)
         .groupBy(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
         .agg(F.count(F.lit(1)).alias("_c23"))
     )
     c2 = c23.groupBy("w2").agg(F.sum("_c23").alias("_c2"))
-    uni = base.where(F.col("_ref")).select(F.explode(F.col("_toks")).alias("_tok"))
-    c3 = uni.groupBy(F.col("_tok").alias("w3")).agg(F.count(F.lit(1)).alias("_c3"))
-    scal = uni.agg(
-        F.count_distinct(F.col("_tok")).alias("_v"),
-        F.count(F.lit(1)).alias("_ntok"),
+    c3 = scoped_persist(
+        ref_toks.select(F.explode(F.col("_toks")).alias("_tok"))
+        .groupBy(F.col("_tok").alias("w3"))
+        .agg(F.count(F.lit(1)).alias("_c3"))
     )
+    # N and V derive from the persisted vocab-sized c3 (Σc3 = total ref
+    # tokens; |c3| = vocabulary) — no fourth pass over the reference
+    scal = c3.agg(
+        F.count(F.lit(1)).alias("_v"), F.sum("_c3").alias("_ntok")
+    )
+    tri = _trigram_rows(base.where(~F.col("_ref")))
     dec = lambda c: F.coalesce(c, F.lit(0)).cast("decimal(38,0)")  # noqa: E731
     nv = (F.col("_ntok") + F.col("_v")).cast("decimal(38,0)")
     v123, v12 = dec(F.col("_c123")), dec(F.col("_c12"))
@@ -492,7 +507,7 @@ def trigram_lm_scores_interp(
         # map-side, ONE exchange — gated on the trigram table, the largest
         # of the model relations
         scored = (
-            tri.where(~F.col("_ref"))
+            tri
             .select("_id", "w1", "w2", "w3")
             .join(F.broadcast(c123), ["w1", "w2", "w3"], "left")
             .join(F.broadcast(c12), ["w1", "w2"], "left")
@@ -510,7 +525,7 @@ def trigram_lm_scores_interp(
             ),
         )
     dg = (
-        tri.where(~F.col("_ref"))
+        tri
         .groupBy("_id", "w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("_n"))
     )

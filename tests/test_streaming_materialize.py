@@ -2389,3 +2389,29 @@ def test_evolve_rename_cdf_across_boundary(spark, tmp_path):
         assert r["status"] == "changed" and r["tag"] is not None
     # within-side reads stay exact
     assert sink.changes_between(spark, 0, 1).count() == 2  # backfill literal
+
+
+def test_cascade_fan_out_two_followers_one_upstream(spark, tmp_path):
+    """Fan-OUT DAG shape: two subscriptions off the SAME upstream advance in
+    one invocation (the topological check admits siblings; each follower
+    keeps its own independent cursor)."""
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    up = MaterializedAggView(str(tmp_path / "up"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d1 = MaterializedAggView(str(tmp_path / "d1"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d2 = MaterializedAggView(str(tmp_path / "d2"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    casc = [_sub(up, d1), _sub(up, d2)]
+
+    _write(
+        spark, input_dir,
+        [(i, f"g{i % 2}", float(i), "added") for i in range(6)],
+        CDC_SCHEMA,
+    )
+    stream = spark.readStream.schema(CDC_SCHEMA).parquet(input_dir)
+    run_view_sink(stream, up, chk, cascade=casc)
+    truth = _recompute_rows(up._read(spark, up.last_committed(spark), "base"))
+    assert _result_rows(d1, spark) == truth
+    assert _result_rows(d2, spark) == truth
+    # independent cursors: advancing one sibling does not disturb the other
+    up(spark.createDataFrame([(6, "g0", 6.0, "added")], CDC_SCHEMA), 99)
+    assert _sub(up, d1).advance(spark) is not None
+    assert _sub(up, d1).cursor(spark) > _sub(up, d2).cursor(spark)
