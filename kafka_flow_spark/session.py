@@ -96,6 +96,17 @@ def get_spark(
         # buffer per key stays well under task memory while keeping the
         # hash path for realistic per-partition group counts.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
+        # SQL-cache column builders batch this many rows per cached batch
+        # BEFORE serializing (even for DISK_ONLY levels), and that transient
+        # is NOT task-memory-tracked: at the default 10000, 32 concurrent
+        # cache-materializing tasks over a wide per-doc relation (128 minhash
+        # minima + a shingle-set array) OOM'd the 8 GB local heap at the
+        # sf100 probe while the unified pool was saturated by the agg sort.
+        # 4000 bounds the per-task transient at ~2.5× less with NO measured
+        # cost (minhash sf10 3.91 s vs 4.05 s default, sf100 completes in
+        # 101 s vs OOM) — and at cluster scale executors run 4-8 tasks, not
+        # 32, so the smaller batch is simply invisible.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "4000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -47,10 +47,18 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown queries {unknown}")
 
+    from kafka_flow_spark.cache import release_all
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # each run re-registers its scoped persists; release them so
+        # repeated timings measure the full query (and the session does not
+        # accumulate one cache set per run — at probe scales that
+        # accumulation alone can exhaust the local heap)
+        release_all()
+        return dt
 
     out: dict = {"sf_dir": sf_dir, "runs": runs}
     for name in names:
