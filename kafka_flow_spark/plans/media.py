@@ -128,6 +128,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_copies
     FROM documents GROUP BY 1
     """,
+    bench=True,
 )
 def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed exact media dedup: sha2 over the PAYLOAD (container

@@ -10,8 +10,11 @@ Usage: python tools/check_correctness.py [sf_dir] [only_prefix]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kafka_flow_spark.cache import release_all
 from kafka_flow_spark.plans.registry import all_oracles, all_queries

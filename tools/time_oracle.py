@@ -15,6 +15,9 @@ import time
 
 import duckdb
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from kafka_flow_spark.plans.registry import all_oracles
 from kafka_flow_spark.tables import TABLE_NAMES
 
@@ -56,6 +59,9 @@ COMPARABLE = [
     # joined in r11: MMR over the IVF-probed pool — oracle = kmeans CTEs +
     # probe shortlist + the shared greedy chain, practical at every scale
     "q_mmr_rerank_ivf",
+    # joined in r12: content-addressed media dedup — the oracle is the same
+    # sha256-of-payload hash-aggregate, scan-speed both ways
+    "q_media_dedup_exact",
     # q_dedup_incremental (bench r5 continuation) is NOT here: like
     # minhash/cosine/knn its oracle is the quadratic brute-force pair truth.
     # q_resample_ffill_hourly is deliberately NOT here: its oracle SQL (per-key
