@@ -723,12 +723,27 @@ class _VersionedView:
             )
         return version
 
-    def vacuum(self, spark: SparkSession, keep: int = 2) -> list[int]:
+    def vacuum(
+        self,
+        spark: SparkSession,
+        keep: int = 2,
+        protect: list[str] | None = None,
+    ) -> list[int]:
         """Drop all but the newest ``keep`` committed versions, plus any
         UNCOMMITTED debris older than the newest committed version (a torn
         directory from a crashed batch whose id was never redelivered —
         newer uncommitted dirs are left alone, they may be an in-flight
         write).  Returns dropped versions.
+
+        ``protect``: downstream roots whose subscription cursors must stay
+        serviceable — if a listed follower of THIS root is parked at a
+        version the vacuum would drop, REFUSE with the exact remedy
+        (advance the follower, or raise ``keep``) instead of leaving it to
+        refuse loudly on its next CDF read after the history is gone (the
+        prevention form of the r11 parked-subscriber protection; pair with
+        ``view_status`` which reports the same ``droppable_before`` bound).
+        Roots following a different upstream, or with no cursor, never
+        block.
 
         Bucketed tables share storage across versions by manifest pointer,
         so a kept version may read buckets out of an OLDER version's dir:
@@ -747,6 +762,26 @@ class _VersionedView:
             )
         all_vs = _list_versions(spark, self.path)
         committed = [v for v, ok in all_vs if ok]
+        if protect:
+            cursors = {}
+            for root in protect:
+                meta = _follower_cursor_meta(spark, root)
+                if meta is not None and meta.get("upstream_root") == self.path:
+                    cursors[root] = int(meta["upstream_version"])
+            kept = committed[-keep:]
+            stranded = {
+                r: c for r, c in cursors.items() if kept and c < kept[0]
+            }
+            if stranded:
+                need = min(stranded.values())
+                need_keep = sum(1 for v in committed if v >= need)
+                raise ValueError(
+                    f"vacuum(keep={keep}) on {self.path} would drop versions "
+                    f"a protected follower still needs: {stranded} (oldest "
+                    f"needed: v{need}, oldest kept would be v{kept[0]}) — "
+                    f"advance the follower(s) first (follow/follow_all), or "
+                    f"raise keep to >= {need_keep}"
+                )
         keep_set = set(committed[-keep:])
         # the referenced closure is discovered from DISK, not from
         # self.bucketed: a kind-agnostic caller (tools/view_admin.py, or a

@@ -2415,3 +2415,41 @@ def test_cascade_fan_out_two_followers_one_upstream(spark, tmp_path):
     up(spark.createDataFrame([(6, "g0", 6.0, "added")], CDC_SCHEMA), 99)
     assert _sub(up, d1).advance(spark) is not None
     assert _sub(up, d1).cursor(spark) > _sub(up, d2).cursor(spark)
+
+
+def test_vacuum_protect_refuses_stranding_lagging_follower(spark, tmp_path):
+    """Subscription-aware vacuum: with protect=, dropping a version a listed
+    follower's cursor still needs REFUSES with the remedy (advance or raise
+    keep) — prevention of the parked-subscriber state instead of recovery.
+    Foreign/uninitialized roots never block; after the follower catches up
+    the same vacuum proceeds."""
+    import pytest as _pytest
+
+    up = MaterializedAggView(str(tmp_path / "up"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d1 = MaterializedAggView(str(tmp_path / "d1"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    other_up = MaterializedAggView(str(tmp_path / "oup"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+    d_other = MaterializedAggView(str(tmp_path / "dot"), ["k"], "v", row_pk=["pk"], n_buckets=4)
+
+    up(spark.createDataFrame([(1, "a", 1.0, "added")], CDC_SCHEMA), 0)
+    assert _sub(up, d1).advance(spark) == 0  # cursor at v0
+    other_up(spark.createDataFrame([(9, "z", 9.0, "added")], CDC_SCHEMA), 0)
+    assert _sub(other_up, d_other).advance(spark) == 0
+
+    for i in range(1, 4):
+        up(spark.createDataFrame([(1 + i, "a", float(i), "added")], CDC_SCHEMA), i)
+
+    with _pytest.raises(ValueError, match="still needs.*raise keep to >= 4"):
+        up.vacuum(spark, keep=1, protect=[d1.path, d_other.path])
+    # nothing was dropped by the refused call
+    assert up.versions(spark) == [0, 1, 2, 3]
+    # a follower of a DIFFERENT root never blocks (no refusal; what actually
+    # drops is the manifest closure's business, not the guard's)
+    up.vacuum(spark, keep=3, protect=[d_other.path])
+
+    # catch up, then the same keep=1 vacuum proceeds and the follower stays
+    # serviceable (the closure may retain pointer-referenced older dirs —
+    # the guard only decides refusal, never the drop set)
+    assert _sub(up, d1).advance(spark) is not None
+    up.vacuum(spark, keep=1, protect=[d1.path])
+    assert up.versions(spark)[-1] == 3
+    assert _sub(up, d1).advance(spark) is None  # caught up, still serviceable

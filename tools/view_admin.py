@@ -4,7 +4,8 @@ micro-batches, each wired to the library call so scripts and runbooks have
 one entry point:
 
   versions   <root>                                    list committed versions
-  vacuum     <root> --keep N                           prune old versions
+  vacuum     <root> --keep N [--downstream R1,R2,...]  prune old versions (refusing to
+                                                       strand listed followers)
   refresh    <root>                                    dim-only advance (join view)
   rebucket   <root> --n-new N                          offline bucket migration
   evolve     <root> --add name=sql_expr [...]          additive schema evolution
@@ -79,6 +80,12 @@ def main() -> None:
     p = sub.add_parser("vacuum")
     p.add_argument("root")
     p.add_argument("--keep", type=int, default=2)
+    p.add_argument(
+        "--downstream",
+        default=None,
+        help="comma-separated follower roots whose cursors must stay "
+        "serviceable (refuses instead of stranding a lagging subscriber)",
+    )
 
     p = sub.add_parser("refresh")
     p.add_argument("root")
@@ -171,7 +178,8 @@ def main() -> None:
         view = (
             _open(spark, args.root) if meta is not None else _VersionedView(args.root, 1)
         )
-        dropped = view.vacuum(spark, keep=args.keep)
+        protect = args.downstream.split(",") if args.downstream else None
+        dropped = view.vacuum(spark, keep=args.keep, protect=protect)
         print(f"dropped: {dropped}")
     elif args.cmd == "refresh":
         sink = _open(spark, args.root)
