@@ -188,63 +188,77 @@ def shingle_hashes(
       shares, so fingerprint *values* are oracle-reproducible bit-exactly —
       used by winnowing, whose output IS the hash values.
 
-    Rows without a full n-gram (doc tail / short docs) carry null ``_h``.
-    ``with_pos=True`` keeps the n-gram start position (for winnowing).
-    """
-    from pyspark.sql.window import Window
+    Rows without a full n-gram (short docs; and for ``shingle_n == 1`` the
+    per-token tail semantics below) carry null ``_h``.  ``with_pos=True``
+    keeps the n-gram start position (for winnowing/spans).
 
+    Plan shape (r13): ZERO shuffles and zero windows — the n-gram at
+    position i is assembled by zipping ``shingle_n`` shifted slices of the
+    token array (``slice``/``arrays_zip`` are native expressions), exploding,
+    and hashing per ROW in whole-stage codegen.  This replaces the previous
+    repartition(id)-then-lead-window shape, which shuffled the full corpus
+    TEXT once and paid a per-document sort before any hash was computed —
+    at 100 TB that was a corpus-sized text exchange for what is a purely
+    row-local computation.  Scan parallelism comes from split sizing
+    (maxPartitionBytes / openCostInBytes), not from a shuffle.  Hash VALUES
+    are unchanged: the same token/gram hash expressions over the same
+    (token, +1, +2, …) windows, so signatures, band hashes, fingerprints
+    and every stored index stay bit-identical.
+    """
     if not 1 <= shingle_n <= 64:
         raise ValueError("shingle_n must be in [1, 64]")
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     toks = tokens(normalize_text(text_col))
-    w = Window.partitionBy("doc_id").orderBy("_pos")
-    # Pin the token pipeline's parallelism.  Catalyst moves the posexplode
-    # BELOW the window's doc_id exchange (shuffling compact doc rows, not
-    # token rows — right call), but then AQE coalesces that exchange by its
-    # BYTES, which are tiny relative to the downstream per-token CPU
-    # (explode → n-gram concat → md5/xxhash): measured 2 post-coalesce tasks
-    # on 32 cores at a 50k-doc corpus, 12× slower than the pinned plan.  A
-    # user-specified repartition count is exempt from AQE coalescing and
-    # satisfies the window's clustering, so no second exchange appears.
-    # max(shuffle.partitions, defaultParallelism): this pipeline is bound by
-    # per-token CPU, not shuffle width, so a shuffle-partition setting tuned
-    # below core count (small-input profiles) must not starve it of cores.
-    # At 100 TB defaults both values are the cluster width and the max is a
-    # no-op.
-    sess = df.sparkSession
-    n_part = max(
-        int(sess.conf.get("spark.sql.shuffle.partitions")),
-        sess.sparkContext.defaultParallelism,
-    )
-    df = df.repartition(n_part, F.col(id_col))
-    if hash_fn == "md5":
-        tok_rows = df.select(
-            F.col(id_col).alias("doc_id"), F.posexplode_outer(toks).alias("_pos", "_tok")
-        )
-        if shingle_n == 1:
-            gram = F.col("_tok")
-        else:
-            leads = [F.lead("_tok", i).over(w) for i in range(1, shingle_n)]
-            gram = F.when(leads[-1].isNotNull(), F.concat_ws(" ", F.col("_tok"), *leads))
-        shingle_hash = F.pmod(
-            F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long"), F.lit(_P)
-        )
-        # md5(NULL) is NULL so tail rows stay null; but conv("")→0 must not:
-        shingle_hash = F.when(gram.isNotNull(), shingle_hash)
-    else:
-        tok_rows = df.select(
-            F.col(id_col).alias("doc_id"), F.posexplode_outer(toks).alias("_pos", "_tok")
-        ).select("doc_id", "_pos", F.xxhash64("_tok").alias("_th"))
-        if shingle_n == 1:
-            shingle_hash = F.pmod(F.col("_th"), F.lit(_P))
-        else:
-            leads = [F.lead("_th", i).over(w) for i in range(1, shingle_n)]
-            shingle_hash = F.when(
-                leads[-1].isNotNull(), F.pmod(F.xxhash64("_th", *leads), F.lit(_P))
-            )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
     cols = ["doc_id"] + (["_pos"] if with_pos else [])
-    return tok_rows.select(*cols, shingle_hash.alias("_h"))
+    if shingle_n == 1:
+        rows = base.select(
+            "doc_id", F.posexplode_outer("_tk").alias("_pos", "_tok")
+        )
+        if hash_fn == "md5":
+            shingle_hash = F.pmod(
+                F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(_P),
+            )
+            # md5(NULL) is NULL so null-token rows stay null; but conv("")→0
+            # must not:
+            shingle_hash = F.when(F.col("_tok").isNotNull(), shingle_hash)
+        else:
+            # NB: xxhash64(NULL) is the seed hash, not NULL — empty docs keep
+            # their historical non-null unigram value
+            shingle_hash = F.pmod(F.xxhash64("_tok"), F.lit(_P))
+        return rows.select(*cols, shingle_hash.alias("_h"))
+    # number of full n-grams; a doc with fewer than shingle_n tokens (or a
+    # null token array) zips to NULL, which posexplode_outer keeps as one
+    # null-_h row — the all-null-signature contract for short docs
+    m = F.size("_tk") - F.lit(shingle_n - 1)
+    parts = [
+        F.slice("_tk", i + 1, m).alias(f"_w{i}") for i in range(shingle_n)
+    ]
+    sh = F.when(F.size("_tk") >= shingle_n, F.arrays_zip(*parts))
+    rows = base.select("doc_id", F.posexplode_outer(sh).alias("_pos", "_g"))
+    g = F.col("_g")
+    fields = [g[f"_w{i}"] for i in range(shingle_n)]
+    if hash_fn == "md5":
+        gram = F.concat_ws(" ", *fields)
+        shingle_hash = F.when(
+            g.isNotNull(),
+            F.pmod(
+                F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long"),
+                F.lit(_P),
+            ),
+        )
+    else:
+        # token hashes combined exactly as before: inner xxhash64 per token
+        # string, outer xxhash64 over the shingle_n longs
+        shingle_hash = F.when(
+            g.isNotNull(),
+            F.pmod(F.xxhash64(*[F.xxhash64(f) for f in fields]), F.lit(_P)),
+        )
+    return rows.select(*cols, shingle_hash.alias("_h"))
 
 
 def winnowing_fingerprints(

@@ -51,12 +51,14 @@ def _norm_tokens(text: Column) -> Column:
     return tokens(normalize_text(text))
 
 
-def _bigram_bucket(toks: Column, n_buckets: int) -> Column:
-    """Hashed adjacent-word bigrams: md5 first 6 hex digits mod n_buckets.
-    Same fold the sampling module uses (sampling.hash_bucket), so the DuckDB
-    mirror is the established Horner-fold idiom."""
+def _bigrams(toks: Column) -> Column:
+    """Adjacent-word bigram STRINGS (array; empty when < 2 tokens).  Kept
+    separate from the hashing so callers can explode first and hash per ROW
+    — the md5/conv chain then runs in whole-stage codegen instead of inside
+    an interpreted ``transform`` lambda (r13: hashing inside the lambda was
+    the dominant per-gram cost in the DSIR scoring pass)."""
     n = F.size(toks)
-    grams = F.when(
+    return F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(0), n - F.lit(2)),
@@ -65,11 +67,15 @@ def _bigram_bucket(toks: Column, n_buckets: int) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 6), 16, 10)
-        .cast("long")
-        % n_buckets,
+
+
+def _bucket_of(gram: Column, n_buckets: int) -> Column:
+    """md5 first 6 hex digits mod n_buckets, as a row expression.  Same fold
+    the sampling module uses (sampling.hash_bucket), so the DuckDB mirror is
+    the established Horner-fold idiom."""
+    return (
+        F.conv(F.substring(F.md5(gram.cast("binary")), 1, 6), 16, 10).cast("long")
+        % n_buckets
     )
 
 
@@ -92,7 +98,8 @@ def doc_buckets(
             F.coalesce(is_target.cast("boolean"), F.lit(False)).alias("_is_t"),
             _norm_tokens(F.col(text_col)).alias("_toks"),
         )
-        .select("_id", "_is_t", F.explode(_bigram_bucket(F.col("_toks"), n_buckets)).alias("bucket"))
+        .select("_id", "_is_t", F.explode(_bigrams(F.col("_toks"))).alias("_g"))
+        .select("_id", "_is_t", _bucket_of(F.col("_g"), n_buckets).alias("bucket"))
     )
 
 
@@ -218,17 +225,6 @@ def hash_model(spark, tag: str, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     )
 
 
-def _unigram_bucket(toks: Column, n_buckets: int) -> Column:
-    """Hashed unigram features: same md5 6-hex Horner fold as the bigram
-    buckets, applied per token."""
-    return F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 6), 16, 10)
-        .cast("long")
-        % n_buckets,
-    )
-
-
 def classifier_scores(
     df: DataFrame,
     text_col: str,
@@ -254,12 +250,13 @@ def classifier_scores(
 
     Columns: id_col, n_tokens, score_micro, label.
     """
+    # explode the tokens first, hash per row: the md5/conv chain runs in
+    # whole-stage codegen instead of inside an interpreted transform lambda
+    # (same values — see _bigrams)
     feats = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(_unigram_bucket(_norm_tokens(F.col(text_col)), n_buckets)).alias(
-            "bucket"
-        ),
-    )
+        F.explode(_norm_tokens(F.col(text_col))).alias("_tok"),
+    ).select("_id", _bucket_of(F.col("_tok"), n_buckets).alias("bucket"))
     # LEFT join + missing-as-zero: a sparse weight table (zero-weight buckets
     # omitted — the normal trimmed-model export) must not drop tokens from
     # n_tokens or documents from the output (review r6).

@@ -1675,13 +1675,16 @@ def mmr_rerank(
     the exact pool bit-identically (pinned by test).  Everything after the
     pool — pairwise sims, greedy rounds — is mode-independent.
 
-    Scale shape: the candidate pool is ``k_pool`` rows per query, pairwise
-    sims are k_pool² per query (bounded by construction, an equi-join on
-    the query id, never corpus-quadratic), and each of the k_select−1
-    greedy rounds is one anti-join + one max-aggregate + one argmax on
-    those bounded relations, all keyed on the query id.  At 100 TB the
-    corpus appears ONLY in the initial retrieval — and under ``"ivf"``
-    only its probed cells do.
+    Scale shape: the candidate pool is ``k_pool`` rows per query, so after
+    the retrieval's top-k window the WHOLE greedy is a per-query in-row
+    program (r13): the pool collapses to one array row per query (the
+    window's exchange is reused — zero extra shuffles), pairwise sims are a
+    k_pool×k_pool in-row matrix, and each greedy round is an argmin over at
+    most k_pool array slots — no pair self-join, no per-round anti-joins /
+    max-aggregates, no persisted intermediates (the r12 shape ran ~10
+    joins over two persisted relations; the array program cut
+    q_mmr_rerank's sf0.1 wall ~2×).  At 100 TB the corpus appears ONLY in
+    the initial retrieval — and under ``"ivf"`` only its probed cells do.
 
     Output: (query_id, pick_rank, neighbor_id, mmr_e6).
     """
@@ -1699,18 +1702,27 @@ def mmr_rerank(
         # mirror ivf_exact_knn's guard (review r11): nprobe=0 produced an
         # empty shortlist and a silently empty result
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    from kafka_flow_spark.functions import dot, l2_norm
+
     E6 = 1_000_000
+    _dot, _l2 = dot, l2_norm
+    # Per-VECTOR norms are staged once on each side (corpus rows and query
+    # rows) instead of being re-derived inside every pairwise cosine — the
+    # cosine value is unchanged (same dot / (norm_a * norm_b) doubles), but
+    # the per-pair work drops to one dot-product fold (r13: the norm folds
+    # were ~2/3 of the pair cost — pool scan 1.29 → 0.40 s at sf0.1).
     v = vectors.select(
         F.col(id_col).alias("_nid"), _as_double(F.col(vec_col)).alias("_nv")
-    )
-    rel_e6 = F.floor(cosine(F.col("_qv"), F.col("_nv")) * F.lit(float(E6))).cast(
-        "long"
-    )
+    ).withColumn("_nn", _l2(F.col("_nv")))
+    rel_e6 = F.floor(
+        (_dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")))
+        * F.lit(float(E6))
+    ).cast("long")
     wp = Window.partitionBy("_qid").orderBy(F.desc("_rel"), F.asc("_nid"))
     if retrieve == "exact":
         q = queries.select(
             F.col(id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
-        )
+        ).withColumn("_qn", _l2(F.col("_qv")))
         cand = v.crossJoin(F.broadcast(q)).where(F.col("_nid") != F.col("_qid"))
     else:
         from kafka_flow_spark.operators.clustering import (
@@ -1719,6 +1731,7 @@ def mmr_rerank(
             quantize_e6,
         )
 
+        sqd = _sq_dist
         cents, assigned = kmeans_quantized(
             vectors, id_col, vec_col, n_cells, iters
         )
@@ -1729,97 +1742,169 @@ def mmr_rerank(
             F.col(id_col).alias("_qid"),
             _as_double(F.col(vec_col)).alias("_qv"),
             quantize_e6(F.col(vec_col)).alias("_qxe"),
-        )
+        ).withColumn("_qn", _l2(F.col("_qv")))
         wc = Window.partitionBy("_qid").orderBy(F.asc("_cd"), F.asc("cid"))
         shortlist = (
             qpts.crossJoin(F.broadcast(cents))
             .select(
                 "_qid",
                 "_qv",
+                "_qn",
                 "cid",
-                _sq_dist(F.col("_qxe"), F.col("centroid_e6")).alias("_cd"),
+                sqd(F.col("_qxe"), F.col("centroid_e6")).alias("_cd"),
             )
             .withColumn("_cr", F.row_number().over(wc))
             .where(F.col("_cr") <= nprobe)
-            .select("_qid", "_qv", "cid")
+            .select("_qid", "_qv", "_qn", "cid")
         )
         # the corpus scan is bounded to probed cells: an equi-join on cid,
         # never a per-query full pass
         cand = shortlist.join(corpus, "cid").where(
             F.col("_nid") != F.col("_qid")
         )
-    pool = scoped_persist(
-        cand.select("_qid", "_nid", "_nv", rel_e6.alias("_rel"))
+    pool = (
+        cand.select("_qid", "_nid", "_nv", "_nn", rel_e6.alias("_rel"))
         .withColumn("_pr", F.row_number().over(wp))
         .where(F.col("_pr") <= k_pool)
-        .drop("_pr")
     )
-    a = pool.select("_qid", F.col("_nid").alias("_a"), F.col("_nv").alias("_av"))
-    b = pool.select("_qid", F.col("_nid").alias("_b"), F.col("_nv").alias("_bv"))
-    sim_e6 = F.floor(cosine(F.col("_av"), F.col("_bv")) * F.lit(float(E6))).cast(
-        "long"
+    # ---- in-row greedy (r13) ------------------------------------------------
+    # The pool is ≤ k_pool rows per query, so everything after retrieval fits
+    # one array row per query: collect the pool ordered by pool rank (rank 1
+    # IS argmax relevance with the (rel DESC, id ASC) tie-break), build the
+    # k_pool×k_pool sim matrix in-row, and unroll the k_select greedy rounds
+    # as staged columns.  The groupBy reuses the top-k window's hash
+    # partitioning on _qid — no additional exchange, no persisted
+    # intermediates, and the old shape's per-round joins disappear.
+    parr = pool.groupBy("_qid").agg(
+        F.array_sort(
+            F.collect_list(F.struct("_pr", "_nid", "_rel", "_nv", "_nn"))
+        ).alias("_P")
     )
-    pairs = scoped_persist(
-        a.join(b, "_qid")
-        .where(F.col("_a") != F.col("_b"))
-        .select("_qid", "_a", "_b", sim_e6.alias("_sim"))
-    )
-    # pick 1: argmax relevance (min_by struct argmax — no window).  The
-    # ordering key negates the SCORE (always a long here), never the id, so
-    # string/any-orderable ids keep the smaller-id tie-break the docstring
-    # promises (review r10: -id fails analysis for non-numeric ids)
-    selected = pool.groupBy("_qid").agg(
-        F.min_by(
-            F.struct(F.col("_nid"), F.col("_rel").alias("_score")),
-            F.struct((-F.col("_rel")).alias("_ns"), F.col("_nid")),
-        ).alias("_s")
-    ).select(
-        "_qid",
-        F.col("_s._nid").alias("_nid"),
-        F.lit(1).alias("pick_rank"),
-        F.col("_s._score").alias("_score"),
+
+    def _sim(a, b):
+        # identical arithmetic to the pairwise sim of the join shape:
+        # floor((dot / (norm_a * norm_b)) * 1e6) as long
+        return F.floor(
+            (_dot(a["_nv"], b["_nv"]) / (a["_nn"] * b["_nn"])) * F.lit(float(E6))
+        ).cast("long")
+
+    cur = (
+        parr.withColumn(
+            "_S",
+            F.transform(
+                F.col("_P"),
+                lambda a: F.transform(F.col("_P"), lambda b: _sim(a, b)),
+            ),
+        )
+        .withColumn("_n", F.size("_P"))
+        .withColumn("_sel1", F.array(F.lit(1)))
+        .withColumn(
+            "_picks1",
+            F.array(
+                F.struct(
+                    F.element_at(F.col("_P"), 1)["_nid"].alias("_nid"),
+                    F.lit(1).alias("_rank"),
+                    F.element_at(F.col("_P"), 1)["_rel"].alias("_score"),
+                )
+            ),
+        )
     )
     for j in range(2, k_select + 1):
-        chosen = selected.select("_qid", F.col("_nid").alias("_b"))
-        remaining = pool.join(
-            chosen.withColumnRenamed("_b", "_nid"), ["_qid", "_nid"], "left_anti"
+        sel = F.col(f"_sel{j - 1}")
+
+        def _score_of(i, sel=sel):
+            # lam·rel − (100−lam)·max_{s∈selected} sim, then the sign-split
+            # truncating div-by-100 of the join shape.  |num| ≤ 100·1e6 ≪ 2^53
+            # and the distance to the next integer multiple is ≥ 0.01, so
+            # floor(num / 100.0) is exactly `num div 100` on the non-negative
+            # branch (double division is correctly rounded; no boundary can
+            # flip the floor).
+            r = F.element_at(F.col("_P"), i)["_rel"]
+            ms = F.array_max(
+                F.transform(
+                    sel, lambda s: F.element_at(F.element_at(F.col("_S"), i), s)
+                )
+            )
+            num = F.lit(lam_e2).cast("long") * r - F.lit(100 - lam_e2).cast(
+                "long"
+            ) * ms
+            return F.when(num >= 0, F.floor(num / F.lit(100.0))).otherwise(
+                -F.floor((-num) / F.lit(100.0))
+            )
+
+        cur = cur.withColumn(
+            f"_cand{j}",
+            F.transform(
+                F.filter(
+                    # NB: must stay a ONE-parameter lambda — pyspark treats a
+                    # second parameter as the element index
+                    F.sequence(F.lit(1), F.col("_n")),
+                    lambda i: ~F.array_contains(sel, i),
+                ),
+                lambda i: F.struct(
+                    _score_of(i).alias("_sc"),
+                    F.element_at(F.col("_P"), i)["_nid"].alias("_nid"),
+                    i.alias("_idx"),
+                ),
+            ),
         )
-        maxsim = (
-            pairs.join(chosen, ["_qid", "_b"])
-            .groupBy("_qid", "_a")
-            .agg(F.max("_sim").alias("_ms"))
+        # argmax score, ties to smaller id: array_min over (−score, id)
+        # structs — score is always a long here, so negation is safe for
+        # any orderable id type (the r10 min_by rationale, kept)
+        cur = cur.withColumn(
+            f"_pick{j}",
+            F.array_min(
+                F.transform(
+                    F.col(f"_cand{j}"),
+                    lambda c: F.struct(
+                        (-c["_sc"]).alias("_ns"),
+                        c["_nid"].alias("_nid"),
+                        c["_idx"].alias("_idx"),
+                        c["_sc"].alias("_sc"),
+                    ),
+                )
+            ),
         )
-        num = F.lit(lam_e2) * F.col("_rel") - F.lit(100 - lam_e2) * F.col("_ms")
-        scored = remaining.join(
-            maxsim, (remaining["_qid"] == maxsim["_qid"]) & (remaining["_nid"] == maxsim["_a"])
-        ).select(
-            remaining["_qid"],
-            "_nid",
+        pick = F.col(f"_pick{j}")
+        cur = cur.withColumn(
+            f"_sel{j}",
             F.when(
-                num >= 0, F.expr(f"({lam_e2} * _rel - {100 - lam_e2} * _ms) div 100")
-            )
-            .otherwise(
-                -F.expr(f"-({lam_e2} * _rel - {100 - lam_e2} * _ms) div 100")
-            )
-            .alias("_score"),
+                pick.isNotNull(),
+                F.concat(F.col(f"_sel{j - 1}"), F.array(pick["_idx"])),
+            ).otherwise(F.col(f"_sel{j - 1}")),
+        ).withColumn(
+            f"_picks{j}",
+            F.when(
+                pick.isNotNull(),
+                F.concat(
+                    F.col(f"_picks{j - 1}"),
+                    F.array(
+                        F.struct(
+                            pick["_nid"].alias("_nid"),
+                            F.lit(j).alias("_rank"),
+                            pick["_sc"].alias("_score"),
+                        )
+                    ),
+                ),
+            ).otherwise(F.col(f"_picks{j - 1}")),
         )
-        pick = scored.groupBy("_qid").agg(
-            F.min_by(
-                F.struct(F.col("_nid"), F.col("_score")),
-                F.struct((-F.col("_score")).alias("_ns"), F.col("_nid")),
-            ).alias("_s")
-        ).select(
-            "_qid",
-            F.col("_s._nid").alias("_nid"),
-            F.lit(j).alias("pick_rank"),
-            F.col("_s._score").alias("_score"),
-        )
-        selected = selected.unionByName(pick)
-    return selected.select(
+    # Aggregate barrier before the explode (measured, r13): extract-value
+    # simplification rewrites field accesses on computed structs by inlining
+    # the struct's whole expression tree per access — exploding the picks
+    # array straight off the staged columns re-expanded the round chain into
+    # an exponentially-duplicated tree (10.2 s for 20 queries at sf0.1).  An
+    # Aggregate's output is a fresh attribute the optimizer cannot inline
+    # through, so the rounds evaluate exactly once per query (0.43 s).  The
+    # groupBy reuses the existing _qid hash partitioning (one row per group
+    # — no exchange, a trivial first()).
+    barrier = cur.groupBy("_qid").agg(
+        F.first(F.col(f"_picks{k_select}")).alias("_pk")
+    )
+    return barrier.select("_qid", F.explode("_pk").alias("_p")).select(
         F.col("_qid").alias("query_id"),
-        F.col("pick_rank").cast("int").alias("pick_rank"),
-        F.col("_nid").alias("neighbor_id"),
-        F.col("_score").alias("mmr_e6"),
+        F.col("_p._rank").cast("int").alias("pick_rank"),
+        F.col("_p._nid").alias("neighbor_id"),
+        F.col("_p._score").alias("mmr_e6"),
     )
 
 
