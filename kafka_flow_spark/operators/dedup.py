@@ -173,6 +173,7 @@ def shingle_hashes(
     shingle_n: int = 3,
     with_pos: bool = False,
     hash_fn: str = "xxhash64",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """(doc_id, _h) rows: one hash in [0, P) per word n-gram occurrence.
 
@@ -209,12 +210,17 @@ def shingle_hashes(
         raise ValueError("shingle_n must be in [1, 64]")
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
+    extra = list(passthrough or [])
     toks = tokens(normalize_text(text_col))
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
-    cols = ["doc_id"] + (["_pos"] if with_pos else [])
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra],
+        toks.alias("_tk"),
+    )
+    cols = ["doc_id", *extra] + (["_pos"] if with_pos else [])
     if shingle_n == 1:
         rows = base.select(
-            "doc_id", F.posexplode_outer("_tk").alias("_pos", "_tok")
+            "doc_id", *extra, F.posexplode_outer("_tk").alias("_pos", "_tok")
         )
         if hash_fn == "md5":
             shingle_hash = F.pmod(
@@ -239,7 +245,9 @@ def shingle_hashes(
         F.slice("_tk", i + 1, m).alias(f"_w{i}") for i in range(shingle_n)
     ]
     sh = F.when(F.size("_tk") >= shingle_n, F.arrays_zip(*parts))
-    rows = base.select("doc_id", F.posexplode_outer(sh).alias("_pos", "_g"))
+    rows = base.select(
+        "doc_id", *extra, F.posexplode_outer(sh).alias("_pos", "_g")
+    )
     g = F.col("_g")
     fields = [g[f"_w{i}"] for i in range(shingle_n)]
     if hash_fn == "md5":
@@ -452,22 +460,29 @@ def _minhash_mins(
     k: int,
     shingle_n: int,
     with_shingle_set: bool = False,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """One hash-aggregate producing the k permutation minima (columns _m0.._m{k-1})
     and optionally the distinct shingle-hash set (column _sh).
 
-    The groupBy reuses the lead-window's doc_id distribution — one shuffle
-    total, one k(+set)-slot row per doc out of the map side.
+    ONE shuffle total: partial aggregation collapses each doc to a single
+    k(+set)-slot row on the map side regardless of document length.
+
+    ``passthrough``: per-document constant columns (e.g. a batch tag) carried
+    through the shingle explode and into the group key — lets callers run ONE
+    pipeline over a union of batches instead of one scan+aggregate per batch
+    (the incremental-dedup merge, r13).
     """
     params = _minhash_params(k)
-    hashed = shingle_hashes(df, id_col, text_col, shingle_n)
+    extra = list(passthrough or [])
+    hashed = shingle_hashes(df, id_col, text_col, shingle_n, passthrough=extra)
     aggs = [
         F.min(F.pmod(a * F.col("_h") + b, F.lit(_P))).alias(f"_m{i}")
         for i, (a, b) in enumerate(params)
     ]
     if with_shingle_set:
         aggs.append(F.collect_set("_h").alias("_sh"))
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id", *extra).agg(*aggs)
 
 
 def _banded(per_doc: DataFrame, bands: int, r: int) -> DataFrame:
@@ -1197,12 +1212,28 @@ def minhash_lsh_pairs_incremental(
     old_only = old_df.join(
         new_df.select(F.col(id_col)).distinct(), id_col, "left_anti"
     )
-    per_old = _minhash_mins(
-        old_only, id_col, text_col, k, shingle_n, with_shingle_set=True
+    # ONE scan + ONE shingle pipeline + ONE aggregate over the tagged union
+    # of both batches (r13) — the previous shape ran the full signature
+    # pipeline twice (old side, new side), scanning the same storage twice
+    # and paying the k-min aggregate's fixed costs twice.  The batch tag
+    # rides the shingle explode as a per-doc constant (ids are disjoint
+    # after the anti-join, so grouping on (doc_id, tag) == doc_id).
+    tagged = old_only.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_is_new")
+    ).unionByName(
+        new_df.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_is_new"))
+    )
+    per_all = _minhash_mins(
+        tagged,
+        id_col,
+        text_col,
+        k,
+        shingle_n,
+        with_shingle_set=True,
+        passthrough=["_is_new"],
     ).transform(scoped_persist_corpus)
-    per_new = _minhash_mins(
-        new_df, id_col, text_col, k, shingle_n, with_shingle_set=True
-    ).transform(scoped_persist_corpus)
+    per_old = per_all.where(~F.col("_is_new")).drop("_is_new")
+    per_new = per_all.where(F.col("_is_new")).drop("_is_new")
     banded_old = _banded(per_old, bands, r)
     banded_new = _banded(per_new, bands, r)
     return _new_touching_pairs(

@@ -76,14 +76,17 @@ def _norm_tokens(text: Column) -> Column:
 
 
 def _bigram_rows(base: DataFrame) -> DataFrame:
-    """Explode staged token arrays to (…, w1, w2) bigram occurrence rows."""
+    """Explode staged token arrays to (…, w1, w2) bigram occurrence rows.
+
+    Built by zipping two shifted SLICES of the token array (native
+    expressions, whole-stage codegen) instead of a per-position transform
+    lambda — interpreted lambda evaluation was the dominant cost of the
+    candidate-side explode (r13, the shingle_hashes lesson).  Same rows.
+    """
     n = F.size(F.col("_toks"))
-    pairs = F.transform(
-        F.sequence(F.lit(0), n - F.lit(2)),
-        lambda i: F.struct(
-            F.element_at(F.col("_toks"), i + 1).alias("w1"),
-            F.element_at(F.col("_toks"), i + 2).alias("w2"),
-        ),
+    pairs = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, n - 1).alias("w1"),
+        F.slice(F.col("_toks"), 2, n - 1).alias("w2"),
     )
     return (
         base.where(n >= 2)
@@ -366,15 +369,13 @@ def perplexity_buckets(
 
 
 def _trigram_rows(base: DataFrame) -> DataFrame:
-    """Explode staged token arrays to (…, w1, w2, w3) trigram rows."""
+    """Explode staged token arrays to (…, w1, w2, w3) trigram rows (zipped
+    shifted slices — native expressions, see ``_bigram_rows``)."""
     n = F.size(F.col("_toks"))
-    triples = F.transform(
-        F.sequence(F.lit(0), n - F.lit(3)),
-        lambda i: F.struct(
-            F.element_at(F.col("_toks"), i + 1).alias("w1"),
-            F.element_at(F.col("_toks"), i + 2).alias("w2"),
-            F.element_at(F.col("_toks"), i + 3).alias("w3"),
-        ),
+    triples = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, n - 2).alias("w1"),
+        F.slice(F.col("_toks"), 2, n - 2).alias("w2"),
+        F.slice(F.col("_toks"), 3, n - 2).alias("w3"),
     )
     return (
         base.where(n >= 3)

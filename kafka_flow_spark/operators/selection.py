@@ -51,22 +51,21 @@ def _norm_tokens(text: Column) -> Column:
     return tokens(normalize_text(text))
 
 
-def _bigrams(toks: Column) -> Column:
-    """Adjacent-word bigram STRINGS (array; empty when < 2 tokens).  Kept
-    separate from the hashing so callers can explode first and hash per ROW
-    — the md5/conv chain then runs in whole-stage codegen instead of inside
-    an interpreted ``transform`` lambda (r13: hashing inside the lambda was
-    the dominant per-gram cost in the DSIR scoring pass)."""
+def _bigram_pairs(toks: Column) -> Column:
+    """Adjacent-word bigram PAIRS as zipped shifted slices (native
+    expressions; null when < 2 tokens, which explode drops).  Callers
+    explode first, then join/hash per ROW — both the gram concat and the
+    md5/conv chain run in whole-stage codegen instead of inside interpreted
+    ``transform`` lambdas (r13: the lambda evaluation was the dominant
+    per-gram cost in the DSIR scoring pass)."""
     n = F.size(toks)
     return F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(2)),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("_w1"),
+            F.slice(toks, 2, n - 1).alias("_w2"),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    )
 
 
 def _bucket_of(gram: Column, n_buckets: int) -> Column:
@@ -98,8 +97,14 @@ def doc_buckets(
             F.coalesce(is_target.cast("boolean"), F.lit(False)).alias("_is_t"),
             _norm_tokens(F.col(text_col)).alias("_toks"),
         )
-        .select("_id", "_is_t", F.explode(_bigrams(F.col("_toks"))).alias("_g"))
-        .select("_id", "_is_t", _bucket_of(F.col("_g"), n_buckets).alias("bucket"))
+        .select("_id", "_is_t", F.explode(_bigram_pairs(F.col("_toks"))).alias("_g"))
+        .select(
+            "_id",
+            "_is_t",
+            _bucket_of(
+                F.concat_ws(" ", F.col("_g._w1"), F.col("_g._w2")), n_buckets
+            ).alias("bucket"),
+        )
     )
 
 

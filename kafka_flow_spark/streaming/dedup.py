@@ -27,7 +27,7 @@ batch and streaming dedup agree on what "identical" means.
 
 from __future__ import annotations
 
-import os
+import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,6 +54,7 @@ def make_near_dedup_batch_fn(
     k: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    stream_ns: str = "adhoc",
 ):
     """First-wins NEAR-dup dedup for a document stream — the streaming form of
     ``operators.dedup.minhash_lsh_pairs``, as a ``foreachBatch`` function.
@@ -71,24 +72,61 @@ def make_near_dedup_batch_fn(
        intra-batch band collisions keep the min-id doc per component (a batch
        is processed as one atomic arrival, so chains collapse to their
        canonical survivor — deterministic regardless of partitioning);
-    4. append kept docs to ``out_dir`` and their bands to ``index_dir``.
+    4. write kept docs and their bands into per-(stream, epoch) partitions
+       ``<dir>/stream=<ns>/epoch_id=<n>`` with OVERWRITE.
 
-    Parquet appends in foreachBatch are at-least-once under batch retry (same
-    contract as persistence/journal.py sinks; use an epoch-id MERGE sink for
-    exactly-once).
+    Exactly-once under batch replay (r13 — closes the r12 verdict's two
+    defects in this sink):
+
+    - Both writes target the batch's OWN ``stream=<ns>/epoch_id=<n>``
+      partition with mode=overwrite.  foreachBatch re-delivers a failed
+      batch with the SAME epoch_id, so a replay overwrites the partition it
+      (partially) wrote instead of appending duplicates — the epoch-id
+      idempotent-sink protocol, expressed as hive partitions so readers
+      prune by it.  ``stream_ns`` scopes epoch ids to one stream
+      incarnation: a FRESH checkpoint restarts epochs at 0, and without the
+      namespace its batch 0 would overwrite a previous incarnation's
+      partition in the shared index (``dedup_near_stream`` derives the
+      namespace from the checkpoint path; direct callers sharing one
+      index_dir across checkpoints must pass distinct values).
+    - The index probe excludes the batch's own partition: a crash BETWEEN
+      the out and index writes leaves this batch's bands already indexed,
+      and without the exclusion the replay would see its own docs as
+      "already kept" and overwrite the kept partition with an empty one —
+      silently dropping them from the corpus.
+    - The index-existence probe uses the Hadoop FileSystem API (any
+      ``file:``/HDFS/object-store URI), not ``os.path`` — a driver-local
+      probe silently returned False on cluster storage and re-admitted
+      near-duplicates of everything already kept.
+
+    Readers see extra ``stream`` / ``epoch_id`` partition columns on both
+    tables.
     """
     from kafka_flow_spark.operators.dedup import band_hashes
     from kafka_flow_spark.operators.graph import connected_components
+    from kafka_flow_spark.streaming.materialize import _fs
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         bh = band_hashes(batch_df, id_col, text_col, k, bands, shingle_n).persist()
-        if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        ):
-            seen = spark.read.parquet(index_dir)
+        fs, jvm = _fs(spark, index_dir)
+        root = jvm.org.apache.hadoop.fs.Path(index_dir)
+        has_index = fs.exists(root) and bool(
+            fs.globStatus(
+                jvm.org.apache.hadoop.fs.Path(
+                    index_dir + "/stream=*/epoch_id=*/*.parquet"
+                )
+            )
+        )
+        if has_index:
+            seen = spark.read.parquet(index_dir).where(
+                ~(
+                    (F.col("stream") == F.lit(stream_ns))
+                    & (F.col("epoch_id") == F.lit(int(epoch_id)))
+                )
+            )
             hit = (
                 bh.join(seen, ["band_id", "band_hash"], "left_semi")
                 .select("doc_id")
@@ -116,9 +154,10 @@ def make_near_dedup_batch_fn(
         kept = batch_df.join(
             kept_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         )
-        kept.write.mode("append").parquet(out_dir)
-        alive_bh.join(drop, "doc_id", "left_anti").write.mode("append").parquet(
-            index_dir
+        part = f"stream={stream_ns}/epoch_id={int(epoch_id)}"
+        kept.write.mode("overwrite").parquet(f"{out_dir}/{part}")
+        alive_bh.join(drop, "doc_id", "left_anti").write.mode("overwrite").parquet(
+            f"{index_dir}/{part}"
         )
         alive_bh.unpersist()
         bh.unpersist()
@@ -139,7 +178,15 @@ def dedup_near_stream(
     """Attach the near-dedup foreachBatch sink to a streaming DataFrame and
     return the started query.  Kept docs land in ``out_dir``; the band-hash
     index in ``index_dir`` carries the dedup state across restarts (it is
-    rebuilt from data, not from the checkpoint, so batch jobs can share it)."""
+    rebuilt from data, not from the checkpoint, so batch jobs can share it).
+
+    The exactly-once stream namespace is derived from the checkpoint path: a
+    RESTART of the same checkpoint resumes its epoch sequence (replays
+    overwrite their own partitions), while a fresh checkpoint gets a fresh
+    namespace and cannot clobber a previous incarnation's partitions."""
+    kw.setdefault(
+        "stream_ns", hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    )
     fn = make_near_dedup_batch_fn(text_col, id_col, index_dir, out_dir, **kw)
     writer = (
         records.writeStream.outputMode("append")
