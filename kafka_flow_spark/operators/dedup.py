@@ -38,6 +38,21 @@ _P = (1 << 31) - 1
 _K_DEFAULT = 64
 
 
+def _jac_sets(a: F.Column | str, b: F.Column | str) -> F.Column:
+    """Exact Jaccard of two DISTINCT-element array columns via
+    inclusion–exclusion: |A∪B| = |A|+|B|−|A∩B|, so one ``array_intersect``
+    replaces intersect+union — half the per-candidate array hashing in every
+    verify join (r13; the union materialized a merged array per pair only to
+    take its size).  Identical value to the size(intersect)/size(union)
+    form: inputs are sets by construction (collect_set / array_distinct), so
+    the identity is exact and the double division sees the same integers.
+    """
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (
+        (F.size(a) + F.size(b) - inter).cast("double")
+    )
+
+
 def _iceil(expr: F.Column) -> F.Column:
     """Integer ceil of threshold·size products, guarded against IEEE
     representation error: the double product 0.07*100 is 7.000000000000001
@@ -128,9 +143,7 @@ def jaccard_pairs_blocked(
         cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
     if length_col:
         cond = cond & (F.abs(F.col("_len_a") - F.col("_len_b")) <= length_band)
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
-    union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
-    jac = inter / union
+    jac = _jac_sets("_sh_a", "_sh_b")
     return (
         a.join(b, cond)
         .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
@@ -481,8 +494,16 @@ def _minhash_mins(
         for i, (a, b) in enumerate(params)
     ]
     if with_shingle_set:
-        aggs.append(F.collect_set("_h").alias("_sh"))
-    return hashed.groupBy("doc_id", *extra).agg(*aggs)
+        # collect_list + one array_distinct per DOC, not collect_set: the
+        # set aggregate pays a hash-set insert per shingle ROW and measured
+        # 2.2× slower at sf10 (5.3 vs 2.4 s for the same aggregate).  Every
+        # consumer treats _sh as a set (sizes, array_intersect — order- and
+        # multiplicity-insensitive), and nulls drop from both forms alike.
+        aggs.append(F.collect_list("_h").alias("_shl"))
+    out = hashed.groupBy("doc_id", *extra).agg(*aggs)
+    if with_shingle_set:
+        out = out.withColumn("_sh", F.array_distinct("_shl")).drop("_shl")
+    return out
 
 
 def _banded(per_doc: DataFrame, bands: int, r: int) -> DataFrame:
@@ -566,10 +587,7 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
     sets = per_doc.select("doc_id", "_sh")
-    jac = (
-        F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
-        / F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
-    )
+    jac = _jac_sets("_sh_a", "_sh_b")
     return (
         cand.join(sets.select(F.col("doc_id").alias("a_id"), F.col("_sh").alias("_sh_a")), "a_id")
         .join(sets.select(F.col("doc_id").alias("b_id"), F.col("_sh").alias("_sh_b")), "b_id")
@@ -1010,10 +1028,7 @@ def jaccard_pairs_prefix(
         .select("a_id", "b_id")
         .distinct()
     )
-    jac = (
-        F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
-        / F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
-    )
+    jac = _jac_sets("_sh_a", "_sh_b")
     # the verify filter is on the RAW jaccard (rounding only the output):
     # candidate generation guarantees recall for true jac >= t, so a filter
     # on round(jac, 4) would admit pairs in [t - 5e-5, t) only when they
@@ -1280,10 +1295,7 @@ def _new_touching_pairs(
     )
     cand = cand_no.union(cand_nn).distinct()
     sets = new_sets.union(old_sets)
-    jac = (
-        F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
-        / F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
-    )
+    jac = _jac_sets("_sh_a", "_sh_b")
     return (
         cand.join(
             new_sets.select(F.col("doc_id").alias("a_id"), F.col("_sh").alias("_sh_a")),
