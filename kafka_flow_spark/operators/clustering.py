@@ -204,7 +204,7 @@ def ivf_exact_knn(
     Output: (query_id, rank, neighbor_id, cos_e6).
     """
     from kafka_flow_spark.cache import scoped_persist
-    from kafka_flow_spark.functions import cosine
+    from kafka_flow_spark.functions import dot, l2_norm
     from kafka_flow_spark.operators.similarity import _as_double
 
     if k < 1:
@@ -212,10 +212,15 @@ def ivf_exact_knn(
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     cents, assigned = kmeans_quantized(df, id_col, vec_col, n_cells, iters)
+    # the per-vector norm is staged INTO the persisted corpus relation —
+    # computed once per vector (and cached), not once per (query, neighbor)
+    # pair in the re-rank (r13; same doubles as cosine())
     corpus = scoped_persist(
         df.select(
             F.col(id_col).alias("_nid"), _as_double(F.col(vec_col)).alias("_nv")
-        ).join(
+        )
+        .withColumn("_nn", l2_norm(F.col("_nv")))
+        .join(
             assigned.select(F.col(id_col).alias("_nid"), "cid"), "_nid"
         )
     )
@@ -223,10 +228,11 @@ def ivf_exact_knn(
         F.col(id_col).alias("_qid"),
         _as_double(F.col(vec_col)).alias("_qv"),
         quantize_e6(F.col(vec_col)).alias("_qxe"),
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
     probed = qpts.crossJoin(F.broadcast(cents)).select(
         "_qid",
         "_qv",
+        "_qn",
         "cid",
         _sq_dist(F.col("_qxe"), F.col("centroid_e6")).alias("_cd"),
     )
@@ -234,10 +240,11 @@ def ivf_exact_knn(
     shortlist = (
         probed.withColumn("_pr", F.row_number().over(wp))
         .where(F.col("_pr") <= nprobe)
-        .select("_qid", "_qv", "cid")
+        .select("_qid", "_qv", "_qn", "cid")
     )
     cos_e6 = F.floor(
-        cosine(F.col("_qv"), F.col("_nv")) * F.lit(float(E6))
+        (dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")))
+        * F.lit(float(E6))
     ).cast("long")
     cand = (
         shortlist.join(corpus, "cid")

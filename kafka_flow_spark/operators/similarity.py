@@ -40,16 +40,21 @@ def knn_bruteforce(
     Output: (q_id, neighbor_id, sim, rank).  Deterministic tie-break on
     (sim DESC, neighbor_id ASC).
     """
+    from kafka_flow_spark.functions import dot, l2_norm
+
+    # per-VECTOR norms staged once per side; the per-pair work is one dot
+    # fold (same doubles as cosine() — see mmr_rerank, r13)
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("_qn", l2_norm(F.col("q_vec")))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("n_vec")
-    )
+    ).withColumn("_nn", l2_norm(F.col("n_vec")))
+    sim = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("_qn") * F.col("_nn"))
     sims = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"))
+        .select("q_id", "neighbor_id", sim.alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -182,7 +187,9 @@ def cosine_near_dup_pairs(
             out = out.withColumn(
                 f"_b{i}", F.floor(proj(F.col(vec_col), p) / F.col("_nrm") / F.lit(r)).cast("int")
             )
-        return out.drop("_nrm")
+        # keep _nrm: it IS l2_norm(_as_double(vec)) bit-for-bit, and staging
+        # it per side saves the two per-pair norm folds in the verify (r13)
+        return out
 
     banded = with_bands(df)
     band_cols = [f"_b{i}" for i in range(n_projections)]
@@ -203,12 +210,24 @@ def cosine_near_dup_pairs(
         )
     ).alias("_cell")
     left = banded.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), probe
-    ).select("a_id", "a_vec", *[F.col(f"_cell.{c}").alias(c) for c in band_cols])
-    right = banded.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), *band_cols
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("_nrm").alias("_an"),
+        probe,
+    ).select(
+        "a_id", "a_vec", "_an", *[F.col(f"_cell.{c}").alias(c) for c in band_cols]
     )
-    sim = cosine(_as_double(F.col("a_vec")), _as_double(F.col("b_vec")))
+    right = banded.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("_nrm").alias("_bn"),
+        *band_cols,
+    )
+    from kafka_flow_spark.functions import dot
+
+    sim = dot(_as_double(F.col("a_vec")), _as_double(F.col("b_vec"))) / (
+        F.col("_an") * F.col("_bn")
+    )
     return (
         left.join(right, band_cols)
         .filter(F.col("a_id") < F.col("b_id"))
@@ -476,14 +495,17 @@ def knn_ivf(
     q = queries.select(id_col, vec_col).mapInPandas(assign(n_probe), schema=schema).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cell"
     )
+    from kafka_flow_spark.functions import dot, l2_norm
+
+    v = v.withColumn("_nn", l2_norm(_as_double(F.col("n_vec"))))
+    q = q.withColumn("_qn", l2_norm(_as_double(F.col("q_vec"))))
+    sim = dot(_as_double(F.col("q_vec")), _as_double(F.col("n_vec"))) / (
+        F.col("_qn") * F.col("_nn")
+    )
     sims = (
         v.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "neighbor_id",
-            cosine(_as_double(F.col("q_vec")), _as_double(F.col("n_vec"))).alias("sim"),
-        )
+        .select("q_id", "neighbor_id", sim.alias("sim"))
         .groupBy("q_id", "neighbor_id")
         .agg(F.max("sim").alias("sim"))
     )
@@ -577,14 +599,17 @@ def knn_lsh(
     # dedup multi-table hits AFTER computing the scalar sim: a distinct on
     # (…, q_vec, n_vec) would shuffle full float vectors as grouping keys;
     # max(sim) over (q_id, neighbor_id) shuffles two scalars per candidate
+    from kafka_flow_spark.functions import dot, l2_norm
+
+    vb = vb.withColumn("_nn", l2_norm(_as_double(F.col("n_vec"))))
+    qb = qb.withColumn("_qn", l2_norm(_as_double(F.col("q_vec"))))
+    sim = dot(_as_double(F.col("q_vec")), _as_double(F.col("n_vec"))) / (
+        F.col("_qn") * F.col("_nn")
+    )
     sims = (
         vb.join(F.broadcast(qb), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "neighbor_id",
-            cosine(_as_double(F.col("q_vec")), _as_double(F.col("n_vec"))).alias("sim"),
-        )
+        .select("q_id", "neighbor_id", sim.alias("sim"))
         .groupBy("q_id", "neighbor_id")
         .agg(F.max("sim").alias("sim"))
     )
@@ -1182,13 +1207,24 @@ def semantic_dedup_lsh(
         )
         engine = "expr" if est <= max_expr_pairs else "blas"
     if engine == "expr":
-        a = assigned.select(
-            F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), "_cell"
+        from kafka_flow_spark.functions import dot, l2_norm
+
+        withn = assigned.withColumn("_l2", l2_norm(_as_double(F.col(vec_col))))
+        a = withn.select(
+            F.col(id_col).alias("a_id"),
+            F.col(vec_col).alias("_va"),
+            F.col("_l2").alias("_an"),
+            "_cell",
         )
-        b = assigned.select(
-            F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), "_cell"
+        b = withn.select(
+            F.col(id_col).alias("b_id"),
+            F.col(vec_col).alias("_vb"),
+            F.col("_l2").alias("_bn"),
+            "_cell",
         )
-        sim = cosine(_as_double(F.col("_va")), _as_double(F.col("_vb")))
+        sim = dot(_as_double(F.col("_va")), _as_double(F.col("_vb"))) / (
+            F.col("_an") * F.col("_bn")
+        )
         dropped = (
             a.join(b, "_cell")
             .where(F.col("a_id") < F.col("b_id"))
