@@ -537,13 +537,18 @@ def _assigned_cells_with_gate(
         if n_planes > 0
         else F.lit(0)
     )
+    from kafka_flow_spark.functions import l2_norm
+
+    # the per-vector L2 norm is staged into the persisted relation so each
+    # pairwise FLOOR-e6 cosine downstream is one dot fold, not three (r13;
+    # same doubles — cosine() is dot/(na*nb))
     assigned = scoped_persist(
         df.select(
             F.col(id_col).alias("_id"),
             F.col(label_col).alias("_lbl"),
             _as_double(F.col(vec_col)).alias("_v"),
             cell.alias("_cell"),
-        )
+        ).withColumn("_l2", l2_norm(F.col("_v")))
     )
     est = int(
         assigned.groupBy("_cell")
@@ -583,7 +588,7 @@ def _bucketed_topk_pairs(
     """Shared core of hard_negatives / positive_pairs: seeded sign-bucket
     assignment (staged once), gated in-cell ORDERED pair scan, FLOOR-e6
     cosine, WindowGroupLimit top-k per anchor."""
-    from kafka_flow_spark.functions import cosine
+    from kafka_flow_spark.functions import dot
     from pyspark.sql import Window
 
     if k < 1:
@@ -596,12 +601,14 @@ def _bucketed_topk_pairs(
         F.col("_id").alias("anchor_id"),
         F.col("_lbl").alias("anchor_label"),
         F.col("_v").alias("_va"),
+        F.col("_l2").alias("_an"),
         "_cell",
     )
     b = assigned.select(
         F.col("_id").alias(pid),
         F.col("_lbl").alias(plbl),
         F.col("_v").alias("_vb"),
+        F.col("_l2").alias("_bn"),
         "_cell",
     )
     match = F.col("anchor_label").eqNullSafe(F.col(plbl))
@@ -611,7 +618,8 @@ def _bucketed_topk_pairs(
         (match & (F.col(pid) != F.col("anchor_id"))) if same_label else ~match
     )
     cos_e6 = F.floor(
-        cosine(F.col("_va"), F.col("_vb")) * F.lit(1_000_000.0)
+        (dot(F.col("_va"), F.col("_vb")) / (F.col("_an") * F.col("_bn")))
+        * F.lit(1_000_000.0)
     ).cast("long")
     pairs = (
         a.join(b, "_cell")
@@ -669,7 +677,7 @@ def contrastive_dataset(
     NULL for ring draws (no vector math on the ring path, by design).
     """
     from kafka_flow_spark.cache import scoped_persist
-    from kafka_flow_spark.functions import cosine
+    from kafka_flow_spark.functions import dot
     from pyspark.sql import Window
 
     for name, v in (("k_pos", k_pos), ("k_hard", k_hard), ("k_ring", k_ring)):
@@ -683,16 +691,19 @@ def contrastive_dataset(
         F.col("_id").alias("anchor_id"),
         F.col("_lbl").alias("anchor_label"),
         F.col("_v").alias("_va"),
+        F.col("_l2").alias("_an"),
         "_cell",
     )
     b = assigned.select(
         F.col("_id").alias("partner_id"),
         F.col("_lbl").alias("partner_label"),
         F.col("_v").alias("_vb"),
+        F.col("_l2").alias("_bn"),
         "_cell",
     )
     cos_e6 = F.floor(
-        cosine(F.col("_va"), F.col("_vb")) * F.lit(1_000_000.0)
+        (dot(F.col("_va"), F.col("_vb")) / (F.col("_an") * F.col("_bn")))
+        * F.lit(1_000_000.0)
     ).cast("long")
     role = F.when(
         F.col("anchor_label").eqNullSafe(F.col("partner_label")),
