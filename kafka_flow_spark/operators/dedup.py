@@ -466,6 +466,158 @@ def remove_duplicate_spans(
     )
 
 
+def _make_sig_partial_fn(
+    params: list[tuple[int, int]], want_set: bool, n_extra: int
+):
+    """Build the ``mapInArrow`` partial-signature function: per PARTITION, a
+    streaming group-by over the contiguous per-doc shingle runs, computing
+    all k multiply-mod-min lanes vectorized in int64 numpy (and optionally
+    the per-doc distinct shingle set via ``np.unique``).
+
+    Contiguity holds by construction — every shingle row of a doc comes from
+    exploding ONE input row, so a doc's rows are consecutive within one scan
+    partition; runs spanning Arrow batch boundaries are merged by carrying
+    the last open group across batches.  Duplicate doc ids (or ids split by
+    upstream unions) are still merged EXACTLY by the JVM combine aggregate
+    in ``_minhash_mins`` — this function only has to emit *partials*.
+
+    Arithmetic is bit-identical to the former JVM lanes: a·h+b < 2^62 for
+    h ∈ [0, P) (no int64 overflow), and numpy ``%`` on non-negative int64
+    equals ``pmod``.  All-null runs (short docs) emit null lanes and an
+    empty set, matching ``F.min``/``collect_list`` null semantics.
+    """
+    a_list = [a for a, _ in params]
+    b_list = [b for _, b in params]
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        a = np.array(a_list, dtype=np.int64).reshape(-1, 1)
+        b = np.array(b_list, dtype=np.int64).reshape(-1, 1)
+        k = len(a_list)
+        big = np.int64((1 << 63) - 1)  # sentinel > any valid lane value
+        p = np.int64(_P)
+        out_schema = None
+        pend = None  # open group carried across batches: (doc, extras, mins, sh)
+
+        def one_row_batch(row):
+            doc_v, extras_v, mins_v, sh_v = row
+            arrs = [pa.array([doc_v], type=out_schema.field(0).type)]
+            for j in range(n_extra):
+                arrs.append(
+                    pa.array([extras_v[j]], type=out_schema.field(1 + j).type)
+                )
+            for i in range(k):
+                v = int(mins_v[i])
+                arrs.append(pa.array([None if v == big else v], type=pa.int64()))
+            if want_set:
+                arrs.append(pa.array([sh_v], type=pa.list_(pa.int64())))
+            return pa.RecordBatch.from_arrays(arrs, schema=out_schema)
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            if out_schema is None:
+                fields = [batch.schema.field(0)]
+                fields += [batch.schema.field(1 + j) for j in range(n_extra)]
+                fields += [pa.field(f"_m{i}", pa.int64()) for i in range(k)]
+                if want_set:
+                    fields.append(pa.field("_shl", pa.list_(pa.int64())))
+                out_schema = pa.schema(fields)
+            doc = batch.column(0)
+            extras = [batch.column(1 + j) for j in range(n_extra)]
+            h = batch.column(1 + n_extra)
+            null_mask = pc.is_null(h).to_numpy(zero_copy_only=False)
+            any_null = bool(null_mask.any())
+            hv = h.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            if n > 1:
+                neq = pc.not_equal(doc.slice(1), doc.slice(0, n - 1))
+                changes = np.flatnonzero(
+                    neq.fill_null(True).to_numpy(zero_copy_only=False)
+                )
+                starts = np.concatenate(([0], changes + 1))
+            else:
+                starts = np.array([0])
+            nseg = len(starts)
+            lanes = (hv * a + b) % p  # (k, n)
+            if any_null:
+                lanes[:, null_mask] = big
+            mins = np.minimum.reduceat(lanes, starts, axis=1)  # (k, nseg)
+            # distinct shingle hashes per run, one vectorized pass: sort the
+            # valid (run, hash) pairs, drop adjacent duplicates, and read the
+            # per-run slices back through cumulative counts — sorted-distinct
+            # per run with no per-doc python work
+            h_k = offs = None
+            if want_set:
+                seg_ids = np.repeat(np.arange(nseg), np.diff(np.append(starts, n)))
+                if any_null:
+                    valid = ~null_mask
+                    sid, hval = seg_ids[valid], hv[valid]
+                else:
+                    sid, hval = seg_ids, hv
+                order = np.lexsort((hval, sid))
+                sid_s, h_s = sid[order], hval[order]
+                if len(sid_s):
+                    keep = np.ones(len(sid_s), dtype=bool)
+                    keep[1:] = (sid_s[1:] != sid_s[:-1]) | (h_s[1:] != h_s[:-1])
+                    sid_k, h_k = sid_s[keep], h_s[keep]
+                else:
+                    sid_k, h_k = sid_s, h_s
+                offs = np.concatenate(
+                    ([0], np.cumsum(np.bincount(sid_k, minlength=nseg)))
+                )
+            first_doc = doc[0].as_py()
+            lo = 0  # first segment index of the vectorized emission block
+            if pend is not None:
+                if first_doc == pend[0]:
+                    merged = (
+                        pend[0],
+                        pend[1],
+                        np.minimum(mins[:, 0], pend[2]),
+                        np.union1d(h_k[offs[0] : offs[1]], pend[3])
+                        if want_set
+                        else None,
+                    )
+                    if nseg == 1:
+                        pend = merged
+                        continue
+                    yield one_row_batch(merged)
+                    lo = 1
+                else:
+                    yield one_row_batch(pend)
+            pend = (
+                doc[int(starts[-1])].as_py(),
+                [ex[int(starts[-1])].as_py() for ex in extras],
+                mins[:, -1].copy(),
+                h_k[offs[nseg - 1] : offs[nseg]].copy() if want_set else None,
+            )
+            if lo >= nseg - 1:
+                continue  # nothing left beyond the pend (and merged head)
+            idx = pa.array(starts[lo : nseg - 1])
+            arrs = [doc.take(idx)]
+            for ex in extras:
+                arrs.append(ex.take(idx))
+            for i in range(k):
+                col = mins[i, lo : nseg - 1]
+                arrs.append(pa.array(col, mask=col == big))
+            if want_set:
+                base = offs[lo]
+                arrs.append(
+                    pa.ListArray.from_arrays(
+                        np.asarray(offs[lo : nseg] - base, dtype=np.int32),
+                        pa.array(h_k[base : offs[nseg - 1]], type=pa.int64()),
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(arrs, schema=out_schema)
+        if pend is not None:
+            yield one_row_batch(pend)
+
+    return fn
+
+
 def _minhash_mins(
     df: DataFrame,
     id_col: str,
@@ -475,11 +627,24 @@ def _minhash_mins(
     with_shingle_set: bool = False,
     passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """One hash-aggregate producing the k permutation minima (columns _m0.._m{k-1})
-    and optionally the distinct shingle-hash set (column _sh).
+    """Per-doc k permutation minima (columns _m0.._m{k-1}) and optionally the
+    distinct shingle-hash set (column _sh).
 
-    ONE shuffle total: partial aggregation collapses each doc to a single
-    k(+set)-slot row on the map side regardless of document length.
+    Shape (r14): the k multiply-mod-min lanes run VECTORIZED in int64 numpy
+    inside a ``mapInArrow`` partial over the contiguous per-doc shingle runs
+    (guide §4.2 — the 64 per-row aggregate-expression updates were the
+    measured floor of every minhash query: 64 codegen update calls per
+    shingle row vs k fused numpy passes per batch).  Only (doc_id, _h) —
+    16 bytes/row — cross the Python boundary, and the partial collapses each
+    doc to ONE row before the exchange, so the shuffle volume is unchanged
+    from the previous all-JVM partial aggregate.  A JVM combine aggregate
+    (min per lane, set-union) then merges partials, which keeps groupBy
+    semantics exact for duplicate ids and null runs.  Lane values are
+    bit-identical (int64 arithmetic, no overflow: a·h+b < 2^62; numpy ``%``
+    == pmod on non-negative operands); the only representational change is
+    ``_sh``'s in-array ORDER (np.unique sorts ascending where collect_list
+    kept first-occurrence order) — every consumer is order-insensitive
+    (sizes, array_intersect), so query values are unchanged.
 
     ``passthrough``: per-document constant columns (e.g. a batch tag) carried
     through the shingle explode and into the group key — lets callers run ONE
@@ -489,21 +654,25 @@ def _minhash_mins(
     params = _minhash_params(k)
     extra = list(passthrough or [])
     hashed = shingle_hashes(df, id_col, text_col, shingle_n, passthrough=extra)
-    aggs = [
-        F.min(F.pmod(a * F.col("_h") + b, F.lit(_P))).alias(f"_m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
+    from pyspark.sql import types as T
+
+    fields = [hashed.schema["doc_id"]]
+    fields += [hashed.schema[c] for c in extra]
+    fields += [T.StructField(f"_m{i}", T.LongType()) for i in range(k)]
     if with_shingle_set:
-        # collect_list + one array_distinct per DOC, not collect_set: the
-        # set aggregate pays a hash-set insert per shingle ROW and measured
-        # 2.2× slower at sf10 (5.3 vs 2.4 s for the same aggregate).  Every
-        # consumer treats _sh as a set (sizes, array_intersect — order- and
-        # multiplicity-insensitive), and nulls drop from both forms alike.
-        aggs.append(F.collect_list("_h").alias("_shl"))
-    out = hashed.groupBy("doc_id", *extra).agg(*aggs)
+        fields.append(T.StructField("_shl", T.ArrayType(T.LongType())))
+    partial = hashed.mapInArrow(
+        _make_sig_partial_fn(params, with_shingle_set, len(extra)),
+        T.StructType(fields),
+    )
+    aggs = [F.min(f"_m{i}").alias(f"_m{i}") for i in range(k)]
     if with_shingle_set:
-        out = out.withColumn("_sh", F.array_distinct("_shl")).drop("_shl")
-    return out
+        # combine of per-partition partial sets; one partial per doc in the
+        # common (unique-id) case, so flatten+distinct touches tiny input
+        aggs.append(
+            F.array_distinct(F.flatten(F.collect_list("_shl"))).alias("_sh")
+        )
+    return partial.groupBy("doc_id", *extra).agg(*aggs)
 
 
 def _banded(per_doc: DataFrame, bands: int, r: int) -> DataFrame:
