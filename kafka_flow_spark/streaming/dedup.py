@@ -113,7 +113,24 @@ def make_near_dedup_batch_fn(
         bh = band_hashes(batch_df, id_col, text_col, k, bands, shingle_n).persist()
         fs, jvm = _fs(spark, index_dir)
         root = jvm.org.apache.hadoop.fs.Path(index_dir)
-        has_index = fs.exists(root) and bool(
+        index_exists = fs.exists(root)
+        if index_exists and bool(
+            fs.globStatus(jvm.org.apache.hadoop.fs.Path(index_dir + "/*.parquet"))
+        ):
+            # Parquet at the index ROOT is the pre-r13 flat append layout (or
+            # a batch job's un-partitioned write).  Treating it as "no index"
+            # would silently re-admit near-duplicates of everything already
+            # kept, and Spark cannot partition-discover a mixed flat +
+            # stream=/epoch_id= tree either — refuse loudly instead of
+            # starting from an empty dedup state (ADVICE r13).
+            raise RuntimeError(
+                f"near-dedup index at {index_dir!r} holds flat parquet files "
+                "at the root (legacy pre-epoch layout). Migrate it first: "
+                "move the flat files into a stream=<ns>/epoch_id=<n>/ "
+                "partition (any ns/epoch not used by live streams), or "
+                "rebuild the index, then restart the stream."
+            )
+        has_index = index_exists and bool(
             fs.globStatus(
                 jvm.org.apache.hadoop.fs.Path(
                     index_dir + "/stream=*/epoch_id=*/*.parquet"
@@ -165,6 +182,57 @@ def make_near_dedup_batch_fn(
     return fn
 
 
+_NS_MARKER = "__dedup_stream_ns__"
+
+
+def _stream_namespace(spark, checkpoint: str) -> str:
+    """Stable per-INCARNATION namespace for the near-dedup sink, persisted as
+    a marker file INSIDE the checkpoint directory.
+
+    Deriving the namespace from the checkpoint *path* (the pre-r14 scheme)
+    reused it across incarnations: wiping a checkpoint dir and restarting at
+    the same path — a routine operational reset — restarted epoch ids at 0
+    under the SAME namespace, so the new incarnation's mode=overwrite writes
+    clobbered the previous incarnation's ``stream=<ns>/epoch_id=<n>``
+    partitions in both out_dir and index_dir (silent loss of kept docs and
+    dedup state; ADVICE r13).  A marker file lives and dies WITH the
+    checkpoint: a restart of the same checkpoint reads the same namespace
+    (replays still overwrite their own partitions), while a wiped-and-
+    recreated checkpoint has no marker and mints a fresh namespace.
+
+    The marker is created with overwrite=False so two racing first-starts
+    converge on whichever marker landed.  If checkpoint storage refuses the
+    marker round trip the old path hash is kept as a documented FALLBACK —
+    under the fallback, wiping a checkpoint dir without changing the path
+    reintroduces the clobber window, so don't do that."""
+    import uuid
+
+    from kafka_flow_spark.streaming.materialize import _fs
+
+    try:
+        fs, jvm = _fs(spark, checkpoint)
+        marker = jvm.org.apache.hadoop.fs.Path(f"{checkpoint}/{_NS_MARKER}")
+        if not fs.exists(marker):
+            ns = uuid.uuid4().hex[:12]
+            try:
+                out = fs.create(marker, False)
+                out.write(bytearray(ns.encode("utf-8")))
+                out.close()
+            except Exception:
+                pass  # lost the race (or storage refused) — re-read below
+        stream = fs.open(marker)
+        try:
+            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        ns = bytes(data).decode("utf-8").strip()
+        if ns:
+            return ns
+    except Exception:
+        pass
+    return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+
 def dedup_near_stream(
     records: DataFrame,
     text_col: str,
@@ -180,12 +248,14 @@ def dedup_near_stream(
     index in ``index_dir`` carries the dedup state across restarts (it is
     rebuilt from data, not from the checkpoint, so batch jobs can share it).
 
-    The exactly-once stream namespace is derived from the checkpoint path: a
-    RESTART of the same checkpoint resumes its epoch sequence (replays
-    overwrite their own partitions), while a fresh checkpoint gets a fresh
-    namespace and cannot clobber a previous incarnation's partitions."""
+    The exactly-once stream namespace is a run-id marker persisted INSIDE
+    the checkpoint directory (``_stream_namespace``): a RESTART of the same
+    checkpoint resumes its namespace and epoch sequence (replays overwrite
+    their own partitions), while a fresh OR wiped-and-recreated checkpoint
+    gets a fresh namespace and cannot clobber a previous incarnation's
+    partitions."""
     kw.setdefault(
-        "stream_ns", hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        "stream_ns", _stream_namespace(records.sparkSession, checkpoint)
     )
     fn = make_near_dedup_batch_fn(text_col, id_col, index_dir, out_dir, **kw)
     writer = (

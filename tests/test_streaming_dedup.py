@@ -278,3 +278,69 @@ def test_near_dedup_index_probe_is_cluster_portable(spark, tmp_path):
     fn(spark.createDataFrame([(ts(5), 2, near)], SCHEMA), 1)
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
     assert kept == [1]
+
+
+def test_near_dedup_wiped_checkpoint_cannot_clobber_previous_incarnation(
+    spark, tmp_path
+):
+    """Wiping a checkpoint dir and restarting at the SAME path is a routine
+    operational reset: epochs restart at 0, so the namespace must change or
+    the new incarnation's overwrite writes clobber the previous one's
+    stream=<ns>/epoch_id=0 partitions (silent loss of kept docs — ADVICE
+    r13).  The run-id marker persisted inside the checkpoint dies with it,
+    so the second incarnation gets a fresh namespace."""
+    import shutil
+
+    input_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    index_dir, out_dir = str(tmp_path / "idx"), str(tmp_path / "out")
+    base, near, other = _near_docs()
+    write_batch(spark, input_dir, [(ts(0), 1, base), (ts(0), 3, other)])
+    assert run_near_stream(spark, input_dir, chk, index_dir, out_dir) == [1, 3]
+    ns1 = {
+        r["stream"] for r in spark.read.parquet(out_dir).select("stream").collect()
+    }
+
+    # operational reset: wipe ONLY the checkpoint, keep index + corpus
+    shutil.rmtree(chk)
+    # the new incarnation reprocesses the same input at epoch 0; every doc is
+    # a near-dup of the already-kept corpus, so it keeps nothing — and it
+    # must NOT overwrite the previous incarnation's epoch-0 partition
+    assert run_near_stream(spark, input_dir, chk, index_dir, out_dir) == [1, 3]
+    ns2 = {
+        r["stream"] for r in spark.read.parquet(out_dir).select("stream").collect()
+    }
+    assert ns1 <= ns2  # the first incarnation's partition survived
+
+
+def test_near_dedup_same_checkpoint_restart_keeps_namespace(spark, tmp_path):
+    """A restart of the SAME checkpoint must reuse its namespace (the marker
+    is read back), so a replayed epoch overwrites its own partition."""
+    from kafka_flow_spark.streaming.dedup import _stream_namespace
+
+    chk = str(tmp_path / "chk")
+    ns_a = _stream_namespace(spark, chk)
+    ns_b = _stream_namespace(spark, chk)
+    assert ns_a == ns_b
+    import shutil
+
+    shutil.rmtree(chk)
+    assert _stream_namespace(spark, chk) != ns_a
+
+
+def test_near_dedup_legacy_flat_index_is_refused_loudly(spark, tmp_path):
+    """An index_dir holding the pre-epoch FLAT parquet layout must fail
+    loudly instead of being silently ignored (which would re-admit
+    near-duplicates of everything already kept — ADVICE r13)."""
+    import pytest
+
+    from kafka_flow_spark.streaming.dedup import make_near_dedup_batch_fn
+
+    index_dir, out_dir = str(tmp_path / "idx"), str(tmp_path / "out")
+    base, near, other = _near_docs()
+    # legacy layout: band rows as flat parquet at the index root
+    spark.createDataFrame(
+        [(1, 0, 123456789)], "doc_id INT, band_id INT, band_hash LONG"
+    ).coalesce(1).write.parquet(index_dir)
+    fn = make_near_dedup_batch_fn("text", "doc_id", index_dir, out_dir, stream_ns="s1")
+    with pytest.raises(RuntimeError, match="legacy|flat parquet"):
+        fn(spark.createDataFrame([(ts(0), 2, near)], SCHEMA), 0)
