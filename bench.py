@@ -77,10 +77,23 @@ def main() -> None:
     # pays for itself thousands of times over and the large profile keeps
     # the defaults — this is exactly the knob a job-size-aware submitter
     # would flip, applied at the harness level where input size is known.
+    # Shuffle partitions under the small profile: min(cpus, 8).  8 was the
+    # r6-measured sweet spot at sf0.1 on 32 cores; pinning to the core count
+    # instead was counter-measured in r14 (full bench, same host, same code):
+    # partitions=32 on 32 cores reads +8-28% on six rows (q_resample +28%,
+    # q_text_stats +24%, q_lm +19%, q_dsir +10%, q_mmr_ivf +9%, q_kmeans +8%)
+    # — pure task-launch overhead at megabyte scale, so "partitions = cpus"
+    # would trade driver-comparable numbers for nothing.  The min() keeps
+    # sub-8-core runs from over-partitioning, and the JSON line now reports
+    # "cpus" so scaling probes are attributable; CORE-scaling measurements
+    # should use SPARK_GRAFT_PROFILE=large at sf1+, where shuffles are big
+    # enough for parallelism to show (the small profile is overhead-bound by
+    # design — see OPTIMIZATION_r14.md).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     extra = (
         {
             "spark.sql.adaptive.enabled": "false",
-            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.shuffle.partitions": str(min(cpus, 8)),
             "spark.sql.files.openCostInBytes": "131072",
             "spark.shuffle.compress": "false",
             "spark.broadcast.compress": "false",
@@ -183,6 +196,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # additive fields (r14, VERDICT r13 item 2): make the driver's
+                # core-scaling probe attributable — existing keys unchanged
+                "cpus": cpus,
+                "profile": "small" if small else "large",
             }
         )
     )

