@@ -73,6 +73,23 @@ def scoped_persist_corpus(df: DataFrame) -> DataFrame:
     return scoped_persist(df, StorageLevel.DISK_ONLY)
 
 
+def materialized(df: DataFrame) -> DataFrame:
+    """Force a scoped-persisted relation to materialize NOW, so that
+    downstream JOIN planning sees the cache's ACTUAL byte size instead of a
+    width-scaled estimate.  Catalyst guesses array columns at ~16 B/cell, so
+    a per-doc relation carrying a shingle-set array can be estimated 1000×
+    small through an opaque node (MapInArrow reports no cardinality) — at
+    sf100 that mis-picked a BroadcastHashJoin over a multi-GB build side and
+    aborted on spark.driver.maxResultSize (r14).  A materialized
+    InMemoryRelation reports its true cached size, so the broadcast-vs-
+    shuffle decision becomes stats-driven at every scale: broadcast at
+    bench scale (relation genuinely small), shuffled join at corpus scale.
+    The action itself costs one job that the first downstream consumer
+    would have paid anyway (the persist is always multi-consumer here)."""
+    df.count()
+    return df
+
+
 def mark() -> int:
     """Current tracking position ON THIS THREAD — pair with
     ``release_since`` to scope persists to one unit of work (e.g. one

@@ -22,7 +22,11 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_flow_spark.cache import scoped_persist, scoped_persist_corpus
+from kafka_flow_spark.cache import (
+    materialized,
+    scoped_persist,
+    scoped_persist_corpus,
+)
 
 from kafka_flow_spark.operators.text import (
     fingerprint,
@@ -739,7 +743,11 @@ def minhash_lsh_pairs(
         df, id_col, text_col, k, shingle_n, with_shingle_set=verify
     )
     if verify:
-        per_doc = per_doc.transform(scoped_persist_corpus)
+        # materialized: the persisted per-doc relation feeds the banding
+        # self-join AND both verify joins — forcing it now makes the join
+        # strategies stats-driven (see cache.materialized; at sf100 the
+        # width-scaled estimate broadcast a multi-GB build side)
+        per_doc = materialized(per_doc.transform(scoped_persist_corpus))
     banded = _banded(per_doc, bands, r)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1416,6 +1424,7 @@ def minhash_lsh_pairs_incremental(
         with_shingle_set=True,
         passthrough=["_is_new"],
     ).transform(scoped_persist_corpus)
+    per_all = materialized(per_all)
     per_old = per_all.where(~F.col("_is_new")).drop("_is_new")
     per_new = per_all.where(F.col("_is_new")).drop("_is_new")
     banded_old = _banded(per_old, bands, r)
@@ -1658,9 +1667,11 @@ def minhash_lsh_pairs_indexed(
     old_sets = spark.read.parquet(f"{index_path}/shingles").join(
         new_ids, "doc_id", "left_anti"
     )
-    per_new = _minhash_mins(
-        new_df, id_col, text_col, k, shingle_n, with_shingle_set=True
-    ).transform(scoped_persist_corpus)
+    per_new = materialized(
+        _minhash_mins(
+            new_df, id_col, text_col, k, shingle_n, with_shingle_set=True
+        ).transform(scoped_persist_corpus)
+    )
     banded_new = _banded(per_new, bands, r)
     return _new_touching_pairs(
         banded_new, old_bands, per_new.select("doc_id", "_sh"), old_sets, threshold
