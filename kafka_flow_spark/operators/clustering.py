@@ -61,35 +61,152 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid per point: the k centroids collapse to ONE
-    broadcast array row, and the argmin runs entirely inside a projection —
-    ``transform`` scores each centroid once (exact integer distance), and
-    ``array_min`` over (dist, cid) structs is the argmin WITH the
-    ties-to-smaller-cid rule for free (struct ordering is lexicographic by
-    field position).  ZERO exchanges and no k× row blowup: r10 replaces the
-    broadcast cross join + row_number window, which shuffled and sorted a
-    k-expanded copy of the corpus EVERY iteration.  Measured at sf10
-    (200k×64d, k=8): q_kmeans_cells itself is recenter-bound and unchanged
-    (~3.7 s), but q_knn_ivf_exact — whose corpus-wide assignment fed the
-    probe join through that window — drops 35.5 → 15.5 s.  Same values,
-    same ties, oracles unchanged.  Output: (_id, _xe, cid, _dist)."""
-    cents_arr = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "_ce"))).alias("_cents")
+def _assign_row_py(x, cent_rows):
+    """Exact python mirror of the pre-r14 expression argmin for one point —
+    the slow path for rows/centroids outside the vectorized contract (null
+    vector, null element, ragged dims).  Ordering rule, pinned empirically
+    against the expression form (struct array_min, NULLS FIRST): a NULL
+    distance sorts BEFORE any valid distance, ties break to the smaller
+    cid.  Returns (cid, dist) with dist None when the winning distance is
+    null; (None, None) when there are no centroids."""
+    best = None
+    for cid, c in cent_rows:
+        if (
+            x is None
+            or c is None
+            or len(x) != len(c)
+            or any(v is None for v in x)
+            or any(v is None for v in c)
+        ):
+            key = (0,)  # null distance: sorts first
+            d = None
+        else:
+            d = sum((a - b) * (a - b) for a, b in zip(x, c))
+            key = (1, d)
+        if best is None or (key, cid) < best[:2]:
+            best = (key, cid, d)
+    if best is None:
+        return None, None
+    return best[1], best[2]
+
+
+def _make_assign_fn(cent_rows, keep_xe: bool):
+    """Build the ``mapInArrow`` nearest-centroid function over (id, _xe)
+    batches.  The k centroids ride the task closure (k·dim bigints — driver
+    state the size the module docstring already promises), and the argmin
+    runs vectorized in int64 numpy: dists[m, k] = Σ(x−c)² by broadcast
+    subtraction, ``np.argmin`` row-wise.  Arithmetic is bit-identical to
+    the former expression form (int64 adds/multiplies, no overflow by the
+    |x| ≤ 1e6 contract), and ``argmin``'s first-minimum rule IS the
+    ties-to-smaller-cid rule because centroids are ordered by ascending
+    cid.  Rows or centroids outside the uniform no-null contract fall back
+    per row to ``_assign_row_py`` (same values as the old expression,
+    pinned in tests/test_clustering.py)."""
+    cids = [c for c, _ in cent_rows]
+    vecs = [list(v) if v is not None else None for _, v in cent_rows]
+    uniform = (
+        len(vecs) > 0
+        and all(v is not None and not any(e is None for e in v) for v in vecs)
+        and len({len(v) for v in vecs}) == 1
     )
-    best = F.array_min(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                _sq_dist(F.col("_xe"), c["_ce"]).alias("_dist"),
-                c["cid"].alias("cid"),
-            ),
-        )
-    )
-    return (
-        pts.crossJoin(F.broadcast(cents_arr))
-        .select("_id", "_xe", best.alias("_b"))
-        .select("_id", "_xe", F.col("_b.cid").alias("cid"), F.col("_b._dist").alias("_dist"))
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        k = len(cids)
+        cid_np = np.asarray(cids, dtype=np.int32)
+        C = np.asarray(vecs, dtype=np.int64) if uniform else None
+        dim = C.shape[1] if uniform else -1
+        # bound the (rows × k × dim) int64 diff transient to ~256 MB
+        chunk = max(1, (1 << 25) // max(1, k * max(dim, 1)))
+        out_schema = None
+        for batch in batches:
+            n = batch.num_rows
+            if out_schema is None:
+                fields = [batch.schema.field(0)]
+                if keep_xe:
+                    fields.append(batch.schema.field(1))
+                fields += [
+                    pa.field("cid", pa.int32()),
+                    pa.field("_dist", pa.int64()),
+                ]
+                out_schema = pa.schema(fields)
+            if n == 0:
+                continue
+            xe = batch.column(1)
+            cid_out = np.zeros(n, dtype=np.int32)
+            cid_null = np.zeros(n, dtype=bool)
+            dist_out = np.zeros(n, dtype=np.int64)
+            dist_null = np.zeros(n, dtype=bool)
+            offs = None
+            if uniform and xe.null_count == 0:
+                xa = xe.combine_chunks() if isinstance(xe, pa.ChunkedArray) else xe
+                offs = xa.offsets.to_numpy(zero_copy_only=False)
+                vals = xa.values
+                fast_all = (
+                    vals.null_count == 0 and bool(np.all(np.diff(offs) == dim))
+                )
+            else:
+                fast_all = False
+            if fast_all:
+                X = vals.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )[offs[0] : offs[-1]].reshape(n, dim)
+                for lo in range(0, n, chunk):
+                    xs = X[lo : lo + chunk]
+                    d = xs[:, None, :] - C[None, :, :]
+                    dists = np.einsum("mkd,mkd->mk", d, d)
+                    j = np.argmin(dists, axis=1)
+                    cid_out[lo : lo + chunk] = cid_np[j]
+                    dist_out[lo : lo + chunk] = dists[
+                        np.arange(len(xs)), j
+                    ]
+            else:
+                for i, x in enumerate(xe.to_pylist()):
+                    cid, d = _assign_row_py(x, cent_rows)
+                    if cid is None:
+                        cid_null[i] = True
+                    else:
+                        cid_out[i] = cid
+                    if d is None:
+                        dist_null[i] = True
+                    else:
+                        dist_out[i] = d
+            arrs = [batch.column(0)]
+            if keep_xe:
+                arrs.append(xe)
+            arrs.append(pa.array(cid_out, mask=cid_null))
+            arrs.append(pa.array(dist_out, mask=dist_null))
+            yield pa.RecordBatch.from_arrays(arrs, schema=out_schema)
+
+    return fn
+
+
+def _assign(pts: DataFrame, cents_rows: list, keep_xe: bool = True) -> DataFrame:
+    """Nearest centroid per point, vectorized through the Arrow boundary
+    (guide §4.2).  ``cents_rows`` is the COLLECTED [(cid, _ce), ...] list,
+    ascending cid — centroid relations are k·dim bigints by contract, the
+    textbook broadcast-side collect.  r14 replaces the r10 in-projection
+    ``transform``+``array_min`` argmin: interpreted ``zip_with``/
+    ``aggregate`` lambdas cost N·k·dim per assignment round (1M lambda
+    evals at sf0.1, ~0.5 s/round; the r13-measured 2–15× unrolled
+    ``element_at`` dead end closed the expression-level space), where the
+    numpy argmin is three fused passes per batch.  Same values, same ties
+    (see _make_assign_fn), same ZERO-exchange shape: MapInArrow is a
+    narrow op, and only (id, _xe) cross the boundary.
+    Output: (_id[, _xe], cid, _dist)."""
+    from pyspark.sql import types as T
+
+    fields = [pts.schema["_id"]]
+    if keep_xe:
+        fields.append(pts.schema["_xe"])
+    fields += [
+        T.StructField("cid", T.IntegerType()),
+        T.StructField("_dist", T.LongType()),
+    ]
+    return pts.select("_id", "_xe").mapInArrow(
+        _make_assign_fn(cents_rows, keep_xe), T.StructType(fields)
     )
 
 
@@ -143,22 +260,32 @@ def kmeans_quantized(
             F.col(id_col).alias("_id"), quantize_e6(F.col(vec_col)).alias("_xe")
         )
     )
-    first_k = pts.orderBy("_id").limit(k)
-    cents = first_k.select(
-        F.row_number()
-        .over(Window.orderBy("_id"))
-        .cast("int")
-        .alias("cid"),
-        F.col("_xe").alias("_ce"),
+    # The centroid relation is k·dim bigints by the module contract, so each
+    # round's centroids are COLLECTED (the broadcast-small-side pattern) and
+    # ride the assignment function's closure — this is what lets the argmin
+    # run in numpy (see _assign).  The ladder stays exactly iters sequential
+    # rounds; the collects replace the per-round broadcast-build jobs the
+    # lazy form paid anyway, and the first collect doubles as the pts
+    # persist fill.  Init: the k rows with smallest id, cid = ascending-id
+    # rank (unchanged).
+    first_k = sorted(
+        pts.orderBy("_id").limit(k).collect(), key=lambda r: r["_id"]
     )
-    assigned = _assign(pts, cents)
-    for _ in range(iters - 1):
-        cents = _recenter(assigned)
-        assigned = _assign(pts, cents)
+    cent_rows = [(rank + 1, r["_xe"]) for rank, r in enumerate(first_k)]
+    assigned = _assign(pts, cent_rows, keep_xe=iters > 1)
+    for it in range(iters - 1):
+        cent_rows = sorted(
+            (r["cid"], r["_ce"]) for r in _recenter(assigned).collect()
+        )
+        assigned = _assign(pts, cent_rows, keep_xe=it < iters - 2)
     out = assigned.select(
         F.col("_id").alias(id_col), "cid", F.col("_dist").alias("dist_sq")
     )
-    return cents.select("cid", F.col("_ce").alias("centroid_e6")), out
+    cents = df.sparkSession.createDataFrame(
+        [(c, None if v is None else list(v)) for c, v in cent_rows],
+        "cid INT, centroid_e6 ARRAY<BIGINT>",
+    )
+    return cents, out
 
 
 def kmeans_summary(

@@ -173,3 +173,77 @@ def test_ivf_exact_knn_more_probes_never_lose_candidates(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in full_scores:
             assert full_scores[key] == r["cos_e6"]
+
+
+def test_assign_arrow_matches_expression_null_semantics(spark):
+    """The r14 numpy assignment (operators/clustering._assign) must keep the
+    pre-r14 expression argmin's EXACT semantics, pinned empirically against
+    the struct-array_min form before the rewrite:
+
+    - valid rows: exact integer argmin, ties to the smaller cid;
+    - null vector / null element / ragged dims: the distance is NULL, and a
+      NULL distance sorts BEFORE any valid one (struct ordering NULLS
+      FIRST), ties to the smaller cid — so such rows land on the smallest
+      cid with dist NULL;
+    - a ragged/null CENTROID therefore wins every row it null-distances;
+    - no centroids at all: (NULL cid, NULL dist).
+    """
+    from kafka_flow_spark.operators.clustering import _assign, quantize_e6
+
+    pts = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, None), (3, [1.0]), (4, [1.0, None]), (5, [3.0, 3.0])],
+        SCHEMA,
+    ).select(F.col("vec_id").alias("_id"), quantize_e6("embedding").alias("_xe"))
+    got = {
+        r["_id"]: (r["cid"], r["_dist"])
+        for r in _assign(pts, [(1, [0, 0]), (2, [3000000, 3000000])]).collect()
+    }
+    assert got == {
+        1: (1, 2_000_000_000_000),  # closest to origin, exact int distance
+        2: (1, None),  # null vector -> null dist -> NULLS FIRST -> cid 1
+        3: (1, None),  # ragged row
+        4: (1, None),  # null element
+        5: (2, 0),  # exact hit on centroid 2
+    }
+    one = spark.createDataFrame([(1, [0, 0])], "x BIGINT, e ARRAY<BIGINT>").select(
+        F.col("x").alias("_id"), F.col("e").alias("_xe")
+    )
+    # a ragged centroid's null distance beats a valid one, smaller cid wins
+    assert [tuple(r) for r in _assign(one, [(1, [0, 0]), (2, [0])], keep_xe=False).collect()] == [(1, 2, None)]
+    assert [tuple(r) for r in _assign(one, [(1, [0]), (2, [5, 5])], keep_xe=False).collect()] == [(1, 1, None)]
+    assert [tuple(r) for r in _assign(one, [], keep_xe=False).collect()] == [(1, None, None)]
+
+
+def test_assign_arrow_fast_slow_paths_agree_across_batches(spark):
+    """Vectorized fast path == per-row fallback on uniform data, including
+    across Arrow batch boundaries (maxRecordsPerBatch=7 forces several
+    batches per partition)."""
+    from kafka_flow_spark.operators.clustering import (
+        _assign,
+        _assign_row_py,
+        quantize_e6,
+    )
+
+    rows = _blob_rows(n_per=17, dim=6)
+    df = spark.createDataFrame(rows, SCHEMA)
+    pts = df.select(
+        F.col("vec_id").alias("_id"), quantize_e6("embedding").alias("_xe")
+    )
+    cents = [
+        (1, [1_000_000, 0, 0, 0, 0, 0]),
+        (2, [0, 1_000_000, 0, 0, 0, 0]),
+        (3, [0, 0, 1_000_000, 0, 0, 0]),
+    ]
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            r["_id"]: (r["cid"], r["_dist"])
+            for r in _assign(pts, cents, keep_xe=False).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    xe = {
+        i: [math.floor(x * 1_000_000) for x in v] for i, v in rows
+    }
+    assert got == {i: _assign_row_py(x, cents) for i, x in xe.items()}
