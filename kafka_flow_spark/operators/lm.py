@@ -271,21 +271,54 @@ def bigram_lm_scores_interp(
         .agg(F.count(F.lit(1)).alias("_c2"))
     )
     # N and V derive from the persisted vocab-sized c2 (Σc2 = total ref
-    # tokens; |c2| = vocabulary) — no third pass over the reference
-    scal = c2.agg(
+    # tokens; |c2| = vocabulary) and collapse to DRIVER LITERALS (r14): the
+    # model relations are already persisted and gated by a driver-side
+    # count, so one more 1-row action costs what the former scal
+    # broadcast-build job cost — and a literal N+V lets every nv product
+    # below PRE-FOLD into the model relations instead of being re-multiplied
+    # per scored occurrence.
+    vrow = c2.agg(
         F.count(F.lit(1)).alias("_v"), F.sum("_c2").alias("_ntok")
+    ).first()
+    nv_int = int(vrow["_ntok"] or 0) + int(vrow["_v"])
+    # empty reference: the pre-fold form's nv was NULL (sum over no rows),
+    # nulling every term — keep that, not a 0-literal that would divide by 0
+    nv_lit = F.lit(nv_int if nv_int > 0 else None).cast("decimal(38,0)")
+    d0 = F.lit(0).cast("decimal(38,0)")
+    d1 = F.lit(1).cast("decimal(38,0)")
+
+    def dec38(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    # Fold the λ constants and the nv scalar INTO the vocab-sized model
+    # relations (guide §1.2 "per-task work", §2.3 "shuffle keys and
+    # metadata"): every factor of the integer num/den polynomials that
+    # depends only on the model row is computed ONCE per model row —
+    #   _e12 = λn·c12·nv      (per (w1,w2))
+    #   _e1a = (λd−λn)·c1     (per w1)
+    #   _e1b = λd·c1·nv       (per w1; also the seen-w1 flag: non-null ⇔ seen)
+    #   _c2p1 = c2+1          (per w2)
+    # so the per-occurrence arithmetic shrinks to ONE decimal multiply and
+    # one add (num) plus the when/coalesce — from ~4 decimal products per
+    # scored gram.  The polynomial VALUES are unchanged (integer products
+    # reassociated, decimal(38,0) exact): same num/den integers → same
+    # single double division → same ln → same micro-nat term.
+    c12f = c12.select(
+        "w1", "w2", (F.lit(lam_num) * dec38(F.col("_c12")) * nv_lit).alias("_e12")
     )
+    c1f = c1.select(
+        "w1",
+        (F.lit(lam_den - lam_num) * dec38(F.col("_c1"))).alias("_e1a"),
+        (F.lit(lam_den) * dec38(F.col("_c1")) * nv_lit).alias("_e1b"),
+    )
+    c2f = c2.select("w2", (dec38(F.col("_c2")) + d1).alias("_c2p1"))
     grams = _bigram_rows(base.where(~F.col("_ref")))
-    nv = (F.col("_ntok") + F.col("_v")).cast("decimal(38,0)")
-    c12v = F.coalesce(F.col("_c12"), F.lit(0)).cast("decimal(38,0)")
-    c1v = F.coalesce(F.col("_c1"), F.lit(0)).cast("decimal(38,0)")
-    c2p1 = (F.coalesce(F.col("_c2"), F.lit(0)) + 1).cast("decimal(38,0)")
-    seen_w1 = F.coalesce(F.col("_c1"), F.lit(0)) > 0
+    c2p1 = F.coalesce(F.col("_c2p1"), d1)
+    seen_w1 = F.col("_e1b").isNotNull()
     num = F.when(
-        seen_w1,
-        F.lit(lam_num) * c12v * nv + F.lit(lam_den - lam_num) * c2p1 * c1v,
+        seen_w1, F.coalesce(F.col("_e12"), d0) + c2p1 * F.col("_e1a")
     ).otherwise(c2p1)
-    den = F.when(seen_w1, F.lit(lam_den) * c1v * nv).otherwise(nv)
+    den = F.when(seen_w1, F.col("_e1b")).otherwise(nv_lit)
     term = (
         F.round(F.log(num.cast("double") / den.cast("double")) * LOG_SCALE)
         .cast("long")
@@ -298,10 +331,9 @@ def bigram_lm_scores_interp(
         scored = (
             grams
             .select("_id", "w1", "w2")
-            .join(F.broadcast(c12), ["w1", "w2"], "left")
-            .join(F.broadcast(c1), ["w1"], "left")
-            .join(F.broadcast(c2), ["w2"], "left")
-            .crossJoin(F.broadcast(scal))
+            .join(F.broadcast(c12f), ["w1", "w2"], "left")
+            .join(F.broadcast(c1f), ["w1"], "left")
+            .join(F.broadcast(c2f), ["w2"], "left")
             .select("_id", term)
         )
         return scored.groupBy(F.col("_id").alias(id_col)).agg(
@@ -317,10 +349,9 @@ def bigram_lm_scores_interp(
         .agg(F.count(F.lit(1)).alias("_n"))
     )
     scored = (
-        dg.join(c12, ["w1", "w2"], "left")
-        .join(c1, ["w1"], "left")
-        .join(c2, ["w2"], "left")
-        .crossJoin(F.broadcast(scal))
+        dg.join(c12f, ["w1", "w2"], "left")
+        .join(c1f, ["w1"], "left")
+        .join(c2f, ["w2"], "left")
         .select("_id", "_n", term)
     )
     return scored.groupBy(F.col("_id").alias(id_col)).agg(
